@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local stand-in for the round driver's correctness gate.
+
+Usage: python3 scripts/local_verify.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by `graft.Verify`) and the
+dumped <verifyOutDir>/oracle_sql.json, runs each oracle SQL in DuckDB against
+the same parquet tables, and compares row count, schema (column names), and a
+canonical order-insensitive hash of the values.
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df):
+    """Sort columns by name, then rows; stringify with float rounding."""
+    df = df[sorted(df.columns)]
+    rows = []
+    for t in df.itertuples(index=False):
+        row = []
+        for v in t:
+            if isinstance(v, float):
+                row.append(f"{v:.9g}")
+            else:
+                row.append(str(v))
+        rows.append("\x01".join(row))
+    rows.sort()
+    return rows
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    n_pass = n_fail = n_noracle = 0
+    for d in sorted(Path(out_dir).iterdir()):
+        if not d.is_dir():
+            continue
+        name = d.name
+        got = pq.read_table(str(d)).to_pandas()
+        if name not in oracle:
+            n_noracle += 1
+            print(f"  [rows-only] {name}: {len(got)} rows")
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            n_fail += 1
+            print(f"✗ {name}: oracle SQL failed: {e}")
+            continue
+        ok_schema = sorted(got.columns) == sorted(exp.columns)
+        ok_rows = len(got) == len(exp)
+        ok_hash = ok_schema and ok_rows and canon(got) == canon(exp)
+        if ok_hash:
+            n_pass += 1
+            print(f"✓ {name}: {len(got)} rows")
+        else:
+            n_fail += 1
+            print(f"✗ {name}: schema_ok={ok_schema} rows {len(got)} vs {len(exp)}")
+            if ok_schema and ok_rows:
+                g, e = canon(got), canon(exp)
+                diffs = [(a, b) for a, b in zip(g, e) if a != b][:3]
+                for a, b in diffs:
+                    print(f"    spark:  {a[:200]}")
+                    print(f"    duckdb: {b[:200]}")
+            elif not ok_schema:
+                print(f"    spark cols:  {sorted(got.columns)}")
+                print(f"    duckdb cols: {sorted(exp.columns)}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
