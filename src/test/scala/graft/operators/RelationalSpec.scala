@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Smoke + structural checks for the relational surface at sf0.001. The real
+  * correctness gate is the DuckDB oracle comparison (scripts/local_verify.py /
+  * the driver's CORRECTNESS run); these tests guard plan-level properties and
+  * that every query still executes and every oracle key is wired.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("every query has a matching oracle entry") {
+    val missing = Relational.queries.keySet -- Relational.oracles.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    val orphans = Relational.oracles.keySet -- Relational.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
+  }
+
+  test("all queries execute at sf0.001 and flagship returns rows") {
+    Relational.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf()).count()
+      assert(n >= 0, s"$name failed")
+    }
+    assert(Relational.queries("q3_revenue_by_nation")(spark, sf()).count() > 0)
+  }
+
+  test("q2 plan pushes filters and prunes columns at the parquet scan") {
+    val plan = Relational.queries("q2_filter_revenue")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(
+      plan.contains("IsNotNull(l_shipdate)") || plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$plan"
+    )
+    assert(!plan.contains("l_orderkey"), "column pruning failed: reads unused l_orderkey")
+  }
+
+  test("q4 uses a broadcast join for the part dimension") {
+    val plan = Relational.queries("q4_brand_volume")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$plan")
+  }
+
+  test("q1 aggregates with partial (map-side) aggregation") {
+    val plan = Relational.queries("q1_pricing_summary")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("q10 top-k is deterministic under re-evaluation") {
+    val a = Relational.queries("q10_top_parts_by_revenue")(spark, sf()).collect().toSeq
+    val b = Relational.queries("q10_top_parts_by_revenue")(spark, sf()).collect().toSeq
+    assert(a == b)
+  }
+}
