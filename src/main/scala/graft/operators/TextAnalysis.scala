@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the LLM-data-pipeline
+  * extension surface (SURVEY.md §2.2 north star): token statistics, quality
+  * scoring, language ID, and document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` compositions (no UDFs) with
+  * exact DuckDB oracle equivalents. Ratios are integer-count divisions (exact
+  * operands → deterministic double results); no float aggregation is involved,
+  * so no decimal casting is needed here.
+  *
+  * Scale: all operators are embarrassingly parallel per-document projections —
+  * no shuffle at all except the final aggregations, which are algebraic. At
+  * 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+  import TextOps._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token statistics: counts, type-token ratio, mean token length, plus a
+    // BPE-ish regex token count (letters runs | digit runs | other symbol).
+    "ta_token_stats" -> { (s, dir) =>
+      val toks = tokens(col("text"))
+      Relational.t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_types"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("type_token_ratio"),
+          (aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x).cast("double")
+            / size(toks)).as("avg_token_len"),
+          regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens")
+        )
+        .filter(col("n_tokens") >= 3)
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: structural ratios + a clipped linear quality score.
+    // (No exp/log — libm results are not bit-stable across engines.)
+    "ta_quality" -> { (s, dir) =>
+      val toks = tokens(col("text"))
+      val nChars = length(col("text")).cast("double")
+      val nPunct = (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:'\"]", ""))).cast("double")
+      val nStop = markerCount(toks, Stopwords).cast("double")
+      val nToks = size(toks).cast("double")
+      val punctRatio = nPunct / nChars
+      val stopRatio = nStop / nToks
+      val score = greatest(lit(0.0), least(lit(1.0), lit(0.2) + stopRatio * 2.0 - punctRatio * 3.0))
+      Relational.t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          nChars.cast("long").as("n_chars"),
+          nPunct.cast("long").as("n_punct"),
+          (nPunct / nChars).as("punct_ratio"),
+          (nStop / nToks).as("stopword_ratio"),
+          score.as("quality_score")
+        )
+        .filter(col("doc_id") < 1000)
+        .orderBy("doc_id")
+    },
+
+    // Language ID: marker-word votes per language, deterministic arg-max with a
+    // fixed preference order on ties, then confusion counts vs the labeled lang.
+    "ta_langid" -> { (s, dir) =>
+      val toks = tokens(col("text"))
+      val en = markerCount(toks, LangMarkers("en"))
+      val de = markerCount(toks, LangMarkers("de"))
+      val es = markerCount(toks, LangMarkers("es"))
+      val fr = markerCount(toks, LangMarkers("fr"))
+      val mx = greatest(en, de, es, fr)
+      val predicted = when(mx === 0, lit("unk"))
+        .when(en === mx, lit("en"))
+        .when(de === mx, lit("de"))
+        .when(es === mx, lit("es"))
+        .otherwise(lit("fr"))
+      Relational.t(s, dir, "documents")
+        .select(col("lang").as("labeled_lang"), predicted.as("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    },
+
+    // Document fingerprinting: cross-engine content hash of normalized text
+    // (md5 hex + 60-bit integer form used by the dedup tier).
+    "ta_fingerprint" -> { (s, dir) =>
+      Relational.t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(normText(col("text"))).as("fp_md5"),
+          HashFunctions.md5Long(normText(col("text"))).as("fp64")
+        )
+        .orderBy("doc_id")
+    },
+
+    // Engine-internal fast fingerprint via the native Fnv64 Catalyst expression
+    // (whole-stage codegen; no SQL-engine equivalent → rows-only driver check;
+    // golden-vector correctness is asserted in ScalaTest).
+    "ta_fingerprint_fnv" -> { (s, dir) =>
+      Relational.t(s, dir, "documents")
+        .select(col("doc_id"), HashFunctions.fnv64(normText(col("text"))).as("fp_fnv64"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ta_token_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts, lower(text) AS lt
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(ts) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(ts)) AS INT) AS n_types,
+        |  CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS type_token_ratio,
+        |  CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / len(ts) AS avg_token_len,
+        |  CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens
+        |FROM d WHERE len(ts) >= 3 ORDER BY doc_id""".stripMargin,
+    "ta_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS DOUBLE) AS n_punct
+        |  FROM documents WHERE doc_id < 1000
+        |), r AS (
+        |  SELECT doc_id, n_chars, n_punct,
+        |    n_punct / n_chars AS punct_ratio,
+        |    CAST(len(list_filter(ts, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE)
+        |      / len(ts) AS stopword_ratio
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_punct AS BIGINT) AS n_punct,
+        |  punct_ratio, stopword_ratio,
+        |  greatest(0.0, least(1.0, 0.2 + stopword_ratio * 2.0 - punct_ratio * 3.0)) AS quality_score
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "ta_langid" ->
+      """WITH d AS (
+        |  SELECT lang, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+        |  FROM documents
+        |), v AS (
+        |  SELECT lang AS labeled_lang,
+        |    len(list_filter(ts, t -> list_contains(['the','a','and'], t))) AS en,
+        |    len(list_filter(ts, t -> list_contains(['der','die','das','und'], t))) AS de,
+        |    len(list_filter(ts, t -> list_contains(['el','los','las','y'], t))) AS es,
+        |    len(list_filter(ts, t -> list_contains(['le','la','les','et'], t))) AS fr
+        |  FROM d
+        |)
+        |SELECT labeled_lang,
+        |  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'unk'
+        |       WHEN en = greatest(en, de, es, fr) THEN 'en'
+        |       WHEN de = greatest(en, de, es, fr) THEN 'de'
+        |       WHEN es = greatest(en, de, es, fr) THEN 'es'
+        |       ELSE 'fr' END AS predicted_lang,
+        |  COUNT(*) AS n_docs
+        |FROM v GROUP BY labeled_lang, predicted_lang ORDER BY labeled_lang, predicted_lang""".stripMargin,
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+        |  CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS fp64
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // ta_fingerprint_fnv: intentionally no oracle (native expression; rows-only).
+  )
+}
