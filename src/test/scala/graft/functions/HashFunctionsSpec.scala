@@ -23,8 +23,9 @@ class HashFunctionsSpec extends SparkSpec {
     // A LocalTableScan would be evaluated eagerly on the driver; use a real
     // distributed source so the projection goes through codegen.
     val df = spark.range(10).select(HashFunctions.fnv64(col("id").cast("string")).as("h"))
+    // The `*(n)` prefix in the compact plan string marks WholeStageCodegen stages.
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), plan)
+    assert(plan.contains("*(1) Project [fnv64("), plan)
     // And the codegen result agrees with the reference implementation.
     assert(df.as[Long].collect().toSeq == (0L until 10L).map(i => HashFunctions.fnv64(i.toString)))
   }
