@@ -1,0 +1,298 @@
+package graft.operators
+
+import graft.functions.HashFunctions.md5Long
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the core
+  * LLM-training-data-pipeline surface: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, and embedding-cosine near-duplicate detection.
+  *
+  * Everything is deterministic and oracle-checkable: the hash family is the
+  * cross-engine 60-bit md5 hash ([[graft.functions.HashFunctions.md5Long]]),
+  * so MinHash signatures, LSH buckets, and SimHash fingerprints are bit-equal
+  * between Spark and DuckDB.
+  *
+  * Scale design (100 TB):
+  *  - Nothing here is O(n²) except the *verification* of candidate pairs, and
+  *    candidates come from inverted-index / LSH-bucket joins whose cost is
+  *    O(Σ bucket²) — controlled by shingle selectivity and band width.
+  *  - The n-gram inverted index ([[queries dd_ngram_pairs]]) shuffles on the
+  *    shingle; at scale, hot shingles (stop-phrases) would be dropped by a
+  *    document-frequency cap before the self-join (skew control), exactly like
+  *    a text index drops stopwords.
+  *  - MinHash bands (12 bands × 4 rows, k=48) keep the candidate set ~linear
+  *    in the number of true near-duplicates; the signature computation is a
+  *    narrow per-document map. This is the path that survives 100×.
+  */
+object Dedup {
+  import TextOps._
+
+  /** (doc_id, shingles) for docs with ≥3 tokens, distinct 3-gram shingles. */
+  def shingled(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Relational.t(s, dir, "documents")
+      .select(col("doc_id"), shingles3(toks).as("shingles"))
+      .filter(size(col("shingles")) >= 1)
+  }
+
+  /** Exact Jaccard over distinct shingle sets for candidate pairs
+    * (`a`/`b` sides must expose doc_a/doc_b). Integer-count division: exact.
+    */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, minJac: Double): DataFrame = {
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cands
+      .join(a, "doc_a")
+      .join(b, "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
+      )
+      .filter(col("jaccard") >= minJac)
+  }
+
+  /** MinHash parameters: k = Bands × RowsPerBand hash functions. With 12×4 the
+    * detection probability at Jaccard 0.9 is 1-(1-0.9⁴)¹² ≈ 0.999997 — recall
+    * is deterministic here (fixed hash family), and verified 100% on the test
+    * corpus by DedupSpec.
+    */
+  val Bands = 12
+  val RowsPerBand = 4
+  val K: Int = Bands * RowsPerBand
+
+  /** MinHash signature column: sig[i] = min over shingles of h_i(shingle),
+    * h_i(x) = md5Long(i || ':' || x).
+    */
+  def minhashSig(shingles: Column): Column =
+    transform(
+      sequence(lit(0), lit(K - 1)),
+      i => array_min(transform(shingles, sng => md5Long(concat(i.cast("string"), lit(":"), sng))))
+    )
+
+  /** 2^i as a long for a column i (exact: powers of two are exact doubles). */
+  private def shiftleft_long(i: Column): Column = pow(lit(2.0), i).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup summary: how many docs survive normalization-hash dedup.
+    "dd_exact_summary" -> { (s, dir) =>
+      Relational.t(s, dir, "documents")
+        .select(md5(normText(col("text"))).as("h"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_duplicates")
+        )
+    },
+
+    // Exact dedup groups: normalized-hash groups with >1 member; canonical
+    // survivor = min doc_id (the keep-first policy).
+    "dd_exact_groups" -> { (s, dir) =>
+      Relational.t(s, dir, "documents")
+        .groupBy(md5(normText(col("text"))).as("h"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("h")
+    },
+
+    // Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    // shuffle on shingle, never O(n²).
+    "dd_ngram_pairs" -> { (s, dir) =>
+      val sh = shingled(s, dir)
+      val counts = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sng"))
+      val common = inv.as("x")
+        .join(inv.as("y"), col("x.sng") === col("y.sng") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard")
+        )
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // MinHash + LSH banding: signatures → band buckets → bucket join →
+    // exact-Jaccard verification. The scalable path: candidates are generated
+    // by equality join on (band, bucket), cost linear in true duplicates.
+    "dd_minhash_pairs" -> { (s, dir) =>
+      val sh = shingled(s, dir)
+      val sig = sh.select(col("doc_id"), minhashSig(col("shingles")).as("sig"))
+      val banded = sig
+        .withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
+        .select(
+          col("doc_id"),
+          md5(concat_ws(",",
+            col("band").cast("string") +: (0 until RowsPerBand).map(j =>
+              expr(s"element_at(sig, band * $RowsPerBand + ${j + 1})").cast("string")): _*
+          )).as("bucket")
+        )
+      val cands = banded.as("x")
+        .join(banded.as("y"), col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      verifyJaccard(cands, sh, 0.8).orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash fingerprints (60-bit) per document.
+    "dd_simhash" -> { (s, dir) =>
+      val sh = shingled(s, dir)
+      sh.select(col("doc_id"), simhashCol(col("shingles")).as("simhash")).orderBy("doc_id")
+    },
+
+    // SimHash near-dup pairs: 4×15-bit band join (pigeonhole: hamming ≤ 3 ⇒
+    // at least one band equal), verified by exact hamming distance.
+    "dd_simhash_pairs" -> { (s, dir) =>
+      val sh = shingled(s, dir)
+      val sim = sh.select(col("doc_id"), simhashCol(col("shingles")).as("simhash"))
+      val banded = sim
+        .withColumn("band", explode(sequence(lit(0), lit(3))))
+        .withColumn("bandval", expr("shiftright(simhash, band * 15) & 32767"))
+      val x = banded.select(
+        col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("band"), col("bandval"))
+      val y = banded.select(
+        col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+        col("band").as("band_y"), col("bandval").as("bandval_y"))
+      x.join(y, col("band") === col("band_y") && col("bandval") === col("bandval_y") &&
+          col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Embedding cosine near-dup pairs, brute force over all pairs. Dot products
+    // are sequential left-fold double sums (aggregate ≡ DuckDB list_reduce):
+    // float×float products are exact in double, and the identical summation
+    // order makes the result bit-identical across engines.
+    "dd_embed_pairs" -> { (s, dir) =>
+      val e = Relational.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(
+          col("id_a"),
+          col("id_b"),
+          (dotSeq(col("va"), col("vb")) /
+            (sqrt(dotSeq(col("va"), col("va"))) * sqrt(dotSeq(col("vb"), col("vb"))))).as("cosine")
+        )
+        .filter(col("cosine") >= 0.4)
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  /** Sequential left-fold dot product: exact-product doubles summed in array
+    * order. DuckDB twin: `list_reduce([x[i]*y[i] ...], (a,b) -> a+b)`.
+    */
+  def dotSeq(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, p) => acc + p)
+
+  /** SimHash as a column (see [[simhash]] doc; implemented via SQL expression
+    * for the bit arithmetic).
+    */
+  def simhashCol(shingles: Column): Column = {
+    val hashes = transform(shingles, sng => md5Long(sng))
+    val n = size(hashes)
+    aggregate(
+      sequence(lit(0), lit(59)),
+      lit(0L),
+      (acc, i) => {
+        val bitCount = size(filter(hashes, h => h.bitwiseAND(shiftleft_long(i)) =!= lit(0L)))
+        acc + when(bitCount * 2 > n, shiftleft_long(i)).otherwise(lit(0L))
+      }
+    )
+  }
+
+  private val exactPairsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts)-1)]) AS shingles
+      |  FROM toks WHERE len(ts) >= 3
+      |), inv AS (
+      |  SELECT doc_id, unnest(shingles) AS sng FROM sh
+      |), common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM inv x JOIN inv y ON x.sng = y.sng AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(common AS DOUBLE) / (len(a.shingles) + len(b.shingles) - common) AS jaccard
+      |FROM common JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
+      |WHERE CAST(common AS DOUBLE) / (len(a.shingles) + len(b.shingles) - common) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val simhashSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts)-1)]) AS shingles
+      |  FROM toks WHERE len(ts) >= 3
+      |), hs AS (
+      |  SELECT doc_id,
+      |    list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hashes
+      |  FROM sh
+      |)
+      |SELECT doc_id,
+      |  CAST(list_sum([CASE WHEN 2 * len(list_filter(hashes, h -> (h & (1::BIGINT << i)) <> 0)) > len(hashes)
+      |                      THEN (1::BIGINT << i) ELSE 0 END
+      |                 FOR i IN range(0, 60)]) AS BIGINT) AS simhash
+      |FROM hs""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact_summary" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct,
+        |  COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_duplicates
+        |FROM documents""".stripMargin,
+    "dd_exact_groups" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY h HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+    "dd_ngram_pairs" -> exactPairsSql,
+    // MinHash with this fixed hash family has (verified) 100% recall at
+    // Jaccard ≥ 0.8 on the corpus, and candidates are exact-verified, so the
+    // LSH output equals the exact pair set.
+    "dd_minhash_pairs" -> exactPairsSql,
+    "dd_simhash" -> (simhashSql + "\nORDER BY doc_id"),
+    "dd_simhash_pairs" ->
+      s"""WITH sim AS ($simhashSql), banded AS (
+         |  SELECT doc_id, simhash, i AS band, (simhash >> (i * 15)) & 32767 AS bandval
+         |  FROM sim, LATERAL (SELECT unnest(range(0, 4)) AS i)
+         |)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bandval = y.bandval AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_embed_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), d AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce([a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)], (p, q) -> p + q) AS dot,
+        |    list_reduce([a.v[i] * a.v[i] FOR i IN range(1, len(a.v)+1)], (p, q) -> p + q) AS na,
+        |    list_reduce([b.v[i] * b.v[i] FOR i IN range(1, len(b.v)+1)], (p, q) -> p + q) AS nb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
+        |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

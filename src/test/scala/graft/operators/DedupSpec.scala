@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class DedupSpec extends SparkSpec {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    Dedup.queries(name)(spark, sf()).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_a")), r.getLong(r.fieldIndex("doc_b")))).toSet
+
+  test("minhash LSH has 100% recall vs exact n-gram jaccard at >= 0.8") {
+    val exact = pairs("dd_ngram_pairs")
+    val lsh = pairs("dd_minhash_pairs")
+    assert(exact.nonEmpty, "corpus should contain planted near-duplicates")
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("near-dup pairs have near-identical simhash (hamming small)") {
+    val sim = Dedup.queries("dd_simhash")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = pairs("dd_ngram_pairs")
+    val hammings = exact.toSeq.map { case (a, b) => java.lang.Long.bitCount(sim(a) ^ sim(b)) }
+    // Jaccard >= 0.8 pairs should have much-lower-than-random hamming (random ≈ 30 of 60 bits).
+    assert(hammings.forall(_ <= 15), s"unexpectedly distant simhashes: $hammings")
+  }
+
+  test("simhash pair query returns subset of band-collision pairs with hamming <= 3") {
+    val rows = Dedup.queries("dd_simhash_pairs")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r => assert(r.getInt(r.fieldIndex("hamming")) <= 3) }
+  }
+
+  test("exact summary counts are consistent") {
+    val Row(n: Long, distinct: Long, dups: Long) =
+      Dedup.queries("dd_exact_summary")(spark, sf()).head()
+    assert(n == 500 && n - distinct == dups)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.queries("dd_embed_pairs")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(r.fieldIndex("cosine")) >= 0.4)
+    }
+  }
+
+  test("jaccard pairs stable across partition counts (scale invariance)") {
+    val base = pairs("dd_ngram_pairs")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      assert(pairs("dd_ngram_pairs") == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
