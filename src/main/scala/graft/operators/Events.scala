@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-mode event-time operators over `events`, sharing plan builders with
+  * the Structured Streaming surface ([[graft.streaming.EventStreams]]) so the
+  * DuckDB oracle verifies the same logic the streams run.
+  *
+  * `ev_sessions` (window functions) and `ev_sessions_typed`
+  * (groupByKey.flatMapGroups over the shared sessionizer core) intentionally
+  * share one oracle: two independent implementations, one semantic.
+  */
+object Events {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1h windows × event_type (the streaming agg, batch-evaluated).
+    "ev_window_agg" -> { (s, dir) =>
+      EventStreams.windowedAgg(Relational.t(s, dir, "events"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Sessionization via window functions: lag → gap flags → cumulative-sum ids.
+    "ev_sessions" -> { (s, dir) =>
+      val gap = EventStreams.SessionGapMicros
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Relational.t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn(
+          "new_sess",
+          when(col("prev_us").isNull || (unix_micros(col("ts")) - col("prev_us")) > gap, 1L).otherwise(0L)
+        )
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy("user_id", "sess_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end")
+        )
+        .orderBy("user_id", "sess_id")
+    },
+
+    // Same semantics through the typed UDF path (reference reduce-UDF shape).
+    "ev_sessions_typed" -> { (s, dir) =>
+      EventStreams.sessionizeBatch(Relational.t(s, dir, "events"))
+        .orderBy("user_id", "sess_id")
+    }
+  )
+
+  private val sessionsSql =
+    s"""WITH x AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${EventStreams.SessionGapMicros}
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sx AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM x
+       |)
+       |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end
+       |FROM sx GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ev_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+    "ev_sessions" -> sessionsSql,
+    "ev_sessions_typed" -> sessionsSql
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{Events, Relational}
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+
+  /** File-stream sources need a directory: stage the single events.parquet
+    * file into a temp dir once for the suite.
+    */
+  lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      d.resolve("events.parquet")
+    )
+    d.toString
+  }
+
+  test("splitSessions splits on >30min gaps and numbers sessions in order") {
+    import EventStreams._
+    val m = 60L * 1000 * 1000
+    val evs = Seq(
+      EventRec(1, 0 * m, 7), EventRec(2, 10 * m, 7), EventRec(3, 45 * m, 7),
+      EventRec(4, 120 * m, 7)
+    )
+    // Gaps: 0→10 (10min, same), 10→45 (35min, new), 45→120 (75min, new).
+    val got = splitSessions(7, evs)
+    assert(got.map(s => (s.sess_id, s.n_events)) == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+    assert(got.head.session_start.getTime == 0 && got.head.session_end.getTime == 10 * 60 * 1000)
+  }
+
+  test("streaming windowed agg over the events parquet equals batch result") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.streamingWindowedAgg(stream)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("win_agg_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_agg_test")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = Events.queries("ev_window_agg")(spark, sf()).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful streaming sessionizer agrees with batch sessionizer on closed sessions") {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.sessionizeStream(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_test")
+        .select("user_id", "sess_id", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      // All data arrives in one micro-batch: streaming emits every session
+      // except each user's final (still-open) one.
+      val batchAll = EventStreams.sessionizeBatch(Relational.t(spark, sf(), "events"))
+        .select("user_id", "sess_id", "n_events")
+        .as[(Long, Long, Long)].collect()
+      val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val batchClosed = batchAll.filter { case (u, s, _) => s != lastPerUser(u) }.toSet
+      assert(streamed == batchClosed)
+    } finally q.stop()
+  }
+
+  test("batch sessionizers (window-function and typed) agree exactly") {
+    val a = Events.queries("ev_sessions")(spark, sf()).collect().map(_.toSeq).toSet
+    val b = Events.queries("ev_sessions_typed")(spark, sf()).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
