@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("manifest exposes binary payload + typed metadata struct") {
+    val m = Multimodal.manifest(spark, sf())
+    val schema = m.schema
+    assert(schema("media").dataType == BinaryType)
+    val meta = schema("meta").dataType.asInstanceOf[StructType]
+    assert(meta.fieldNames.toSeq == Seq("format", "width", "height", "n_bytes"))
+    assert(m.filter(col("meta.format").isin("png", "jpeg", "wav", "mp4")).count() == m.count())
+  }
+
+  test("stub decode kernel is deterministic and L1-normalized") {
+    val payload = "hello multimodal world".getBytes("UTF-8")
+    val a = Multimodal.stubDecodeFeatures(payload)
+    val b = Multimodal.stubDecodeFeatures(payload)
+    assert(a.toSeq == b.toSeq)
+    assert(math.abs(a.sum - 1.0f) < 1e-5)
+    assert(a.length == Multimodal.FeatureDims)
+  }
+
+  test("decodeFeatures preserves rows, emits fixed-width vectors, repeatable") {
+    val m = Multimodal.manifest(spark, sf())
+    val f1 = Multimodal.decodeFeatures(m)
+    assert(f1.count() == m.count())
+    assert(f1.schema("features").dataType == ArrayType(FloatType, containsNull = false))
+    val sizes = f1.select(size(col("features"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(Multimodal.FeatureDims))
+    val r1 = f1.orderBy("doc_id").collect().map(_.toSeq)
+    val r2 = Multimodal.decodeFeatures(m).orderBy("doc_id").collect().map(_.toSeq)
+    assert(r1.sameElements(r2))
+  }
+
+  test("decode runs per-partition (batch shape), not per-row on the driver") {
+    val m = Multimodal.manifest(spark, sf()).repartition(4)
+    val parts = Multimodal.decodeFeatures(m).rdd.getNumPartitions
+    assert(parts == 4, "mapPartitions must preserve partitioning")
+  }
+
+  test("frame sampling drops trailing partial chunks except for short payloads") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a" * 600), // 2 full frames, 88 dropped
+      (2L, "b" * 100) // single short frame
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), lit("src").as("source"), col("text").cast("binary").as("media"),
+        struct(lit("mp4").as("format"), lit(1).as("width"), lit(1).as("height"),
+          length(col("text")).cast("long").as("n_bytes")).as("meta"))
+    val frames = Multimodal.sampleFrames(df)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), sum(length(col("frame"))).as("bytes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(frames == Set((1L, 2L, 512L), (2L, 1L, 100L)))
+  }
+
+  test("resizeMeta clips dimensions, keeps payload untouched") {
+    val m = Multimodal.manifest(spark, sf())
+    val r = Multimodal.resizeMeta(m, 100, 100)
+    assert(r.filter(col("meta.width") > 100 || col("meta.height") > 100).count() == 0)
+    assert(r.agg(sum(length(col("media")))).head().getLong(0) ==
+      m.agg(sum(length(col("media")))).head().getLong(0))
+  }
+}
