@@ -63,17 +63,46 @@ object Dedup {
   val RowsPerBand = 4
   val K: Int = Bands * RowsPerBand
 
-  /** MinHash signature column: sig[i] = min over shingles of h_i(shingle),
-    * h_i(x) = md5Long(i || ':' || x).
+  /** MinHash signatures as an aggregation: explode shingles, project the K
+    * seeded hashes per (doc, shingle) in one codegen'd pass, then groupBy
+    * doc_id with K `min`s (partial aggregation map-side). This shape avoids
+    * interpreted array-HOF re-evaluation entirely — the earlier HOF
+    * formulation was re-run per bit by inferred isnotnull join-key filters,
+    * turning O(K·shingles) md5 calls into O(K²·shingles).
+    * Output: (doc_id, sig: array<long>[K]).
     */
-  def minhashSig(shingles: Column): Column =
-    transform(
-      sequence(lit(0), lit(K - 1)),
-      i => array_min(transform(shingles, sng => md5Long(concat(i.cast("string"), lit(":"), sng))))
+  def minhashSigs(sh: DataFrame): DataFrame = {
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sng"))
+    val hashed = inv.select(
+      col("doc_id") +: (0 until K).map(i => md5Long(i, col("sng")).as(s"h$i")): _*
     )
+    val mins = (0 until K).map(i => min(col(s"h$i")).as(s"m$i"))
+    hashed
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
-  /** 2^i as a long for a column i (exact: powers of two are exact doubles). */
-  private def shiftleft_long(i: Column): Column = pow(lit(2.0), i).cast("long")
+  /** SimHash as an aggregation: explode shingles, hash once per (doc,shingle),
+    * then 60 signed bit-vote sums (partial agg) and a post-agg bit assembly.
+    * Bit i set ⇔ set-votes > unset-votes ⇔ sum(±1) > 0 ⇔ 2·cnt > n — same
+    * semantics as the per-bit majority in the DuckDB oracle.
+    * Output: (doc_id, simhash: long).
+    */
+  def simhashes(sh: DataFrame): DataFrame = {
+    val hashed = sh
+      .select(col("doc_id"), explode(col("shingles")).as("sng"))
+      .select(col("doc_id"), md5Long(col("sng")).as("h"))
+    val votes = (0 until 60).map(i =>
+      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1L).otherwise(-1L)).as(s"b$i"))
+    val assembled = (0 until 60)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    hashed
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -125,7 +154,7 @@ object Dedup {
     // by equality join on (band, bucket), cost linear in true duplicates.
     "dd_minhash_pairs" -> { (s, dir) =>
       val sh = shingled(s, dir)
-      val sig = sh.select(col("doc_id"), minhashSig(col("shingles")).as("sig"))
+      val sig = minhashSigs(sh)
       val banded = sig
         .withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
         .select(
@@ -144,15 +173,14 @@ object Dedup {
 
     // SimHash fingerprints (60-bit) per document.
     "dd_simhash" -> { (s, dir) =>
-      val sh = shingled(s, dir)
-      sh.select(col("doc_id"), simhashCol(col("shingles")).as("simhash")).orderBy("doc_id")
+      simhashes(shingled(s, dir)).orderBy("doc_id")
     },
 
     // SimHash near-dup pairs: 4×15-bit band join (pigeonhole: hamming ≤ 3 ⇒
     // at least one band equal), verified by exact hamming distance.
     "dd_simhash_pairs" -> { (s, dir) =>
       val sh = shingled(s, dir)
-      val sim = sh.select(col("doc_id"), simhashCol(col("shingles")).as("simhash"))
+      val sim = simhashes(sh)
       val banded = sim
         .withColumn("band", explode(sequence(lit(0), lit(3))))
         .withColumn("bandval", expr("shiftright(simhash, band * 15) & 32767"))
@@ -161,13 +189,15 @@ object Dedup {
       val y = banded.select(
         col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
         col("band").as("band_y"), col("bandval").as("bandval_y"))
+      // Hamming is filtered inside the join condition: on a corpus whose docs
+      // share one global vocabulary, band values collide massively (the bit
+      // majorities are corpus-driven), so the collision set is ~quadratic.
+      // Filtering during the probe keeps it out of the shuffle/distinct.
       x.join(y, col("band") === col("band_y") && col("bandval") === col("bandval_y") &&
-          col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+          col("doc_a") < col("doc_b") &&
+          expr("bit_count(sim_a ^ sim_b)") <= 3)
+        .select(col("doc_a"), col("doc_b"), expr("bit_count(sim_a ^ sim_b)").as("hamming"))
         .distinct()
-        .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     },
 
@@ -176,16 +206,19 @@ object Dedup {
     // float×float products are exact in double, and the identical summation
     // order makes the result bit-identical across engines.
     "dd_embed_pairs" -> { (s, dir) =>
+      // Norms are precomputed per vector behind a materialization barrier —
+      // the pair loop then does one dot product per pair instead of three.
       val e = Relational.t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        .withColumn("nrm", sqrt(dotSeq(col("v"), col("v"))))
+        .repartition(col("vec_id"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("id_a") < col("id_b"))
         .select(
           col("id_a"),
           col("id_b"),
-          (dotSeq(col("va"), col("vb")) /
-            (sqrt(dotSeq(col("va"), col("va"))) * sqrt(dotSeq(col("vb"), col("vb"))))).as("cosine")
+          (dotSeq(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine")
         )
         .filter(col("cosine") >= 0.4)
         .orderBy("id_a", "id_b")
@@ -197,22 +230,6 @@ object Dedup {
     */
   def dotSeq(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, p) => acc + p)
-
-  /** SimHash as a column (see [[simhash]] doc; implemented via SQL expression
-    * for the bit arithmetic).
-    */
-  def simhashCol(shingles: Column): Column = {
-    val hashes = transform(shingles, sng => md5Long(sng))
-    val n = size(hashes)
-    aggregate(
-      sequence(lit(0), lit(59)),
-      lit(0L),
-      (acc, i) => {
-        val bitCount = size(filter(hashes, h => h.bitwiseAND(shiftleft_long(i)) =!= lit(0L)))
-        acc + when(bitCount * 2 > n, shiftleft_long(i)).otherwise(lit(0L))
-      }
-    )
-  }
 
   private val exactPairsSql =
     """WITH toks AS (
