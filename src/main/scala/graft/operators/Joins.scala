@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Join operators Spark lacks as primitives (SURVEY.md §2.2 join row):
+  * as-of join and range (band) join, composed from built-ins per the
+  * preference order — no custom strategy needed.
+  *
+  * As-of is the union-merge formulation, not a non-equi join: tag both
+  * streams, hash-partition by key, sort within partition by (key, time,
+  * side), and carry the last right-side row forward with a running
+  * `last(..., ignoreNulls)` window. Cost is one shuffle + one sort over
+  * left+right — the same shape a dedicated as-of physical operator would
+  * have, and it never materializes the quadratic ts-comparison the naive
+  * `a.ts >= b.ts` join would. This is the formulation that survives 100 TB:
+  * both sides shuffle on the join key only, window state is O(1) per row.
+  *
+  * The range join broadcasts the (tiny) band table and lets the executor
+  * evaluate the interval predicate — a broadcast nested-loop with
+  * O(rows × bands) cost, the right plan when bands ≪ rows.
+  */
+object Joins {
+
+  /** For each left row, the latest right row with the same key and
+    * rightTime ≤ leftTime. Output: left row + matched right id + gap.
+    */
+  def asOf(
+      left: DataFrame, right: DataFrame,
+      key: String, time: String, leftId: String, rightId: String
+  ): DataFrame = {
+    val l = left.select(col(key), col(time), col(leftId).as("l_id"))
+      .withColumn("side", lit(1))
+      .withColumn("r_id", lit(null).cast("long"))
+      .withColumn("r_ts", lit(null).cast("timestamp"))
+    val r = right.select(col(key), col(time), col(rightId).as("r_id"))
+      .withColumn("side", lit(0))
+      .withColumn("l_id", lit(null).cast("long"))
+      .withColumn("r_ts", col(time))
+      .select(col(key), col(time), col("l_id"), col("side"), col("r_id"), col("r_ts"))
+    // At equal timestamps the right side sorts first (side 0 < 1): ties count
+    // as "at or before". Within equal (ts, side), ids break ties.
+    val w = Window.partitionBy(key)
+      .orderBy(col(time), col("side"), coalesce(col("l_id"), col("r_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select(col(key), col(time), col("l_id"), col("side"), col("r_id"), col("r_ts"))
+      .union(r)
+      .withColumn("asof_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("asof_id").isNotNull)
+      .select(
+        col("l_id"),
+        col(key),
+        col("asof_id"),
+        (unix_micros(col(time)) - unix_micros(col("asof_ts"))).as("gap_us")
+      )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of: each error event matched to the user's most recent click.
+    "j1_asof_error_click" -> { (s, dir) =>
+      val ev = Relational.t(s, dir, "events")
+      asOf(
+        ev.filter(col("event_type") === "error"),
+        ev.filter(col("event_type") === "click"),
+        key = "user_id", time = "ts", leftId = "event_id", rightId = "event_id"
+      )
+        .select(col("l_id").as("error_id"), col("user_id"), col("asof_id").as("prev_click_id"), col("gap_us"))
+        .orderBy("error_id")
+    },
+
+    // Range join: parts bucketed into literal price bands.
+    "j2_range_price_bands" -> { (s, dir) =>
+      import s.implicits._
+      val bands = Seq(
+        ("band_900_925", 900.0, 925.0),
+        ("band_925_950", 925.0, 950.0),
+        ("band_950_975", 950.0, 975.0),
+        ("band_975_1000", 975.0, 1000.0)
+      ).toDF("band", "lo", "hi")
+      Relational.t(s, dir, "part")
+        .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("band")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          sum(col("p_retailprice").cast(DecimalType(18, 2))).cast("double").as("total_price")
+        )
+        .orderBy("band")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    // DuckDB has a native ASOF JOIN — the oracle uses it directly, so two
+    // different algorithms (merge-window vs DuckDB's asof) must agree.
+    "j1_asof_error_click" ->
+      """SELECT a.event_id AS error_id, a.user_id, b.event_id AS prev_click_id,
+        |  epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY error_id""".stripMargin,
+    "j2_range_price_bands" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('band_900_925', 900.0, 925.0),
+        |  ('band_925_950', 925.0, 950.0),
+        |  ('band_950_975', 950.0, 975.0),
+        |  ('band_975_1000', 975.0, 1000.0))
+        |SELECT band, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin
+  )
+}
