@@ -26,9 +26,15 @@ object HashFunctions {
 
   /** Cross-engine 60-bit hash of a string column, optionally seeded.
     * DuckDB equivalent: `CAST('0x' || substr(md5(<seed> || ':' || x), 1, 15) AS BIGINT)`.
+    * Computed natively from the digest bytes (first 15 hex chars ≡ big-endian
+    * first 8 bytes >>> 4) — the `conv(substring(md5(...)))` SQL formulation
+    * allocates a hex string and parses it per call, which dominated the
+    * signature-computation stages.
     */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  def md5Long(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(Md5Long(GraftSqlBridge.expression(c)))
+  }
 
   def md5Long(seed: Int, c: Column): Column =
     md5Long(concat(lit(seed.toString), lit(":"), c))
@@ -47,6 +53,34 @@ object HashFunctions {
       h *= 0x100000001b3L
     }
     h
+  }
+}
+
+/** The 60-bit md5-derived hash as a native expression: value of the first 15
+  * hex chars of md5 ≡ (big-endian long of digest bytes 0..7) >>> 4. Always
+  * non-negative. Thread-local digest instance; CodegenFallback costs one
+  * virtual call per row, irrelevant at row granularity.
+  */
+case class Md5Long(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val md = Md5Long.digests.get()
+    md.reset()
+    val d = md.digest(v.asInstanceOf[UTF8String].getBytes)
+    var out = 0L
+    var i = 0
+    while (i < 8) { out = (out << 8) | (d(i) & 0xffL); i += 1 }
+    out >>> 4
+  }
+  override protected def withNewChildInternal(newChild: Expression): Md5Long = copy(child = newChild)
+}
+
+object Md5Long {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 }
 

@@ -28,12 +28,34 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import TextOps._
 
-  /** (doc_id, shingles) for docs with ≥3 tokens, distinct 3-gram shingles. */
+  /** Repartition with an EXPLICIT partition count (REPARTITION_BY_NUM): the
+    * corpus is tiny in bytes but heavy in per-row compute, and AQE's
+    * partition coalescing — keyed on data size — would collapse a plain
+    * `repartition(col)` back to one partition, serializing the interpreted
+    * array/hash work. An explicit count is exempt from AQE coalescing.
+    */
+  def spread(key: String)(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
+  /** (doc_id, shingles) for docs with ≥3 tokens, distinct 3-gram shingles.
+    * The corpus arrives as one small parquet file = one input partition, so
+    * without the repartition every downstream shingling/hashing projection
+    * would run single-threaded; spreading by doc_id first parallelizes the
+    * (comparatively expensive) per-document array work across all cores.
+    */
   def shingled(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    // Order matters: the eligibility filter runs BEFORE the exchange (pushed
+    // to the single-partition scan) and must be lambda-free — split() is
+    // codegen'd, while a filter() HOF lambda is interpreted per element and
+    // was profiled at ~2 ms/doc, serializing the whole tier. After trim there
+    // are no empty tokens, so size(split) is the exact token count.
+    // ≥3 tokens ⇔ ≥1 trigram shingle. Shingling itself runs AFTER the
+    // exchange, parallel, as a single JVM call per row (ShingleSet).
     Relational.t(s, dir, "documents")
-      .select(col("doc_id"), shingles3(toks).as("shingles"))
-      .filter(size(col("shingles")) >= 1)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(trim(col("text")), " +")) >= 3)
+      .transform(spread("doc_id"))
+      .select(col("doc_id"), graft.functions.ShingleSet(col("text")).as("shingles"))
   }
 
   /** Exact Jaccard over distinct shingle sets for candidate pairs
@@ -71,12 +93,26 @@ object Dedup {
     * turning O(K·shingles) md5 calls into O(K²·shingles).
     * Output: (doc_id, sig: array<long>[K]).
     */
+  /** Modulus for the Kirsch-Mitzenmacher hash family (2^31 - 1, prime). */
+  val MinhashP = 2147483647L
+
   def minhashSigs(sh: DataFrame): DataFrame = {
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sng"))
+    // Kirsch-Mitzenmacher: derive the K hash functions as affine combinations
+    // h_i = (h1 + i·h2) mod P of two md5-based hashes — 2 md5 calls per
+    // shingle instead of K. Both md5Long and the affine arithmetic are exact
+    // in DuckDB BIGINTs, so the family stays cross-engine reproducible.
+    // (h1 + 47·h2 < 48·2^31 < 2^37: no 64-bit overflow.)
+    // The repartition is a materialization barrier: without it Catalyst
+    // substitutes h1/h2 into all K min-expressions and evaluates md5 K times
+    // per shingle. The exchange is on doc_id, which the groupBy needs anyway,
+    // so it costs nothing extra.
     val hashed = inv.select(
-      col("doc_id") +: (0 until K).map(i => md5Long(i, col("sng")).as(s"h$i")): _*
-    )
-    val mins = (0 until K).map(i => min(col(s"h$i")).as(s"m$i"))
+      col("doc_id"),
+      (md5Long(1, col("sng")) % MinhashP).as("h1"),
+      (md5Long(2, col("sng")) % MinhashP).as("h2")
+    ).transform(spread("doc_id"))
+    val mins = (0 until K).map(i => min((col("h1") + lit(i.toLong) * col("h2")) % MinhashP).as(s"m$i"))
     hashed
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -90,9 +126,12 @@ object Dedup {
     * Output: (doc_id, simhash: long).
     */
   def simhashes(sh: DataFrame): DataFrame = {
+    // Repartition barrier: otherwise the 60 vote sums each inline (and
+    // re-evaluate) the md5 hash per row — see minhashSigs.
     val hashed = sh
       .select(col("doc_id"), explode(col("shingles")).as("sng"))
       .select(col("doc_id"), md5Long(col("sng")).as("h"))
+      .transform(spread("doc_id"))
     val votes = (0 until 60).map(i =>
       sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1L).otherwise(-1L)).as(s"b$i"))
     val assembled = (0 until 60)
@@ -211,7 +250,7 @@ object Dedup {
       val e = Relational.t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dotSeq(col("v"), col("v"))))
-        .repartition(col("vec_id"))
+        .transform(spread("vec_id"))
       val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("id_a") < col("id_b"))
@@ -227,9 +266,11 @@ object Dedup {
 
   /** Sequential left-fold dot product: exact-product doubles summed in array
     * order. DuckDB twin: `list_reduce([x[i]*y[i] ...], (a,b) -> a+b)`.
+    * Implemented as the codegen'd [[graft.functions.SeqDot]] expression —
+    * identical addition sequence, ~20× faster than the interpreted HOF form.
     */
   def dotSeq(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, p) => acc + p)
+    graft.functions.SeqDot(x, y)
 
   private val exactPairsSql =
     """WITH toks AS (

@@ -42,42 +42,46 @@ object Similarity {
   val Tables = 12
   val PlanesPerTable = 6
 
+  /** Single-file parquet = one input partition; repartition to parallelize
+    * the per-vector work (see Dedup.shingled).
+    */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Relational.t(s, dir, "embeddings")
+      .transform(Dedup.spread("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   def cosine(a: Column, b: Column): Column =
     Dedup.dotSeq(a, b) / (sqrt(Dedup.dotSeq(a, a)) * sqrt(Dedup.dotSeq(b, b)))
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * ((md5Long("p:<plane>:<dim>") mod 2000) - 1000) / 1000.
-    */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    ((md5Long(concat(lit("p:"), plane.cast("string"), lit(":"), dim.cast("string"))) % 2000L)
-      .cast("double") - 1000.0) / 1000.0
+  /** Embedding dimensionality of the corpus (64-dim float vectors). */
+  val Dims = 64
 
-  /** Sign bits of the projections of `v` onto `nPlanes` hyperplanes, packed
-    * into a long. Plane indices are offset by `table * nPlanes`.
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * ((md5Long("p:<plane>:<dim>") mod 2000) - 1000) / 1000 — precomputed on
+    * the driver (the planes are a 96×64 constant matrix; recomputing md5 per
+    * row × plane × dim inside the scan was the ANN bottleneck) and shipped as
+    * literal arrays.
     */
-  def lshKey(v: Column, table: Column, nPlanes: Int): Column = {
-    val bits = transform(
-      sequence(lit(0), lit(nPlanes - 1)),
-      p => {
-        val planeIdx = table * nPlanes + p
-        val proj = aggregate(
-          zip_with(
-            v,
-            sequence(lit(0), size(v) - 1),
-            (x, d) => x * planeComponent(planeIdx, d)
-          ),
-          lit(0.0),
-          (acc, x) => acc + x
-        )
-        when(proj >= 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
-      }
-    )
-    aggregate(bits, lit(0L), (acc, b) => acc + b)
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"p:$plane:$dim".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2000L) - 1000L) / 1000.0
   }
+
+  private lazy val planes: IndexedSeq[Seq[Double]] =
+    (0 until Tables * PlanesPerTable).map(p => (0 until Dims).map(d => planeComponent(p, d)))
+
+  /** Sign bits of the projections of `v` onto the `table`-th group of
+    * hyperplanes, packed into a long. Codegen'd SeqDot per plane — no
+    * interpreted lambdas.
+    */
+  def lshKey(v: Column, table: Int, nPlanes: Int): Column =
+    (0 until nPlanes)
+      .map { p =>
+        val plane = typedLit(planes(table * nPlanes + p))
+        when(graft.functions.SeqDot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -104,10 +108,10 @@ object Similarity {
     // Rows-only driver check; recall measured in SimilaritySpec.
     "ss_ann_lsh" -> { (s, dir) =>
       val e = vecs(s, dir)
-      val tables = explode(sequence(lit(0), lit(Tables - 1)))
+      // All 12 bucket keys in one codegen'd projection, then fan out.
       val bucketed = e
-        .withColumn("tbl", tables)
-        .withColumn("bucket", lshKey(col("v"), col("tbl"), PlanesPerTable))
+        .withColumn("buckets", array((0 until Tables).map(t => lshKey(col("v"), t, PlanesPerTable)): _*))
+        .select(col("vec_id"), col("v"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
       val q = bucketed.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))

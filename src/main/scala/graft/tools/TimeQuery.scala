@@ -18,10 +18,19 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+        println(f"[stage] ${si.stageId}%3d ${si.numTasks}%4d tasks ${dur}%8.2f s  ${si.name.takeWhile(_ != '(')} ${si.details.linesIterator.take(1).mkString}")
+      }
+    })
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
     val t0 = System.nanoTime()
-    val n = df.count()
+    val n = if (args.contains("noop")) {
+      df.write.mode("overwrite").format("noop").save(); -1L
+    } else df.count()
     println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
     spark.stop()
   }
