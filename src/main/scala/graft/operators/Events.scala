@@ -49,6 +49,15 @@ object Events {
     "ev_sessions_typed" -> { (s, dir) =>
       EventStreams.sessionizeBatch(Relational.t(s, dir, "events"))
         .orderBy("user_id", "sess_id")
+    },
+
+    // Sliding 1h windows every 30min: each event lands in two windows.
+    "ev_window_sliding" -> { (s, dir) =>
+      Relational.t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+        .orderBy("window_start", "event_type")
     }
   )
 
@@ -75,6 +84,12 @@ object Events {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
     "ev_sessions" -> sessionsSql,
-    "ev_sessions_typed" -> sessionsSql
+    "ev_sessions_typed" -> sessionsSql,
+    "ev_window_sliding" ->
+      """SELECT window_start, event_type, COUNT(*) AS n_events
+        |FROM (
+        |  SELECT ts, event_type, time_bucket(INTERVAL '30 minutes', ts) AS s0 FROM events
+        |), LATERAL (SELECT UNNEST([s0, s0 - INTERVAL '30 minutes']) AS window_start)
+        |GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin
   )
 }

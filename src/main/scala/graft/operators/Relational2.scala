@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second tranche of relational coverage (SURVEY.md §2.2 completeness):
+  * range window frames, explicit GROUPING SETS, moment statistics computed
+  * deterministically, exact percentiles, approximate distinct counting, and
+  * the reference's UDF execution path surfaced as an oracle-checked query.
+  */
+object Relational2 {
+  import Relational.{dec, dsum, t}
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RANGE frame: for each order, revenue of all orders of the same customer
+    // within ±30 days (value-based frame, not row-based).
+    "q20_window_range_frame" -> { (s, dir) =>
+      val day = 86400L
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_epoch"))
+        .rangeBetween(-30 * day, 30 * day)
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          // o_orderdate is TIMESTAMP_NTZ in parquet; cast to session-tz (UTC)
+          // timestamp for unix_micros.
+          unix_micros(col("o_orderdate").cast("timestamp")).divide(lit(1000000L)).cast("long").as("o_epoch"),
+          col("o_totalprice")
+        )
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("nearby_revenue"),
+          count(lit(1)).over(w).as("nearby_orders")
+        )
+        .orderBy("o_orderkey")
+    },
+
+    // Explicit GROUPING SETS (finer than rollup/cube): by nation, by status,
+    // and grand total — via the SQL path like q12.
+    "q21_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("q21_orders")
+      t(s, dir, "customer").createOrReplaceTempView("q21_customer")
+      t(s, dir, "nation").createOrReplaceTempView("q21_nation")
+      s.sql(
+        """SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(o_orderstatus, 'ALL') AS status,
+          |  COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM q21_orders JOIN q21_customer ON o_custkey = c_custkey
+          |  JOIN q21_nation ON c_nationkey = n_nationkey
+          |GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+          |ORDER BY nation, status""".stripMargin
+      )
+    },
+
+    // Variance / stddev via explicit decimal moments: the built-in Welford
+    // merge is float-order-dependent (nondeterministic across partitionings),
+    // so both engines compute (Σx² − (Σx)²/n)/(n−1) from exact decimal sums.
+    "q22_variance_stats" -> { (s, dir) =>
+      val sx = sum(dec(col("l_quantity"))).cast("double")
+      val sxx = sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double")
+      val n = count(lit(1)).cast("double")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_items"),
+          (sx / n).as("mean_qty"),
+          ((sxx - sx * sx / n) / (n - 1)).as("var_qty"),
+          sqrt((sxx - sx * sx / n) / (n - 1)).as("std_qty")
+        )
+        .orderBy("l_returnflag")
+    },
+
+    // Exact percentiles over integral-valued doubles with power-of-two
+    // fractions: the linear interpolation is exact in both engines.
+    "q23_percentiles" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.75)").as("p75_qty"),
+          count(lit(1)).as("n_items")
+        )
+        .orderBy("l_linestatus")
+    },
+
+    // Approximate distinct (HLL++): no cross-engine oracle (sketch
+    // implementations differ); the driver records rows-only, and the spec
+    // asserts the estimate lands within the documented error bound.
+    "q24_approx_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders")
+        )
+    },
+
+    // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
+    // hash shuffle → sorted streaming reduce-UDF), driver-verified against
+    // the same oracle as the declarative q19: the engine's two execution
+    // tiers must produce identical results.
+    "mr_wordcount" -> { (s, dir) =>
+      import s.implicits._
+      val lines = t(s, dir, "documents").select(col("text")).as[String]
+      val reduced = graft.core.MapReduceJob.reduceSorted(
+        graft.core.MapReduceJob.mapPhase(lines, graft.tasks.WordCount),
+        graft.tasks.WordCount,
+        numOutputs = s.sparkContext.defaultParallelism
+      )
+      reduced
+        .select(col("_1").as("word"), col("_2").cast("long").as("cnt"))
+        .orderBy("word")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS nearby_revenue,
+        |  COUNT(*) OVER w AS nearby_orders
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |        CAST(epoch_us(o_orderdate) / 1000000 AS BIGINT) AS o_epoch
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_epoch
+        |             RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q21_grouping_sets" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+        |ORDER BY nation, status""".stripMargin,
+    "q22_variance_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_qty,
+        |  (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1) AS var_qty,
+        |  sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1)) AS std_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q23_percentiles" ->
+      """SELECT l_linestatus,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.75) AS p75_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // q24_approx_distinct: rows-only by design (sketches differ per engine).
+    "mr_wordcount" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT UNNEST(string_split_regex(text, '[ ,."'']+')) AS word FROM documents
+        |) WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin
+  )
+}
