@@ -47,6 +47,15 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), "expected hash aggregation")
   }
 
+  test("approx_count_distinct estimates within the documented error bound") {
+    val r = Relational2.queries("q24_approx_distinct")(spark, sf()).head()
+    val (approxParts, exactParts) = (r.getLong(0), r.getLong(2))
+    val (approxOrders, exactOrders) = (r.getLong(1), r.getLong(3))
+    // Default rsd is 5%; allow 3x slack for small cardinalities.
+    assert(math.abs(approxParts - exactParts).toDouble / exactParts < 0.15)
+    assert(math.abs(approxOrders - exactOrders).toDouble / exactOrders < 0.15)
+  }
+
   test("q10 top-k is deterministic under re-evaluation") {
     val a = Relational.queries("q10_top_parts_by_revenue")(spark, sf()).collect().toSeq
     val b = Relational.queries("q10_top_parts_by_revenue")(spark, sf()).collect().toSeq
