@@ -57,6 +57,14 @@ object EventStreams {
   def streamingWindowedAgg(events: DataFrame): DataFrame =
     windowedAgg(events.withWatermark("ts", "10 minutes"))
 
+  /** Streaming exact dedup by event_id: watermark-bounded state, the
+    * streaming twin of the batch dedup tier. Duplicates older than the
+    * watermark horizon are expired from state — at 100 TB/day the state held
+    * is horizon × arrival rate, not the full history.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
   /** Session gap: a new session starts when a user is idle > 30 minutes. */
   val SessionGapMicros: Long = 30L * 60 * 1000 * 1000
 

@@ -15,6 +15,7 @@ object SparkSpec {
       .builder()
       .master("local[8]")
       .appName("graft-test")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

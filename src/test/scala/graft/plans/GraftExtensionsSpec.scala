@@ -1,0 +1,36 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.HashFunctions
+
+/** The shared test session is built with `.withExtensions(new GraftExtensions)`
+  * (see SparkSpec), so the engine's native expressions are callable from SQL.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("graft functions are callable from SQL") {
+    val out = spark.sql(
+      """SELECT graft_fnv64('foobar') AS f,
+        |       graft_md5long('a') AS m,
+        |       graft_seqdot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       graft_shingles('a b c d') AS sh""".stripMargin
+    ).head()
+    assert(out.getLong(0) == HashFunctions.fnv64("foobar"))
+    assert(out.getLong(1) == 57446577476672362L)
+    assert(out.getDouble(2) == 11.0)
+    assert(out.getSeq[String](3) == Seq("a b c", "b c d"))
+  }
+
+  test("explicit shingle width argument") {
+    val out = spark.sql("SELECT graft_shingles('a b c d', 2) AS sh").head()
+    assert(out.getSeq[String](0) == Seq("a b", "b c", "c d"))
+  }
+
+  test("functions participate in real query plans") {
+    val n = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("graft_md5long(text) AS h")
+      .filter("h >= 0")
+      .count()
+    assert(n == 500)
+  }
+}

@@ -74,6 +74,23 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops exact duplicate events across files") {
+    // Stage the same events file twice: every event arrives in duplicate.
+    val d = java.nio.file.Files.createTempDirectory("events-dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"), d.resolve("b.parquet"))
+    val q = EventStreams.dedupStream(EventStreams.readEventStream(spark, d.toString))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_test").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_test").count()
+      val expected = graft.operators.Relational.t(spark, sf(), "events").count()
+      assert(n == expected, s"streamed $n vs distinct $expected")
+    } finally q.stop()
+  }
+
   test("batch sessionizers (window-function and typed) agree exactly") {
     val a = Events.queries("ev_sessions")(spark, sf()).collect().map(_.toSeq).toSet
     val b = Events.queries("ev_sessions_typed")(spark, sf()).collect().map(_.toSeq).toSet
