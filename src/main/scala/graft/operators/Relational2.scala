@@ -103,6 +103,28 @@ object Relational2 {
         )
     },
 
+    // Remaining window-function families (ntile / percent_rank / lead /
+    // first_value) + math scalars in one pass over suppliers' lineitems.
+    // percent_rank = (rank-1)/(n-1): integer division, exact in both engines.
+    "q25_window_misc" -> { (s, dir) =>
+      val w = Window.partitionBy("l_suppkey").orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 5)
+        .select(
+          col("l_suppkey"),
+          col("l_orderkey"),
+          col("l_linenumber"),
+          ntile(4).over(w).as("price_quartile"),
+          percent_rank().over(w).as("price_pct_rank"),
+          lead(col("l_orderkey"), 1).over(w).as("next_orderkey"),
+          first_value(col("l_orderkey")).over(w).as("cheapest_orderkey"),
+          abs(col("l_discount") - 0.05).as("disc_dist"),
+          floor(col("l_extendedprice") / 1000).cast("long").as("price_k"),
+          pmod(col("l_orderkey"), lit(7L)).as("okmod7")
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
     // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
     // hash shuffle → sorted streaming reduce-UDF), driver-verified against
     // the same oracle as the declarative q19: the engine's two execution
@@ -157,6 +179,18 @@ object Relational2 {
         |  COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     // q24_approx_distinct: rows-only by design (sketches differ per engine).
+    "q25_window_misc" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(NTILE(4) OVER w AS INT) AS price_quartile,
+        |  PERCENT_RANK() OVER w AS price_pct_rank,
+        |  LEAD(l_orderkey, 1) OVER w AS next_orderkey,
+        |  FIRST_VALUE(l_orderkey) OVER w AS cheapest_orderkey,
+        |  abs(l_discount - 0.05) AS disc_dist,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+        |  l_orderkey % 7 AS okmod7
+        |FROM lineitem WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "mr_wordcount" ->
       """SELECT word, COUNT(*) AS cnt FROM (
         |  SELECT UNNEST(string_split_regex(text, '[ ,."'']+')) AS word FROM documents
