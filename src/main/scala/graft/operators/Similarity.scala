@@ -129,8 +129,50 @@ object Similarity {
         .filter(col("rk") <= TopK)
         .select("query_id", "rk", "neighbor_id", "cos")
         .orderBy("query_id", "rk")
-    }
+    },
+
+    // IVF-bucketed ANN: same output shape; rows-only driver check, recall
+    // measured in SimilaritySpec.
+    "ss_ann_ivf" -> { (s, dir) => ivfTopk(s, dir) }
   )
+
+  /** IVF parameters: cells and probed cells per query. */
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** IVF-style ANN: partition the corpus into cells around deterministic
+    * centroids (the IvfCells highest vec_ids — disjoint from the query set,
+    * which uses the lowest), assign every vector to its nearest centroid, and
+    * search only the IvfProbes nearest cells per query. The coarse quantizer
+    * is a broadcast cross-join (centroids ≪ corpus); at scale the cell
+    * assignment is one narrow pass and each query touches
+    * |corpus|·(probes/cells) candidates. A trained k-means quantizer would
+    * slot in by replacing the centroid set only.
+    */
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val cent = e.filter(col("vec_id") > maxId - IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
+    val wc = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val assigned = scored.withColumn("crk", row_number().over(wc))
+    val corpusCells = assigned.filter(col("crk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("c_id"))
+    val queryCells = assigned.filter(col("vec_id") < NQueries && col("crk") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    queryCells
+      .join(corpusCells, Seq("c_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "rk", "neighbor_id", "cos")
+      .orderBy("query_id", "rk")
+  }
 
   val oracles: Map[String, String] = Map(
     "ss_topk_bruteforce" ->

@@ -34,6 +34,19 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall@5 too low: $mean ($recalls)")
   }
 
+  test("IVF ANN recall@5 vs brute force is acceptable") {
+    val exact = neighbors("ss_topk_bruteforce")
+    val ivf = neighbors("ss_ann_ivf")
+    val recalls = exact.map { case (q, ex) =>
+      val got = ivf.getOrElse(q, Seq.empty).toSet
+      ex.count(got.contains).toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe/cells = 4/16 on unclustered embeddings: expect meaningful but
+    // not perfect recall (clusters would push this toward 1.0).
+    assert(mean >= 0.2, s"mean IVF recall@5 too low: $mean ($recalls)")
+  }
+
   test("ANN candidate generation prunes the corpus (not brute force in disguise)") {
     // Each query should compare against far fewer than all vectors: check the
     // result is not identical to brute force across all queries (extremely
