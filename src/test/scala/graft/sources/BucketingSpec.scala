@@ -1,0 +1,35 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed join on the bucket key needs no shuffle exchange") {
+    val li = Tables.t(spark, sf(), "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = Tables.t(spark, sf(), "orders").select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    Bucketing.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"), "b_orders", "l_orderkey", 8)
+    // Force the non-broadcast path: the point is the bucket-aligned
+    // sort-merge join with no shuffle (a broadcast would hide it).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.read(spark, "b_lineitem")
+        .join(Bucketing.read(spark, "b_orders"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join should be shuffle-free:\n$plan")
+      // and it still computes the right thing
+      val expected = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("aggregation on the bucket key is also exchange-free") {
+    val agg = Bucketing.read(spark, "b_lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("q"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"bucketed agg should be shuffle-free:\n$plan")
+  }
+}
