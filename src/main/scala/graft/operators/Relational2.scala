@@ -125,6 +125,20 @@ object Relational2 {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     },
 
+    // Correlated scalar subquery: orders priced above their own customer's
+    // average (vs q18's global average). DataFrame form: window-computed
+    // per-customer mean; oracle form: a correlated subquery — two different
+    // evaluation strategies, one semantic.
+    "q26_above_customer_avg" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+      t(s, dir, "orders")
+        .withColumn("cust_avg", sum(dec(col("o_totalprice"))).over(w).cast("double") / count(lit(1)).over(w))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
     // hash shuffle → sorted streaming reduce-UDF), driver-verified against
     // the same oracle as the declarative q19: the engine's two execution
@@ -179,6 +193,14 @@ object Relational2 {
         |  COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     // q24_approx_distinct: rows-only by design (sketches differ per engine).
+    "q26_above_customer_avg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q25_window_misc" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(NTILE(4) OVER w AS INT) AS price_quartile,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.HashFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the LLM-data-pipeline
@@ -97,6 +98,32 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Term salience (BM25-style TF-IDF without the log — libm log is not
+    // bit-stable across engines; the rational idf (N-df+0.5)/(df+0.5)
+    // preserves ranking): top-3 most salient terms per document.
+    // All inputs are integer counts, so the arithmetic is deterministic.
+    "ta_salience" -> { (s, dir) =>
+      val toks = Relational.t(s, dir, "documents")
+        .transform(Dedup.spread("doc_id"))
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), " +")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("salience").desc, col("term").asc)
+      tf.join(df, "term")
+        .join(broadcast(n))
+        .select(
+          col("doc_id"),
+          col("term"),
+          (col("tf") * ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))).as("salience")
+        )
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "salience")
+        .orderBy("doc_id", "rk")
+    },
+
     // Engine-internal fast fingerprint via the native Fnv64 Catalyst expression
     // (whole-stage codegen; no SQL-engine equivalent → rows-only driver check;
     // golden-vector correctness is asserted in ScalaTest).
@@ -158,6 +185,29 @@ object TextAnalysis {
         |       ELSE 'fr' END AS predicted_lang,
         |  COUNT(*) AS n_docs
         |FROM v GROUP BY labeled_lang, predicted_lang ORDER BY labeled_lang, predicted_lang""".stripMargin,
+    // NB: 0.5 must be CAST to DOUBLE in DuckDB — a bare 0.5 literal is
+    // DECIMAL(2,1), which would pull the whole idf into decimal arithmetic
+    // and diverge from Spark's double math.
+    "ta_salience" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), ' +')) AS term FROM documents
+        |), tfq AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, COUNT(*) AS df FROM tfq GROUP BY term
+        |), nq AS (
+        |  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tfq
+        |), sal AS (
+        |  SELECT doc_id, term,
+        |    tf * ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) AS salience
+        |  FROM tfq JOIN dfq USING (term) CROSS JOIN nq
+        |), ranked AS (
+        |  SELECT doc_id, term, salience,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY salience DESC, term ASC) AS rk
+        |  FROM sal
+        |)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, term, salience
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
