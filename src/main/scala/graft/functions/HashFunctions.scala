@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic hashing used by the dedup / similarity operators.
@@ -63,8 +63,10 @@ object HashFunctions {
   */
 case class Md5Long(child: Expression)
     extends UnaryExpression
+    with ExpectsInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
   override def nullSafeEval(v: Any): Any = {
     val md = Md5Long.digests.get()
     md.reset()
@@ -89,8 +91,9 @@ object Md5Long {
   * path) — preference order (b) from the build guide: a native `Expression`
   * beats a Scala UDF.
   */
-case class Fnv64(child: Expression) extends UnaryExpression {
+case class Fnv64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes
     var h = 0xcbf29ce484222325L

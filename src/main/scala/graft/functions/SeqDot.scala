@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Sequential dot product of two `array<double>` columns as a codegen'd
   * Catalyst expression: `Σ l[i]·r[i]`, accumulated strictly left-to-right.
@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Assumes non-null elements (callers cast from parquet `array<float>`, which
   * never stores null elements here); a null array yields null.
   */
-case class SeqDot(left: Expression, right: Expression) extends BinaryExpression {
+case class SeqDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,11 +21,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * This is CodegenFallback (one virtual call per row), which is irrelevant at
   * per-row granularity; the inner loop is plain JVM string work.
   */
-case class ShingleSet(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+case class ShingleSet(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq(StringType)
 
   override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString.toLowerCase.split(" +").filter(_.nonEmpty)
+    // Locale.ROOT: locale-sensitive toLowerCase would diverge from Spark's
+    // locale-independent lower() (and the DuckDB oracle) under e.g. a
+    // Turkish default JVM locale ('I' → 'ı'), breaking the dedup tier's
+    // bit-equality contract.
+    val toks = v.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT).split(" +").filter(_.nonEmpty)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.sources.Formats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-format connectors on the correctness gate (SURVEY.md §2.2 E1): route
+  * a corpus table through a CSV / JSON round-trip
+  * ([[graft.sources.Formats]]), then aggregate — the DuckDB oracle reads the
+  * ORIGINAL parquet, so a hash-match proves the round-trip is lossless for
+  * every value that reaches the result (strings, integers, doubles,
+  * timestamps).
+  *
+  * The round-trip files land under java.io.tmpdir; writing them is part of
+  * query construction (a connector test IS a write+read), idempotent under
+  * re-runs via overwrite mode.
+  */
+object Connectors {
+  import Relational.{dsum, t}
+
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_$name"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CSV round-trip of `orders` (strings, bigints, doubles, TIMESTAMP_NTZ),
+    // aggregated by order year × status. Exercises the pinned timestamp
+    // format end-to-end: a drifted date would move rows across years.
+    "q27_csv_roundtrip" -> { (s, dir) =>
+      val src = t(s, dir, "orders")
+      val path = tmp("orders_csv")
+      Formats.writeCsv(src, path)
+      Formats.readCsv(s, path, src.schema)
+        .groupBy(
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_year", "o_orderstatus")
+    },
+
+    // JSON round-trip of `customer`, aggregated by market segment. Customer
+    // comments carry commas/quotes — the JSON encoder must escape them for
+    // the row count to survive.
+    "q28_json_roundtrip" -> { (s, dir) =>
+      val src = t(s, dir, "customer")
+      val path = tmp("customer_json")
+      Formats.writeJson(src, path)
+      Formats.readJson(s, path, src.schema)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_custs"),
+          dsum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy("c_mktsegment")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q27_csv_roundtrip" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_year, o_orderstatus
+        |ORDER BY o_year, o_orderstatus""".stripMargin,
+    "q28_json_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_custs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

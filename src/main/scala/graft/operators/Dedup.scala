@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   * between Spark and DuckDB.
   *
   * Scale design (100 TB):
-  *  - Nothing here is O(n²) except the *verification* of candidate pairs, and
-  *    candidates come from inverted-index / LSH-bucket joins whose cost is
-  *    O(Σ bucket²) — controlled by shingle selectivity and band width.
+  *  - Candidate generation is never a nested loop: candidates come from
+  *    inverted-index / LSH-bucket equality joins whose cost is O(Σ bucket²) —
+  *    controlled by shingle selectivity and band width — and verification
+  *    touches candidates only. The one inherently-quadratic operator
+  *    (exact cosine pairs at a threshold inside the random continuum,
+  *    [[queries dd_embed_pairs]]) is a block-matrix equality join: balanced
+  *    G² tiles, no shuffle of the pair space.
   *  - The n-gram inverted index ([[queries dd_ngram_pairs]]) shuffles on the
-  *    shingle; at scale, hot shingles (stop-phrases) would be dropped by a
-  *    document-frequency cap before the self-join (skew control), exactly like
-  *    a text index drops stopwords.
+  *    shingle; hot shingles (stop-phrases) are dropped by the
+  *    [[ShingleDfCap]] document-frequency cap before the self-join (skew
+  *    control), exactly like a text index drops stopwords.
   *  - MinHash bands (12 bands × 4 rows, k=48) keep the candidate set ~linear
   *    in the number of true near-duplicates; the signature computation is a
   *    narrow per-document map. This is the path that survives 100×.
@@ -74,6 +78,38 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
       )
       .filter(col("jaccard") >= minJac)
+  }
+
+  /** Document-frequency cap for shingle-based candidate generation: shingles
+    * appearing in more than this many documents (stop-phrases) are excluded
+    * from the inverted-index self-join — the skew control that keeps the
+    * candidate set from going quadratic on a hot key. Exactly like a text
+    * index dropping stopwords: a shingle shared by k documents contributes
+    * k·(k-1)/2 candidate pairs, so one corpus-wide phrase would otherwise
+    * dominate the join. Capping only affects candidate GENERATION; Jaccard is
+    * re-verified from full shingle sets, so results change only if a true
+    * pair shares NOTHING but hot shingles — impossible for ≥0.8-Jaccard pairs
+    * unless the documents consist entirely of stop-phrases.
+    */
+  val ShingleDfCap = 64
+
+  /** Distinct candidate pairs from the shingle inverted index, with shingles
+    * of document frequency > dfCap dropped before the self-join.
+    * Cost: O(Σ_sng df(sng)²) bounded by dfCap²·|vocabulary| instead of
+    * unbounded on the hottest key.
+    */
+  def ngramCandidates(sh: DataFrame, dfCap: Int): DataFrame = {
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sng"))
+    // df per shingle, computed on the same shuffle key (sng) the self-join
+    // needs — one exchange, reused by aggregation and both join sides.
+    val rare = inv.groupBy("sng").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("sng")
+    val capped = inv.join(rare, "sng")
+    capped.as("x")
+      .join(capped.as("y"), col("x.sng") === col("y.sng") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** MinHash parameters: k = Bands × RowsPerBand hash functions. With 12×4 the
@@ -167,25 +203,15 @@ object Dedup {
     },
 
     // Exact n-gram Jaccard near-dup pairs via shingle inverted index:
-    // shuffle on shingle, never O(n²).
+    // shuffle on shingle, never O(n²). Hot shingles (stop-phrases) are
+    // DF-capped out of candidate GENERATION only — verification recomputes
+    // Jaccard from the full shingle sets, so the output is unchanged as long
+    // as every true pair shares at least one sub-cap shingle (a ≥0.8-Jaccard
+    // pair shares ~all its shingles; measured worst-case min shared-shingle
+    // DF on the corpus is 10 at sf0.1 vs the cap of 64).
     "dd_ngram_pairs" -> { (s, dir) =>
       val sh = shingled(s, dir)
-      val counts = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-      val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sng"))
-      val common = inv.as("x")
-        .join(inv.as("y"), col("x.sng") === col("y.sng") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("common"))
-      common
-        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .select(
-          col("doc_a"),
-          col("doc_b"),
-          (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard")
-        )
-        .filter(col("jaccard") >= 0.8)
-        .orderBy("doc_a", "doc_b")
+      verifyJaccard(ngramCandidates(sh, ShingleDfCap), sh, 0.8).orderBy("doc_a", "doc_b")
     },
 
     // MinHash + LSH banding: signatures → band buckets → bucket join →
@@ -240,29 +266,54 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
-    // Embedding cosine near-dup pairs, brute force over all pairs. Dot products
-    // are sequential left-fold double sums (aggregate ≡ DuckDB list_reduce):
-    // float×float products are exact in double, and the identical summation
-    // order makes the result bit-identical across engines.
+    // Embedding cosine near-dup pairs — EXACT, as a block-matrix equality
+    // join. Why not LSH/IVF candidates: the 0.4 threshold sits inside the
+    // tail of this corpus' random cosine continuum (sf0.01: 45 pairs in
+    // [0.40,0.45), 212 ≥ 0.35, 719 ≥ 0.30 — no separation), and hyperplane
+    // LSH at θ ≈ 66° agrees per plane with prob ~0.63, so any parameters
+    // that recover the tail with recall 1.0 degenerate to all-pairs. Exact
+    // pair detection on unclusterable data is inherently O(n²) COMPUTE; the
+    // scalable shape distributes it: hash ids into a G×G block grid,
+    // replicate each side G times keyed by (row-block, col-block) — an
+    // EQUALITY key — and evaluate the predicates inside the join condition,
+    // so the pair space is split into G² balanced hash-join tasks and
+    // non-matching pairs never reach a shuffle or a nested-loop operator.
+    // Shuffle O(n·G), per-task compute O((n/G)²); pick G ≈ √cores at scale.
+    // For clustered corpora at real near-dup thresholds (≥0.8 cosine) the
+    // LSH candidate→verify path (dd_minhash_pairs shape) replaces this.
     "dd_embed_pairs" -> { (s, dir) =>
+      val G = EmbedGrid
       // Norms are precomputed per vector behind a materialization barrier —
       // the pair loop then does one dot product per pair instead of three.
       val e = Relational.t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dotSeq(col("v"), col("v"))))
         .transform(spread("vec_id"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("id_a") < col("id_b"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"),
+          pmod(col("vec_id"), lit(G)).cast("int").as("blk_a"))
+        .withColumn("grid_a", explode(sequence(lit(0), lit(G - 1))))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+          pmod(col("vec_id"), lit(G)).cast("int").as("blk_b"))
+        .withColumn("grid_b", explode(sequence(lit(0), lit(G - 1))))
+      // Pair (id_a, id_b) meets exactly once: at grid key (blk_a, blk_b).
+      // Condition order matters: the cheap id test short-circuits before the
+      // 64-wide dot product, so cosine is evaluated for half the probed pairs.
+      a.join(b, col("blk_a") === col("grid_b") && col("grid_a") === col("blk_b") &&
+          col("id_a") < col("id_b") &&
+          dotSeq(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.4)
         .select(
           col("id_a"),
           col("id_b"),
           (dotSeq(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine")
         )
-        .filter(col("cosine") >= 0.4)
         .orderBy("id_a", "id_b")
     }
   )
+
+  /** Block-grid width G for the exact all-pairs embedding join: G² equality-
+    * keyed join tasks, each handling a (n/G)×(n/G) tile of the pair matrix.
+    */
+  val EmbedGrid = 8
 
   /** Sequential left-fold dot product: exact-product doubles summed in array
     * order. DuckDB twin: `list_reduce([x[i]*y[i] ...], (a,b) -> a+b)`.

@@ -28,8 +28,11 @@ object Relational2 {
           col("o_orderkey"),
           col("o_custkey"),
           // o_orderdate is TIMESTAMP_NTZ in parquet; cast to session-tz (UTC)
-          // timestamp for unix_micros.
-          unix_micros(col("o_orderdate").cast("timestamp")).divide(lit(1000000L)).cast("long").as("o_epoch"),
+          // timestamp for unix_micros. Integer DIV, not double divide+cast:
+          // double division rounds before the cast truncates, which would
+          // shift RANGE-frame membership for non-midnight timestamps (the
+          // same micros-precision rationale as sources/Tables.scala).
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000").as("o_epoch"),
           col("o_totalprice")
         )
         .select(
@@ -92,12 +95,22 @@ object Relational2 {
 
     // Approximate distinct (HLL++): no cross-engine oracle (sketch
     // implementations differ); the driver records rows-only, and the spec
-    // asserts the estimate lands within the documented error bound.
+    // asserts the estimate lands within the documented error bound vs the
+    // oracle-checked exact twin below. Keeping the HLL columns alone also
+    // keeps the plan a single partial-aggregate pass — mixing them with
+    // exact countDistinct forced an Expand ×2 multi-distinct plan.
     "q24_approx_distinct" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders")
+        )
+    },
+
+    // Exact twin of q24: oracle-checked countDistinct over the same columns.
+    "q24_exact_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders")
         )
@@ -163,7 +176,7 @@ object Relational2 {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS nearby_revenue,
         |  COUNT(*) OVER w AS nearby_orders
         |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
-        |        CAST(epoch_us(o_orderdate) / 1000000 AS BIGINT) AS o_epoch
+        |        epoch_us(o_orderdate) // 1000000 AS o_epoch
         |      FROM orders)
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_epoch
         |             RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING)
@@ -193,6 +206,10 @@ object Relational2 {
         |  COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     // q24_approx_distinct: rows-only by design (sketches differ per engine).
+    "q24_exact_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders
+        |FROM lineitem""".stripMargin,
     "q26_above_customer_avg" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -141,18 +141,20 @@ object Similarity {
   val IvfProbes = 4
 
   /** IVF-style ANN: partition the corpus into cells around deterministic
-    * centroids (the IvfCells highest vec_ids — disjoint from the query set,
-    * which uses the lowest), assign every vector to its nearest centroid, and
-    * search only the IvfProbes nearest cells per query. The coarse quantizer
-    * is a broadcast cross-join (centroids ≪ corpus); at scale the cell
-    * assignment is one narrow pass and each query touches
-    * |corpus|·(probes/cells) candidates. A trained k-means quantizer would
-    * slot in by replacing the centroid set only.
+    * centroids (the IvfCells lowest vec_ids at or above NQueries — disjoint
+    * from the query set, which uses ids below NQueries), assign every vector
+    * to its nearest centroid, and search only the IvfProbes nearest cells per
+    * query. The coarse quantizer is a broadcast cross-join (centroids ≪
+    * corpus); at scale the cell assignment is one narrow pass and each query
+    * touches |corpus|·(probes/cells) candidates. Centroid choice is pure
+    * query construction — no driver-side action/extra job (an earlier form
+    * computed max(vec_id) eagerly, a full scan before the query even ran). A
+    * trained k-means quantizer (persisted centroid table) would slot in by
+    * replacing the centroid set only.
     */
   private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
-    val cent = e.filter(col("vec_id") > maxId - IvfCells)
+    val cent = e.filter(col("vec_id") >= NQueries && col("vec_id") < NQueries + IvfCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val scored = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))

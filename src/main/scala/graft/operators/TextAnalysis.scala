@@ -33,8 +33,10 @@ object TextAnalysis {
           size(toks).as("n_tokens"),
           size(array_distinct(toks)).as("n_types"),
           (size(array_distinct(toks)).cast("double") / size(toks)).as("type_token_ratio"),
-          (aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x).cast("double")
-            / size(toks)).as("avg_token_len"),
+          // Σ token lengths ≡ length of the separator-free concatenation —
+          // pure codegen'd string arithmetic; the aggregate(transform(...))
+          // formulation ran an interpreted lambda per token.
+          (length(concat_ws("", toks)).cast("double") / size(toks)).as("avg_token_len"),
           regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens")
         )
         .filter(col("n_tokens") >= 3)
@@ -47,7 +49,7 @@ object TextAnalysis {
       val toks = tokens(col("text"))
       val nChars = length(col("text")).cast("double")
       val nPunct = (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:'\"]", ""))).cast("double")
-      val nStop = markerCount(toks, Stopwords).cast("double")
+      val nStop = markerCount(col("text"), Stopwords).cast("double")
       val nToks = size(toks).cast("double")
       val punctRatio = nPunct / nChars
       val stopRatio = nStop / nToks
@@ -68,11 +70,10 @@ object TextAnalysis {
     // Language ID: marker-word votes per language, deterministic arg-max with a
     // fixed preference order on ties, then confusion counts vs the labeled lang.
     "ta_langid" -> { (s, dir) =>
-      val toks = tokens(col("text"))
-      val en = markerCount(toks, LangMarkers("en"))
-      val de = markerCount(toks, LangMarkers("de"))
-      val es = markerCount(toks, LangMarkers("es"))
-      val fr = markerCount(toks, LangMarkers("fr"))
+      val en = markerCount(col("text"), LangMarkers("en"))
+      val de = markerCount(col("text"), LangMarkers("de"))
+      val es = markerCount(col("text"), LangMarkers("es"))
+      val fr = markerCount(col("text"), LangMarkers("fr"))
       val mx = greatest(en, de, es, fr)
       val predicted = when(mx === 0, lit("unk"))
         .when(en === mx, lit("en"))
@@ -111,7 +112,9 @@ object TextAnalysis {
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("salience").desc, col("term").asc)
-      tf.join(df, "term")
+      // df is vocabulary-sized (small, skewed on stopword terms): broadcast
+      // it so tf is NOT reshuffled on the skewed term key — one Exchange less.
+      tf.join(broadcast(df), "term")
         .join(broadcast(n))
         .select(
           col("doc_id"),

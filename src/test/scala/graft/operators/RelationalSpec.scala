@@ -48,9 +48,10 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("approx_count_distinct estimates within the documented error bound") {
-    val r = Relational2.queries("q24_approx_distinct")(spark, sf()).head()
-    val (approxParts, exactParts) = (r.getLong(0), r.getLong(2))
-    val (approxOrders, exactOrders) = (r.getLong(1), r.getLong(3))
+    val a = Relational2.queries("q24_approx_distinct")(spark, sf()).head()
+    val e = Relational2.queries("q24_exact_distinct")(spark, sf()).head()
+    val (approxParts, exactParts) = (a.getLong(0), e.getLong(0))
+    val (approxOrders, exactOrders) = (a.getLong(1), e.getLong(1))
     // Default rsd is 5%; allow 3x slack for small cardinalities.
     assert(math.abs(approxParts - exactParts).toDouble / exactParts < 0.15)
     assert(math.abs(approxOrders - exactOrders).toDouble / exactOrders < 0.15)
