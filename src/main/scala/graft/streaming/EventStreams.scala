@@ -77,30 +77,78 @@ object EventStreams {
       session_end: java.sql.Timestamp
   )
 
-  /** Core sessionizer: split a user's time-sorted events on >gap idle periods.
-    * Shared by the batch typed path and the streaming stateful path, so both
-    * provably implement the same semantics. Sessions are numbered 1..n in
-    * time order (matching the window-function formulation's cumulative-sum id).
+  /** Core sessionizer state: O(1) per user — current session's id, bounds, and
+    * count only, never the event history. `add` consumes one time-ordered event
+    * and emits the previous session iff the gap closed it; `finish` emits the
+    * open session. Shared by [[splitSessions]] (streaming stateful path) and
+    * [[sessionizePartition]] (batch sorted-scan path), so both provably
+    * implement the same semantics. Sessions are numbered 1..n in time order
+    * (matching the window-function formulation's cumulative-sum id).
     */
-  def splitSessions(userId: Long, sorted: Seq[EventRec]): Seq[SessionRec] = {
-    if (sorted.isEmpty) return Seq.empty
-    val out = Seq.newBuilder[SessionRec]
-    var sessId = 0L
-    var start = 0L
-    var last = 0L
-    var n = 0L
-    def flush(): Unit = if (n > 0) {
-      out += SessionRec(userId, sessId, n, micToTs(start), micToTs(last))
-    }
-    for (e <- sorted) {
-      if (n == 0 || e.tsMicros - last > SessionGapMicros) {
-        flush(); sessId += 1; start = e.tsMicros; n = 0
+  final class SessionAccumulator(val userId: Long) {
+    private var sessId = 0L
+    private var start = 0L
+    private var last = 0L
+    private var n = 0L
+
+    def add(tsMicros: Long): Option[SessionRec] = {
+      if (n > 0 && tsMicros - last <= SessionGapMicros) {
+        last = tsMicros; n += 1
+        None
+      } else {
+        val closed = finish()
+        sessId += 1; start = tsMicros; last = tsMicros; n = 1
+        closed
       }
-      last = e.tsMicros; n += 1
     }
-    flush()
+
+    def finish(): Option[SessionRec] =
+      if (n == 0) None
+      else Some(SessionRec(userId, sessId, n, micToTs(start), micToTs(last)))
+  }
+
+  /** Sessionize one user's time-sorted events via [[SessionAccumulator]]. */
+  def splitSessions(userId: Long, sorted: Seq[EventRec]): Seq[SessionRec] = {
+    val acc = new SessionAccumulator(userId)
+    val out = Seq.newBuilder[SessionRec]
+    sorted.foreach(e => acc.add(e.tsMicros).foreach(out += _))
+    acc.finish().foreach(out += _)
     out.result()
   }
+
+  /** One streaming pass over a partition sorted by (user_id, tsMicros,
+    * event_id): adjacent rows of one user feed a [[SessionAccumulator]], a
+    * user change flushes it. O(1) state per partition — a hot user's history
+    * is never materialized (the `it.toSeq` a naive flatMapGroups would need).
+    */
+  def sessionizePartition(rows: Iterator[EventRec]): Iterator[SessionRec] =
+    new Iterator[SessionRec] {
+      private var acc: SessionAccumulator = _
+      private var pending: Option[SessionRec] = None
+
+      // Each row emits at most one session: a same-user gap split, or the
+      // previous user's final session on a user change (the row itself then
+      // opens a fresh accumulator, which cannot also emit).
+      private def step(e: EventRec): Option[SessionRec] =
+        if (acc == null || acc.userId != e.user_id) {
+          val closed = if (acc == null) None else acc.finish()
+          acc = new SessionAccumulator(e.user_id)
+          acc.add(e.tsMicros)
+          closed
+        } else acc.add(e.tsMicros)
+
+      def hasNext: Boolean = {
+        while (pending.isEmpty && rows.hasNext) pending = step(rows.next())
+        if (pending.isEmpty && acc != null) { pending = acc.finish(); acc = null }
+        pending.nonEmpty
+      }
+      def next(): SessionRec = {
+        if (!hasNext) throw new NoSuchElementException("empty session iterator")
+        val r = pending.get
+        pending = None
+        r
+      }
+    }
 
   private def micToTs(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(us / 1000)
@@ -108,8 +156,15 @@ object EventStreams {
     t
   }
 
-  /** Batch typed sessionization: groupByKey + flatMapGroups over the shared
-    * core (the reference's reduce-UDF shape — `src/worker.h:105-106` — typed).
+  /** Batch typed sessionization (the reference's reduce-UDF shape —
+    * `src/worker.h:105-106` — typed): hash-partition on user, partition-local
+    * sort, one streaming adjacent-group pass. The same secondary-sort shape as
+    * [[graft.core.MapReduceJob.reduceSorted]]: Spark's external sorter spills,
+    * the pass holds O(1) state, so a user with a 100 TB event history costs
+    * disk, not executor memory — unlike `groupByKey.flatMapGroups + it.toSeq`,
+    * which materializes each user's history on the heap.
+    * Explicit partition count: exempt from AQE coalescing (see
+    * [[graft.operators.Dedup.spread]]).
     */
   def sessionizeBatch(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
@@ -117,10 +172,9 @@ object EventStreams {
     events
       .select(col("event_id"), unix_micros(col("ts")).as("tsMicros"), col("user_id"))
       .as[EventRec]
-      .groupByKey(_.user_id)
-      .flatMapGroups { (uid, it) =>
-        splitSessions(uid, it.toSeq.sortBy(e => (e.tsMicros, e.event_id)))
-      }
+      .repartition(spark.sparkContext.defaultParallelism, col("user_id"))
+      .sortWithinPartitions("user_id", "tsMicros", "event_id")
+      .mapPartitions(sessionizePartition)
       .toDF()
   }
 

@@ -31,6 +31,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.head.session_start.getTime == 0 && got.head.session_end.getTime == 10 * 60 * 1000)
   }
 
+  test("sessionizePartition streams multi-user sorted partitions with O(1) state") {
+    import EventStreams._
+    val m = 60L * 1000 * 1000
+    // Two users adjacent in one sorted partition: user 1 has a gap split,
+    // user 2 opens on the user-boundary row and flushes at end-of-partition.
+    val rows = Iterator(
+      EventRec(1, 0 * m, 1), EventRec(2, 5 * m, 1), EventRec(3, 90 * m, 1),
+      EventRec(4, 0 * m, 2)
+    )
+    val got = sessionizePartition(rows).toVector
+    assert(got.map(s => (s.user_id, s.sess_id, s.n_events)) ==
+      Vector((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+    // Agrees with the per-user core on the same data.
+    assert(got.filter(_.user_id == 1) ==
+      splitSessions(1, Seq(EventRec(1, 0 * m, 1), EventRec(2, 5 * m, 1), EventRec(3, 90 * m, 1))))
+    assert(sessionizePartition(Iterator.empty).isEmpty)
+  }
+
   test("streaming windowed agg over the events parquet equals batch result") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val q = EventStreams.streamingWindowedAgg(stream)
