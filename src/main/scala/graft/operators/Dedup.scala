@@ -93,21 +93,40 @@ object Dedup {
     */
   val ShingleDfCap = 64
 
-  /** Distinct candidate pairs from the shingle inverted index, with shingles
-    * of document frequency > dfCap dropped before the self-join.
-    * Cost: O(Σ_sng df(sng)²) bounded by dfCap²·|vocabulary| instead of
-    * unbounded on the hottest key.
+  /** Jaccard threshold shared by candidate generation (prefix lengths) and
+    * verification (the output filter) — they must agree or prefix filtering
+    * loses its exactness guarantee.
+    */
+  val MinJaccard = 0.8
+
+  /** Distinct candidate pairs from the shingle inverted index, via PREFIX
+    * FILTERING (the AllPairs/PPJoin family): order each document's shingles
+    * by ascending document frequency (rarest first, ties by shingle value —
+    * one global total order), and index only the first
+    * |sh| − ⌈[[MinJaccard]]·|sh|⌉ + 1 of them. Two sets with Jaccard ≥ t must
+    * share at least one element of their prefixes under any common total
+    * order (if all common elements sat in both suffixes, the overlap would be
+    * ≤ ⌈t·|x|⌉−1 < t·(|x|+|y|)/(1+t), forcing Jaccard < t), so the candidate
+    * set stays a superset of the true pair set while the self-join sees
+    * ~(1−t) of the index volume — and the rarest-first order doubles as skew
+    * control, since stop-phrase shingles land outside every prefix.
+    * The df > dfCap drop stays as a backstop with the documented conditional
+    * (see [[ShingleDfCap]]); Jaccard is re-verified on full shingle sets.
+    * Cost: O(Σ_sng df_prefix(sng)²) — df over prefixes only.
     */
   def ngramCandidates(sh: DataFrame, dfCap: Int): DataFrame = {
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sng"))
-    // df per shingle, computed on the same shuffle key (sng) the self-join
-    // needs — one exchange, reused by aggregation and both join sides.
-    val rare = inv.groupBy("sng").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select("sng")
-    val capped = inv.join(rare, "sng")
-    capped.as("x")
-      .join(capped.as("y"), col("x.sng") === col("y.sng") && col("x.doc_id") < col("y.doc_id"))
+    import org.apache.spark.sql.expressions.Window
+    val inv = sh.select(col("doc_id"), size(col("shingles")).as("setsz"), explode(col("shingles")).as("sng"))
+    // df per shingle, computed on the same shuffle key (sng) the join back
+    // onto inv needs — one exchange, reused by aggregation and probe side.
+    val dfs = inv.groupBy("sng").agg(count(lit(1)).as("df"))
+    val prefixLen = (col("setsz") - ceil(col("setsz") * lit(MinJaccard)) + 1).cast("int")
+    val prefixes = inv.join(dfs, "sng")
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id").orderBy("df", "sng")))
+      .filter(col("rk") <= prefixLen && col("df") <= dfCap)
+      .select("doc_id", "sng")
+    prefixes.as("x")
+      .join(prefixes.as("y"), col("x.sng") === col("y.sng") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
   }
@@ -211,7 +230,7 @@ object Dedup {
     // DF on the corpus is 10 at sf0.1 vs the cap of 64).
     "dd_ngram_pairs" -> { (s, dir) =>
       val sh = shingled(s, dir)
-      verifyJaccard(ngramCandidates(sh, ShingleDfCap), sh, 0.8).orderBy("doc_a", "doc_b")
+      verifyJaccard(ngramCandidates(sh, ShingleDfCap), sh, MinJaccard).orderBy("doc_a", "doc_b")
     },
 
     // MinHash + LSH banding: signatures → band buckets → bucket join →
@@ -233,7 +252,7 @@ object Dedup {
         .join(banded.as("y"), col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      verifyJaccard(cands, sh, 0.8).orderBy("doc_a", "doc_b")
+      verifyJaccard(cands, sh, MinJaccard).orderBy("doc_a", "doc_b")
     },
 
     // SimHash fingerprints (60-bit) per document.

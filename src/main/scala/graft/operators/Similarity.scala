@@ -106,25 +106,37 @@ object Similarity {
 
     // LSH-bucketed ANN: same output shape, approximate neighbor set.
     // Rows-only driver check; recall measured in SimilaritySpec.
+    // Candidate generation is ids-only: the bucket join and the distinct
+    // shuffle two longs per hit, never the 64-dim vectors (a vector lives in
+    // |Tables| buckets, so carrying payloads through the join would replicate
+    // every vector 12× into the shuffle and make the distinct hash 128
+    // doubles per row). Vectors are fetched once per distinct candidate pair
+    // afterwards: the query side by broadcast, the corpus side by an equality
+    // join on the id.
     "ss_ann_lsh" -> { (s, dir) =>
       val e = vecs(s, dir)
       // All 12 bucket keys in one codegen'd projection, then fan out.
       val bucketed = e
         .withColumn("buckets", array((0 until Tables).map(t => lshKey(col("v"), t, PlanesPerTable)): _*))
-        .select(col("vec_id"), col("v"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+        .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
       val q = bucketed.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        .select(col("vec_id").as("query_id"),
           col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
       val cands = q.join(
           bucketed,
           col("q_tbl") === col("tbl") && col("q_bucket") === col("bucket") &&
             col("query_id") =!= col("vec_id")
         )
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("v"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
         .distinct()
+      val qv = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val nv = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
       cands
-        .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
+        .join(broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= TopK)
         .select("query_id", "rk", "neighbor_id", "cos")
@@ -165,11 +177,13 @@ object Similarity {
     val queryCells = assigned.filter(col("vec_id") < NQueries && col("crk") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    // No distinct needed: a neighbor lives in exactly one cell (crk = 1), so
+    // each (query, neighbor) pair arises from at most one probed c_id — a
+    // distinct here would only re-shuffle the scored rows.
     queryCells
       .join(corpusCells, Seq("c_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
-      .distinct()
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select("query_id", "rk", "neighbor_id", "cos")

@@ -46,23 +46,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("shingle DF cap bounds the candidate set under a planted stop-phrase (skew control)") {
+  test("prefix filtering bounds the candidate set under a planted stop-phrase (skew control)") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, size, split, trim}
+    import org.apache.spark.sql.functions.{col, explode, size, split, trim}
     // 200 documents all sharing one stop-phrase shingle ("lorem ipsum dolor"),
-    // plus unique content — without the DF cap the hot shingle alone yields
-    // 200·199/2 = 19900 candidate pairs; with it, zero (no pair shares a
-    // sub-cap shingle).
+    // plus unique content — a naive full-index self-join pays 200·199/2 =
+    // 19900 candidate pairs for the hot shingle alone; prefix filtering
+    // indexes only each doc's rarest shingles, so the stop-phrase never
+    // reaches the join (zero candidates, with or without the DF-cap backstop).
     val docs = (0 until 200)
       .map(i => (i.toLong, s"lorem ipsum dolor unique$i word${i}a word${i}b"))
       .toDF("doc_id", "text")
     val sh = docs
       .filter(size(split(trim(col("text")), " +")) >= 3)
       .select(col("doc_id"), graft.functions.ShingleSet(col("text")).as("shingles"))
-    val uncapped = Dedup.ngramCandidates(sh, dfCap = Int.MaxValue).count()
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sng"))
+    val naive = inv.as("x")
+      .join(inv.as("y"), col("x.sng") === col("y.sng") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    val unCapped = Dedup.ngramCandidates(sh, dfCap = Int.MaxValue).count()
     val capped = Dedup.ngramCandidates(sh, dfCap = Dedup.ShingleDfCap).count()
-    assert(uncapped >= 19900L, s"hot shingle should explode candidates, got $uncapped")
-    assert(capped == 0L, s"DF cap should drop the stop-phrase shingles, got $capped")
+    assert(naive >= 19900L, s"hot shingle should explode the naive join, got $naive")
+    assert(unCapped == 0L, s"prefix filtering should exclude the stop-phrase, got $unCapped")
+    assert(capped == 0L, s"prefix + DF cap should exclude the stop-phrase, got $capped")
   }
 
   test("DF cap does not change the verified pair set on the corpus") {
