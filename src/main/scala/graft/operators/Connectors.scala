@@ -53,6 +53,22 @@ object Connectors {
           count(lit(1)).as("n_custs"),
           dsum(col("c_acctbal")).as("total_acctbal"))
         .orderBy("c_mktsegment")
+    },
+
+    // ORC round-trip of `part` (strings, ints, doubles), aggregated by brand.
+    // ORC is the third columnar format tier (text/CSV/JSON row formats,
+    // parquet/ORC columnar); schema rides in the file.
+    "q29_orc_roundtrip" -> { (s, dir) =>
+      val src = t(s, dir, "part")
+      val path = tmp("part_orc")
+      Formats.writeOrc(src, path)
+      Formats.readOrc(s, path)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          dsum(col("p_retailprice")).as("total_retail"),
+          max(col("p_size")).as("max_size"))
+        .orderBy("p_brand")
     }
   )
 
@@ -66,6 +82,11 @@ object Connectors {
     "q28_json_roundtrip" ->
       """SELECT c_mktsegment, COUNT(*) AS n_custs,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q29_orc_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_retail,
+        |  MAX(p_size) AS max_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }

@@ -152,6 +152,38 @@ object Relational2 {
         .orderBy("o_orderstatus")
     },
 
+    // PIVOT: revenue by priority × order year, with the pivot values pinned
+    // (scale posture: explicit values skip the extra distinct-scan job Spark
+    // otherwise runs to discover them, and fix the output schema).
+    "q30_pivot_sales" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderpriority"),
+          year(col("o_orderdate")).as("o_year"),
+          col("o_totalprice"))
+        .groupBy("o_orderpriority")
+        .pivot("o_year", PivotYears)
+        .agg(dsum(col("o_totalprice")))
+        .orderBy("o_orderpriority")
+    },
+
+    // UNPIVOT (melt): wide per-returnflag aggregates back to long
+    // (metric, value) form — the inverse reshaping operator.
+    "q31_unpivot_metrics" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_discount")).as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_base"), col("sum_disc")),
+          "metric",
+          "value")
+        .orderBy("l_returnflag", "metric")
+    },
+
     // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
     // hash shuffle → sorted streaming reduce-UDF), driver-verified against
     // the same oracle as the declarative q19: the engine's two execution
@@ -170,7 +202,31 @@ object Relational2 {
     }
   )
 
+  /** Order years present in the corpus (pinned pivot values). */
+  val PivotYears: Seq[Int] = 1995 to 2001
+
   val oracles: Map[String, String] = Map(
+    "q30_pivot_sales" -> {
+      val cols = PivotYears.map(y =>
+        s"""CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE YEAR(o_orderdate) = $y) AS DOUBLE) AS "$y"""")
+        .mkString(",\n  ")
+      s"""SELECT o_orderpriority,
+         |  $cols
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    },
+    "q31_unpivot_metrics" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+        |  UNION ALL SELECT l_returnflag, 'sum_base', sum_base FROM agg
+        |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+        |) ORDER BY l_returnflag, metric""".stripMargin,
     "q20_window_range_frame" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS nearby_revenue,

@@ -127,6 +127,23 @@ object TextAnalysis {
         .orderBy("doc_id", "rk")
     },
 
+    // Corpus n-gram frequency table: top-20 bigrams by document frequency
+    // (distinct per doc via ShingleSet, so a doc repeating a phrase votes
+    // once). Top-k = TakeOrderedAndProject: each partition keeps 20 rows,
+    // the driver merges — no global sort at any scale. Deterministic via the
+    // (df DESC, bigram ASC) total order.
+    "ta_ngram_freq" -> { (s, dir) =>
+      Relational.t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(size(split(trim(col("text")), " +")) >= 2)
+        .transform(Dedup.spread("doc_id"))
+        .select(explode(graft.functions.ShingleSet(col("text"), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("bigram").asc)
+        .limit(20)
+    },
+
     // Engine-internal fast fingerprint via the native Fnv64 Catalyst expression
     // (whole-stage codegen; no SQL-engine equivalent → rows-only driver check;
     // golden-vector correctness is asserted in ScalaTest).
@@ -211,6 +228,18 @@ object TextAnalysis {
         |)
         |SELECT doc_id, CAST(rk AS INT) AS rk, term, salience
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "ta_ngram_freq" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ts[i:i+1], ' ') FOR i IN range(1, len(ts))]) AS bigrams
+        |  FROM toks WHERE len(ts) >= 2
+        |)
+        |SELECT bigram, COUNT(*) AS df
+        |FROM (SELECT doc_id, UNNEST(bigrams) AS bigram FROM sh)
+        |GROUP BY bigram ORDER BY df DESC, bigram ASC LIMIT 20""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,

@@ -52,4 +52,13 @@ object Formats {
 
   def writeText(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).text(path)
+
+  /** ORC round-trip: columnar + self-describing, no options needed — types
+    * (incl. TIMESTAMP_NTZ since ORC 1.8/Spark 3.4) survive natively.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }
