@@ -34,6 +34,15 @@ class FormatsSpec extends SparkSpec {
     assert(canon(back) == canon(src))
   }
 
+  test("ORC round-trip preserves the orders table (timestamps included)") {
+    val src = Tables.t(spark, sf(), "orders")
+    val dir = Files.createTempDirectory("orc-rt").toString
+    Formats.writeOrc(src, dir)
+    val back = Formats.readOrc(spark, dir)
+    assert(back.schema == src.schema)
+    assert(canon(back) == canon(src))
+  }
+
   test("csv splits into multiple input partitions under a small split size") {
     val src = Tables.t(spark, sf(), "lineitem")
     val dir = Files.createTempDirectory("csv-split").toString
