@@ -51,6 +51,28 @@ object Events {
         .orderBy("user_id", "sess_id")
     },
 
+    // Third implementation of the same oracle: Spark's built-in
+    // session_window operator (one hash aggregation with session merge —
+    // also the streaming-native formulation). Spark extends a session iff
+    // ts < last + gap (strict), while the shared semantics use
+    // ts - last <= gap (inclusive); padding the gap by one microsecond (the
+    // timestamp resolution) makes the two identical. Session ids are the
+    // cumulative session number per user, recovered by ranking window starts.
+    "ev_sessions_native" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("sw.start"))
+      Relational.t(s, dir, "events")
+        .groupBy(
+          col("user_id"),
+          session_window(col("ts"), s"${EventStreams.SessionGapMicros + 1} microseconds").as("sw"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .withColumn("sess_id", row_number().over(w).cast("long"))
+        .select("user_id", "sess_id", "n_events", "session_start", "session_end")
+        .orderBy("user_id", "sess_id")
+    },
+
     // Sliding 1h windows every 30min: each event lands in two windows.
     "ev_window_sliding" -> { (s, dir) =>
       Relational.t(s, dir, "events")
@@ -85,6 +107,7 @@ object Events {
         |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
     "ev_sessions" -> sessionsSql,
     "ev_sessions_typed" -> sessionsSql,
+    "ev_sessions_native" -> sessionsSql,
     "ev_window_sliding" ->
       """SELECT window_start, event_type, COUNT(*) AS n_events
         |FROM (

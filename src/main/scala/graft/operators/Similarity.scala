@@ -68,20 +68,16 @@ object Similarity {
     ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2000L) - 1000L) / 1000.0
   }
 
-  private lazy val planes: IndexedSeq[Seq[Double]] =
+  private lazy val planes: IndexedSeq[IndexedSeq[Double]] =
     (0 until Tables * PlanesPerTable).map(p => (0 until Dims).map(d => planeComponent(p, d)))
 
-  /** Sign bits of the projections of `v` onto the `table`-th group of
-    * hyperplanes, packed into a long. Codegen'd SeqDot per plane — no
-    * interpreted lambdas.
+  /** All `Tables` bucket keys of `v` (bit `p` of entry `t` = sign of the
+    * projection onto plane `t·PlanesPerTable + p`), as one expression node —
+    * see [[graft.functions.LshBuckets]] for why this is not a per-plane
+    * SeqDot composition (a 4600-literal tree that dominated planning time).
     */
-  def lshKey(v: Column, table: Int, nPlanes: Int): Column =
-    (0 until nPlanes)
-      .map { p =>
-        val plane = typedLit(planes(table * nPlanes + p))
-        when(graft.functions.SeqDot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
+  def lshBuckets(v: Column): Column =
+    graft.functions.LshBuckets(v, planes, PlanesPerTable)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -115,10 +111,9 @@ object Similarity {
     // join on the id.
     "ss_ann_lsh" -> { (s, dir) =>
       val e = vecs(s, dir)
-      // All 12 bucket keys in one codegen'd projection, then fan out.
+      // All 12 bucket keys in one expression, then fan out.
       val bucketed = e
-        .withColumn("buckets", array((0 until Tables).map(t => lshKey(col("v"), t, PlanesPerTable)): _*))
-        .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+        .select(col("vec_id"), posexplode(lshBuckets(col("v"))).as(Seq("tbl", "bucket")))
       val q = bucketed.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"),
           col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
