@@ -221,6 +221,21 @@ object Dedup {
         .orderBy("h")
     },
 
+    // Exact-dedup survivor materialization (DISTINCT ON / keep-first): the
+    // deduplicated corpus itself — one row per normalized-content group, the
+    // lowest doc_id winning. One hash shuffle + WindowGroupLimit (rank
+    // computed only until the first row per group survives).
+    "dd_survivors" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      Relational.t(s, dir, "documents")
+        .withColumn("h", md5(normText(col("text"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     // shuffle on shingle, never O(n²). Hot shingles (stop-phrases) are
     // DF-capped out of candidate GENERATION only — verification recomputes
@@ -392,6 +407,12 @@ object Dedup {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
         |FROM documents GROUP BY h HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+    "dd_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
     "dd_ngram_pairs" -> exactPairsSql,
     // MinHash with this fixed hash family has (verified) 100% recall at
     // Jaccard ≥ 0.8 on the corpus, and candidates are exact-verified, so the
