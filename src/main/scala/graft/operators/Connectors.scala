@@ -69,6 +69,24 @@ object Connectors {
           dsum(col("p_retailprice")).as("total_retail"),
           max(col("p_size")).as("max_size"))
         .orderBy("p_brand")
+    },
+
+    // Partitioned-layout round-trip: documents written partitionBy(lang),
+    // read back filtered to two languages — the filter becomes a
+    // PartitionFilter (directory pruning at planning time, asserted in
+    // FormatsSpec), so excluded partitions' data files are never opened.
+    // The oracle reads the original single-file parquet with a WHERE.
+    "q33_partitioned_roundtrip" -> { (s, dir) =>
+      val src = t(s, dir, "documents")
+      val path = tmp("documents_bylang")
+      Formats.writePartitioned(src, path, "lang")
+      Formats.readPartitioned(s, path)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang", "source")
     }
   )
 
@@ -87,6 +105,10 @@ object Connectors {
       """SELECT p_brand, COUNT(*) AS n_parts,
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_retail,
         |  MAX(p_size) AS max_size
-        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q33_partitioned_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 }

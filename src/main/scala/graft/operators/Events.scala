@@ -73,6 +73,16 @@ object Events {
         .orderBy("user_id", "sess_id")
     },
 
+    // Stream-static enrichment join (batch twin): events × broadcast
+    // customer dim, aggregated by segment × event type. The streaming path
+    // runs the same plan builder (EventStreamsSpec).
+    "ev_enriched" -> { (s, dir) =>
+      EventStreams.enriched(
+          Relational.t(s, dir, "events"),
+          Relational.t(s, dir, "customer"))
+        .orderBy("c_mktsegment", "event_type")
+    },
+
     // Sliding 1h windows every 30min: each event lands in two windows.
     "ev_window_sliding" -> { (s, dir) =>
       Relational.t(s, dir, "events")
@@ -108,6 +118,12 @@ object Events {
     "ev_sessions" -> sessionsSql,
     "ev_sessions_typed" -> sessionsSql,
     "ev_sessions_native" -> sessionsSql,
+    "ev_enriched" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     "ev_window_sliding" ->
       """SELECT window_start, event_type, COUNT(*) AS n_events
         |FROM (

@@ -152,6 +152,34 @@ object Relational2 {
         .orderBy("o_orderstatus")
     },
 
+    // Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): an element
+    // with multiplicities m and n appears min(m,n) resp. max(0, m−n) times —
+    // genuinely different operators from q14's set-semantics tier. Tagged,
+    // unioned, and aggregated to multiplicity counts for a scalar result.
+    "q34_setops_all" -> { (s, dir) =>
+      val a = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderpriority")
+      val b = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) >= 1998).select("o_orderpriority")
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .union(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .groupBy("op", "o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("op", "o_orderpriority")
+    },
+
+    // Array aggregation (collect_set + sort_array + array_join): the list is
+    // sorted then joined to a string so the cross-engine comparison stays on
+    // scalar columns. Deterministic: set semantics + total sort order.
+    "q32_array_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"))
+        .orderBy("o_orderpriority")
+    },
+
     // PIVOT: revenue by priority × order year, with the pivot values pinned
     // (scale posture: explicit values skip the extra distinct-scan job Spark
     // otherwise runs to discover them, and fix the output schema).
@@ -206,6 +234,22 @@ object Relational2 {
   val PivotYears: Seq[Int] = 1995 to 2001
 
   val oracles: Map[String, String] = Map(
+    "q34_setops_all" ->
+      """SELECT op, o_orderpriority, COUNT(*) AS n_rows FROM (
+        |  SELECT 'intersect_all' AS op, o_orderpriority FROM (
+        |    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |    INTERSECT ALL
+        |    SELECT o_orderpriority FROM orders WHERE YEAR(o_orderdate) >= 1998)
+        |  UNION ALL
+        |  SELECT 'except_all' AS op, o_orderpriority FROM (
+        |    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |    EXCEPT ALL
+        |    SELECT o_orderpriority FROM orders WHERE YEAR(o_orderdate) >= 1998)
+        |) GROUP BY op, o_orderpriority ORDER BY op, o_orderpriority""".stripMargin,
+    "q32_array_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q30_pivot_sales" -> {
       val cols = PivotYears.map(y =>
         s"""CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE YEAR(o_orderdate) = $y) AS DOUBLE) AS "$y"""")

@@ -57,6 +57,24 @@ object EventStreams {
   def streamingWindowedAgg(events: DataFrame): DataFrame =
     windowedAgg(events.withWatermark("ts", "10 minutes"))
 
+  /** Stream-static enrichment join: events against a static customer
+    * dimension (user_id = c_custkey), aggregated by market segment ×
+    * event type. The static side is explicitly broadcast — in streaming
+    * mode Spark re-plans it per micro-batch, so the stream side never
+    * shuffles for the join; state is bounded by group cardinality.
+    * Works on both batch and streaming event inputs (the batch twin is
+    * oracle-checked as `ev_enriched`).
+    */
+  def enriched(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(
+        broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+
   /** Streaming exact dedup by event_id: watermark-bounded state, the
     * streaming twin of the batch dedup tier. Duplicates older than the
     * watermark horizon are expired from state — at 100 TB/day the state held

@@ -43,6 +43,30 @@ class FormatsSpec extends SparkSpec {
     assert(canon(back) == canon(src))
   }
 
+  test("partitioned write lays out lang directories and prunes them at plan time") {
+    import org.apache.spark.sql.functions.col
+    val src = Tables.t(spark, sf(), "documents")
+    val dir = Files.createTempDirectory("part-rt").toString
+    Formats.writePartitioned(src, dir, "lang")
+    // One directory per language value.
+    val langDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("lang=")).map(_.getName)
+    val langs = src.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langDirs.map(_.stripPrefix("lang=")).toSet == langs)
+    // A partition-column filter must become a PartitionFilter on the scan
+    // (planning-time directory pruning), not a post-scan data filter.
+    val q = Formats.readPartitioned(spark, dir).filter(col("lang") === "en")
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("lang")),
+      s"expected lang in partitionFilters, got ${scan.partitionFilters}")
+    assert(scan.relation.location.inputFiles.forall(_.contains("lang=")),
+      "expected hive-style partitioned layout")
+    // And the values survive the round-trip (modulo column order).
+    val cols = src.columns.toSeq
+    assert(canon(Formats.readPartitioned(spark, dir).select(cols.map(col): _*)) == canon(src))
+  }
+
   test("csv splits into multiple input partitions under a small split size") {
     val src = Tables.t(spark, sf(), "lineitem")
     val dir = Files.createTempDirectory("csv-split").toString

@@ -92,6 +92,23 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch twin") {
+    val customer = graft.sources.Tables.t(spark, sf(), "customer")
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.enriched(stream, customer)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("enrich_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test").collect().map(_.toSeq).toSet
+      val batch = Events.queries("ev_enriched")(spark, sf()).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops exact duplicate events across files") {
     // Stage the same events file twice: every event arrives in duplicate.
     val d = java.nio.file.Files.createTempDirectory("events-dup")
