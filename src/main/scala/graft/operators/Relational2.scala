@@ -79,6 +79,28 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Correlation / covariance from exact decimal moments (same rationale as
+    // q22: the built-in corr/covar merge is float-order-dependent, so both
+    // engines combine exact decimal sums in one fixed double expression).
+    "q35_corr_stats" -> { (s, dir) =>
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val n = count(lit(1)).cast("double")
+      val sx = sum(x).cast("double")
+      val sy = sum(y).cast("double")
+      val sxy = sum(x * y).cast("double")
+      val sxx = sum(x * x).cast("double")
+      val syy = sum(y * y).cast("double")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_items"),
+          ((sxy - sx * sy / n) / (n - 1)).as("cov_qty_price"),
+          ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     // Exact percentiles over integral-valued doubles with power-of-two
     // fractions: the linear interpolation is exact in both engines.
     "q23_percentiles" -> { (s, dir) =>
@@ -298,6 +320,22 @@ object Relational2 {
         |     - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
         |    / (COUNT(*) - 1)) AS std_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q35_corr_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    COUNT(*) AS n_items,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n_items,
+        |  (sxy - sx * sy / n) / (n - 1) AS cov_qty_price,
+        |  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q23_percentiles" ->
       """SELECT l_linestatus,
         |  quantile_cont(l_quantity, 0.25) AS p25_qty,

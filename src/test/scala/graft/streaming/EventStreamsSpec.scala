@@ -126,6 +126,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup is exactly-once across restart (checkpointed state + file sink)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // Run 1 processes the corpus; run 2 restarts from the checkpoint after a
+    // full duplicate replay lands in the source dir. The file-sink commit log
+    // plus checkpointed dedup state must yield zero new rows — the streaming
+    // analogue of the batch retry-no-duplicates guarantee (FailureRecoverySpec),
+    // and the bug class the reference's append-mode sinks had.
+    val srcDir = java.nio.file.Files.createTempDirectory("ex1-src")
+    val outDir = java.nio.file.Files.createTempDirectory("ex1-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ex1-ckpt").toString
+    def stage(name: String): Unit = {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${sf()}/events.parquet"), srcDir.resolve(name))
+      ()
+    }
+    def runOnce(): Unit = {
+      val q = EventStreams.dedupStream(EventStreams.readEventStream(spark, srcDir.toString))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stage("a.parquet")
+    runOnce()
+    val expected = Relational.t(spark, sf(), "events").count()
+    assert(spark.read.parquet(outDir).count() == expected)
+    stage("b.parquet") // full replay: every event is a duplicate
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == expected, "restart re-emitted rows")
+  }
+
   test("batch sessionizers (window-function and typed) agree exactly") {
     val a = Events.queries("ev_sessions")(spark, sf()).collect().map(_.toSeq).toSet
     val b = Events.queries("ev_sessions_typed")(spark, sf()).collect().map(_.toSeq).toSet
