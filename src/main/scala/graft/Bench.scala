@@ -11,8 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * than identical-plan re-timings — sandbox contention, not code):
   *  - each query runs TWICE back-to-back and the MIN is reported, so one
   *    contended window can't dominate a query's number;
-  *  - failed queries are listed in a `failed` field (a broken query must not
-  *    silently look "fast");
+  *  - failed queries are listed in a `failed` field and EXCLUDED from
+  *    `queries`/`total` (a broken query must not silently look "fast", and
+  *    its time-to-exception must not deflate the headline number);
   *  - total JVM GC time over the timed region is reported as `gc_sec`, so a
   *    memory-pressure-inflated run is diagnosable from the artifact alone.
   */
@@ -41,9 +42,9 @@ object Bench {
     }
 
     val gc0 = gcMillis
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(name, fn), once(name, fn))
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .map { case (name, fn) => name -> math.min(once(name, fn), once(name, fn)) }
+      .filterNot { case (name, _) => failed.contains(name) }
     val gcSec = (gcMillis - gc0) / 1000.0
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

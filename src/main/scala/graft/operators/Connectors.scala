@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
 object Connectors {
   import Relational.{dsum, t}
 
+  // Per-process path: two engine processes (e.g. a bench and a verify run)
+  // must not overwrite each other's round-trip data mid-read.
   private def tmp(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_$name"
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}_$name"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -107,7 +109,8 @@ object Connectors {
         |  MAX(p_size) AS max_size
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q33_partitioned_roundtrip" ->
-      """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang IN ('en', 'de')
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )

@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   *    [[queries dd_embed_pairs]]) is a block-matrix equality join: balanced
   *    G² tiles, no shuffle of the pair space.
   *  - The n-gram inverted index ([[queries dd_ngram_pairs]]) shuffles on the
-  *    shingle; hot shingles (stop-phrases) are dropped by the
-  *    [[ShingleDfCap]] document-frequency cap before the self-join (skew
-  *    control), exactly like a text index drops stopwords.
+  *    shingle; prefix filtering (see [[ngramCandidates]]) both shrinks the
+  *    index ~(1−J)× and keeps stop-phrase shingles out of the self-join
+  *    without sacrificing the lossless-candidate guarantee.
   *  - MinHash bands (12 bands × 4 rows, k=48) keep the candidate set ~linear
   *    in the number of true near-duplicates; the signature computation is a
   *    narrow per-document map. This is the path that survives 100×.
@@ -80,19 +80,6 @@ object Dedup {
       .filter(col("jaccard") >= minJac)
   }
 
-  /** Document-frequency cap for shingle-based candidate generation: shingles
-    * appearing in more than this many documents (stop-phrases) are excluded
-    * from the inverted-index self-join — the skew control that keeps the
-    * candidate set from going quadratic on a hot key. Exactly like a text
-    * index dropping stopwords: a shingle shared by k documents contributes
-    * k·(k-1)/2 candidate pairs, so one corpus-wide phrase would otherwise
-    * dominate the join. Capping only affects candidate GENERATION; Jaccard is
-    * re-verified from full shingle sets, so results change only if a true
-    * pair shares NOTHING but hot shingles — impossible for ≥0.8-Jaccard pairs
-    * unless the documents consist entirely of stop-phrases.
-    */
-  val ShingleDfCap = 64
-
   /** Jaccard threshold shared by candidate generation (prefix lengths) and
     * verification (the output filter) — they must agree or prefix filtering
     * loses its exactness guarantee.
@@ -107,14 +94,22 @@ object Dedup {
     * share at least one element of their prefixes under any common total
     * order (if all common elements sat in both suffixes, the overlap would be
     * ≤ ⌈t·|x|⌉−1 < t·(|x|+|y|)/(1+t), forcing Jaccard < t), so the candidate
-    * set stays a superset of the true pair set while the self-join sees
-    * ~(1−t) of the index volume — and the rarest-first order doubles as skew
-    * control, since stop-phrase shingles land outside every prefix.
-    * The df > dfCap drop stays as a backstop with the documented conditional
-    * (see [[ShingleDfCap]]); Jaccard is re-verified on full shingle sets.
+    * set is ALWAYS a superset of the true pair set — no df-cap conditional —
+    * while the self-join sees ~(1−t) of the index volume.
+    *
+    * Skew control comes from the rarest-first order itself, NOT from dropping
+    * hot shingles: a stop-phrase shared by documents that have any rarer
+    * content sorts out of every prefix, so it never reaches the join; it
+    * stays indexed only for documents where it ranks among their rarest
+    * shingles — i.e. near-identical boilerplate families, whose Ω(family²)
+    * pairs are true output the operator must produce anyway. (An earlier
+    * variant also dropped df>cap shingles inside the prefix; that silently
+    * lost ≥t pairs for duplicate families larger than the cap — the
+    * mass-duplication case this operator exists for — and is covered by a
+    * regression test in DedupSpec.)
     * Cost: O(Σ_sng df_prefix(sng)²) — df over prefixes only.
     */
-  def ngramCandidates(sh: DataFrame, dfCap: Int): DataFrame = {
+  def ngramCandidates(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val inv = sh.select(col("doc_id"), size(col("shingles")).as("setsz"), explode(col("shingles")).as("sng"))
     // df per shingle, computed on the same shuffle key (sng) the join back
@@ -123,7 +118,7 @@ object Dedup {
     val prefixLen = (col("setsz") - ceil(col("setsz") * lit(MinJaccard)) + 1).cast("int")
     val prefixes = inv.join(dfs, "sng")
       .withColumn("rk", row_number().over(Window.partitionBy("doc_id").orderBy("df", "sng")))
-      .filter(col("rk") <= prefixLen && col("df") <= dfCap)
+      .filter(col("rk") <= prefixLen)
       .select("doc_id", "sng")
     prefixes.as("x")
       .join(prefixes.as("y"), col("x.sng") === col("y.sng") && col("x.doc_id") < col("y.doc_id"))
@@ -236,16 +231,13 @@ object Dedup {
         .orderBy("doc_id")
     },
 
-    // Exact n-gram Jaccard near-dup pairs via shingle inverted index:
-    // shuffle on shingle, never O(n²). Hot shingles (stop-phrases) are
-    // DF-capped out of candidate GENERATION only — verification recomputes
-    // Jaccard from the full shingle sets, so the output is unchanged as long
-    // as every true pair shares at least one sub-cap shingle (a ≥0.8-Jaccard
-    // pair shares ~all its shingles; measured worst-case min shared-shingle
-    // DF on the corpus is 10 at sf0.1 vs the cap of 64).
+    // Exact n-gram Jaccard near-dup pairs via prefix-filtered shingle
+    // inverted index: shuffle on shingle, never O(n²), candidates provably a
+    // superset of the ≥0.8-Jaccard pair set (see ngramCandidates);
+    // verification recomputes exact Jaccard from the full shingle sets.
     "dd_ngram_pairs" -> { (s, dir) =>
       val sh = shingled(s, dir)
-      verifyJaccard(ngramCandidates(sh, ShingleDfCap), sh, MinJaccard).orderBy("doc_a", "doc_b")
+      verifyJaccard(ngramCandidates(sh), sh, MinJaccard).orderBy("doc_a", "doc_b")
     },
 
     // MinHash + LSH banding: signatures → band buckets → bucket join →

@@ -71,7 +71,7 @@ object Pipeline {
       s"""SELECT CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
          |            WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
          |            ELSE 'test' END AS split,
-         |  COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY split ORDER BY split""".stripMargin
   )
 }

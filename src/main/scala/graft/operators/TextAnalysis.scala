@@ -55,6 +55,11 @@ object TextAnalysis {
       val stopRatio = nStop / nToks
       val score = greatest(lit(0.0), least(lit(1.0), lit(0.2) + stopRatio * 2.0 - punctRatio * 3.0))
       Relational.t(s, dir, "documents")
+        // Empty/whitespace-only text is excluded in BOTH engines: Spark's
+        // split-based tokens() would yield [""] (nToks = 1, ratio 0.0) while
+        // the oracle's filtered token list yields 0/0 — an explicit shared
+        // gate keeps the two from diverging on degenerate rows.
+        .filter(length(trim(col("text"))) > 0)
         .select(
           col("doc_id"),
           nChars.cast("long").as("n_chars"),
@@ -173,7 +178,7 @@ object TextAnalysis {
         |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts,
         |    CAST(length(text) AS DOUBLE) AS n_chars,
         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS DOUBLE) AS n_punct
-        |  FROM documents WHERE doc_id < 1000
+        |  FROM documents WHERE doc_id < 1000 AND length(trim(text)) > 0
         |), r AS (
         |  SELECT doc_id, n_chars, n_punct,
         |    n_punct / n_chars AS punct_ratio,

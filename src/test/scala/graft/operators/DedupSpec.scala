@@ -64,19 +64,34 @@ class DedupSpec extends SparkSpec {
     val naive = inv.as("x")
       .join(inv.as("y"), col("x.sng") === col("y.sng") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
-    val unCapped = Dedup.ngramCandidates(sh, dfCap = Int.MaxValue).count()
-    val capped = Dedup.ngramCandidates(sh, dfCap = Dedup.ShingleDfCap).count()
+    val pruned = Dedup.ngramCandidates(sh).count()
     assert(naive >= 19900L, s"hot shingle should explode the naive join, got $naive")
-    assert(unCapped == 0L, s"prefix filtering should exclude the stop-phrase, got $unCapped")
-    assert(capped == 0L, s"prefix + DF cap should exclude the stop-phrase, got $capped")
+    assert(pruned == 0L, s"prefix filtering should exclude the stop-phrase, got $pruned")
   }
 
-  test("DF cap does not change the verified pair set on the corpus") {
+  test("prefix filtering keeps large boilerplate duplicate families (lossless candidates)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 70 documents sharing a 20-token boilerplate with one unique trailing
+    // token each: 19 shingles/doc of which 18 are shared (df = 70), so
+    // pairwise Jaccard = 18/20 = 0.9 ≥ 0.8. A candidate generator that drops
+    // high-df shingles (the earlier DF-cap-inside-prefix variant) would index
+    // only each doc's unique-touching shingle and silently lose all 70·69/2
+    // true pairs — the mass-duplication case the operator exists for.
+    val boiler = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 70).map(i => (i.toLong, s"$boiler unique$i")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), graft.functions.ShingleSet(col("text")).as("shingles"))
+    val cands = Dedup.ngramCandidates(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for { a <- 0 until 70; b <- a + 1 until 70 } yield (a.toLong, b.toLong)).toSet
+    assert(want.subsetOf(cands), s"lost ${want.size - (want & cands).size} of ${want.size} true family pairs")
+  }
+
+  test("prefix-filtered candidates cover the verified pair set on the corpus") {
     val sh = Dedup.shingled(spark, sf())
-    val capped = Dedup.ngramCandidates(sh, Dedup.ShingleDfCap)
     val exact = pairs("dd_ngram_pairs")
-    val cands = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.subsetOf(cands), s"capped candidates missed true pairs: ${exact -- cands}")
+    val cands = Dedup.ngramCandidates(sh).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cands), s"prefix candidates missed true pairs: ${exact -- cands}")
   }
 
   test("jaccard pairs stable across partition counts (scale invariance)") {
