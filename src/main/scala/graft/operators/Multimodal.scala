@@ -126,6 +126,20 @@ object Multimodal {
         .orderBy("source")
     },
 
+    // Metadata resize normalization on the gate: pure struct rewrite over the
+    // "png" subset; the oracle recomputes the capped dimensions from the
+    // manifest's doc_id arithmetic.
+    "mm_resize_meta" -> { (s, dir) =>
+      resizeMeta(manifest(s, dir), maxW = 96, maxH = 128)
+        .filter(col("meta.format") === "png")
+        .select(
+          col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"))
+        .orderBy("doc_id")
+    },
+
     // Frame sampling + metadata pruning: frames only for "video" rows under a
     // byte cap (metadata predicate prunes before the binary fan-out).
     "mm_frame_stats" -> { (s, dir) =>
@@ -147,6 +161,11 @@ object Multimodal {
     * contributes its own length.
     */
   val oracles: Map[String, String] = Map(
+    "mm_resize_meta" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(least(64 + (doc_id % 8) * 16, 96) AS INT) AS width,
+        |  CAST(least(64 + (doc_id % 5) * 32, 128) AS INT) AS height
+        |FROM documents WHERE doc_id % 4 = 0 ORDER BY doc_id""".stripMargin,
     "mm_frame_stats" ->
       s"""SELECT doc_id,
          |  greatest(length(text) // $FrameBytes, 1)::BIGINT AS n_frames,
