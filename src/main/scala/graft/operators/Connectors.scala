@@ -12,16 +12,35 @@ import org.apache.spark.sql.functions._
   * timestamps).
   *
   * The round-trip files land under java.io.tmpdir; writing them is part of
-  * query construction (a connector test IS a write+read), idempotent under
-  * re-runs via overwrite mode.
+  * query construction (a connector test IS a write+read). Within a process,
+  * re-runs overwrite; the per-process directories are deleted by a JVM
+  * shutdown hook, so repeated bench/verify invocations don't accumulate
+  * copies in tmp.
   */
 object Connectors {
   import Relational.{dsum, t}
 
-  // Per-process path: two engine processes (e.g. a bench and a verify run)
-  // must not overwrite each other's round-trip data mid-read.
-  private def tmp(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}_$name"
+  // Per-process paths: two engine processes (e.g. a bench and a verify run)
+  // must not overwrite each other's round-trip data mid-read. Every created
+  // path is removed on JVM exit.
+  private val tmpPaths = scala.collection.mutable.LinkedHashSet[String]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpPaths.synchronized(tmpPaths.toSeq).foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }
+    ))
+
+  private def tmp(name: String): String = {
+    cleanupHook
+    val p = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}_$name"
+    tmpPaths.synchronized { tmpPaths += p }
+    p
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -52,8 +52,8 @@ class DedupSpec extends SparkSpec {
     // 200 documents all sharing one stop-phrase shingle ("lorem ipsum dolor"),
     // plus unique content — a naive full-index self-join pays 200·199/2 =
     // 19900 candidate pairs for the hot shingle alone; prefix filtering
-    // indexes only each doc's rarest shingles, so the stop-phrase never
-    // reaches the join (zero candidates, with or without the DF-cap backstop).
+    // indexes only each doc's rarest shingles, so the stop-phrase (always
+    // outranked by the doc's unique df=1 shingles) never reaches the join.
     val docs = (0 until 200)
       .map(i => (i.toLong, s"lorem ipsum dolor unique$i word${i}a word${i}b"))
       .toDF("doc_id", "text")
