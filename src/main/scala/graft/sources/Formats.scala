@@ -53,6 +53,14 @@ object Formats {
   def writeText(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).text(path)
 
+  /** Compressed text (the reference's own format + a codec): .gz part files
+    * on write, transparently decompressed on read. Note gzip is not
+    * splittable — one file = one input partition — so at scale prefer many
+    * moderate files (or zstd/bzip2) over few large ones.
+    */
+  def writeTextGz(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "gzip").text(path)
+
   /** ORC round-trip: columnar + self-describing, no options needed — types
     * (incl. TIMESTAMP_NTZ since ORC 1.8/Spark 3.4) survive natively.
     */

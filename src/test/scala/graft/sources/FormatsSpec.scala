@@ -67,6 +67,17 @@ class FormatsSpec extends SparkSpec {
     assert(canon(Formats.readPartitioned(spark, dir).select(cols.map(col): _*)) == canon(src))
   }
 
+  test("gzip text round-trip preserves lines and produces .gz part files") {
+    import org.apache.spark.sql.functions.col
+    val src = Tables.t(spark, sf(), "documents").select(col("text"))
+    val dir = Files.createTempDirectory("txt-gz").toString
+    Formats.writeTextGz(src, dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".gz")))
+    val back = spark.read.text(dir)
+    assert(canon(back) == canon(src.toDF("value")))
+  }
+
   test("csv splits into multiple input partitions under a small split size") {
     val src = Tables.t(spark, sf(), "lineitem")
     val dir = Files.createTempDirectory("csv-split").toString
