@@ -112,11 +112,15 @@ object Dedup {
   def ngramCandidates(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val inv = sh.select(col("doc_id"), size(col("shingles")).as("setsz"), explode(col("shingles")).as("sng"))
-    // df per shingle, computed on the same shuffle key (sng) the join back
-    // onto inv needs — one exchange, reused by aggregation and probe side.
-    val dfs = inv.groupBy("sng").agg(count(lit(1)).as("df"))
+    // df as a window count over the sng partition, NOT groupBy(sng) + join
+    // back: the join formulation rebuilds the whole scan→shingle→explode
+    // lineage a second time for the aggregate side (exchange reuse can't
+    // merge an aggregated subtree with its probe side), while the window
+    // rides the single sng exchange. One shingling pass for the index
+    // instead of two.
     val prefixLen = (col("setsz") - ceil(col("setsz") * lit(MinJaccard)) + 1).cast("int")
-    val prefixes = inv.join(dfs, "sng")
+    val prefixes = inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sng")))
       .withColumn("rk", row_number().over(Window.partitionBy("doc_id").orderBy("df", "sng")))
       .filter(col("rk") <= prefixLen)
       .select("doc_id", "sng")
