@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
 object Connectors {
   import Relational.{dsum, t}
 
-  // Per-process paths: two engine processes (e.g. a bench and a verify run)
-  // must not overwrite each other's round-trip data mid-read. Every created
-  // path is removed on JVM exit.
+  // Per-process AND per-invocation paths: pid keeps two engine processes
+  // (e.g. a bench and a verify run) from colliding; the invocation counter
+  // keeps two constructions of the same query within one JVM (parallel test
+  // suites, a second SparkSession) from overwriting each other's files
+  // mid-read. Every created path is removed on JVM exit.
+  private val invocation = new java.util.concurrent.atomic.AtomicLong(0)
   private val tmpPaths = scala.collection.mutable.LinkedHashSet[String]()
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -37,7 +40,7 @@ object Connectors {
 
   private def tmp(name: String): String = {
     cleanupHook
-    val p = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}_$name"
+    val p = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}_${invocation.incrementAndGet()}_$name"
     tmpPaths.synchronized { tmpPaths += p }
     p
   }

@@ -55,10 +55,10 @@ object TextAnalysis {
       val stopRatio = nStop / nToks
       val score = greatest(lit(0.0), least(lit(1.0), lit(0.2) + stopRatio * 2.0 - punctRatio * 3.0))
       Relational.t(s, dir, "documents")
-        // Empty/whitespace-only text is excluded in BOTH engines: Spark's
-        // split-based tokens() would yield [""] (nToks = 1, ratio 0.0) while
-        // the oracle's filtered token list yields 0/0 — an explicit shared
-        // gate keeps the two from diverging on degenerate rows.
+        // Empty/whitespace-only text is excluded in BOTH engines: tokens()
+        // yields [] there (matching the oracle), which would make the
+        // stopword ratio 0/0 = NULL — the explicit shared gate keeps
+        // degenerate rows out rather than emitting NULL-ratio rows.
         .filter(length(trim(col("text"))) > 0)
         .select(
           col("doc_id"),

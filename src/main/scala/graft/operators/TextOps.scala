@@ -20,16 +20,15 @@ object TextOps {
   /** Whitespace tokens of the lowercased text, empties dropped.
     * DuckDB: `list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')`.
     *
-    * Implemented as `split(trim(lower(c)), " +")` — NOT as a `filter()` HOF:
-    * Spark evaluates higher-order-function lambdas interpreted per element,
-    * which serializes per-document work (profiled at ~2 ms/doc in the dedup
-    * tier). Splitting on space runs can only produce empty tokens at the two
-    * string edges, so a space-trim is exactly the empty-drop — except for
-    * all-space/empty text, where this yields `[""]` instead of `[]` (no such
-    * documents exist in the corpus; callers gate on token counts anyway).
+    * NOT a `filter()` HOF (Spark evaluates higher-order-function lambdas
+    * interpreted per element — profiled at ~2 ms/doc in the dedup tier):
+    * splitting on space runs can only produce empty tokens at the string
+    * edges, and `array_remove(_, "")` is a codegen'd single pass that drops
+    * them — including the degenerate `[""]` from empty/all-space text, so the
+    * empty-drop contract holds for EVERY input, matching the oracle exactly.
     */
   def tokens(c: Column): Column =
-    split(trim(lower(c)), " +")
+    array_remove(split(lower(c), " +"), "")
 
   /** Distinct 3-gram word shingles; defined for docs with ≥3 tokens (callers
     * filter `size(tokens) >= 3`). Shingle i (1-based) joins tokens i..i+2.
@@ -60,13 +59,19 @@ object TextOps {
     * Tokens are delimited by space runs, so a marker occurrence is the word
     * with a space on both sides once the text is padded with one space at
     * each edge; the zero-width lookarounds keep adjacent occurrences
-    * ("a a a") countable despite the shared delimiter space. `words` are
-    * plain letters (no regex metacharacters).
+    * ("a a a") countable despite the shared delimiter space. Words are
+    * required letter-only so a future marker-list edit that would need regex
+    * escaping or sub-token matching fails loudly instead of miscounting; each
+    * word is `Pattern.quote`d anyway as defense in depth.
     * DuckDB: `len(list_filter(ts, t -> list_contains([...], t)))` (unchanged).
     */
-  def markerCount(text: Column, words: Seq[String]): Column =
+  def markerCount(text: Column, words: Seq[String]): Column = {
+    require(
+      words.nonEmpty && words.forall(_.matches("[a-z]+")),
+      s"marker words must be non-empty lowercase-letter-only (got: ${words.mkString(",")})")
     regexp_count(
       concat(lit(" "), lower(text), lit(" ")),
-      lit(words.mkString("(?<= )(", "|", ")(?= )"))
+      lit(words.map(java.util.regex.Pattern.quote).mkString("(?<= )(", "|", ")(?= )"))
     )
+  }
 }
