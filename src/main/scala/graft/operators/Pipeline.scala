@@ -59,8 +59,43 @@ object Pipeline {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy("split")
+    },
+
+    // The assembled training-corpus pipeline — quality filter → exact dedup
+    // (keep-first survivor per normalized-content hash) → deterministic
+    // train/val/test split — as ONE declarative plan. Catalyst fuses both
+    // filters into the scan projection (no materialization between stages);
+    // the only shuffles are the dedup hash partition and the final
+    // 6-group aggregate. This is the composition story: each stage is an
+    // independently-verified operator (ta_quality, dd_survivors,
+    // sp_split_assign), and the end-to-end chain gets its own oracle.
+    "pl_train_corpus" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      Relational.t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .filter(TextOps.qualityScore(col("text")) >= QualityThreshold)
+        .withColumn("h", md5(TextOps.normText(col("text"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(
+          when(bucket(col("doc_id")) < 80, "train")
+            .when(bucket(col("doc_id")) < 90, "val")
+            .otherwise("test").as("split"),
+          col("lang"),
+          col("n_chars"))
+        .groupBy("split", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("split", "lang")
     }
   )
+
+  /** Retention threshold for [[queries pl_train_corpus]] — keeps ~60% of the
+    * corpus (score distribution: min 0.2, median ≈ 0.32, max ≈ 0.64).
+    */
+  val QualityThreshold = 0.3
 
   val oracles: Map[String, String] = Map(
     "sp_hash_sample" ->
@@ -72,6 +107,29 @@ object Pipeline {
          |            WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
          |            ELSE 'test' END AS split,
          |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-         |FROM documents GROUP BY split ORDER BY split""".stripMargin
+         |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+    "pl_train_corpus" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS DOUBLE) AS np
+         |  FROM documents WHERE length(trim(text)) > 0
+         |), q AS (
+         |  SELECT doc_id, lang, n_chars, text FROM d
+         |  WHERE greatest(0.0, least(1.0,
+         |    0.2 + (CAST(len(list_filter(ts, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE) / len(ts)) * 2.0
+         |        - (np / nc) * 3.0)) >= 0.3
+         |), surv AS (
+         |  SELECT doc_id, lang, n_chars FROM q
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |    ORDER BY doc_id) = 1
+         |)
+         |SELECT CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+         |            WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM surv GROUP BY split, lang ORDER BY split, lang""".stripMargin
   )
 }

@@ -140,7 +140,25 @@ object Similarity {
 
     // IVF-bucketed ANN: same output shape; rows-only driver check, recall
     // measured in SimilaritySpec.
-    "ss_ann_ivf" -> { (s, dir) => ivfTopk(s, dir) }
+    "ss_ann_ivf" -> { (s, dir) => ivfTopk(s, dir) },
+
+    // Norm + int8 quantization codes per vector — the storage/SIMD form a
+    // vector store keeps (4× smaller than float32). One narrow codegen'd
+    // pass, no shuffle; deterministic via floor(x+0.5) round-half-up and the
+    // shared SeqDot norm (see [[graft.functions.QuantizeInt8]]). Codes ride
+    // as a comma-joined string because the driver gate hash-compares scalar
+    // columns (same convention as q32's array_agg).
+    "ss_embed_quant" -> { (s, dir) =>
+      vecs(s, dir)
+        .withColumn("nrm", sqrt(Dedup.dotSeq(col("v"), col("v"))))
+        .select(
+          col("vec_id"),
+          col("nrm"),
+          array_join(
+            graft.functions.QuantizeInt8(col("v"), col("nrm")).cast("array<string>"),
+            ",").as("qvec"))
+        .orderBy("vec_id")
+    }
   )
 
   /** IVF parameters: cells and probed cells per query. */
@@ -201,7 +219,19 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
-         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
-    // ss_ann_lsh: intentionally no oracle (approximate); recall tested in ScalaTest.
+         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "ss_embed_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, len(v)+1)], (p, q) -> p + q)) AS nrm
+        |  FROM e
+        |)
+        |SELECT vec_id, nrm,
+        |  array_to_string(list_transform(v, x ->
+        |    CAST(CAST(floor(x * 127 / nrm + 0.5) AS INT) AS VARCHAR)), ',') AS qvec
+        |FROM n ORDER BY vec_id""".stripMargin
+    // ss_ann_lsh / ss_ann_ivf: intentionally no oracle (approximate); recall tested in ScalaTest.
   )
 }

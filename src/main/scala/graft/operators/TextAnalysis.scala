@@ -51,9 +51,6 @@ object TextAnalysis {
       val nPunct = (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:'\"]", ""))).cast("double")
       val nStop = markerCount(col("text"), Stopwords).cast("double")
       val nToks = size(toks).cast("double")
-      val punctRatio = nPunct / nChars
-      val stopRatio = nStop / nToks
-      val score = greatest(lit(0.0), least(lit(1.0), lit(0.2) + stopRatio * 2.0 - punctRatio * 3.0))
       Relational.t(s, dir, "documents")
         // Empty/whitespace-only text is excluded in BOTH engines: tokens()
         // yields [] there (matching the oracle), which would make the
@@ -66,7 +63,7 @@ object TextAnalysis {
           nPunct.cast("long").as("n_punct"),
           (nPunct / nChars).as("punct_ratio"),
           (nStop / nToks).as("stopword_ratio"),
-          score.as("quality_score")
+          qualityScore(col("text")).as("quality_score")
         )
         .filter(col("doc_id") < 1000)
         .orderBy("doc_id")

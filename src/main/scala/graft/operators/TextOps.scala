@@ -51,6 +51,23 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et")
   )
 
+  /** Clipped linear quality score from structural ratios: base 0.2, rewarded
+    * by stopword density (real prose has function words), penalized by
+    * punctuation density (markup/symbol soup), clamped to [0,1]. No exp/log —
+    * libm is not bit-stable across engines; every operand here is an integer
+    * count or exact length, so the score is deterministic. Callers must gate
+    * out empty/whitespace-only text first (0-token docs make the stopword
+    * ratio 0/0 = NULL). Shared by `ta_quality` (which also reports the
+    * component ratios) and the `pl_train_corpus` pipeline filter.
+    */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val nPunct = (length(c) - length(regexp_replace(c, "[.,!?;:'\"]", ""))).cast("double")
+    val stopRatio = markerCount(c, Stopwords).cast("double") / size(tokens(c))
+    val punctRatio = nPunct / nChars
+    greatest(lit(0.0), least(lit(1.0), lit(0.2) + stopRatio * 2.0 - punctRatio * 3.0))
+  }
+
   /** Count of whitespace tokens of `lower(text)` that appear in `words`, as
     * ONE codegen'd regex pass over the text instead of a per-token
     * interpreted `filter()` lambda (the lambda ran interpreted per token — ×4

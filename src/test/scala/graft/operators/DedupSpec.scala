@@ -94,6 +94,34 @@ class DedupSpec extends SparkSpec {
     assert(exact.subsetOf(cands), s"prefix candidates missed true pairs: ${exact -- cands}")
   }
 
+  test("cluster assignment equals union-find closure of the pair set") {
+    val edges = pairs("dd_ngram_pairs")
+    // Reference closure: driver-side union-find over the collected pair set.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.queries("dd_clusters")(spark, sf()).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getLong(r.fieldIndex("cluster_id"))).toMap
+    assert(got == want, s"cluster labels diverge: ${got.toSet -- want.toSet} vs ${want.toSet -- got.toSet}")
+  }
+
+  test("cluster sizes count members per label") {
+    val rows = Dedup.queries("dd_clusters")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val byLabel = rows.groupBy(_.getLong(1))
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("cluster_size")) == byLabel(r.getLong(1)).length.toLong)
+      assert(r.getLong(r.fieldIndex("cluster_size")) >= 2, "every clustered doc has a partner")
+    }
+  }
+
   test("jaccard pairs stable across partition counts (scale invariance)") {
     val base = pairs("dd_ngram_pairs")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -54,4 +54,24 @@ class SimilaritySpec extends SparkSpec {
     val ann = Similarity.queries("ss_ann_lsh")(spark, sf())
     assert(ann.count() <= Similarity.NQueries * Similarity.TopK)
   }
+
+  test("int8 quantization codes reconstruct vectors within half a step") {
+    val rows = Similarity.queries("ss_embed_quant")(spark, sf()).collect()
+    assert(rows.length >= 500)
+    val orig = Relational.t(spark, sf(), "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)).toMap
+    rows.take(50).foreach { r =>
+      val id = r.getLong(r.fieldIndex("vec_id"))
+      val nrm = r.getDouble(r.fieldIndex("nrm"))
+      val codes = r.getString(r.fieldIndex("qvec")).split(",").map(_.toInt)
+      val v = orig(id)
+      assert(codes.length == v.length)
+      assert(math.abs(nrm - math.sqrt(v.map(x => x * x).sum)) < 1e-9)
+      codes.zip(v).foreach { case (q, x) =>
+        // Dequantized value must sit within half a quantization step.
+        assert(math.abs(q * nrm / 127.0 - x) <= nrm / 254.0 + 1e-12, s"vec $id code $q value $x")
+        assert(math.abs(q) <= 128, "codes stay in int8 range (unit-scale inputs)")
+      }
+    }
+  }
 }
