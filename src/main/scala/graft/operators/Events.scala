@@ -83,6 +83,15 @@ object Events {
         .orderBy("c_mktsegment", "event_type")
     },
 
+    // Stream-stream interval join (batch twin): all clicks within 5 minutes
+    // after a same-user error. The streaming path runs the identical plan
+    // builder with watermarks on both sides (EventStreamsSpec).
+    "ev_error_click_pairs" -> { (s, dir) =>
+      val ev = Relational.t(s, dir, "events")
+      EventStreams.errorClickPairs(ev, ev)
+        .orderBy("error_id", "click_id")
+    },
+
     // Sliding 1h windows every 30min: each event lands in two windows.
     "ev_window_sliding" -> { (s, dir) =>
       Relational.t(s, dir, "events")
@@ -124,6 +133,17 @@ object Events {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    // epoch_us truncates TIMESTAMP_NS to the same micro precision Spark's
+    // timestamps carry (the corpus has no sub-microsecond components —
+    // verified — so this is an identity, kept for robustness).
+    "ev_error_click_pairs" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
+        |FROM events e JOIN events c
+        |  ON e.user_id = c.user_id
+        |  AND e.event_type = 'error' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(e.ts)
+        |  AND epoch_us(c.ts) <= epoch_us(e.ts) + 300000000
+        |ORDER BY error_id, click_id""".stripMargin,
     "ev_window_sliding" ->
       """SELECT window_start, event_type, COUNT(*) AS n_events
         |FROM (

@@ -146,6 +146,21 @@ object TextAnalysis {
         .limit(20)
     },
 
+    // Winnowing fingerprints (MOSS local fingerprinting): 4-gram md5 hashes,
+    // minimum per sliding window of 8 — position-local signatures at
+    // ~2/(w+1) the cost of the full gram set, with the guarantee that any
+    // two docs sharing a run of ≥ w+k-1 = 11 tokens share a fingerprint.
+    // A narrow per-document projection (one JVM call per row) + explode; the
+    // only shuffle is the output sort.
+    "ta_winnow" -> { (s, dir) =>
+      Relational.t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(size(split(trim(col("text")), " +")) >= WinnowK)
+        .transform(Dedup.spread("doc_id"))
+        .select(col("doc_id"), explode(graft.functions.Winnow(col("text"), WinnowK, WinnowW)).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
+
     // Engine-internal fast fingerprint via the native Fnv64 Catalyst expression
     // (whole-stage codegen; no SQL-engine equivalent → rows-only driver check;
     // golden-vector correctness is asserted in ScalaTest).
@@ -156,7 +171,31 @@ object TextAnalysis {
     }
   )
 
+  /** Winnowing parameters: gram size k and hash-window size w. */
+  val WinnowK = 4
+  val WinnowW = 8
+
   val oracles: Map[String, String] = Map(
+    // Slice arithmetic (1-based inclusive): 4-grams are ts[i:i+3] for
+    // i in 1..len-3; length-8 hash windows are hs[i:i+7] for i in 1..m-7.
+    "ta_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, [array_to_string(ts[i:i+3], ' ') FOR i IN range(1, len(ts)-2)] AS grams
+        |  FROM toks WHERE len(ts) >= 4
+        |), h AS (
+        |  SELECT doc_id, list_transform(grams, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+        |  FROM g
+        |), wm AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) < 8 THEN [list_min(hs)]
+        |         ELSE [list_min(hs[i:i+7]) FOR i IN range(1, len(hs)-6)] END AS mins
+        |  FROM h
+        |)
+        |SELECT doc_id, UNNEST(list_distinct(mins)) AS fp
+        |FROM wm ORDER BY doc_id, fp""".stripMargin,
     "ta_token_stats" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts, lower(text) AS lt

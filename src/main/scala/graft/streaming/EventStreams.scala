@@ -75,6 +75,41 @@ object EventStreams {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
 
+  /** Error→click interval-join horizon: clicks within 5 minutes after an
+    * error (micros; ts is micro-precision after the nanos conversion).
+    */
+  val ErrorClickHorizon = "5 minutes"
+
+  /** STREAM-STREAM interval join: every click a user makes within
+    * [[ErrorClickHorizon]] after one of their errors — each error pairs with
+    * ALL such clicks (contrast with the as-of join `j1_asof_error_click`,
+    * which keeps only the first). The join condition is an equality on
+    * user_id plus a time-range constraint between the two event-time
+    * columns; with a watermark on both inputs that range bounds how long
+    * each side's rows are retained in join state, so state expires instead
+    * of growing with the stream. Accepts batch inputs unchanged (the batch
+    * twin `ev_error_click_pairs` is oracle-checked; the streaming path is
+    * asserted equal in EventStreamsSpec).
+    */
+  def errorClickPairs(errors: DataFrame, clicks: DataFrame): DataFrame = {
+    val e = errors.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    e.join(
+        c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("e_ts") &&
+          col("c_ts") <= col("e_ts") + expr(s"INTERVAL $ErrorClickHorizon"))
+      .select(col("error_id"), col("click_id"), col("user_id"))
+  }
+
+  /** Watermarked streaming variant of [[errorClickPairs]]. */
+  def streamingErrorClickPairs(errors: DataFrame, clicks: DataFrame): DataFrame =
+    errorClickPairs(
+      errors.withWatermark("ts", "10 minutes"),
+      clicks.withWatermark("ts", "10 minutes"))
+
   /** Streaming exact dedup by event_id: watermark-bounded state, the
     * streaming twin of the batch dedup tier. Duplicates older than the
     * watermark horizon are expired from state — at 100 TB/day the state held

@@ -160,6 +160,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == expected, "restart re-emitted rows")
   }
 
+  test("stream-stream interval join equals the batch twin") {
+    val errors = EventStreams.readEventStream(spark, eventsDir)
+    val clicks = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.streamingErrorClickPairs(errors, clicks)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssj_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_test").collect().map(_.toSeq).toSet
+      val batch = Events.queries("ev_error_click_pairs")(spark, sf()).collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty, "corpus should contain error→click pairs")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch sessionizers (window-function and typed) agree exactly") {
     val a = Events.queries("ev_sessions")(spark, sf()).collect().map(_.toSeq).toSet
     val b = Events.queries("ev_sessions_typed")(spark, sf()).collect().map(_.toSeq).toSet
