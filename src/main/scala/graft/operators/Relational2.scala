@@ -138,6 +138,24 @@ object Relational2 {
         )
     },
 
+    // Approximate percentiles (the KLL-style quantile-sketch tier, partial-
+    // aggregable like HLL): rows-only on the driver gate (sketch internals
+    // have no cross-engine twin); Relational2Spec bounds the estimates
+    // against the exact oracle-checked q23 — accuracy 1000 caps rank error
+    // at n/1000, which on this integer-valued column means the estimate is
+    // one of the true quantile's neighboring values.
+    "q36_approx_quantiles" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.25, 1000)").as("ap25_qty"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50_qty"),
+          expr("approx_percentile(l_quantity, 0.75, 1000)").as("ap75_qty"),
+          count(lit(1)).as("n_items")
+        )
+        .orderBy("l_linestatus")
+    },
+
     // Remaining window-function families (ntile / percent_rank / lead /
     // first_value) + math scalars in one pass over suppliers' lineitems.
     // percent_rank = (rank-1)/(n-1): integer division, exact in both engines.

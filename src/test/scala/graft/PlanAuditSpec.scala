@@ -1,0 +1,75 @@
+package graft
+
+/** Physical-plan audit across the whole declared query surface: the "is this
+  * the plan you'd want at 100×" properties, asserted so a regression (a lost
+  * pushdown, a join that degenerates to a cartesian, a broadcast that stops
+  * firing) fails tests instead of surfacing as a bench cliff.
+  *
+  * Substring checks run against the INITIAL adaptive plan — strategy choices
+  * (join selection, scan pushdown) are decided there; AQE only re-splits or
+  * coalesces at runtime.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("no declared query plans an unbounded cartesian product") {
+    // Construction alone is enough to see the chosen join strategies; a
+    // CartesianProduct (both sides large, no key) is never acceptable — the
+    // deliberately-quadratic operators (dd_embed_pairs' block grid,
+    // ss_topk_bruteforce's bounded query side) are shaped as equality joins
+    // or small-side broadcasts precisely so they never plan one.
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      assert(!plan(name).contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("dedup pair joins are all equality-keyed (no nested-loop fallback)") {
+    for (name <- Seq("dd_ngram_pairs", "dd_minhash_pairs", "dd_simhash_pairs", "dd_embed_pairs")) {
+      val p = plan(name)
+      assert(!p.contains("NestedLoop"), s"$name fell back to a nested-loop join:\n$p")
+    }
+  }
+
+  test("selective scans push predicates into the parquet reader") {
+    val p = plan("q2_filter_revenue")
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
+      s"expected l_shipdate pushed to the scan:\n$p")
+  }
+
+  test("narrow projections prune unread columns at the scan") {
+    val p = plan("ta_token_stats")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text"), s"scan schema wrong: $read")
+    assert(!read.contains("source") && !read.contains("n_chars"),
+      s"scan reads columns the query never uses: $read")
+  }
+
+  test("fact-to-dim joins broadcast the dimension side") {
+    for (name <- Seq("q3_revenue_by_nation", "q4_brand_volume", "q6_customers_no_orders")) {
+      assert(plan(name).contains("BroadcastHashJoin"), s"$name lost its broadcast join")
+    }
+  }
+
+  test("per-row compute stays inside whole-stage codegen") {
+    // The heavy per-document/per-vector projections must sit under a
+    // WholeStageCodegen span (interpreted HOF lambdas or UDF boxing would
+    // evict them — the 100× cliff the native expressions exist to avoid).
+    // These plans contain exchanges, so they run under AQE and the `*(n)`
+    // codegen markers only appear on the FINAL plan — execute first.
+    for (name <- Seq("ta_token_stats", "ta_quality", "dd_exact_summary", "ss_embed_quant")) {
+      val df = SparkEntry.queries(name)(spark, sf())
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("*("),
+        s"$name runs outside whole-stage codegen")
+    }
+  }
+
+  test("top-k is TakeOrdered, not a global sort") {
+    assert(plan("q10_top_parts_by_revenue").contains("TakeOrderedAndProject"),
+      "limit after sort should plan TakeOrderedAndProject")
+    assert(plan("ta_ngram_freq").contains("TakeOrderedAndProject"),
+      "bigram top-20 should plan TakeOrderedAndProject")
+  }
+}

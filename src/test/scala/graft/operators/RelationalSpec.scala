@@ -57,6 +57,21 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(approxOrders - exactOrders).toDouble / exactOrders < 0.15)
   }
 
+  test("approx_percentile estimates land next to the exact quantiles") {
+    val approx = Relational2.queries("q36_approx_quantiles")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Relational2.queries("q23_percentiles")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    // Accuracy 1000 caps rank error at n/1000; on this integer-valued column
+    // that keeps every estimate within one value of the true quantile.
+    exact.foreach { case (k, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(k)
+      assert(math.abs(a25 - e25) <= 1.0 && math.abs(a50 - e50) <= 1.0 && math.abs(a75 - e75) <= 1.0,
+        s"$k: approx ($a25,$a50,$a75) vs exact ($e25,$e50,$e75)")
+    }
+  }
+
   test("q10 top-k is deterministic under re-evaluation") {
     val a = Relational.queries("q10_top_parts_by_revenue")(spark, sf()).collect().toSeq
     val b = Relational.queries("q10_top_parts_by_revenue")(spark, sf()).collect().toSeq
