@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Fnv64, Md5Long, SeqDot, ShingleSet}
+import graft.functions.{Fnv64, Md5Long, QuantizeInt8, SeqDot, ShingleSet, Winnow}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -20,6 +20,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** Constant-int extraction for expression-shape parameters (same contract
+    * as graft_shingles' n): demand foldability and an integral type at
+    * analysis time, not as a runtime ClassCastException mid-job.
+    */
+  private def foldableInt(fn: String, param: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$fn: $param must be a foldable integer literal")
+    e.eval() match {
+      case i: Int                         => i
+      case l: Long if l == l.toInt.toLong => l.toInt
+      case s: Short                       => s.toInt
+      case b: Byte                        => b.toInt
+      case other =>
+        throw new IllegalArgumentException(s"$fn: $param must be an integer literal, got $other")
+    }
+  }
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(
@@ -62,6 +79,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ =>
             throw new IllegalArgumentException(
               "graft_shingles expects (text) or (text, n)")
+        })
+    )
+    e.injectFunction(
+      (FunctionIdentifier("graft_winnow"),
+        info("graft_winnow",
+          "graft_winnow(text, k, w) - winnowing fingerprints: distinct per-window minima of k-gram md5 hashes."),
+        (args: Seq[Expression]) => args match {
+          case Seq(c, k, w) =>
+            Winnow(c, foldableInt("graft_winnow", "k", k), foldableInt("graft_winnow", "w", w))
+          case _ =>
+            throw new IllegalArgumentException("graft_winnow expects (text, k, w)")
+        })
+    )
+    e.injectFunction(
+      (FunctionIdentifier("graft_quantize_i8"),
+        info("graft_quantize_i8",
+          "graft_quantize_i8(vec, norm) - int8 codes floor(vec[i]*127/norm + 0.5) of a double array."),
+        (args: Seq[Expression]) => args match {
+          case Seq(v, n) => QuantizeInt8(v, n)
+          case _ =>
+            throw new IllegalArgumentException("graft_quantize_i8 expects (vec, norm)")
         })
     )
   }

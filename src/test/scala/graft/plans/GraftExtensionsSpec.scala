@@ -26,6 +26,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out.getSeq[String](0) == Seq("a b", "b c", "c d"))
   }
 
+  test("winnow and quantize functions are callable from SQL") {
+    val out = spark.sql(
+      """SELECT graft_winnow('a b c d e f g h i j k l', 4, 8) AS fp,
+        |       graft_quantize_i8(array(0.6d, -0.8d), 1.0d) AS q""".stripMargin
+    ).head()
+    val fps = out.getSeq[Long](0)
+    assert(fps.nonEmpty && fps == fps.distinct.sorted)
+    // floor(0.6*127 + 0.5) = 76; floor(-0.8*127 + 0.5) = floor(-101.1) = -102.
+    assert(out.getSeq[Int](1) == Seq(76, -102))
+    // Shape params must be integer literals: a fractional one fails loudly.
+    val err = intercept[Exception](spark.sql("SELECT graft_winnow('x', 4, 1.5)"))
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("functions participate in real query plans") {
     val n = spark.read.parquet(s"${sf()}/documents.parquet")
       .selectExpr("graft_md5long(text) AS h")
