@@ -130,6 +130,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-set prefix-filtered candidates: probe-side documents that may be
+    * ≥[[MinJaccard]]-similar to an INDEX-side document — the incremental-
+    * ingest shape (dedupe an incoming batch against the existing corpus)
+    * rather than the corpus-wide self-join. The prefix-filter losslessness
+    * argument in [[ngramCandidates]] is pair-generic; it only requires both
+    * prefixes to be taken under ONE common total order, so the document
+    * frequencies are computed over the union of both sides. Index-side
+    * prefixes are built once (at production scale: persisted and reused per
+    * incoming batch — only df drift forces a rebuild, and a stale-df order
+    * stays lossless as long as both sides keep using it); the join touches
+    * O(|prefix index| × |prefix probe|) per shingle bucket, never
+    * incoming × corpus.
+    */
+  def ngramCandidatesAcross(index: DataFrame, probe: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = index.select(col("doc_id"), col("shingles")).withColumn("side", lit("x"))
+      .union(probe.select(col("doc_id"), col("shingles")).withColumn("side", lit("y")))
+    val inv = tagged.select(
+      col("side"), col("doc_id"), size(col("shingles")).as("setsz"), explode(col("shingles")).as("sng"))
+    val prefixLen = (col("setsz") - ceil(col("setsz") * lit(MinJaccard)) + 1).cast("int")
+    val prefixes = inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sng")))
+      .withColumn("rk", row_number().over(Window.partitionBy("side", "doc_id").orderBy("df", "sng")))
+      .filter(col("rk") <= prefixLen)
+      .select("side", "doc_id", "sng")
+    prefixes.filter(col("side") === "x").as("x")
+      .join(prefixes.filter(col("side") === "y").as("y"), col("x.sng") === col("y.sng"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** MinHash parameters: k = Bands × RowsPerBand hash functions. With 12×4 the
     * detection probability at Jaccard 0.9 is 1-(1-0.9⁴)¹² ≈ 0.999997 — recall
     * is deterministic here (fixed hash family), and verified 100% on the test
@@ -311,6 +342,23 @@ object Dedup {
       verifyJaccard(ngramCandidates(sh), sh, MinJaccard).orderBy("doc_a", "doc_b")
     },
 
+    // Incremental ingest dedup: near-dups of the "incoming" batch (hash
+    // buckets ≥ 80, the test-split convention) AGAINST the "existing" corpus
+    // (buckets < 80) — the production crawl-ingest shape: index the corpus
+    // once, probe each incoming batch, never a corpus-wide self-join per
+    // batch. Cross-set prefix filtering keeps candidates lossless.
+    "dd_incremental" -> { (s, dir) =>
+      val sh = shingled(s, dir)
+      val existing = sh.filter(Pipeline.bucket(col("doc_id")) < 80)
+      val incoming = sh.filter(Pipeline.bucket(col("doc_id")) >= 80)
+      verifyJaccard(ngramCandidatesAcross(existing, incoming), sh, MinJaccard)
+        .select(
+          col("doc_b").as("incoming_id"),
+          col("doc_a").as("existing_id"),
+          col("jaccard"))
+        .orderBy("incoming_id", "existing_id")
+    },
+
     // MinHash + LSH banding: signatures → band buckets → bucket join →
     // exact-Jaccard verification. The scalable path: candidates are generated
     // by equality join on (band, bucket), cost linear in true duplicates.
@@ -477,6 +525,30 @@ object Dedup {
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_pairs" -> exactPairsSql,
+    "dd_incremental" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts)-1)]) AS shingles
+         |  FROM toks WHERE len(ts) >= 3
+         |), tagged AS (
+         |  SELECT doc_id, shingles,
+         |    CASE WHEN ${Pipeline.bucketSql("doc_id")} < 80 THEN 'x' ELSE 'y' END AS side
+         |  FROM sh
+         |), inv AS (
+         |  SELECT side, doc_id, unnest(shingles) AS sng FROM tagged
+         |), common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM inv x JOIN inv y ON x.sng = y.sng AND x.side = 'x' AND y.side = 'y'
+         |  GROUP BY x.doc_id, y.doc_id
+         |)
+         |SELECT doc_b AS incoming_id, doc_a AS existing_id,
+         |  CAST(common AS DOUBLE) / (len(a.shingles) + len(b.shingles) - common) AS jaccard
+         |FROM common JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
+         |WHERE CAST(common AS DOUBLE) / (len(a.shingles) + len(b.shingles) - common) >= 0.8
+         |ORDER BY incoming_id, existing_id""".stripMargin,
     "dd_clusters" ->
       s"""WITH RECURSIVE pairs AS ($exactPairsSql),
          |edges AS (

@@ -94,6 +94,38 @@ class DedupSpec extends SparkSpec {
     assert(exact.subsetOf(cands), s"prefix candidates missed true pairs: ${exact -- cands}")
   }
 
+  test("incremental dedup equals the cross-side subset of the full pair set") {
+    import org.apache.spark.sql.functions.col
+    val buckets = Relational.t(spark, sf(), "documents")
+      .select(col("doc_id"), Pipeline.bucket(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = pairs("dd_ngram_pairs")
+    val wantCross = full.collect {
+      case (a, b) if buckets(a) < 80 && buckets(b) >= 80 => (b, a) // (incoming, existing)
+      case (a, b) if buckets(b) < 80 && buckets(a) >= 80 => (a, b)
+    }
+    val got = Dedup.queries("dd_incremental")(spark, sf()).collect()
+      .map(r => (r.getLong(r.fieldIndex("incoming_id")), r.getLong(r.fieldIndex("existing_id")))).toSet
+    assert(wantCross.nonEmpty, "corpus should have near-dup pairs straddling the split")
+    assert(got == wantCross, s"missing ${wantCross -- got}, extra ${got -- wantCross}")
+  }
+
+  test("cross-set prefix filtering keeps boilerplate families split across sides (lossless)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Same boilerplate family as the self-join losslessness test, but split
+    // into an index half and a probe half: every cross pair must survive.
+    val boiler = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 70).map(i => (i.toLong, s"$boiler unique$i")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), graft.functions.ShingleSet(col("text")).as("shingles"))
+    val index = sh.filter(col("doc_id") < 35)
+    val probe = sh.filter(col("doc_id") >= 35)
+    val cands = Dedup.ngramCandidatesAcross(index, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for { a <- 0 until 35; b <- 35 until 70 } yield (a.toLong, b.toLong)).toSet
+    assert(want.subsetOf(cands), s"lost ${(want -- cands).size} of ${want.size} cross pairs")
+  }
+
   test("cluster assignment equals union-find closure of the pair set") {
     val edges = pairs("dd_ngram_pairs")
     // Reference closure: driver-side union-find over the collected pair set.
