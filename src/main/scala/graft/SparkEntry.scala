@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Events.queries ++ Multimodal.queries ++ Joins.queries ++ Relational2.queries ++
-      Connectors.queries ++ Pipeline.queries ++ Skew.queries ++ Maintenance.queries
+      Connectors.queries ++ Pipeline.queries ++ Skew.queries ++ Maintenance.queries ++
+      Changes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Events.oracles ++ Multimodal.oracles ++ Joins.oracles ++ Relational2.oracles ++
-      Connectors.oracles ++ Pipeline.oracles ++ Skew.oracles ++ Maintenance.oracles
+      Connectors.oracles ++ Pipeline.oracles ++ Skew.oracles ++ Maintenance.oracles ++
+      Changes.oracles
 }

@@ -44,6 +44,21 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Stratified sampling: a per-stratum rate (here per lang — the typical
+    // "rebalance the language mix" corpus op) applied through the same
+    // deterministic hash bucket. Still a narrow map: the rate lookup is a
+    // CASE on the stratum column, membership stays a pure function of
+    // doc_id, and per-stratum counts are exact-in-expectation with
+    // reproducible membership (no RNG, no per-stratum reservoir state).
+    "sp_stratified_sample" -> { (s, dir) =>
+      Relational.t(s, dir, "documents")
+        .filter(bucket(col("doc_id")) <
+          when(col("lang") === "en", 50).when(col("lang") === "de", 20).otherwise(10))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    },
+
     // Train/val/test split assignment (80/10/10 by hash bucket): disjoint and
     // exhaustive by construction. Summarized per split; the per-doc
     // assignment is the same expression un-aggregated.
@@ -102,6 +117,11 @@ object Pipeline {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${bucketSql("doc_id")} < 10
          |ORDER BY doc_id""".stripMargin,
+    "sp_stratified_sample" ->
+      s"""SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM documents
+         |WHERE ${bucketSql("doc_id")} < (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "sp_split_assign" ->
       s"""SELECT CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
          |            WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
