@@ -242,35 +242,64 @@ object Dedup {
     * Iteration is driver-controlled with a convergence check per round (the
     * `isEmpty` action is the Pregel superstep barrier — inherent to iterative
     * fixpoint operators, unlike a driver action used merely to pick
-    * constants). Rounds = O(component diameter); near-dup clusters are
-    * shallow (duplicate families, not long chains), so a handful of rounds
-    * closes even mass-duplication components, whose diameter stays small
-    * because every member pairs with most others. Each round is one
-    * equality-keyed join + partial-agg min on (vertex) — shuffle volume
-    * O(edges), never O(n²). Labels and edges are cached across rounds; at
-    * production scale the label frame would also be checkpointed every ~10
-    * rounds to truncate lineage (and the large-star/small-star variant drops
-    * round count to O(log n)); both are noted rather than needed at test
-    * scale.
+    * constants). Each round combines TWO monotone label updates before the
+    * barrier:
+    *
+    *  1. neighbor propagation — label(v) ← min(label(v), min over neighbors'
+    *     labels); one equality-keyed join + partial-agg min, shuffle O(edges);
+    *  2. pointer doubling — label(v) ← min(label(v), label(label(v))),
+    *     looked up in the round-start label table (the synchronous/textbook
+    *     form). A label is always a same-component VERTEX id, so the lookup
+    *     join is total, and the min-invariant is preserved.
+    *
+    * Doubling roughly halves every vertex's label-distance to the component
+    * minimum per round, so convergence is O(log diameter), not O(diameter) —
+    * the difference between 8 rounds and 10⁶ rounds on a chain-shaped
+    * boilerplate family. DedupSpec proves it on a planted deep chain under a
+    * round budget no linear propagation could meet.
+    *
+    * Lineage control: each round's label frame is eagerly checkpointed —
+    * the round references the previous labels THREE times (neighbor join,
+    * propagation join, parent lookup), so an uncut logical plan would grow
+    * 3^rounds nodes and OOM the driver just RENDERING the plan near round
+    * 10. The superstep barrier already materializes every round (the
+    * convergence check), so the checkpoint adds storage, not an extra pass,
+    * and the per-round plan stays constant-size no matter how many rounds
+    * run. Edges stay cached across rounds.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
     var labels = edges.select(col("u").as("doc_id"), col("u").as("cluster_id")).distinct().persist()
     var converged = false
+    var round = 0
     while (!converged) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds — " +
+            "with pointer doubling this bounds component diameter at 2^rounds; check the pair graph")
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("v"), col("cluster_id").as("nbr_label")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
       // Every vertex has ≥1 edge by construction, so the inner join is total.
-      val stepped = labels.join(nbrMin, "doc_id")
+      val propagated = labels.join(nbrMin, "doc_id")
         .select(
           col("doc_id"),
           col("cluster_id").as("old_label"),
           least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
-        .persist()
+      // Pointer doubling against the ROUND-START table (renames mint fresh
+      // attribute ids, so this is not an ambiguous self-join; labels is
+      // cached, so the lookup side is a cache read, not a recompute).
+      val parents = labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label"))
+      val stepped = propagated.join(parents, col("cluster_id") === col("p_id"))
+        .select(
+          col("doc_id"),
+          col("old_label"),
+          least(col("cluster_id"), col("p_label")).as("cluster_id"))
+        .localCheckpoint(true)
       converged = stepped.filter(col("cluster_id") < col("old_label")).isEmpty
       val prev = labels
       labels = stepped.select("doc_id", "cluster_id")
@@ -427,7 +456,7 @@ object Dedup {
     // For clustered corpora at real near-dup thresholds (≥0.8 cosine) the
     // LSH candidate→verify path (dd_minhash_pairs shape) replaces this.
     "dd_embed_pairs" -> { (s, dir) =>
-      val G = EmbedGrid
+      val G = embedGrid(s)
       // Norms are precomputed per vector behind a materialization barrier —
       // the pair loop then does one dot product per pair instead of three.
       val e = Relational.t(s, dir, "embeddings")
@@ -457,8 +486,13 @@ object Dedup {
 
   /** Block-grid width G for the exact all-pairs embedding join: G² equality-
     * keyed join tasks, each handling a (n/G)×(n/G) tile of the pair matrix.
+    * Derived from the session — G ≈ √parallelism makes G² tiles ≈ the core
+    * count, so one wave of balanced tasks covers the pair matrix on ANY
+    * cluster size (the result set is G-invariant: every pair meets exactly
+    * once at one grid key regardless of G, so oracle hashes are unaffected).
     */
-  val EmbedGrid = 8
+  def embedGrid(s: SparkSession): Int =
+    math.max(2, math.round(math.sqrt(s.sparkContext.defaultParallelism.toDouble)).toInt)
 
   /** Sequential left-fold dot product: exact-product doubles summed in array
     * order. DuckDB twin: `list_reduce([x[i]*y[i] ...], (a,b) -> a+b)`.

@@ -17,31 +17,95 @@ object Maintenance {
     */
   val DefaultTargetBytes: Long = 128L * 1024 * 1024
 
+  /** Total bytes of `.parquet` data files under `dir`, RECURSIVELY — a
+    * partitioned layout (`lang=en/part-*.parquet`) keeps its data files one
+    * level down, where a flat `listStatus` sees only directories and reports
+    * 0 bytes (which would silently collapse the table to one file).
+    */
+  private def parquetBytes(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    total
+  }
+
   /** Rewrite the parquet directory at `inPath` into
     * ceil(totalBytes / targetBytes) files at `outPath`, sized from the
     * ACTUAL source listing (a driver-side filesystem metadata call, not a
     * data scan). The repartition is round-robin — compaction balances bytes,
     * it does not promise an ordering; pair with `sortWithinPartitions` /
     * bucketed writes when layout matters ([[graft.sources.Bucketing]]).
-    * Returns the target file count.
+    * Returns the target file count. For a hive-partitioned source use
+    * [[compactPartitioned]] — this flat mode would rewrite the tree into an
+    * UNpartitioned directory (losing partition pruning).
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = DefaultTargetBytes): Int = {
-    val path = new org.apache.hadoop.fs.Path(inPath)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    val totalBytes = parquetBytes(spark, inPath)
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inPath).repartition(n).write.mode("overwrite").parquet(outPath)
     n
   }
 
-  /** Count the data files of a parquet directory (test/inspection helper). */
+  /** Partition-PRESERVING compaction of a hive-partitioned parquet tree:
+    * the output keeps the `col=value/` layout (so partition pruning still
+    * works) while each partition directory's small files merge into at most
+    * `filesPerPartition` target-sized files.
+    *
+    * Mechanics: rows shuffle on (partitionCol, salt) where salt =
+    * pmod(xxhash64(entire row), filesPerPartition) — deterministic (retried
+    * tasks re-emit identical salts; `rand()` could mis-bucket under shuffle
+    * retries, see [[Skew]]) — and the writer's `partitionBy` then splits
+    * each task's rows by partition value. A partition value's rows span at
+    * most `filesPerPartition` tasks, bounding its file count; sizing
+    * `filesPerPartition` = ceil(maxPartitionBytes / targetBytes) from the
+    * recursive listing keeps files near target size without scanning data.
+    * Returns the per-partition file bound.
+    */
+  def compactPartitioned(spark: SparkSession, inPath: String, outPath: String,
+      partitionCol: String, targetBytes: Long = DefaultTargetBytes): Int = {
+    val path = new org.apache.hadoop.fs.Path(inPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Bytes of the LARGEST partition directory drive the per-partition file
+    // count — partitions are compacted independently.
+    val maxDirBytes = fs.listStatus(path)
+      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+      .map(d => parquetBytes(spark, d.getPath.toString))
+      .foldLeft(0L)(math.max)
+    val k = math.max(1L, (maxDirBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(k.toLong))
+    df.repartition(math.max(spark.sparkContext.defaultParallelism, k), col(partitionCol), salt)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(outPath)
+    k
+  }
+
+  /** Count the data files of a parquet directory RECURSIVELY
+    * (test/inspection helper — covers flat and partitioned layouts).
+    */
   def dataFileCount(spark: SparkSession, dir: String): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(path).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val it = fs.listFiles(path, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+
+  /** First-level `col=value` partition directory names under `dir`
+    * (test/inspection helper).
+    */
+  def partitionDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+      .map(_.getPath.getName)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -64,6 +128,32 @@ object Maintenance {
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"))
         .orderBy("lang")
+    },
+
+    // Partition-preserving compaction: fragment `documents` into a
+    // hive-partitioned `lang=*/` tree with many small files per partition,
+    // compact it WITHOUT losing the layout, then aggregate a pruned subset
+    // of the compacted copy. The oracle reads the ORIGINAL parquet, so a
+    // hash-match proves the partitioned compaction is content-preserving;
+    // the pruning filter proves the compacted tree still partition-prunes
+    // (a flat rewrite — the pre-fix failure mode — would also pass the
+    // hash, which is why MaintenanceSpec additionally asserts the `lang=*`
+    // directory layout and per-partition file bound survive).
+    "mt_compact_partitioned" -> { (s, dir) =>
+      val src = Relational.t(s, dir, "documents")
+      val frag = Connectors.tmp("documents_bylang_frag")
+      graft.sources.Formats.writePartitioned(src.repartition(8), frag, "lang")
+      val compacted = Connectors.tmp("documents_bylang_compact")
+      compactPartitioned(s, frag, compacted, "lang", 4L * 1024)
+      s.read.parquet(compacted)
+        .filter(col("lang").isin("en", "zh"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("lang")
     }
   )
 
@@ -71,6 +161,11 @@ object Maintenance {
     "mt_compact_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "mt_compact_partitioned" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM documents WHERE lang IN ('en', 'zh')
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

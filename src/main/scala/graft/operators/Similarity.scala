@@ -161,26 +161,69 @@ object Similarity {
     }
   )
 
-  /** IVF parameters: cells and probed cells per query. */
+  /** IVF parameters: cells, probed cells per query, Lloyd's rounds. */
   val IvfCells = 16
   val IvfProbes = 4
+  val IvfIters = 3
 
-  /** IVF-style ANN: partition the corpus into cells around deterministic
-    * centroids (the IvfCells lowest vec_ids at or above NQueries — disjoint
-    * from the query set, which uses ids below NQueries), assign every vector
-    * to its nearest centroid, and search only the IvfProbes nearest cells per
-    * query. The coarse quantizer is a broadcast cross-join (centroids ≪
-    * corpus); at scale the cell assignment is one narrow pass and each query
-    * touches |corpus|·(probes/cells) candidates. Centroid choice is pure
-    * query construction — no driver-side action/extra job (an earlier form
-    * computed max(vec_id) eagerly, a full scan before the query even ran). A
-    * trained k-means quantizer (persisted centroid table) would slot in by
-    * replacing the centroid set only.
+  /** Train the coarse quantizer with Lloyd's k-means — all dataflow, no
+    * driver-side actions:
+    *
+    *  - init: the IvfCells vectors with the LOWEST md5Long(vec_id) — a
+    *    deterministic uniform pseudo-random sample (lowest raw ids would
+    *    inherit any ingest-order bias). `orderBy.limit` plans as
+    *    TakeOrderedAndProject: per-partition top-k + driver merge, never a
+    *    global sort. The sampled vec_id doubles as the stable cell id.
+    *  - IvfIters rounds of assign-to-nearest (broadcast cross-join against
+    *    IvfCells rows, nearest by cosine with a c_id tie-break) then
+    *    per-cell mean. Means accumulate in DECIMAL(38,18): exact,
+    *    order-independent addition, so the trained centroids — and with them
+    *    the whole ANN result — are bit-reproducible across partitionings
+    *    (double sums are not). Per-dimension means via posexplode +
+    *    re-assembly keyed on (c_id, pos): one narrow shuffle of
+    *    corpus×Dims scalar rows per round.
+    *
+    * A cell that captures no vectors in some round drops out (its key simply
+    * stops appearing), so the quantizer degrades gracefully; each round's
+    * centroid frame is persisted — it is consumed twice (next assignment and
+    * convergence of the final query plan) and only ever IvfCells rows.
+    */
+  private def trainCentroids(e: DataFrame): DataFrame = {
+    val init = e
+      .orderBy(md5Long(7, col("vec_id").cast("string")), col("vec_id"))
+      .limit(IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    (1 to IvfIters).foldLeft(init) { (cent, _) =>
+      val wc = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+      val assigned = e.crossJoin(broadcast(cent.persist()))
+        .select(col("vec_id"), col("v"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
+        .withColumn("crk", row_number().over(wc))
+        .filter(col("crk") === 1)
+      assigned
+        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          / count(lit(1))).cast("double").as("m"))
+        .groupBy("c_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m")).as("cv"))
+    }
+  }
+
+  /** IVF-style ANN with a TRAINED coarse quantizer: Lloyd's k-means
+    * centroids ([[trainCentroids]]) partition the corpus into cells; every
+    * vector is assigned to its nearest centroid, and each query searches
+    * only the IvfProbes nearest cells. The quantizer is a broadcast
+    * cross-join (centroids ≪ corpus); at scale the cell assignment is one
+    * narrow pass and each query touches |corpus|·(probes/cells) candidates.
+    * In production the trained centroid table would be persisted once and
+    * reused across queries — here training rides in the same plan, still
+    * with zero driver-side actions.
     */
   private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cent = e.filter(col("vec_id") >= NQueries && col("vec_id") < NQueries + IvfCells)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val cent = trainCentroids(e)
     val scored = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
     val wc = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)

@@ -24,11 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salt fan-out. At scale, size R ≈ (hot-key volume / healthy partition
-    * size); 8 here keeps every one of the 5 event types on multiple of the
-    * 32 local cores.
+  /** Salt fan-out, derived from the session: R ≈ parallelism/4 spreads each
+    * hot key over a solid fraction of the cluster while bounding small-side
+    * replication at R×. (At scale the ideal is hot-key volume / healthy
+    * partition size; parallelism/4 is the right default when key volumes are
+    * unknown — enough spread that no single reducer owns a whole hot key,
+    * never more replication than the cluster can absorb.) Salting is
+    * R-invariant in RESULTS — the oracles run unsalted — so deriving R from
+    * the session changes plans, not answers.
     */
-  val SaltR = 8
+  def saltR(s: SparkSession): Int = math.max(2, s.sparkContext.defaultParallelism / 4)
 
   /** Shuffle join of a big skew-keyed side against a small (but not
     * broadcast-able) side: big rows get salt = pmod(rowKey, r); the small
@@ -54,7 +59,7 @@ object Skew {
       val e = Relational.t(s, dir, "events")
       val dim = e.groupBy("event_type")
         .agg((sum(Relational.dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
-      saltedJoin(e, col("event_id"), dim, "event_type", SaltR)
+      saltedJoin(e, col("event_id"), dim, "event_type", saltR(s))
         .filter(col("value") > col("avg_value"))
         .groupBy("event_type")
         .agg(
@@ -71,7 +76,7 @@ object Skew {
     // of exact distinct) runs on R tasks instead of one.
     "sp_salted_distinct" -> { (s, dir) =>
       Relational.t(s, dir, "events")
-        .withColumn("__salt", pmod(col("user_id"), lit(SaltR.toLong)).cast("int"))
+        .withColumn("__salt", pmod(col("user_id"), lit(saltR(s).toLong)).cast("int"))
         .groupBy("event_type", "__salt")
         .agg(countDistinct(col("user_id")).as("partial_users"))
         .groupBy("event_type")

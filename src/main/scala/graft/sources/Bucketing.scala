@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table support: pre-shuffling fact tables on their join key at
   * write time so later joins and aggregations on that key need no exchange.
@@ -33,4 +34,42 @@ object Bucketing {
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Co-located fact-fact join: lineitem and orders are both written
+    // bucketed (and sorted) on the order key, so the join needs NO exchange
+    // and NO sort on either side — the map task zips matching buckets
+    // directly. This is the recurring-join layout a 100 TB lake bakes in at
+    // write time: one shuffle at ingest, zero on every subsequent join.
+    // The `merge` hint pins a sort-merge join (a broadcast of the small sf
+    // test side would bypass — and thus hide — the bucket co-location being
+    // demonstrated); BucketingSpec asserts the executed plan carries no
+    // Exchange on the bucket key. The DuckDB oracle runs the plain
+    // unbucketed join — hash-equality proves the layout is semantically
+    // free, exactly like the salting oracles ([[graft.operators.Skew]]).
+    "bk_colocated_join" -> { (s, dir) =>
+      val li = graft.operators.Relational.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = graft.operators.Relational.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      writeBucketed(li, "bk_gate_lineitem", "l_orderkey", 8)
+      writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"), "bk_gate_orders", "l_orderkey", 8)
+      read(s, "bk_gate_lineitem")
+        .join(read(s, "bk_gate_orders").hint("merge"), "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          graft.operators.Relational.dsum(col("l_quantity")).as("total_qty"))
+        .orderBy("o_orderpriority")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "bk_colocated_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
 }

@@ -154,6 +154,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components closes a deep chain within a logarithmic round budget") {
+    import spark.implicits._
+    // A 512-vertex chain has diameter 511: plain min-propagation needs ~511
+    // rounds, so converging under a 25-round budget is only possible with
+    // pointer doubling (≈ log2(512) + propagation slack). This is the
+    // chain-shaped boilerplate-family case that would blow round count (and,
+    // without checkpointing, lineage) at corpus scale.
+    val n = 512L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain, maxRounds = 25).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L), "every chain vertex must reach the component minimum 0")
+  }
+
+  test("connected components survives many rounds without lineage blowup (per-round checkpoint)") {
+    import spark.implicits._
+    // Each round references the previous labels three times, so an uncut
+    // plan grows 3^rounds nodes — diameter 4096 needs ~13 rounds, which
+    // OOM'd the driver before the per-round localCheckpoint (3^13 ≈ 1.6M
+    // plan nodes just to render). Converging here proves the lineage cut
+    // works and a second small component proves labels don't bleed.
+    val n = 4096L
+    val chain = (0L until n - 1).map(i => (i, i + 1)) ++ Seq((100000L, 100001L))
+    val labels = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"), maxRounds = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n + 2)
+    assert((0L until n).forall(labels(_) == 0L))
+    assert(labels(100000L) == 100000L && labels(100001L) == 100000L)
+  }
+
   test("jaccard pairs stable across partition counts (scale invariance)") {
     val base = pairs("dd_ngram_pairs")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

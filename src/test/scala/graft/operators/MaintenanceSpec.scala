@@ -32,4 +32,56 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.compact(spark, frag, out, Long.MaxValue / 2) == 1)
     assert(Maintenance.dataFileCount(spark, out) == 1)
   }
+
+  test("flat compact sizes from a partitioned tree's real bytes (recursive listing)") {
+    val src = Relational.t(spark, sf(), "documents")
+    val frag = java.nio.file.Files.createTempDirectory("mt-frag3").toString
+    val out = java.nio.file.Files.createTempDirectory("mt-out3").toString
+    src.repartition(8).write.mode("overwrite").partitionBy("lang").parquet(frag)
+    // The pre-fix listing saw only `lang=*` directories at the top level,
+    // summed 0 bytes, and planned n=1 regardless of actual data volume. A
+    // 4 KB budget over this corpus must plan several files.
+    val n = Maintenance.compact(spark, frag, out, 4L * 1024)
+    assert(n > 1, s"recursive listing must see the partition-level bytes (planned $n)")
+    assert(Maintenance.dataFileCount(spark, out) == n)
+  }
+
+  test("partitioned compact preserves the lang=* layout and bounds files per partition") {
+    val src = Relational.t(spark, sf(), "documents")
+    val frag = java.nio.file.Files.createTempDirectory("mt-pfrag").toString
+    val out = java.nio.file.Files.createTempDirectory("mt-pout").toString
+    src.repartition(8).write.mode("overwrite").partitionBy("lang").parquet(frag)
+    val langs = src.select("lang").distinct().collect().map(_.getString(0)).toSet
+
+    val k = Maintenance.compactPartitioned(spark, frag, out, "lang", 4L * 1024)
+    // The tree is NOT collapsed: every lang partition directory survives.
+    val dirs = Maintenance.partitionDirs(spark, out).toSet
+    assert(dirs == langs.map(l => s"lang=$l"), s"expected one dir per lang, got $dirs")
+    // Per-partition file count respects the bound and the whole table was
+    // not collapsed into a single file.
+    for (d <- dirs) {
+      val c = Maintenance.dataFileCount(spark, s"$out/$d")
+      assert(c >= 1 && c <= k, s"$d has $c files, bound $k")
+    }
+    assert(Maintenance.dataFileCount(spark, out) > 1, "partitioned tree must not collapse to one file")
+    // Fewer files than the fragmented input overall.
+    assert(Maintenance.dataFileCount(spark, out) < Maintenance.dataFileCount(spark, frag))
+
+    // Content equality with the original, layout-independent.
+    val a = src.select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = spark.read.parquet(out).select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+
+    // And the compacted tree still partition-prunes: a lang filter must
+    // become a planning-time PartitionFilter on the scan, which a flat
+    // rewrite (the pre-fix failure mode) could never satisfy.
+    val pruned = spark.read.parquet(out).filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("lang")),
+      s"expected lang in partitionFilters, got ${scan.partitionFilters}")
+  }
 }

@@ -36,9 +36,9 @@ class SkewSpec extends SparkSpec {
 
   test("salts are deterministic and balanced across buckets") {
     val e = Relational.t(spark, sf(), "events")
-      .withColumn("__salt", pmod(col("event_id"), lit(Skew.SaltR.toLong)).cast("int"))
+      .withColumn("__salt", pmod(col("event_id"), lit(Skew.saltR(spark).toLong)).cast("int"))
     val counts = e.groupBy("__salt").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(counts.keySet == (0 until Skew.SaltR).toSet, "every salt bucket populated")
+    assert(counts.keySet == (0 until Skew.saltR(spark)).toSet, "every salt bucket populated")
     val (mn, mx) = (counts.values.min, counts.values.max)
     assert(mx < mn * 2, s"salt buckets should be balanced, got $counts")
   }

@@ -25,6 +25,18 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("gate query bk_colocated_join joins bucket-to-bucket with no exchange on the key") {
+    val df = Bucketing.queries("bk_colocated_join")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    // The join itself must be exchange- and sort-free on the bucket key;
+    // the only hash exchange allowed is the downstream group-by on
+    // o_orderpriority.
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed gate join must not shuffle on the bucket key:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected the pinned sort-merge join:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("aggregation on the bucket key is also exchange-free") {
     val agg = Bucketing.read(spark, "b_lineitem")
       .groupBy("l_orderkey")
