@@ -10,9 +10,12 @@ import graft.operators._
   * the same parquet tables.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query; driver smoke-checks rows>0. The driver contract pins
+    * sf0.001, overridable via SPARK_GRAFT_SF_DIR for any other deployment.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q3_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+    Relational.queries("q3_revenue_by_nation")(
+      spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

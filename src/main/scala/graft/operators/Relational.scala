@@ -34,6 +34,22 @@ object Relational {
   /** Order-independent deterministic sum of a double column (see class doc). */
   def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Round-robin-repartition `df` ONLY when its scan collapsed to fewer
+    * input partitions than half the cores (the driver corpus ships each
+    * table as a single parquet row group, so compute-heavy aggregations
+    * would otherwise run their map side on one task). The condition makes
+    * this a no-op at scale: a 100 TB table scans as thousands of splits, the
+    * branch is never taken, and the map-side partial aggregation keeps its
+    * place BELOW the first exchange — unconditionally repartitioning would
+    * move the full table through a shuffle that the partial agg exists to
+    * avoid. Inspecting the partition count plans the (pruned) scan but runs
+    * no job.
+    */
+  def parallelizeNarrowScan(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p / 2) df.repartition(p) else df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O5/O6 analog at the relational tier: multi-aggregate scan with partial agg.
     "q1_pricing_summary" -> { (s, dir) =>
@@ -215,7 +231,13 @@ object Relational {
 
     // CUBE over two low-cardinality dims.
     "q13_cube_returns" -> { (s, dir) =>
-      t(s, dir, "lineitem")
+      // Expand(×4) + decimal partial agg is the compute-heavy map side; see
+      // parallelizeNarrowScan for why the barrier is conditional (local
+      // single-row-group corpus only — never at scale). Results are
+      // distribution-independent: decimal sums are exact and order-free.
+      parallelizeNarrowScan(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
         .cube("l_returnflag", "l_linestatus")
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
         .select(

@@ -42,9 +42,11 @@ class SimilaritySpec extends SparkSpec {
       ex.count(got.contains).toDouble / ex.size
     }
     val mean = recalls.sum / recalls.size
-    // nprobe/cells = 4/16 on unclustered embeddings: expect meaningful but
-    // not perfect recall (clusters would push this toward 1.0).
-    assert(mean >= 0.2, s"mean IVF recall@5 too low: $mean ($recalls)")
+    // nprobe/cells = 4/16 on unclustered embeddings. The Lloyd's-trained
+    // quantizer measures mean recall ≈ 0.54 on this corpus (the untrained
+    // arbitrary-vector centroids cleared only 0.2); the floor locks in most
+    // of that gain with headroom for tie-order jitter.
+    assert(mean >= 0.4, s"mean IVF recall@5 too low: $mean ($recalls)")
   }
 
   test("ANN candidate generation prunes the corpus (not brute force in disguise)") {
