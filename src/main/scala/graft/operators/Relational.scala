@@ -54,7 +54,13 @@ object Relational {
     // O5/O6 analog at the relational tier: multi-aggregate scan with partial agg.
     "q1_pricing_summary" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
-      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      // Seven decimal aggregates per group are the compute-heavy map side —
+      // see parallelizeNarrowScan (no-op at scale; filter stays pushed to
+      // the scan below the barrier).
+      parallelizeNarrowScan(
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),

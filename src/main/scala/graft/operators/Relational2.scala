@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.DecimalType
   * the reference's UDF execution path surfaced as an oracle-checked query.
   */
 object Relational2 {
-  import Relational.{dec, dsum, t}
+  import Relational.{dec, dsum, parallelizeNarrowScan, t}
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -68,7 +68,10 @@ object Relational2 {
       val sx = sum(dec(col("l_quantity"))).cast("double")
       val sxx = sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double")
       val n = count(lit(1)).cast("double")
-      t(s, dir, "lineitem")
+      // Decimal moment sums are the compute-heavy map side — see
+      // Relational.parallelizeNarrowScan (no-op at scale).
+      parallelizeNarrowScan(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")))
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n_items"),
@@ -91,7 +94,9 @@ object Relational2 {
       val sxy = sum(x * y).cast("double")
       val sxx = sum(x * x).cast("double")
       val syy = sum(y * y).cast("double")
-      t(s, dir, "lineitem")
+      // Five decimal moment sums per group — see parallelizeNarrowScan.
+      parallelizeNarrowScan(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")))
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n_items"),
@@ -238,7 +243,10 @@ object Relational2 {
     // UNPIVOT (melt): wide per-returnflag aggregates back to long
     // (metric, value) form — the inverse reshaping operator.
     "q31_unpivot_metrics" -> { (s, dir) =>
-      t(s, dir, "lineitem")
+      // Three decimal sums per group — see parallelizeNarrowScan.
+      parallelizeNarrowScan(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"), col("l_discount")))
         .groupBy("l_returnflag")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
