@@ -38,8 +38,15 @@ object Dedup {
     * `repartition(col)` back to one partition, serializing the interpreted
     * array/hash work. An explicit count is exempt from AQE coalescing.
     */
-  def spread(key: String)(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+  def spread(key: String)(df: DataFrame): DataFrame = spreadKeys(key)(df)
+
+  /** Multi-key form of [[spread]] — placed immediately below a window's
+    * partition keys it both parallelizes the compute-bound stage AND
+    * satisfies the window's required distribution, so no second exchange is
+    * planned and AQE cannot coalesce it away (REPARTITION_BY_NUM).
+    */
+  def spreadKeys(keys: String*)(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys.map(col): _*)
 
   /** (doc_id, shingles) for docs with ≥3 tokens, distinct 3-gram shingles.
     * The corpus arrives as one small parquet file = one input partition, so
@@ -61,6 +68,17 @@ object Dedup {
       .transform(spread("doc_id"))
       .select(col("doc_id"), graft.functions.ShingleSet(col("text")).as("shingles"))
   }
+
+  /** Eagerly materialize a frame that several INDEPENDENT subplans consume
+    * (the shingle/signature frames in the pair queries: candidate
+    * generation plus both verification sides). Computed exactly once,
+    * lineage dropped. A lazy `persist` is not enough: the consumer stages
+    * are scheduled concurrently and race the cache fill, recomputing the
+    * upstream pipeline per consumer (measured 2-3× on the connected-
+    * components edge frame). At 100 TB this is the cache-your-shingles call
+    * a production dedup job makes anyway — 3× reuse dwarfs the storage.
+    */
+  def materialized(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Exact Jaccard over distinct shingle sets for candidate pairs
     * (`a`/`b` sides must expose doc_a/doc_b). Integer-count division: exact.
@@ -119,14 +137,28 @@ object Dedup {
     // rides the single sng exchange. One shingling pass for the index
     // instead of two.
     val prefixLen = (col("setsz") - ceil(col("setsz") * lit(MinJaccard)) + 1).cast("int")
-    val prefixes = inv
+    // Explicit-count repartitions under each window: the exploded shingle
+    // frame is small in BYTES but heavy in sort/rank COMPUTE, so AQE's
+    // size-based coalescing would run each window on one task (measured
+    // 1.5-1.7 s single-task stages). REPARTITION_BY_NUM is exempt and
+    // satisfies the window's required distribution — no extra exchange.
+    // The prefix frame is materialized once: the candidate self-join would
+    // otherwise evaluate the whole double-window pipeline per alias.
+    val prefixes = materialized(inv
+      .transform(spread("sng"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sng")))
+      .transform(spread("doc_id"))
       .withColumn("rk", row_number().over(Window.partitionBy("doc_id").orderBy("df", "sng")))
       .filter(col("rk") <= prefixLen)
       .select("doc_id", "sng")
+      // Join-key distribution pinned for the same AQE reason: the collision
+      // join and the pair-distinct are row-heavy/byte-light, exactly the
+      // shape size-based coalescing mis-sizes onto one task.
+      .transform(spread("sng")))
     prefixes.as("x")
       .join(prefixes.as("y"), col("x.sng") === col("y.sng") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .transform(spreadKeys("doc_a", "doc_b"))
       .distinct()
   }
 
@@ -150,14 +182,19 @@ object Dedup {
     val inv = tagged.select(
       col("side"), col("doc_id"), size(col("shingles")).as("setsz"), explode(col("shingles")).as("sng"))
     val prefixLen = (col("setsz") - ceil(col("setsz") * lit(MinJaccard)) + 1).cast("int")
-    val prefixes = inv
+    // Same window barriers + one-shot materialization as [[ngramCandidates]].
+    val prefixes = materialized(inv
+      .transform(spread("sng"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sng")))
+      .transform(spreadKeys("side", "doc_id"))
       .withColumn("rk", row_number().over(Window.partitionBy("side", "doc_id").orderBy("df", "sng")))
       .filter(col("rk") <= prefixLen)
       .select("side", "doc_id", "sng")
+      .transform(spread("sng")))
     prefixes.filter(col("side") === "x").as("x")
       .join(prefixes.filter(col("side") === "y").as("y"), col("x.sng") === col("y.sng"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .transform(spreadKeys("doc_a", "doc_b"))
       .distinct()
   }
 
@@ -325,7 +362,7 @@ object Dedup {
     // propagation round.
     "dd_clusters" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val sh = shingled(s, dir)
+      val sh = materialized(shingled(s, dir))
       val pairs = verifyJaccard(ngramCandidates(sh), sh, MinJaccard).select("doc_a", "doc_b")
       connectedComponents(pairs)
         .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
@@ -373,7 +410,9 @@ object Dedup {
     // superset of the ≥0.8-Jaccard pair set (see ngramCandidates);
     // verification recomputes exact Jaccard from the full shingle sets.
     "dd_ngram_pairs" -> { (s, dir) =>
-      val sh = shingled(s, dir)
+      // Three consumers (candidates + both verification sides) — see
+      // materialized().
+      val sh = materialized(shingled(s, dir))
       verifyJaccard(ngramCandidates(sh), sh, MinJaccard).orderBy("doc_a", "doc_b")
     },
 
@@ -383,7 +422,8 @@ object Dedup {
     // once, probe each incoming batch, never a corpus-wide self-join per
     // batch. Cross-set prefix filtering keeps candidates lossless.
     "dd_incremental" -> { (s, dir) =>
-      val sh = shingled(s, dir)
+      // Four consumers: both cross-filter sides + both verification sides.
+      val sh = materialized(shingled(s, dir))
       val existing = sh.filter(Pipeline.bucket(col("doc_id")) < 80)
       val incoming = sh.filter(Pipeline.bucket(col("doc_id")) >= 80)
       verifyJaccard(ngramCandidatesAcross(existing, incoming), sh, MinJaccard)
@@ -398,8 +438,10 @@ object Dedup {
     // exact-Jaccard verification. The scalable path: candidates are generated
     // by equality join on (band, bucket), cost linear in true duplicates.
     "dd_minhash_pairs" -> { (s, dir) =>
-      val sh = shingled(s, dir)
-      val sig = minhashSigs(sh)
+      val sh = materialized(shingled(s, dir))
+      // The banded self-join consumes the signature frame twice — without
+      // the barrier both aliases recompute the md5-per-shingle aggregation.
+      val sig = materialized(minhashSigs(sh))
       val banded = sig
         .withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
         .select(
@@ -425,7 +467,9 @@ object Dedup {
     // at least one band equal), verified by exact hamming distance.
     "dd_simhash_pairs" -> { (s, dir) =>
       val sh = shingled(s, dir)
-      val sim = simhashes(sh)
+      // Both sides of the band self-join read the simhash frame — see
+      // materialized(): one hash aggregation, not two.
+      val sim = materialized(simhashes(sh))
       val banded = sim
         .withColumn("band", explode(sequence(lit(0), lit(3))))
         .withColumn("bandval", expr("shiftright(simhash, band * 15) & 32767"))
