@@ -75,8 +75,12 @@ object Dedup {
     * lineage dropped. A lazy `persist` is not enough: the consumer stages
     * are scheduled concurrently and race the cache fill, recomputing the
     * upstream pipeline per consumer (measured 2-3× on the connected-
-    * components edge frame). At 100 TB this is the cache-your-shingles call
-    * a production dedup job makes anyway — 3× reuse dwarfs the storage.
+    * components edge frame). The reuse-3× economics hold at any scale; the
+    * MECHANISM here is the single-job local form — on a multi-tenant 100 TB
+    * cluster the production analog is a reliable checkpoint or a persisted
+    * intermediate table, because localCheckpoint's truncated lineage cannot
+    * recompute blocks lost with an executor. Blocks are reclaimed by
+    * ContextCleaner once the query's plan is garbage-collected.
     */
   def materialized(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
@@ -302,7 +306,9 @@ object Dedup {
     * 10. The superstep barrier already materializes every round (the
     * convergence check), so the checkpoint adds storage, not an extra pass,
     * and the per-round plan stays constant-size no matter how many rounds
-    * run. Edges stay cached across rounds.
+    * run. Edges stay checkpointed across rounds. Checkpoint blocks are freed
+    * explicitly ([[freeCheckpoint]]) — `unpersist()` is a no-op on a
+    * checkpointed frame (RDD-level storage, no CacheManager entry).
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // Eager checkpoint, not lazy persist: the pair-generation pipeline above
@@ -346,11 +352,27 @@ object Dedup {
       converged = stepped.filter(col("cluster_id") < col("old_label")).isEmpty
       val prev = labels
       labels = stepped.select("doc_id", "cluster_id")
-      prev.unpersist()
+      if (round > 1) freeCheckpoint(prev) // round 1's prev is the cached init frame
+      else prev.unpersist()
     }
-    edges.unpersist()
+    freeCheckpoint(edges)
     labels
   }
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only clears CacheManager entries, and a checkpoint
+    * has none — its storage is the RDD's — so without this, every round's
+    * label frame would stay resident until the driver GC'd the Dataset and
+    * ContextCleaner caught up (nondeterministic under a long bench run).
+    * The final labels frame is NOT freed here: the caller's query still
+    * reads it, and its blocks are reclaimed by ContextCleaner once the plan
+    * is garbage-collected.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

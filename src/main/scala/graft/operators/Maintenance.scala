@@ -69,14 +69,15 @@ object Maintenance {
     */
   def compactPartitioned(spark: SparkSession, inPath: String, outPath: String,
       partitionCol: String, targetBytes: Long = DefaultTargetBytes): Int = {
-    val path = new org.apache.hadoop.fs.Path(inPath)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Fail fast on a non-hive-partitioned source rather than quietly sizing
+    // from 0 bytes (k=1, every partition collapsed to one file — the same
+    // silent-collapse family the recursive listing fixed in compact()).
+    val dirs = partitionDirs(spark, inPath)
+    require(dirs.nonEmpty,
+      s"$inPath has no first-level col=value partition directories — use compact() for flat layouts")
     // Bytes of the LARGEST partition directory drive the per-partition file
     // count — partitions are compacted independently.
-    val maxDirBytes = fs.listStatus(path)
-      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
-      .map(d => parquetBytes(spark, d.getPath.toString))
-      .foldLeft(0L)(math.max)
+    val maxDirBytes = dirs.map(d => parquetBytes(spark, s"$inPath/$d")).max
     val k = math.max(1L, (maxDirBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(inPath)
     val salt = pmod(xxhash64(df.columns.map(col): _*), lit(k.toLong))

@@ -184,9 +184,11 @@ object Similarity {
     *    corpus×Dims scalar rows per round.
     *
     * A cell that captures no vectors in some round drops out (its key simply
-    * stops appearing), so the quantizer degrades gracefully; each round's
-    * centroid frame is persisted — it is consumed twice (next assignment and
-    * convergence of the final query plan) and only ever IvfCells rows.
+    * stops appearing), so the quantizer degrades gracefully. No caching:
+    * each round's centroid frame feeds exactly one downstream broadcast, so
+    * the whole training chain evaluates once per action — a persist here
+    * would let a SECOND action (e.g. a benchmark's repeat pass) silently
+    * reuse the first pass's cached rounds and under-state training cost.
     */
   private def trainCentroids(e: DataFrame): DataFrame = {
     val init = e
@@ -195,7 +197,7 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     (1 to IvfIters).foldLeft(init) { (cent, _) =>
       val wc = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-      val assigned = e.crossJoin(broadcast(cent.persist()))
+      val assigned = e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("v"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
         .withColumn("crk", row_number().over(wc))
         .filter(col("crk") === 1)

@@ -33,7 +33,13 @@ object TextAnalysis {
     "ta_token_stats" -> { (s, dir) =>
       val toks = col("toks")
       Relational.t(s, dir, "documents")
-        .select(col("doc_id"), lower(col("text")).as("lt"), tokens(col("text")).as("toks"))
+        // The BPE-ish count is finished BEFORE the exchange (one int rides
+        // the shuffle, not the lowered document text), and the token array
+        // is materialized once behind it for the four consumers above.
+        .select(
+          col("doc_id"),
+          regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"),
+          tokens(col("text")).as("toks"))
         .transform(Dedup.spread("doc_id"))
         .select(
           col("doc_id"),
@@ -44,7 +50,7 @@ object TextAnalysis {
           // pure codegen'd string arithmetic; the aggregate(transform(...))
           // formulation ran an interpreted lambda per token.
           (length(concat_ws("", toks)).cast("double") / size(toks)).as("avg_token_len"),
-          regexp_count(col("lt"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens")
+          col("n_bpe_tokens")
         )
         .filter(col("n_tokens") >= 3)
         .orderBy("doc_id")
