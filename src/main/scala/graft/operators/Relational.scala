@@ -95,7 +95,10 @@ object Relational {
 
     // 4-way join: two shuffle joins on fact keys + two broadcast dims.
     "q3_revenue_by_nation" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
+      // Broadcast dims mean the whole join+partial-agg chain is map-side —
+      // see parallelizeNarrowScan (conditional; no-op at scale).
+      val li = parallelizeNarrowScan(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
@@ -115,7 +118,8 @@ object Relational {
 
     // Broadcast hash join against a dimension + grouped agg.
     "q4_brand_volume" -> { (s, dir) =>
-      t(s, dir, "lineitem")
+      parallelizeNarrowScan(
+        t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"), col("l_extendedprice")))
         .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
@@ -196,7 +200,8 @@ object Relational {
 
     // Top-k: global sort + limit with deterministic tie-break.
     "q10_top_parts_by_revenue" -> { (s, dir) =>
-      t(s, dir, "lineitem")
+      parallelizeNarrowScan(
+        t(s, dir, "lineitem").select(col("l_partkey"), col("l_extendedprice"), col("l_discount")))
         .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy("p_partkey", "p_name")
         .agg(
