@@ -359,6 +359,78 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING large-star/small-star — the
+    * edge-rewriting formulation (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — as a second CC algorithm beside
+    * [[connectedComponents]]'s label propagation + pointer doubling.
+    *
+    * Different scale trade-off: label propagation keeps a labels TABLE and
+    * joins it against a static edge set three times a round; the star
+    * operations rewrite the EDGE SET itself toward stars centered on each
+    * component's minimum, so a round is one groupBy-min + one equality join
+    * over the current edges — no per-vertex side table, no parent lookup —
+    * and the edge set only shrinks toward one edge per non-minimum vertex.
+    * That makes it the better shape when the pair graph itself dwarfs the
+    * vertex set (shingle-heavy near-dup graphs at 100 TB). Convergence is
+    * O(log² n) rounds in the worst case, ~O(log n) in practice.
+    *
+    * Round = large-star ∘ small-star, both monotone on the edge invariant
+    * `first > second`:
+    *  - LARGE-STAR: for each center u over its full (symmetric)
+    *    neighborhood, connect every strictly-larger neighbor v > u to
+    *    m = min(N(u) ∪ u). Emitted (v, m) keeps v > u ≥ m.
+    *  - SMALL-STAR: on the directed (u > v) set, connect every smaller
+    *    neighbor and u itself to m = min of u's smaller neighbors.
+    * Fixpoint (edge set unchanged by a full round) ⇔ every edge links a
+    * vertex directly to its component minimum. Each round's output is
+    * eagerly checkpointed (constant-size plans, same rationale as
+    * [[connectedComponents]]); convergence is one except + one count per
+    * round (ss ⊆ prev ∧ |ss| = |prev| ⇒ equal — at deployment scale swap
+    * the except for a count+checksum compare).
+    *
+    * Output: (doc_id, cluster_id = component minimum), every vertex of the
+    * pair graph present — byte-identical to [[connectedComponents]] (both
+    * run against the same recursive-CTE oracle on the driver gate).
+    */
+  def connectedComponentsStars(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
+    var edges = pairs
+      .select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponentsStars did not converge in $maxRounds rounds — check the pair graph")
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("c"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(lsMins, sym("u") === lsMins("c"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val ssMins = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(ssMins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
+      freeCheckpoint(edges)
+      edges = ss
+    }
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    labels
+  }
+
   /** Release the block-manager storage behind a `localCheckpoint`ed frame.
     * `Dataset.unpersist` only clears CacheManager entries, and a checkpoint
     * has none — its storage is the RDD's — so without this, every round's
@@ -387,6 +459,19 @@ object Dedup {
       val sh = materialized(shingled(s, dir))
       val pairs = verifyJaccard(ngramCandidates(sh), sh, MinJaccard).select("doc_a", "doc_b")
       connectedComponents(pairs)
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    },
+
+    // Same transitive closure via the alternating large-star/small-star
+    // edge-rewriting algorithm — two different CC algorithms must land on
+    // the identical fixpoint (both hash-checked against the one
+    // recursive-CTE oracle).
+    "dd_clusters_ls" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = materialized(shingled(s, dir))
+      val pairs = verifyJaccard(ngramCandidates(sh), sh, MinJaccard).select("doc_a", "doc_b")
+      connectedComponentsStars(pairs)
         .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
         .orderBy("doc_id")
     },
@@ -656,6 +741,21 @@ object Dedup {
          |WHERE CAST(common AS DOUBLE) / (len(a.shingles) + len(b.shingles) - common) >= 0.8
          |ORDER BY incoming_id, existing_id""".stripMargin,
     "dd_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($exactPairsSql),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
+         |),
+         |reach(u, v) AS (
+         |  SELECT DISTINCT u, u AS v FROM edges
+         |  UNION
+         |  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+         |),
+         |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+         |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
+    // Identical closure, computed by the alternating-star algorithm.
+    "dd_clusters_ls" ->
       s"""WITH RECURSIVE pairs AS ($exactPairsSql),
          |edges AS (
          |  SELECT doc_a AS u, doc_b AS v FROM pairs

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -58,6 +60,43 @@ object Joins {
       )
   }
 
+  /** Bloom-filter semi-join reduction: prune the FACT side before the
+    * shuffle join using a bloom filter built over the (filtered) dim keys.
+    *
+    * This is the declarative form of Spark's own `InjectRuntimeFilter`
+    * rewrite, constructed explicitly so it fires deterministically instead
+    * of depending on the optimizer's size thresholds (the built-in rule
+    * requires a >10 GB application-side scan by default — exactly the 100 TB
+    * regime, but untestable at sf0.1 without mutating session confs that
+    * would leak into sibling queries). Mechanics: `bloom_filter_agg` over
+    * `xxhash64(dimKey)` runs as a one-row scalar subquery (a small job over
+    * the dim side only), the resulting filter ships to every fact-scan task
+    * as a literal, and `might_contain(bf, xxhash64(factKey))` drops
+    * non-joining fact rows BEFORE they reach the exchange. Blooms have no
+    * false negatives, so the exact join downstream sees every joining row —
+    * results are byte-identical to the unfiltered plan (the oracle proves
+    * it); false positives only cost shuffle bytes. At 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling ~the
+    * join's output.
+    *
+    * `estItems` sizes the filter (bits scale with it; the default false
+    * positive rate is 3%) — derive it from the dim side's expected filtered
+    * cardinality at deployment scale.
+    */
+  def bloomPreFilter(fact: DataFrame, factKey: String, dimKeys: DataFrame,
+      estItems: Long): DataFrame = {
+    val dimKeyCol = dimKeys.columns.head
+    val bloomAgg = GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(col(dimKeyCol))), estItems)
+        .toAggregateExpression())
+    val bloomPlan = dimKeys.agg(bloomAgg.as("bf")).queryExecution.analyzed
+    val might = BloomFilterMightContain(
+      ScalarSubquery(bloomPlan),
+      GraftSqlBridge.expression(xxhash64(col(factKey))))
+    fact.filter(GraftSqlBridge.column(might))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // As-of: each error event matched to the user's most recent click.
@@ -70,6 +109,32 @@ object Joins {
       )
         .select(col("l_id").as("error_id"), col("user_id"), col("asof_id").as("prev_click_id"), col("gap_us"))
         .orderBy("error_id")
+    },
+
+    // Bloom semi-join reduction: lineitem pruned by a bloom filter over the
+    // urgent-finished order keys before the exact join. The oracle runs the
+    // PLAIN join — a hash-match proves the bloom prefilter is semantically
+    // free (no false negatives), while the fact rows crossing the exchange
+    // drop to ~the matching subset.
+    "j3_bloom_semijoin" -> { (s, dir) =>
+      val dimPred = col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F"
+      val dimKeys = Relational.t(s, dir, "orders").filter(dimPred).select(col("o_orderkey"))
+      val fact = Relational.parallelizeNarrowScan(
+        Relational.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
+      // Fresh dim scan for the exact join (independent exprIds from the
+      // subquery's plan).
+      val dim = Relational.t(s, dir, "orders").filter(dimPred)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      bloomPreFilter(fact, "l_orderkey", dimKeys, estItems = 1000000L)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(Relational.dec(col("l_extendedprice"))
+            * (lit(1).cast(DecimalType(18, 2)) - Relational.dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
     },
 
     // Range join: parts bucketed into literal price bands.
@@ -102,6 +167,14 @@ object Joins {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
         |  ON a.user_id = b.user_id AND a.ts >= b.ts
         |ORDER BY error_id""".stripMargin,
+    // The PLAIN join — proving the bloom prefilter drops nothing.
+    "j3_bloom_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "j2_range_price_bands" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('band_900_925', 900.0, 925.0),

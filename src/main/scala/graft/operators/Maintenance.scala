@@ -86,6 +86,35 @@ object Maintenance {
     k
   }
 
+  /** Cluster-sorted rewrite: re-lay the table out so each output file covers
+    * a DISJOINT range of `sortCols` (range repartition) with rows sorted
+    * inside each file (so parquet row-group min/max stats are tight too).
+    *
+    * This is the zone-map/data-skipping layout every 100 TB lake maintains
+    * on its hot filter columns: after the rewrite, a range or point
+    * predicate on the cluster key prunes whole files and row groups from
+    * the parquet footers alone — scan cost becomes O(matching bytes), not
+    * O(table bytes). On a fragmented layout the same predicate reads every
+    * file because every file's [min,max] spans the whole domain.
+    * File count is byte-budgeted like [[compact]]; the rewrite's one range
+    * exchange (sampling pass + shuffle) is the price paid once so every
+    * recurring query skips — the same write-once/read-many trade as
+    * [[graft.sources.Bucketing]], with range instead of hash placement.
+    * MaintenanceSpec proves per-file ranges are pairwise disjoint after the
+    * rewrite and overlapping before; the `mt_cluster_by` oracle proves
+    * content preservation end-to-end.
+    */
+  def clusterBy(spark: SparkSession, inPath: String, outPath: String,
+      sortCols: Seq[String], targetBytes: Long = DefaultTargetBytes): Int = {
+    val totalBytes = parquetBytes(spark, inPath)
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Count the data files of a parquet directory RECURSIVELY
     * (test/inspection helper — covers flat and partitioned layouts).
     */
@@ -131,6 +160,30 @@ object Maintenance {
         .orderBy("lang")
     },
 
+    // Cluster-sorted rewrite: scramble `documents` across 40 files (every
+    // file's n_chars range spans the domain), re-cluster on n_chars into
+    // range-disjoint files, then run a selective range aggregate on the
+    // clustered copy. The oracle reads the ORIGINAL parquet — a hash-match
+    // proves the layout rewrite is content-preserving; MaintenanceSpec
+    // separately proves the files are range-disjoint (the data-skipping
+    // property the rewrite exists for).
+    "mt_cluster_by" -> { (s, dir) =>
+      val src = Relational.t(s, dir, "documents")
+      val frag = Connectors.tmp("documents_scatter")
+      src.repartition(40).write.mode("overwrite").parquet(frag)
+      val clustered = Connectors.tmp("documents_clustered")
+      clusterBy(s, frag, clustered, Seq("n_chars", "doc_id"), 4L * 1024)
+      s.read.parquet(clustered)
+        .filter(col("n_chars").between(150, 300))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("lang")
+    },
+
     // Partition-preserving compaction: fragment `documents` into a
     // hive-partitioned `lang=*/` tree with many small files per partition,
     // compact it WITHOUT losing the layout, then aggregate a pruned subset
@@ -163,6 +216,11 @@ object Maintenance {
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "mt_cluster_by" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM documents WHERE n_chars BETWEEN 150 AND 300
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "mt_compact_partitioned" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id

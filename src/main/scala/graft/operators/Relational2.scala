@@ -260,6 +260,33 @@ object Relational2 {
         .orderBy("l_returnflag", "metric")
     },
 
+    // Exact top-3 parts per brand by revenue via the native bounded-heap
+    // aggregate ([[graft.functions.TopKRows]]): partial aggregation shrinks
+    // every map task's share of a brand to ≤3 entries BEFORE the exchange,
+    // so the shuffle carries O(brands × k) rows instead of every
+    // (brand, part) revenue row the `row_number()` window form (q8) ships
+    // and sorts. Oracle ranks identically (`ord DESC, payload-string ASC`).
+    "q37_topk_pergroup" -> { (s, dir) =>
+      parallelizeNarrowScan(
+        t(s, dir, "lineitem").select(col("l_partkey"), col("l_extendedprice"), col("l_discount")))
+        .join(
+          broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .groupBy("p_brand")
+        .agg(graft.functions.TopKRows(3, col("revenue"), col("p_partkey").cast("string")).as("top"))
+        .select(col("p_brand"), posexplode(col("top")))
+        .select(
+          col("p_brand"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("col.payload").cast("long").as("p_partkey"),
+          col("col.ord").as("revenue"))
+        .orderBy("p_brand", "rank")
+    },
+
     // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
     // hash shuffle → sorted streaming reduce-UDF), driver-verified against
     // the same oracle as the declarative q19: the engine's two execution
@@ -282,6 +309,19 @@ object Relational2 {
   val PivotYears: Seq[Int] = 1995 to 2001
 
   val oracles: Map[String, String] = Map(
+    "q37_topk_pergroup" ->
+      """SELECT p_brand, CAST(rnk AS INT) AS rank, p_partkey, revenue FROM (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY p_brand
+        |      ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) DESC,
+        |               CAST(p_partkey AS VARCHAR) ASC) AS rnk
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey
+        |) WHERE rnk <= 3 ORDER BY p_brand, rank""".stripMargin,
     "q34_setops_all" ->
       """SELECT op, o_orderpriority, COUNT(*) AS n_rows FROM (
         |  SELECT 'intersect_all' AS op, o_orderpriority FROM (

@@ -66,6 +66,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bloom semi-join reduction filters the fact side via a scalar subquery") {
+    val p = plan("j3_bloom_semijoin")
+    assert(p.contains("might_contain"), s"expected a bloom might_contain filter on the fact scan:\n$p")
+    assert(p.toLowerCase.contains("subquery"), s"bloom filter should build as a scalar subquery:\n$p")
+  }
+
+  test("grouped top-k aggregate runs partial (map-side) heap shrink") {
+    val p = plan("q37_topk_pergroup")
+    assert(p.toLowerCase.contains("partial_graft_topk_rows"),
+      s"q37 must pre-shrink groups map-side before the exchange:\n$p")
+  }
+
   test("top-k is TakeOrdered, not a global sort") {
     assert(plan("q10_top_parts_by_revenue").contains("TakeOrderedAndProject"),
       "limit after sort should plan TakeOrderedAndProject")

@@ -185,6 +185,26 @@ class DedupSpec extends SparkSpec {
     assert(labels(100000L) == 100000L && labels(100001L) == 100000L)
   }
 
+  test("alternating-star CC matches label propagation on a chain + islands graph") {
+    import spark.implicits._
+    // 256-vertex chain (diameter 255) plus two 2-vertex islands: the star
+    // rounds must land on the identical labeling the propagation/doubling
+    // algorithm produces, within a logarithmic round budget (a linear
+    // algorithm would need ~255 rounds).
+    val n = 256L
+    val edges = (0L until n - 1).map(i => (i, i + 1)) ++
+      Seq((100000L, 100001L), (200001L, 200000L))
+    val df = edges.toDF("doc_a", "doc_b")
+    val viaStars = Dedup.connectedComponentsStars(df, maxRounds = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = Dedup.connectedComponents(df, maxRounds = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars == viaProp)
+    assert(viaStars.size == n + 4)
+    assert((0L until n).forall(viaStars(_) == 0L))
+    assert(viaStars(100001L) == 100000L && viaStars(200001L) == 200000L)
+  }
+
   test("jaccard pairs stable across partition counts (scale invariance)") {
     val base = pairs("dd_ngram_pairs")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

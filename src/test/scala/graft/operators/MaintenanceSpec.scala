@@ -46,6 +46,41 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.dataFileCount(spark, out) == n)
   }
 
+  test("clusterBy produces range-disjoint files; scattered layout overlaps") {
+    val src = Relational.t(spark, sf("sf0.01"), "documents")
+    val frag = java.nio.file.Files.createTempDirectory("mt-scatter").toString
+    val out = java.nio.file.Files.createTempDirectory("mt-clustered").toString
+    src.repartition(20).write.mode("overwrite").parquet(frag)
+
+    def fileRanges(dir: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+
+    def overlaps(rs: Seq[(Long, Long)]): Int =
+      rs.sliding(2).count { case Seq((_, hi1), (lo2, _)) => lo2 < hi1; case _ => false }
+
+    // Round-robin scatter: nearly every adjacent file pair overlaps — a
+    // zone map on this layout prunes nothing.
+    val before = fileRanges(frag)
+    assert(before.size == 20)
+    assert(overlaps(before) > 10, s"scatter should overlap heavily, got ${overlaps(before)}")
+
+    val n = Maintenance.clusterBy(spark, frag, out, Seq("n_chars", "doc_id"), 16L * 1024)
+    assert(n > 1, "budget must plan multiple files for the disjointness claim to bite")
+    val after = fileRanges(out)
+    // Range repartition assigns equal keys to one partition: every file
+    // covers a disjoint n_chars range (boundaries may touch, never cross),
+    // so a range predicate prunes to the matching files from stats alone.
+    assert(overlaps(after) == 0, s"clustered files must be range-disjoint, got $after")
+
+    // Content survives the rewrite.
+    val a = src.orderBy("doc_id").collect().map(_.toSeq)
+    val b = spark.read.parquet(out).orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("partitioned compact preserves the lang=* layout and bounds files per partition") {
     val src = Relational.t(spark, sf(), "documents")
     val frag = java.nio.file.Files.createTempDirectory("mt-pfrag").toString
