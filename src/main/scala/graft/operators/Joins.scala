@@ -137,6 +137,39 @@ object Joins {
         .orderBy("o_orderpriority")
     },
 
+    // Dynamic partition pruning: the fact side is a hive-partitioned
+    // (`lang=*/`) copy of documents; the dim side is a tiny lang→script
+    // lookup filtered on a NON-join column (script), so no static filter on
+    // `lang` can be inferred at plan time — only Spark's DPP subquery
+    // (computed from the broadcast dim at runtime) can prune the fact's
+    // partition directories. At 100 TB partition-level pruning is the
+    // coarsest, cheapest filter tier: whole directories never enter the
+    // file listing. PlanAuditSpec asserts the `dynamicpruning` expression
+    // lands in the scan's PartitionFilters; the oracle (original flat
+    // parquet, plain join) proves the pruned read loses no rows.
+    "j4_dpp_partition_prune" -> { (s, dir) =>
+      import s.implicits._
+      val src = Relational.t(s, dir, "documents")
+      val part = Connectors.tmp("documents_dpp")
+      graft.sources.Formats.writePartitioned(src, part, "lang")
+      val fact = s.read.parquet(part)
+      // The lookup must be a SCANNED table (not an inline Seq): Catalyst
+      // folds a filtered LocalRelation into a bare LocalTableScan, and the
+      // PartitionPruning rule only fires off a surviving selective Filter.
+      val dimPath = Connectors.tmp("lang_script_dim")
+      Seq(("de", "latin"), ("en", "latin"), ("es", "latin"),
+        ("fr", "latin"), ("zh", "cjk"))
+        .toDF("lang", "script").coalesce(1)
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath).filter(col("script") === "cjk")
+      fact.join(broadcast(dim), "lang")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    },
+
     // Range join: parts bucketed into literal price bands.
     "j2_range_price_bands" -> { (s, dir) =>
       import s.implicits._
@@ -175,6 +208,16 @@ object Joins {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Original flat parquet + plain join — the pruned partitioned read must
+    // lose nothing.
+    "j4_dpp_partition_prune" ->
+      """WITH langs(lang, script) AS (VALUES
+        |  ('de','latin'), ('en','latin'), ('es','latin'),
+        |  ('fr','latin'), ('zh','cjk'))
+        |SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents d JOIN langs l ON d.lang = l.lang
+        |WHERE l.script = 'cjk'
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "j2_range_price_bands" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('band_900_925', 900.0, 925.0),

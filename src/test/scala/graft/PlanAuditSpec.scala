@@ -72,6 +72,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("subquery"), s"bloom filter should build as a scalar subquery:\n$p")
   }
 
+  test("partitioned fact scan prunes partitions dynamically from the dim filter") {
+    val p = plan("j4_dpp_partition_prune")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning expression in the scan's PartitionFilters:\n$p")
+  }
+
   test("grouped top-k aggregate runs partial (map-side) heap shrink") {
     val p = plan("q37_topk_pergroup")
     assert(p.toLowerCase.contains("partial_graft_topk_rows"),
