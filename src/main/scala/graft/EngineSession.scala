@@ -32,6 +32,9 @@ object EngineSession {
   def local(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // The engine's own Catalyst surface: graft_* SQL functions and the
+      // window-top-k → heap-aggregate optimizer rewrite (plans/GraftExtensions).
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -287,6 +287,30 @@ object Relational2 {
         .orderBy("p_brand", "rank")
     },
 
+    // The WINDOW-form top-k a user would naturally write — which the
+    // engine's injected optimizer rule ([[graft.plans.TopKRewrite]])
+    // rewrites into the q37-style bounded-heap aggregate automatically:
+    // same ROW_NUMBER() oracle, no Window node in the optimized plan
+    // (asserted in PlanAuditSpec). The coalesce wrappers pin ord/tie
+    // non-nullable — the provable-equivalence precondition the rule checks.
+    "q38_topk_rewrite" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val spend = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_name"))
+        .agg(coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("total_spend"))
+        .select(
+          col("c_mktsegment"),
+          col("total_spend"),
+          coalesce(col("c_name"), lit("")).as("c_name"))
+      spend
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("c_mktsegment")
+            .orderBy(col("total_spend").desc, col("c_name").asc)))
+        .filter(col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    },
+
     // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
     // hash shuffle → sorted streaming reduce-UDF), driver-verified against
     // the same oracle as the declarative q19: the engine's two execution
@@ -309,6 +333,17 @@ object Relational2 {
   val PivotYears: Seq[Int] = 1995 to 2001
 
   val oracles: Map[String, String] = Map(
+    "q38_topk_rewrite" ->
+      """SELECT c_mktsegment, total_spend, c_name, rn FROM (
+        |  SELECT c_mktsegment, c_name,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY c_mktsegment
+        |      ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) DESC,
+        |               c_name ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, c_name
+        |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
     "q37_topk_pergroup" ->
       """SELECT p_brand, CAST(rnk AS INT) AS rank, p_partkey, revenue FROM (
         |  SELECT p_brand, p_partkey,

@@ -159,6 +159,26 @@ object TextAnalysis {
         .limit(20)
     },
 
+    // Sketch-based heavy hitters: `approx_top_k` (DataSketches frequent
+    // items) keeps a BOUNDED state per partition and merges map-side — at
+    // 100 TB that is the difference between a full-vocabulary hash
+    // aggregation (state = |vocab| per task) and a fixed-size sketch. On
+    // this corpus the tracked-item budget exceeds the vocabulary, so the
+    // sketch is exact and the query is oracle-checkable. Tie-immunity: the
+    // sketch returns a top-20 SUPERSET (its choice among count-ties at the
+    // 20 boundary is unspecified), and the deterministic re-sort + LIMIT 8
+    // then lands on the unique true top-8 (strict count gap at rank 8).
+    "ta_heavy_hitters" -> { (s, dir) =>
+      Relational.t(s, dir, "documents")
+        .select(explode(split(col("text"), "[ ,.\"']+")).as("word"))
+        .filter(col("word") =!= "")
+        .agg(expr("approx_top_k(word, 20, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("word"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(8)
+    },
+
     // Winnowing fingerprints (MOSS local fingerprinting): 4-gram md5 hashes,
     // minimum per sliding window of 8 — position-local signatures at
     // ~2/(w+1) the cost of the full gram set, with the guarantee that any
@@ -189,6 +209,14 @@ object TextAnalysis {
   val WinnowW = 8
 
   val oracles: Map[String, String] = Map(
+    // Exact top-8 with the same (cnt DESC, word ASC) total order the
+    // sketch-superset re-sort produces.
+    "ta_heavy_hitters" ->
+      """SELECT word, cnt FROM (
+        |  SELECT word, COUNT(*) AS cnt FROM (
+        |    SELECT UNNEST(string_split_regex(text, '[ ,."'']+')) AS word FROM documents
+        |  ) WHERE word <> '' GROUP BY word
+        |) ORDER BY cnt DESC, word ASC LIMIT 8""".stripMargin,
     // Slice arithmetic (1-based inclusive): 4-grams are ts[i:i+3] for
     // i in 1..len-3; length-8 hash windows are hs[i:i+7] for i in 1..m-7.
     "ta_winnow" ->

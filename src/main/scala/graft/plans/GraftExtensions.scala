@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Optimizer tier: window top-k → bounded-heap aggregate (see
+    // [[TopKRewrite]] for the provable-shape guards).
+    e.injectOptimizerRule(_ => TopKRewrite)
     e.injectFunction(
       (FunctionIdentifier("graft_fnv64"),
         info("graft_fnv64", "graft_fnv64(str) - FNV-1a 64-bit hash of str's UTF-8 bytes."),

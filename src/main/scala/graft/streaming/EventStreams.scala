@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming surface over the `events` table (SURVEY.md §2.2: the
@@ -265,4 +265,67 @@ object EventStreams {
   }
 
   final case class SessionBuf(pending: Seq[(Long, Long)], emitted: Long)
+
+  /** The same sessionizer on Spark 4's arbitrary-state API
+    * (`transformWithState` + [[SessionizeProcessor]]): state is a named,
+    * schema-evolvable `ValueState` in the RocksDB state store instead of a
+    * single opaque `GroupState` blob. At scale that buys incremental
+    * (changelog) checkpointing, state reads that spill to disk instead of
+    * the executor heap, and per-state TTL — the operational posture a
+    * 100 TB event stream needs. Semantics are byte-identical to
+    * [[sessionizeStream]]: both feed [[splitSessions]], and
+    * EventStreamsSpec asserts all three paths (batch, GroupState, TWS)
+    * agree on closed sessions.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState does not
+    * run on the default HDFS-backed store.
+    */
+  def sessionizeStreamTws(events: DataFrame): Dataset[SessionRec] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), unix_micros(col("ts")).as("tsMicros"), col("user_id"))
+      .as[EventRec]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One `ValueState[SessionBuf]` per user: the open session's events and the
+    * count of sessions already emitted (for stable 1..n numbering across
+    * micro-batches). Same merge-sort-split algorithm as the GroupState
+    * path.
+    */
+  final class SessionizeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRec, SessionRec] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    @transient private var buf: ValueState[SessionBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      implicit val enc: Encoder[SessionBuf] = Encoders.product[SessionBuf]
+      buf = getHandle.getValueState[SessionBuf]("sessionBuf", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[EventRec],
+        timerValues: TimerValues): Iterator[SessionRec] = {
+      val prev = if (buf.exists()) Some(buf.get()) else None
+      val buffered = prev.map(_.pending).getOrElse(Seq.empty)
+      val all = (buffered ++ rows.map(e => (e.tsMicros, e.event_id))).sorted
+      val recs = all.map { case (ts, id) => EventRec(id, ts, uid) }
+      val sessions = splitSessions(uid, recs)
+      if (sessions.isEmpty) Iterator.empty
+      else {
+        val closed = sessions.init
+        val open = sessions.last
+        val baseId = prev.map(_.emitted).getOrElse(0L)
+        val openEvents = all.takeRight(open.n_events.toInt)
+        buf.update(SessionBuf(openEvents, baseId + closed.size))
+        closed.iterator.map(s => s.copy(sess_id = baseId + s.sess_id))
+      }
+    }
+  }
 }

@@ -84,6 +84,13 @@ class PlanAuditSpec extends SparkSpec {
       s"q37 must pre-shrink groups map-side before the exchange:\n$p")
   }
 
+  test("optimizer rule rewrites window top-k into the heap aggregate") {
+    val p = plan("q38_topk_rewrite")
+    assert(!p.contains("Window"), s"the Window node must be rewritten away:\n$p")
+    assert(p.toLowerCase.contains("graft_topk_rows"),
+      s"expected the TopKRows aggregate in the rewritten plan:\n$p")
+  }
+
   test("top-k is TakeOrdered, not a global sort") {
     assert(plan("q10_top_parts_by_revenue").contains("TakeOrderedAndProject"),
       "limit after sort should plan TakeOrderedAndProject")

@@ -92,6 +92,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer agrees with batch sessionizer on closed sessions") {
+    import spark.implicits._
+    // transformWithState only runs on the RocksDB state store — set it for
+    // this query's lifetime and restore after (session conf is read at
+    // stream start).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.sessionizeStreamTws(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_tws_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_tws_test")
+        .select("user_id", "sess_id", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      val batchAll = EventStreams.sessionizeBatch(Relational.t(spark, sf(), "events"))
+        .select("user_id", "sess_id", "n_events")
+        .as[(Long, Long, Long)].collect()
+      val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val batchClosed = batchAll.filter { case (u, s, _) => s != lastPerUser(u) }.toSet
+      assert(streamed == batchClosed)
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("stream-static enrichment join equals the batch twin") {
     val customer = graft.sources.Tables.t(spark, sf(), "customer")
     val stream = EventStreams.readEventStream(spark, eventsDir)
