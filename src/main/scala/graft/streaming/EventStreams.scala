@@ -290,17 +290,23 @@ object EventStreams {
       .select(col("event_id"), unix_micros(col("ts")).as("tsMicros"), col("user_id"))
       .as[EventRec]
       .groupByKey(_.user_id)
-      .transformWithState(new SessionizeProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new SessionizeProcessor, TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** One `ValueState[SessionBuf]` per user: the open session's events and the
     * count of sessions already emitted (for stable 1..n numbering across
     * micro-batches). Same merge-sort-split algorithm as the GroupState
-    * path.
+    * path, PLUS the semantic the GroupState twin lacks: an event-time timer
+    * re-armed at (last event + gap) flushes the open session once the
+    * WATERMARK passes the gap — a quiet user's final session emits without
+    * waiting for that user's next event. Stale timers are deleted on every
+    * new input, so an expiring timer always refers to a genuinely aged-out
+    * session; the emitted-counter survives the flush, keeping 1..n session
+    * numbering stable across flush + reactivation.
     */
   final class SessionizeProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRec, SessionRec] {
-    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.{Encoder, Encoders}
 
     @transient private var buf: ValueState[SessionBuf] = _
@@ -324,7 +330,29 @@ object EventStreams {
         val baseId = prev.map(_.emitted).getOrElse(0L)
         val openEvents = all.takeRight(open.n_events.toInt)
         buf.update(SessionBuf(openEvents, baseId + closed.size))
+        // Re-arm the gap timer for the (single) open session: +1 ms past
+        // the gap so a timer never fires on the exact boundary an in-gap
+        // event could still extend.
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(all.last._1 / 1000 + SessionGapMicros / 1000 + 1)
         closed.iterator.map(s => s.copy(sess_id = baseId + s.sess_id))
+      }
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionRec] = {
+      if (!buf.exists()) Iterator.empty
+      else {
+        val st = buf.get()
+        if (st.pending.isEmpty) Iterator.empty
+        else {
+          val recs = st.pending.sorted.map { case (ts, id) => EventRec(id, ts, uid) }
+          val flushed = splitSessions(uid, recs) // exactly one open session
+          buf.update(SessionBuf(Seq.empty, st.emitted + flushed.size))
+          flushed.iterator.zipWithIndex.map { case (s, i) =>
+            s.copy(sess_id = st.emitted + i + 1)
+          }
+        }
       }
     }
   }

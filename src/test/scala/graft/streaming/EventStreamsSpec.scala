@@ -113,12 +113,24 @@ class EventStreamsSpec extends SparkSpec {
       val streamed = spark.table("sess_tws_test")
         .select("user_id", "sess_id", "n_events")
         .as[(Long, Long, Long)].collect().toSet
-      val batchAll = EventStreams.sessionizeBatch(Relational.t(spark, sf(), "events"))
+      val batch = EventStreams.sessionizeBatch(Relational.t(spark, sf(), "events"))
+      val batchAll = batch
         .select("user_id", "sess_id", "n_events")
         .as[(Long, Long, Long)].collect()
       val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
       val batchClosed = batchAll.filter { case (u, s, _) => s != lastPerUser(u) }.toSet
-      assert(streamed == batchClosed)
+      // Gap-closed sessions all emit, like the GroupState path...
+      assert(streamed.intersect(batchClosed) == batchClosed,
+        "every gap-closed session must be emitted")
+      // ...and additionally the event-time timers flush final sessions the
+      // watermark has aged out — something the GroupState twin never emits.
+      // Every extra emission must BE a user's final batch session, and at
+      // least one must have flushed (the corpus spans ≫ gap+watermark).
+      val extras = streamed -- batchClosed
+      val finals = batchAll.filter { case (u, s, _) => s == lastPerUser(u) }.toSet
+      assert(extras.subsetOf(finals),
+        s"timer flushes must match the batch final sessions, got ${extras -- finals}")
+      assert(extras.nonEmpty, "event-time timers should flush aged-out final sessions")
     } finally {
       q.stop()
       prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
