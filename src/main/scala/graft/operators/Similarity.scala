@@ -100,6 +100,39 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
+    // Exact 3-NN graph over EVERY vector — the structure diversity
+    // sampling, cluster seeding, and graph-based dedup all start from.
+    // Composes two proven mechanisms: the dd_embed_pairs block-grid
+    // equality join (G² balanced tiles, no cartesian node, shuffle O(n·G))
+    // generates every ordered pair once, and the TopKRows bounded heap
+    // reduces each vector's n-1 candidate neighbors to k map-side, so the
+    // second exchange carries O(n·k) entries — never the O(n²) pair set.
+    // Hash-matched against a DuckDB all-pairs + ROW_NUMBER oracle (cosines
+    // are bit-identical via the shared sequential-fold dot product).
+    "ss_knn_graph" -> { (s, dir) =>
+      val G = Dedup.embedGrid(s)
+      val e = vecs(s, dir).withColumn("nrm", sqrt(Dedup.dotSeq(col("v"), col("v"))))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"),
+          pmod(col("vec_id"), lit(G)).cast("int").as("blk_a"))
+        .withColumn("grid_a", explode(sequence(lit(0), lit(G - 1))))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+          pmod(col("vec_id"), lit(G)).cast("int").as("blk_b"))
+        .withColumn("grid_b", explode(sequence(lit(0), lit(G - 1))))
+      a.join(b, col("blk_a") === col("grid_b") && col("grid_a") === col("blk_b") &&
+          col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (Dedup.dotSeq(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        .groupBy("id_a")
+        .agg(graft.functions.TopKRows(3, col("cos"), col("id_b").cast("string")).as("top"))
+        .select(col("id_a").as("vec_id"), posexplode(col("top")))
+        .select(
+          col("vec_id"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("col.payload").cast("long").as("nbr_id"),
+          col("col.ord").as("cosine"))
+        .orderBy("vec_id", "rank")
+    },
+
     // LSH-bucketed ANN: same output shape, approximate neighbor set.
     // Rows-only driver check; recall measured in SimilaritySpec.
     // Candidate generation is ids-only: the bucket join and the distinct
@@ -265,6 +298,27 @@ object Similarity {
          |)
          |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
          |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "ss_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, len(v)+1)], (p, q) -> p + q)) AS nrm
+        |  FROM e
+        |), p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    list_reduce([a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)], (p, q) -> p + q)
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |), r AS (
+        |  SELECT vec_id, nbr_id, cosine,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id
+        |      ORDER BY cosine DESC, CAST(nbr_id AS VARCHAR) ASC) AS rnk
+        |  FROM p
+        |)
+        |SELECT vec_id, CAST(rnk AS INT) AS rank, nbr_id, cosine
+        |FROM r WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin,
     "ss_embed_quant" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

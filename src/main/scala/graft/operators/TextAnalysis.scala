@@ -159,6 +159,25 @@ object TextAnalysis {
         .limit(20)
     },
 
+    // Blocklist-term redaction — the scrub pass a training-data pipeline
+    // runs for canary strings, eval-set contamination markers, or PII
+    // patterns before a corpus ships. One narrow codegen'd projection
+    // (count + global word-boundary replace), no shuffle except the output
+    // sort; the md5 of the redacted text makes the full rewrite
+    // hash-checkable without shipping 500 redacted documents through the
+    // gate. Patterns stay in the Java-regex ∩ RE2 dialect intersection
+    // (`\b` word boundaries, alternation) so both engines see identical
+    // semantics.
+    "ta_redact" -> { (s, dir) =>
+      val pat = "\\b(key|hash|join)\\b"
+      Relational.t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("int").as("n_hits"),
+          md5(regexp_replace(col("text"), pat, "<REDACTED>")).as("red_md5"))
+        .orderBy("doc_id")
+    },
+
     // Sketch-based heavy hitters: `approx_top_k` (DataSketches frequent
     // items) keeps a BOUNDED state per partition and merges map-side — at
     // 100 TB that is the difference between a full-vocabulary hash
@@ -209,6 +228,11 @@ object TextAnalysis {
   val WinnowW = 8
 
   val oracles: Map[String, String] = Map(
+    "ta_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(key|hash|join)\b')) AS INT) AS n_hits,
+        |  md5(regexp_replace(text, '\b(key|hash|join)\b', '<REDACTED>', 'g')) AS red_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Exact top-8 with the same (cnt DESC, word ASC) total order the
     // sketch-superset re-sort produces.
     "ta_heavy_hitters" ->
