@@ -333,7 +333,9 @@ object EventStreams {
         // Re-arm the gap timer for the (single) open session: +1 ms past
         // the gap so a timer never fires on the exact boundary an in-gap
         // event could still extend.
-        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        // Materialize before deleting: listTimers is backed by the state
+        // store, and deleting mid-iteration would mutate under the cursor.
+        getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t))
         getHandle.registerTimer(all.last._1 / 1000 + SessionGapMicros / 1000 + 1)
         closed.iterator.map(s => s.copy(sess_id = baseId + s.sess_id))
       }
