@@ -308,6 +308,24 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // The same extraction on Spark 4's VARIANT type: `parse_json` decodes
+    // the string ONCE into the shredded binary encoding, `variant_get`
+    // then reads the typed subfield without re-parsing. At 100 TB this is
+    // the semi-structured scale path — ingest parses once, every
+    // downstream query does typed offset access (and parquet variant
+    // shredding turns subfields into prunable columns) — where
+    // `get_json_object` re-parses the full JSON string per row per field.
+    // Same oracle as q17: two extraction tiers, one truth.
+    "q39_variant_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
     // Scalar subquery: orders above the global average price, per status.
     "q18_above_avg_orders" -> { (s, dir) =>
       val o = t(s, dir, "orders")
@@ -445,6 +463,11 @@ object Relational {
            |  COUNT(*) AS n_orders, CAST(SUM(${dc("o_totalprice")}) AS DOUBLE) AS total
            |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
       "q17_json_extract" ->
+        """SELECT event_type, COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q39_variant_extract" ->
         """SELECT event_type, COUNT(*) AS n_events,
           |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k

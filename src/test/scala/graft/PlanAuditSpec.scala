@@ -79,9 +79,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("grouped top-k aggregate runs partial (map-side) heap shrink") {
-    val p = plan("q37_topk_pergroup")
-    assert(p.toLowerCase.contains("partial_graft_topk_rows"),
-      s"q37 must pre-shrink groups map-side before the exchange:\n$p")
+    for (name <- Seq("q37_topk_pergroup", "ss_knn_graph")) {
+      val p = plan(name)
+      assert(p.toLowerCase.contains("partial_graft_topk_rows"),
+        s"$name must pre-shrink groups map-side before the exchange:\n$p")
+    }
   }
 
   test("optimizer rule rewrites window top-k into the heap aggregate") {
