@@ -476,6 +476,27 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Edit-distance verification over the near-dup candidate tier: the
+    // character-level Levenshtein distance between each verified pair's
+    // normalized texts — the typo/boilerplate-variant score word-level
+    // Jaccard can't see. Candidates come from the PROVEN-lossless prefix
+    // filter, so the O(len²) distance runs on ~|pairs| rows, never n²; at
+    // 100 TB the distance is a per-pair narrow compute after the equality-
+    // join candidate tier, exactly like verifyJaccard. Both engines use
+    // the identical unit-cost Levenshtein (Spark `levenshtein` ↔ DuckDB
+    // `levenshtein`) over the shared normalization.
+    "dd_edit_pairs" -> { (s, dir) =>
+      val sh = materialized(shingled(s, dir))
+      val pairs = verifyJaccard(ngramCandidates(sh), sh, MinJaccard).select("doc_a", "doc_b")
+      val docs = Relational.t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.normText(col("text")).as("nt"))
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("nt").as("na")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("nt").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), levenshtein(col("na"), col("nb")).as("lev"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Exact dedup summary: how many docs survive normalization-hash dedup.
     "dd_exact_summary" -> { (s, dir) =>
       Relational.t(s, dir, "documents")
@@ -754,6 +775,16 @@ object Dedup {
          |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
          |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+    "dd_edit_pairs" ->
+      s"""WITH pairs AS ($exactPairsSql)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(
+         |    regexp_replace(lower(trim(da.text)), '\\s+', ' ', 'g'),
+         |    regexp_replace(lower(trim(db.text)), '\\s+', ' ', 'g')) AS INT) AS lev
+         |FROM pairs
+         |JOIN documents da ON doc_a = da.doc_id
+         |JOIN documents db ON doc_b = db.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // Identical closure, computed by the alternating-star algorithm.
     "dd_clusters_ls" ->
       s"""WITH RECURSIVE pairs AS ($exactPairsSql),

@@ -287,6 +287,33 @@ object Relational2 {
         .orderBy("p_brand", "rank")
     },
 
+    // Recursive CTE (Spark 4.1 `WITH RECURSIVE`): generate the 1995-2001
+    // month spine declaratively and LEFT JOIN the monthly order aggregates
+    // onto it, zero-filling months with no orders — the calendar-dimension
+    // gap-fill every reporting warehouse runs, and a q16 (orders by month)
+    // that CANNOT silently drop empty months. The recursion is acyclic
+    // (date strictly increases to a bound), the engine-supported shape;
+    // cyclic closures (dd_clusters) stay on the iterative operators.
+    "q40_month_spine" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("graft_spine_orders")
+      s.sql("""
+        WITH RECURSIVE months(d) AS (
+          SELECT DATE '1995-01-01' AS d
+          UNION ALL SELECT d + INTERVAL '1' MONTH FROM months WHERE d < DATE '2001-12-01'
+        ),
+        m AS (SELECT CAST(YEAR(d) AS INT) AS yr, CAST(MONTH(d) AS INT) AS mo FROM months),
+        o AS (
+          SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
+            COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS t
+          FROM graft_spine_orders GROUP BY 1, 2
+        )
+        SELECT m.yr, m.mo,
+          CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+          CAST(COALESCE(o.t, 0.0) AS DOUBLE) AS total
+        FROM m LEFT JOIN o ON m.yr = o.yr AND m.mo = o.mo
+        ORDER BY m.yr, m.mo""")
+    },
+
     // The WINDOW-form top-k a user would naturally write — which the
     // engine's injected optimizer rule ([[graft.plans.TopKRewrite]])
     // rewrites into the q37-style bounded-heap aggregate automatically:
@@ -333,6 +360,22 @@ object Relational2 {
   val PivotYears: Seq[Int] = 1995 to 2001
 
   val oracles: Map[String, String] = Map(
+    "q40_month_spine" ->
+      """WITH RECURSIVE months(d) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT d + INTERVAL 1 MONTH FROM months WHERE d < DATE '2001-12-01'
+        |),
+        |m AS (SELECT CAST(YEAR(d) AS INT) AS yr, CAST(MONTH(d) AS INT) AS mo FROM months),
+        |o AS (
+        |  SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
+        |    COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS t
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT m.yr, m.mo,
+        |  CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+        |  CAST(COALESCE(o.t, 0.0) AS DOUBLE) AS total
+        |FROM m LEFT JOIN o ON m.yr = o.yr AND m.mo = o.mo
+        |ORDER BY m.yr, m.mo""".stripMargin,
     "q38_topk_rewrite" ->
       """SELECT c_mktsegment, total_spend, c_name, rn FROM (
         |  SELECT c_mktsegment, c_name,
