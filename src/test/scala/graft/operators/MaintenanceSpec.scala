@@ -79,6 +79,23 @@ class MaintenanceSpec extends SparkSpec {
     val a = src.orderBy("doc_id").collect().map(_.toSeq)
     val b = spark.read.parquet(out).orderBy("doc_id").collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
+
+    // And the zone maps actually SKIP: the same selective range predicate
+    // emits far fewer rows from the clustered scan (row-group stats prune
+    // non-matching files) than from the scattered one, where every file's
+    // range spans the domain and nothing can be skipped.
+    def scanRows(dir: String): Long = {
+      val df = spark.read.parquet(dir).filter(col("n_chars").between(150, 300))
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      scan.metrics("numOutputRows").value
+    }
+    val scattered = scanRows(frag)
+    val clustered = scanRows(out)
+    assert(clustered < scattered / 2,
+      s"clustered scan should skip most rows: clustered=$clustered scattered=$scattered")
   }
 
   test("partitioned compact preserves the lang=* layout and bounds files per partition") {
