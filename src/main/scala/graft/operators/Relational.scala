@@ -154,11 +154,17 @@ object Relational {
 
     // Left-outer join preserving empty orders + distribution-of-counts (Q13 style).
     "q7_order_size_distribution" -> { (s, dir) =>
+      // Aggregate BELOW the join: counting lineitems per l_orderkey first lets
+      // the partial (map-side) count shrink the fact table before its exchange,
+      // so the join moves one row per order instead of one per item — the same
+      // answer as join-then-count, proven by the left-outer + coalesce(0) for
+      // orders with no items. At 100 TB this is the difference between
+      // shuffling the item table and shuffling the order-cardinality rollup.
       val o = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
-      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
-        .groupBy("o_orderkey")
-        .agg(count(col("l_orderkey")).as("n_items"))
+      val perOrder = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      o.join(perOrder, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("n_items"))
         .groupBy("n_items")
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("n_items")
@@ -242,15 +248,19 @@ object Relational {
 
     // CUBE over two low-cardinality dims.
     "q13_cube_returns" -> { (s, dir) =>
-      // Expand(×4) + decimal partial agg is the compute-heavy map side; see
-      // parallelizeNarrowScan for why the barrier is conditional (local
-      // single-row-group corpus only — never at scale). Results are
-      // distribution-independent: decimal sums are exact and order-free.
-      parallelizeNarrowScan(
+      // Decomposable-aggregate rewrite: SUM/COUNT distribute over re-grouping,
+      // so aggregate to the base (returnflag, linestatus) groups FIRST and run
+      // the CUBE's Expand(×4) over those ~12 rows instead of the full table.
+      // At 100 TB the Expand multiplier then touches O(groups), not O(rows);
+      // decimal sums keep the result exact and order-free either way.
+      val base = parallelizeNarrowScan(
         t(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_quantity"))).as("qty_dec"), count(lit(1)).as("n"))
+      base
         .cube("l_returnflag", "l_linestatus")
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+        .agg(sum(col("qty_dec")).cast("double").as("sum_qty"), sum(col("n")).as("n_items"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
