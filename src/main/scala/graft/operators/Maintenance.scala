@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators. The one that matters most at 100 TB is
@@ -115,6 +115,58 @@ object Maintenance {
     n
   }
 
+  /** Z-order (Morton-curve) clustered rewrite over TWO numeric columns.
+    *
+    * [[clusterBy]] on (a, b) skips perfectly for predicates on `a` but not
+    * at all for predicates on `b` alone — a lexicographic sort gives the
+    * secondary column full-domain ranges in every file. Interleaving the
+    * bits of both columns (after min-max normalization to 16 bits each)
+    * orders rows along a space-filling curve whose contiguous segments are
+    * rectangles in (a, b) space: every output file then covers a BOUNDED
+    * range of BOTH columns, so parquet min/max stats prune files for a
+    * predicate on either column or both. This is the multi-dimensional
+    * data-skipping layout (Delta/Iceberg `OPTIMIZE ZORDER BY`) a 100 TB
+    * lake maintains when a table has two independent hot filter columns.
+    *
+    * The column bounds ride in as a broadcast one-row aggregate — pure
+    * dataflow, no driver-side action; at 16 bits the curve granularity
+    * (65536² cells) far exceeds any practical file count, and normalization
+    * skew only degrades toward [[clusterBy]] behavior, never below it.
+    * MaintenanceSpec proves single-column predicates on EITHER dimension
+    * skip rows from parquet stats alone; the `mt_zorder` oracle proves the
+    * rewrite is content-preserving end-to-end.
+    */
+  def zOrderBy(spark: SparkSession, inPath: String, outPath: String,
+      c1: String, c2: String, targetBytes: Long = DefaultTargetBytes): Int = {
+    val totalBytes = parquetBytes(spark, inPath)
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val bounds = df.agg(
+      min(col(c1)).cast("double").as("__x0"), max(col(c1)).cast("double").as("__x1"),
+      min(col(c2)).cast("double").as("__y0"), max(col(c2)).cast("double").as("__y1"))
+    // Normalize to [0, 65535]; a constant column (hi == lo) maps to 0.
+    def norm(c: Column, lo: Column, hi: Column): Column =
+      when(hi > lo,
+        least(lit(65535L), floor((c.cast("double") - lo) / (hi - lo) * 65536.0).cast("long")))
+        .otherwise(lit(0L))
+    val xn = norm(col(c1), col("__x0"), col("__x1"))
+    val yn = norm(col(c2), col("__y0"), col("__y1"))
+    // Bit-interleave: z = ... y1 x1 y0 x0. Plain codegen'd integer ops; the
+    // 32 inlined shift/mask terms re-evaluate the two cheap norm divisions,
+    // which is noise (unlike the md5/tokenize re-evaluation traps elsewhere).
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(xn, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yn, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .select(df.columns.map(col): _*)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Count the data files of a parquet directory RECURSIVELY
     * (test/inspection helper — covers flat and partitioned layouts).
     */
@@ -208,6 +260,51 @@ object Maintenance {
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"))
         .orderBy("lang")
+    },
+
+    // Z-order rewrite: scramble `documents` across 40 files, re-lay it out
+    // along the (doc_id, n_chars) Morton curve, then run a two-dimensional
+    // rectangle aggregate on the z-ordered copy. The oracle reads the
+    // ORIGINAL parquet — a hash-match proves the space-filling-curve rewrite
+    // is content-preserving; MaintenanceSpec separately proves predicates on
+    // EITHER dimension alone skip from parquet stats (the property linear
+    // cluster-by cannot give the secondary column).
+    "mt_zorder" -> { (s, dir) =>
+      val src = Relational.t(s, dir, "documents")
+      val frag = Connectors.tmp("documents_zscatter")
+      src.repartition(40).write.mode("overwrite").parquet(frag)
+      val zed = Connectors.tmp("documents_zorder")
+      zOrderBy(s, frag, zed, "doc_id", "n_chars", 4L * 1024)
+      s.read.parquet(zed)
+        .filter(col("doc_id").between(100, 250) && col("n_chars").between(100, 400))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("lang")
+    },
+
+    // Order-independent table fingerprint: per-group row count + the sum of
+    // a 60-bit cross-engine row hash (md5 over the '\x01'-joined columns).
+    // This is how two engines — or two copies of a 100 TB table before and
+    // after a migration/rewrite — are proven equal WITHOUT a global sort or
+    // a row-by-row diff: one narrow projection + one algebraic aggregation,
+    // commutative over any row order and partitioning. The checksum is kept
+    // as an exact decimal (sums of 60-bit values overflow int64) and
+    // compared as a string. DuckDB computes the identical fingerprint from
+    // its own md5, so the gate hash-match IS the cross-engine proof.
+    "mt_table_checksum" -> { (s, dir) =>
+      val d = Relational.t(s, dir, "documents")
+      d.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(graft.functions.HashFunctions.md5Long(concat_ws("\u0001",
+            col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("string").as("checksum"))
+        .orderBy("lang")
     }
   )
 
@@ -225,6 +322,18 @@ object Maintenance {
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         |FROM documents WHERE lang IN ('en', 'zh')
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "mt_zorder" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 250 AND n_chars BETWEEN 100 AND 400
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "mt_table_checksum" ->
+      """SELECT lang, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST('0x' || substr(md5(
+        |    concat_ws(chr(1), doc_id, text, lang, source, n_chars)), 1, 15) AS BIGINT))
+        |    AS VARCHAR) AS checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -220,6 +220,30 @@ object TextAnalysis {
       Relational.t(s, dir, "documents")
         .select(col("doc_id"), HashFunctions.fnv64(normText(col("text"))).as("fp_fnv64"))
         .orderBy("doc_id")
+    },
+
+    // Within-document repetition signals (Gopher-style quality filter):
+    // duplicate-3-gram fraction and the dominant gram's count, per document.
+    // One narrow pass via the RepetitionStats expression — the naive
+    // explode → groupBy(doc, gram) → groupBy(doc) form shuffles O(docs ×
+    // grams) rows twice; this shuffles nothing but the output sort. The
+    // spread barrier materializes the stats struct once so the four field
+    // consumers below don't re-run the per-document counting pass
+    // (projection collapse would inline the expression per field — the
+    // ta_token_stats / minhashSigs trap).
+    "ta_repetition" -> { (s, dir) =>
+      Relational.t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.RepetitionStats(col("text"), 3).as("rep"))
+        .transform(Dedup.spread("doc_id"))
+        .filter(col("rep.total_grams") > 0)
+        .select(
+          col("doc_id"),
+          col("rep.total_grams").as("total_grams"),
+          col("rep.distinct_grams").as("distinct_grams"),
+          col("rep.top_count").as("top_count"),
+          ((col("rep.total_grams") - col("rep.distinct_grams")).cast("double") /
+            col("rep.total_grams")).as("dup_frac"))
+        .orderBy("doc_id")
     }
   )
 
@@ -350,7 +374,24 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
         |  CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS fp64
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // ta_fingerprint_fnv: intentionally no oracle (native expression; rows-only).
+    "ta_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)] AS grams
+        |  FROM toks WHERE len(ts) >= 3
+        |), tc AS (
+        |  SELECT doc_id, MAX(c) AS top_count
+        |  FROM (SELECT doc_id, gram, COUNT(*) AS c
+        |        FROM (SELECT doc_id, UNNEST(grams) AS gram FROM g) GROUP BY doc_id, gram)
+        |  GROUP BY doc_id
+        |)
+        |SELECT g.doc_id, len(g.grams) AS total_grams,
+        |  len(list_distinct(g.grams)) AS distinct_grams, tc.top_count,
+        |  CAST(len(g.grams) - len(list_distinct(g.grams)) AS DOUBLE) / len(g.grams) AS dup_frac
+        |FROM g JOIN tc USING (doc_id) ORDER BY g.doc_id""".stripMargin
   )
 }

@@ -136,4 +136,45 @@ class MaintenanceSpec extends SparkSpec {
     assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("lang")),
       s"expected lang in partitionFilters, got ${scan.partitionFilters}")
   }
+
+  test("zOrderBy skips on BOTH dimensions from parquet stats; content survives") {
+    val src = Relational.t(spark, sf(), "documents")
+    val frag = java.nio.file.Files.createTempDirectory("mt-zfrag").toString
+    val out = java.nio.file.Files.createTempDirectory("mt-zout").toString
+    src.repartition(40).write.mode("overwrite").parquet(frag)
+
+    val n = Maintenance.zOrderBy(spark, frag, out, "doc_id", "n_chars", 4L * 1024)
+    assert(n > 4, "byte budget must plan several files for the skipping claim to bite")
+
+    // Content survives the curve rewrite.
+    val a = src.orderBy("doc_id").collect().map(_.toSeq)
+    val b = spark.read.parquet(out).orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+
+    def scanRows(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(dir).filter(pred)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      scan.metrics("numOutputRows").value
+    }
+
+    // The z-order selling point vs a linear sort: a range predicate on
+    // EITHER column alone prunes files/row-groups, because every file
+    // covers a bounded rectangle in (doc_id, n_chars) space. On the
+    // scattered layout every file spans the whole domain and nothing skips.
+    // With ~n files each dimension gets ~log2(n)/2 dyadic splits, so a
+    // mid-domain range keeps about half the files per dimension (exactly
+    // half here — the curve's split budget, not a bug) and the TWO-dim
+    // rectangle prunes multiplicatively.
+    val p1 = col("doc_id").between(100, 200)   // ~20% of the x domain
+    val p2 = col("n_chars").between(100, 250)  // ~29% of the y domain
+    val (z1, s1) = (scanRows(out, p1), scanRows(frag, p1))
+    val (z2, s2) = (scanRows(out, p2), scanRows(frag, p2))
+    assert(z1 <= s1 / 2, s"x-dim predicate should skip: zordered=$z1 scattered=$s1")
+    assert(z2 <= s2 / 2, s"y-dim predicate should skip: zordered=$z2 scattered=$s2")
+    val (z12, s12) = (scanRows(out, p1 && p2), scanRows(frag, p1 && p2))
+    assert(z12 < s12 / 3, s"rectangle predicate should prune multiplicatively: zordered=$z12 scattered=$s12")
+  }
 }
