@@ -175,6 +175,10 @@ object Similarity {
     // measured in SimilaritySpec.
     "ss_ann_ivf" -> { (s, dir) => ivfTopk(s, dir) },
 
+    // Product-quantization ANN (ADC scan + exact re-rank): same output
+    // shape; rows-only driver check, recall measured in SimilaritySpec.
+    "ss_ann_pq" -> { (s, dir) => pqTopk(s, dir) },
+
     // Norm + int8 quantization codes per vector — the storage/SIMD form a
     // vector store keeps (4× smaller than float32). One narrow codegen'd
     // pass, no shuffle; deterministic via floor(x+0.5) round-half-up and the
@@ -281,6 +285,129 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Product-quantization parameters: subspaces × per-subspace codebook
+    * size, Lloyd's rounds, and the exact-re-rank candidate budget. 8×16
+    * codes compress a 64-dim float vector 64× (8 nibbles vs 256 bytes) —
+    * at 100 TB the ADC scan reads the code table, not the vectors.
+    * PqRerank is a constant PER QUERY (independent of corpus size): the
+    * ADC pass nominates that many candidates and only they are fetched
+    * for exact scoring.
+    */
+  val PqSub = 8
+  val PqSubDim = Dims / PqSub
+  val PqK = 16
+  val PqIters = 3
+  val PqRerank = 50
+
+  /** Argmin-L2 assignment score: for fixed sv, min ‖sv−cv‖² ⇔ max
+    * (sv·cv − ‖cv‖²/2). Keeps assignment a pure SeqDot composition — no
+    * vector subtraction (zip_with lambdas evaluate interpreted per element).
+    */
+  private def pqScore(sv: Column, cv: Column): Column =
+    Dedup.dotSeq(sv, cv) - Dedup.dotSeq(cv, cv) / 2
+
+  /** One row per (vector, subspace): the PqSubDim-wide slice, with the
+    * vector's norm carried along (stored WITH the codes in production, so
+    * cosine needs no second lookup).
+    */
+  private def subRows(e: DataFrame): DataFrame =
+    e.withColumn("nrm", sqrt(Dedup.dotSeq(col("v"), col("v"))))
+      .select(col("vec_id"), col("nrm"),
+        explode(sequence(lit(0), lit(PqSub - 1))).as("sub"), col("v"))
+      .select(col("vec_id"), col("nrm"), col("sub"),
+        slice(col("v"), col("sub") * lit(PqSubDim) + lit(1), lit(PqSubDim)).as("sv"))
+
+  /** Per-subspace Lloyd's k-means codebook: (sub, cid, cv). Same training
+    * dataflow as [[trainCentroids]] (deterministic hash-sample init, K
+    * assign/recenter rounds, zero driver-side actions), run for all PqSub
+    * subspaces at once — the subspace id is just another grouping column,
+    * so one plan trains every codebook in parallel.
+    */
+  private def trainPqCodebook(sr: DataFrame): DataFrame = {
+    val wi = Window.partitionBy("sub")
+      .orderBy(md5Long(11, col("vec_id").cast("string")), col("vec_id"))
+    val init = sr.withColumn("irk", row_number().over(wi))
+      .filter(col("irk") <= PqK)
+      .select(col("sub"), (col("irk") - 1).cast("int").as("cid"), col("sv").as("cv"))
+    val wa = Window.partitionBy("vec_id", "sub").orderBy(col("sc").desc, col("cid").asc)
+    (1 to PqIters).foldLeft(init) { (cb, _) =>
+      sr.join(broadcast(cb), Seq("sub"))
+        .select(col("sub"), col("vec_id"), col("sv"), col("cid"),
+          pqScore(col("sv"), col("cv")).as("sc"))
+        .withColumn("ark", row_number().over(wa)).filter(col("ark") === 1)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cid", "pos")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          / count(lit(1))).cast("double").as("m"))
+        .groupBy("sub", "cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m")).as("cv"))
+    }
+  }
+
+  /** PQ ANN with asymmetric distance computation and exact re-rank.
+    *
+    * Offline: train per-subspace codebooks, encode every corpus vector as
+    * PqSub code ids (argmin-L2 per subspace) — the code table plus norm is
+    * all the ADC scan ever reads. Query time: each query precomputes its
+    * partial-dot table against every (sub, cid) codeword — queries ×
+    * PqSub × PqK rows, broadcast — and the ADC score is the SUM of the
+    * partials matching the corpus codes: q·v ≈ Σ_s q_s·c_{s,code_s(v)}.
+    * The top PqRerank candidates per query by approximate cosine are then
+    * re-scored EXACTLY against their true vectors (a broadcast of the
+    * candidate id set — queries × PqRerank rows, constant-size) for the
+    * final top-k.
+    *
+    * 100 TB shape: training/encoding are broadcast joins against ≤
+    * PqSub×PqK codewords; the recurring per-query cost is one narrow scan
+    * of the 64×-compressed code table + a grouped sum, and the exact pass
+    * touches PqRerank vectors per query instead of the corpus. This is the
+    * memory-bandwidth trade every production vector store makes (FAISS
+    * IVF-PQ); compose with the IVF cells of [[ivfTopk]] to also prune
+    * WHICH codes are scanned.
+    */
+  private def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val sr = subRows(e)
+    val cb = trainPqCodebook(sr)
+    // Encode: nearest codeword per (vector, subspace).
+    val wa = Window.partitionBy("vec_id", "sub").orderBy(col("sc").desc, col("cid").asc)
+    val codes = sr.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("nrm"), col("sub"), col("cid"),
+        pqScore(col("sv"), col("cv")).as("sc"))
+      .withColumn("ark", row_number().over(wa)).filter(col("ark") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("nrm"), col("sub"), col("cid"))
+    // Query partial-dot tables: queries × PqSub × PqK, broadcast.
+    val qparts = subRows(e.filter(col("vec_id") < NQueries))
+      .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"), col("sub"), col("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("qnrm"), col("sub"), col("cid"),
+        Dedup.dotSeq(col("sv"), col("cv")).as("pdot"))
+    // ADC: sum the matching partials over subspaces; approximate cosine
+    // normalizes by the EXACT norms (stored with the codes).
+    val wadc = Window.partitionBy("query_id").orderBy(col("adc_cos").desc, col("neighbor_id").asc)
+    val candidates = codes.join(broadcast(qparts), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id", "qnrm", "nrm")
+      .agg(sum(col("pdot")).as("adc"), count(lit(1)).as("nsub"))
+      .filter(col("nsub") === PqSub)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("adc") / (col("qnrm") * col("nrm"))).as("adc_cos"))
+      .withColumn("crk", row_number().over(wadc)).filter(col("crk") <= PqRerank)
+      .select("query_id", "neighbor_id")
+    // Exact re-rank of the nominated candidates only.
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(candidates.join(broadcast(q), Seq("query_id")))
+      .join(e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+      .select("query_id", "rk", "neighbor_id", "cos")
+      .orderBy("query_id", "rk")
+  }
+
   val oracles: Map[String, String] = Map(
     "ss_topk_bruteforce" ->
       s"""WITH e AS (
@@ -331,6 +458,6 @@ object Similarity {
         |  array_to_string(list_transform(v, x ->
         |    CAST(CAST(floor(x * 127 / nrm + 0.5) AS INT) AS VARCHAR)), ',') AS qvec
         |FROM n ORDER BY vec_id""".stripMargin
-    // ss_ann_lsh / ss_ann_ivf: intentionally no oracle (approximate); recall tested in ScalaTest.
+    // ss_ann_lsh / ss_ann_ivf / ss_ann_pq: intentionally no oracle (approximate); recall tested in ScalaTest.
   )
 }
