@@ -111,6 +111,30 @@ object Connectors {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy("lang", "source")
+    },
+
+    // Schema evolution: two parquet batches of the same logical table where
+    // the LATER batch added a column (the routine lake migration — a field
+    // starts being logged mid-stream). `mergeSchema` unions the footers at
+    // planning time; the old batch's missing column reads as NULL, and
+    // aggregates over the merged view count it correctly. At 100 TB this is
+    // a metadata-only operation — no batch is rewritten — which is exactly
+    // why production tables accrete schema instead of backfilling. The
+    // oracle reconstructs the same two-batch view with UNION ALL.
+    "q42_schema_evolution" -> { (s, dir) =>
+      val src = t(s, dir, "documents")
+      val base = tmp("documents_evolve")
+      src.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$base/batch=0")
+      src.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/batch=1")
+      s.read.option("mergeSchema", "true").parquet(s"$base/batch=0", s"$base/batch=1")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_with_chars"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("total_chars"))
+        .orderBy("lang")
     }
   )
 
@@ -134,6 +158,16 @@ object Connectors {
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang IN ('en', 'de')
-        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q42_schema_evolution" ->
+      """WITH merged AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+        |)
+        |SELECT lang, COUNT(*) AS n_docs, COUNT(n_chars) AS n_with_chars,
+        |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS total_chars
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -104,8 +104,37 @@ object Pipeline {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy("split", "lang")
+    },
+
+    // Token-budget shard packing: assign documents to fixed-token-budget
+    // training shards by a running token total per language stream — the
+    // step that turns a filtered corpus into the ~equal-sized sequential
+    // shards a training job actually reads. A document lands in the shard
+    // where its tokens START (floor((cum - n_tokens) / budget)), so shard
+    // boundaries are deterministic, order-stable, and reproducible across
+    // engines. Scale shape: one window per language partition — the
+    // sequential dependency is INHERENT to packing, so parallelism comes
+    // from the partition column (at 100 TB: lang × hash-bucket substreams,
+    // each packed independently — same window, finer partition key).
+    "pl_token_pack" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Relational.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("lang"),
+          floor((col("cum") - col("n_tokens")) / lit(TokenShardBudget)).as("shard_id"),
+          col("n_tokens"))
+        .groupBy("lang", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+        .orderBy("lang", "shard_id")
     }
   )
+
+  /** Tokens per training shard for [[queries pl_token_pack]]. */
+  val TokenShardBudget = 2000L
 
   /** Retention threshold for [[queries pl_train_corpus]] — keeps ~60% of the
     * corpus (score distribution: min 0.2, median ≈ 0.32, max ≈ 0.64).
@@ -150,6 +179,19 @@ object Pipeline {
          |            WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
          |            ELSE 'test' END AS split,
          |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-         |FROM surv GROUP BY split, lang ORDER BY split, lang""".stripMargin
+         |FROM surv GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "pl_token_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+         |  FROM t
+         |)
+         |SELECT lang, CAST(FLOOR((cum - n_tokens) / $TokenShardBudget) AS BIGINT) AS shard_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+         |FROM c GROUP BY lang, shard_id ORDER BY lang, shard_id""".stripMargin
   )
 }

@@ -338,6 +338,45 @@ object Relational2 {
         .orderBy("c_mktsegment", "rn")
     },
 
+    // Six-table star-schema join (TPC-H Q5 shape): regional revenue where
+    // the customer's and the supplier's nation COINCIDE — the classic
+    // optimizer workout. Plan discipline for 100 TB: the region filter
+    // reduces nation to a ~5-row broadcast BEFORE any fact is touched; the
+    // date filter is pushed into the orders scan; the fact stream then
+    // re-shuffles once per join key as it shrinks (lineitem⋈orders on
+    // orderkey → ⋈customer on custkey → ⋈supplier on suppkey with the
+    // same-nation predicate inside the join condition, never a post-filter
+    // over a wider join). Dims broadcast, facts sort-merge — Catalyst + AQE
+    // pick per-side strategies from real sizes at runtime.
+    "q41_regional_revenue" -> { (s, dir) =>
+      val nation = broadcast(
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val cust = t(s, dir, "customer")
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    },
+
     // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
     // hash shuffle → sorted streaming reduce-UDF), driver-verified against
     // the same oracle as the declarative q19: the engine's two execution
@@ -360,6 +399,20 @@ object Relational2 {
   val PivotYears: Seq[Int] = 1995 to 2001
 
   val oracles: Map[String, String] = Map(
+    "q41_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q40_month_spine" ->
       """WITH RECURSIVE months(d) AS (
         |  SELECT DATE '1995-01-01'

@@ -66,6 +66,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("six-table star join broadcasts dims and pushes the date filter to the orders scan") {
+    val p = plan("q41_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"q41 lost its dim broadcasts:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderdate"),
+      s"q41's date window must reach the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"q41 degenerated off the equality-join path:\n$p")
+  }
+
   test("bloom semi-join reduction filters the fact side via a scalar subquery") {
     val p = plan("j3_bloom_semijoin")
     assert(p.contains("might_contain"), s"expected a bloom might_contain filter on the fact scan:\n$p")
