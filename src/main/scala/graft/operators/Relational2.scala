@@ -338,6 +338,29 @@ object Relational2 {
         .orderBy("c_mktsegment", "rn")
     },
 
+    // Aggregate navigation: the user-shaped grouped aggregate over the BASE
+    // table, with a materialized view registered for (lang, source) partials
+    // — the engine's MatViewReroute rule proves the substitution and the
+    // plan reads the view (GBs at scale) instead of the base (TBs), rolling
+    // the source dimension up from the stored partials. The oracle
+    // recomputes from the base `documents` table, so the gate hash-match is
+    // end-to-end evidence the reroute is semantically invisible. Plan
+    // substitution + decline guards are asserted in MatViewsSpec.
+    "mv_agg_reroute" -> { (s, dir) =>
+      val base = Connectors.tmp("documents_mvbase")
+      t(s, dir, "documents").write.mode("overwrite").parquet(base)
+      val mv = Connectors.tmp("documents_mv")
+      graft.plans.MatViews.buildAndRegister(s, base, mv, Seq("lang", "source"), Seq("n_chars"))
+      s.read.parquet(base)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    },
+
     // Six-table star-schema join (TPC-H Q5 shape): regional revenue where
     // the customer's and the supplier's nation COINCIDE — the classic
     // optimizer workout. Plan discipline for 100 TB: the region filter
@@ -399,6 +422,10 @@ object Relational2 {
   val PivotYears: Seq[Int] = 1995 to 2001
 
   val oracles: Map[String, String] = Map(
+    "mv_agg_reroute" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q41_regional_revenue" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer tier: window top-k → bounded-heap aggregate (see
     // [[TopKRewrite]] for the provable-shape guards).
     e.injectOptimizerRule(_ => TopKRewrite)
+    // Aggregate navigation: reroute provably-equivalent aggregates onto a
+    // registered materialized view (see [[MatViewReroute]]).
+    e.injectOptimizerRule(_ => MatViewReroute)
     e.injectFunction(
       (FunctionIdentifier("graft_fnv64"),
         info("graft_fnv64", "graft_fnv64(str) - FNV-1a 64-bit hash of str's UTF-8 bytes."),

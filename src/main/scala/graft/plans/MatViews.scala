@@ -1,0 +1,157 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** Materialized aggregate views + the optimizer rule that reroutes matching
+  * aggregate queries onto them ("aggregate navigation").
+  *
+  * The 100 TB story: recurring reporting aggregates re-scan the same fact
+  * table for every dashboard refresh. A materialized view holds the
+  * DECOMPOSABLE partial state (count / sum / min / max per grouping key),
+  * maintained offline; any aggregate over a SUBSET of the view's keys whose
+  * functions are all re-aggregable then reads the view — GBs — instead of
+  * the base table — TBs. The rule proves the substitution, the user query
+  * text never changes, and the driver-gate oracle recomputes from the BASE
+  * table, so a hash-match is end-to-end evidence the rerouted plan is
+  * semantically identical (`mv_agg_reroute`).
+  *
+  * Fires only on an exactly-provable shape (anything else stays on the base
+  * table):
+  *  - the aggregate's child is the registered base-table parquet scan
+  *    (optionally under a column-pruning Project of plain attributes —
+  *    no Filter: a row-level predicate invalidates pre-aggregation);
+  *  - every grouping expression is a plain attribute among the view's keys
+  *    (a PROPER subset rolls partials up — the cube-navigation case);
+  *  - grouping is non-empty (a global aggregate over an EMPTY base returns
+  *    one row, but an empty view would return zero — declined rather than
+  *    special-cased);
+  *  - every aggregate is non-distinct, unfiltered count(*) / sum / min /
+  *    max over a registered measure: count(*) → SUM(cnt), sum → SUM(sum_m),
+  *    min → MIN(min_m), max → MAX(max_m). count(col), avg, distinct and
+  *    expression-wrapped measures decline.
+  * The rewritten Aggregate re-aliases every output to the ORIGINAL exprIds,
+  * so parent operators are untouched ([[TopKRewrite]]'s contract).
+  */
+object MatViews {
+
+  /** A registered view: pre-aggregated `mvPath` parquet for `basePath`,
+    * grouped by `keys`, with partial count/sum/min/max per `measures`.
+    */
+  final case class View(basePath: String, mvPath: String, keys: Seq[String], measures: Seq[String])
+
+  val CntCol = "graft_mv_cnt"
+  def sumCol(m: String): String = s"graft_mv_sum_$m"
+  def minCol(m: String): String = s"graft_mv_min_$m"
+  def maxCol(m: String): String = s"graft_mv_max_$m"
+
+  /** Registry keyed by the base path's normalized URI path. Process-global
+    * (one registry per JVM, like the session extension itself).
+    */
+  private val views = new ConcurrentHashMap[String, View]()
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  def register(v: View): Unit = views.put(norm(v.basePath), v)
+  def unregister(basePath: String): Unit = views.remove(norm(basePath))
+  def clear(): Unit = views.clear()
+
+  private[plans] def lookup(rootPaths: Seq[org.apache.hadoop.fs.Path]): Option[View] =
+    rootPaths match {
+      case Seq(p) => Option(views.get(p.toUri.getPath))
+      case _      => None
+    }
+
+  /** Build the partial-state parquet for (basePath, keys, measures) and
+    * register it. Unregisters first so the build's own aggregate can never
+    * reroute onto the view it is about to overwrite (the self-referential
+    * rebuild hazard).
+    */
+  def buildAndRegister(spark: SparkSession, basePath: String, mvPath: String,
+      keys: Seq[String], measures: Seq[String]): Unit = {
+    unregister(basePath)
+    val aggs = count(lit(1)).as(CntCol) +: measures.flatMap { m =>
+      Seq(sum(col(m)).as(sumCol(m)), min(col(m)).as(minCol(m)), max(col(m)).as(maxCol(m)))
+    }
+    spark.read.parquet(basePath)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    register(View(basePath, mvPath, keys, measures))
+  }
+}
+
+/** The reroute rule — registered through [[GraftExtensions]]. */
+object MatViewReroute extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate => reroute(agg).getOrElse(agg)
+  }
+
+  /** The registered view scanned by `plan`, if `plan` is exactly that scan
+    * (or a column-pruning Project over it).
+    */
+  private def scanView(plan: LogicalPlan): Option[MatViews.View] = plan match {
+    case LogicalRelation(fsr: HadoopFsRelation, _, _, _, _) =>
+      MatViews.lookup(fsr.location.rootPaths)
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      scanView(child)
+    case _ => None
+  }
+
+  private def reroute(agg: Aggregate): Option[LogicalPlan] =
+    scanView(agg.child).flatMap { view =>
+      val groupable = agg.groupingExpressions.nonEmpty && agg.groupingExpressions.forall {
+        case a: AttributeReference => view.keys.contains(a.name)
+        case _                     => false
+      }
+      if (!groupable) None
+      else {
+        // Fresh MV relation per rewrite: attribute ids must be unique per
+        // occurrence in a plan tree, so the analyzed read is not cached.
+        val mvPlan = SparkSession.active.read.parquet(view.mvPath).queryExecution.analyzed
+        val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
+        val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+          case a: AttributeReference if view.keys.contains(a.name) =>
+            Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
+          case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
+            rewriteFn(fn, view, mvAttr).map(nf =>
+              Alias(nf.toAggregateExpression(), name)(exprId = al.exprId))
+          case _ => None
+        }
+        if (rewritten.exists(_.isEmpty)) None
+        else {
+          val newGroup = agg.groupingExpressions.collect {
+            case a: AttributeReference => mvAttr(a.name)
+          }
+          Some(Aggregate(newGroup, rewritten.flatten, mvPlan))
+        }
+      }
+    }
+
+  /** count(*) / sum / min / max over a registered measure → the re-aggregation
+    * of the view's partial column. Output types line up exactly: measures are
+    * stored un-widened, count partials are longs, and SUM over longs is a
+    * long, so no cast is needed and the driver-gate schema hash is unchanged.
+    */
+  private def rewriteFn(fn: AggregateFunction, view: MatViews.View,
+      mvAttr: Map[String, Attribute]): Option[AggregateFunction] = fn match {
+    case Count(Seq(Literal(1, _))) =>
+      Some(Sum(mvAttr(MatViews.CntCol)))
+    case Sum(a: AttributeReference, _) if view.measures.contains(a.name) =>
+      Some(Sum(mvAttr(MatViews.sumCol(a.name))))
+    case Min(a: AttributeReference) if view.measures.contains(a.name) =>
+      Some(Min(mvAttr(MatViews.minCol(a.name))))
+    case Max(a: AttributeReference) if view.measures.contains(a.name) =>
+      Some(Max(mvAttr(MatViews.maxCol(a.name))))
+    case _ => None
+  }
+}
