@@ -361,6 +361,33 @@ object Relational2 {
         .orderBy("lang")
     },
 
+    // Incremental view maintenance: an append batch lands in the base table
+    // and FOLDS into the materialized view (partials are mergeable — that is
+    // why the view stores partials, not finals), so refresh cost is
+    // O(batch) + O(view), independent of base size. The user query then
+    // reroutes to the refreshed view; the oracle recomputes from the FULL
+    // base, so the gate hash-match proves merged-increment == recompute.
+    // The version flip (v1 → v2 path) never overwrites the view being read.
+    "mv_incremental_refresh" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val base = Connectors.tmp("documents_mvincr_base")
+      docs.filter(col("doc_id") < 400).write.mode("overwrite").parquet(base)
+      val mv1 = Connectors.tmp("documents_mvincr_v1")
+      graft.plans.MatViews.buildAndRegister(s, base, mv1, Seq("lang", "source"), Seq("n_chars"))
+      val batch = docs.filter(col("doc_id") >= 400)
+      batch.write.mode("append").parquet(base)
+      val mv2 = Connectors.tmp("documents_mvincr_v2")
+      graft.plans.MatViews.refreshAppend(s, base, batch, mv2)
+      s.read.parquet(base)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    },
+
     // Six-table star-schema join (TPC-H Q5 shape): regional revenue where
     // the customer's and the supplier's nation COINCIDE — the classic
     // optimizer workout. Plan discipline for 100 TB: the region filter
@@ -423,6 +450,10 @@ object Relational2 {
 
   val oracles: Map[String, String] = Map(
     "mv_agg_reroute" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "mv_incremental_refresh" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -70,6 +70,15 @@ object MatViews {
       case _      => None
     }
 
+  /** The partial-state aggregation of `rows` for (keys, measures). */
+  private def partials(rows: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], measures: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val aggs = count(lit(1)).as(CntCol) +: measures.flatMap { m =>
+      Seq(sum(col(m)).as(sumCol(m)), min(col(m)).as(minCol(m)), max(col(m)).as(maxCol(m)))
+    }
+    rows.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Build the partial-state parquet for (basePath, keys, measures) and
     * register it. Unregisters first so the build's own aggregate can never
     * reroute onto the view it is about to overwrite (the self-referential
@@ -78,14 +87,37 @@ object MatViews {
   def buildAndRegister(spark: SparkSession, basePath: String, mvPath: String,
       keys: Seq[String], measures: Seq[String]): Unit = {
     unregister(basePath)
-    val aggs = count(lit(1)).as(CntCol) +: measures.flatMap { m =>
-      Seq(sum(col(m)).as(sumCol(m)), min(col(m)).as(minCol(m)), max(col(m)).as(maxCol(m)))
-    }
-    spark.read.parquet(basePath)
-      .groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+    partials(spark.read.parquet(basePath), keys, measures)
       .write.mode("overwrite").parquet(mvPath)
     register(View(basePath, mvPath, keys, measures))
+  }
+
+  /** Incremental refresh for an APPEND batch: fold the batch's partial
+    * state into the registered view without rescanning the base table —
+    * count/sum/min/max partials are all mergeable (that is WHY the view
+    * stores partials, not finals), so the refresh cost is O(batch) +
+    * O(view), independent of base-table size. The merged state lands at
+    * `newMvPath` (a fresh version, never overwriting the version being
+    * read) and the registration flips atomically to it. Appends only:
+    * deletes/updates would need retractable partials (min/max are not
+    * invertible) — route those through a full [[buildAndRegister]].
+    */
+  def refreshAppend(spark: SparkSession, basePath: String,
+      batch: org.apache.spark.sql.DataFrame, newMvPath: String): Unit = {
+    val view = Option(views.get(norm(basePath))).getOrElse(
+      throw new IllegalStateException(s"no view registered for $basePath"))
+    val keys = view.keys
+    val mergeAggs = sum(col(CntCol)).as(CntCol) +: view.measures.flatMap { m =>
+      Seq(sum(col(sumCol(m))).as(sumCol(m)),
+        min(col(minCol(m))).as(minCol(m)),
+        max(col(maxCol(m))).as(maxCol(m)))
+    }
+    val merged = partials(batch, keys, view.measures)
+      .unionByName(spark.read.parquet(view.mvPath))
+      .groupBy(keys.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+    merged.write.mode("overwrite").parquet(newMvPath)
+    register(View(basePath, newMvPath, keys, view.measures))
   }
 }
 

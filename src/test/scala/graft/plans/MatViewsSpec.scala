@@ -59,6 +59,36 @@ class MatViewsSpec extends SparkSpec {
     } finally MatViews.unregister(base)
   }
 
+  test("append refresh merges batch partials; rerouted result equals full recompute") {
+    val base = java.nio.file.Files.createTempDirectory("mv-incr-base").toString
+    val mv1 = java.nio.file.Files.createTempDirectory("mv-incr-v1").toString
+    val mv2 = java.nio.file.Files.createTempDirectory("mv-incr-v2").toString
+    val docs = graft.operators.Relational.t(spark, sf(), "documents")
+    try {
+      docs.filter(col("doc_id") < 300).write.mode("overwrite").parquet(base)
+      MatViews.buildAndRegister(spark, base, mv1, Seq("lang", "source"), Seq("n_chars"))
+      val batch = docs.filter(col("doc_id") >= 300)
+      batch.write.mode("append").parquet(base)
+      MatViews.refreshAppend(spark, base, batch, mv2)
+
+      def userQuery = spark.read.parquet(base)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+
+      val rerouted = userQuery
+      assert(scanPaths(rerouted).contains(mv2), "refresh must flip the registration to the v2 path")
+      val got = rerouted.collect().map(_.toSeq).toSeq
+
+      MatViews.unregister(base)
+      val direct = userQuery
+      assert(scanPaths(direct).contains(base))
+      assert(got == direct.collect().map(_.toSeq).toSeq,
+        "merged-increment view must equal the full recompute")
+    } finally MatViews.unregister(base)
+  }
+
   test("declines: filters, distinct, count(col), unregistered measures, global agg") {
     val (base, _) = fixture()
     try {
