@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations: a declared constraint catalog evaluated into
+  * (check_name, n_checked, n_violations) rows — the validation gate a
+  * 100 TB pipeline runs before a corpus version ships (and the dbt-test /
+  * Deequ shape users expect of an analytics engine).
+  *
+  * Scale posture: every check is either an algebraic aggregate over one
+  * narrow scan (nullability, ranges, exact-distinct uniqueness) or a
+  * key-partitioned left join with a conditional count (referential
+  * integrity — the probe side never materializes an anti-join copy).
+  * Checks are independent small plans unioned at the end, so they
+  * parallelize trivially and any subset can be run alone. Violation counts
+  * are exact, so the whole report is DuckDB-oracle-checkable; the catalog
+  * deliberately mixes hard constraints that hold (0 violations) with soft
+  * expectations that fail (non-zero counts) — a validator that can only
+  * ever report zero is untested.
+  */
+object Quality {
+
+  private def report(name: String, agged: DataFrame): DataFrame =
+    agged.select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+
+  /** One-scan check: total rows vs rows violating `bad`. */
+  private def scanCheck(name: String, df: DataFrame, bad: Column): DataFrame =
+    report(name, df.agg(
+      count(lit(1)).as("n_checked"),
+      sum(when(bad, 1L).otherwise(0L)).as("n_violations")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dq_expectations" -> { (s, dir) =>
+      val docs = Relational.t(s, dir, "documents")
+      val orders = Relational.t(s, dir, "orders")
+      val customer = Relational.t(s, dir, "customer")
+      val lineitem = Relational.t(s, dir, "lineitem")
+
+      // Uniqueness: duplicates = rows beyond the first per key.
+      val docIdUnique = report("documents_doc_id_unique",
+        docs.agg(
+          count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("doc_id"))).as("n_violations")))
+      val orderKeyUnique = report("orders_o_orderkey_unique",
+        orders.agg(
+          count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations")))
+
+      // Referential integrity as a left join + conditional count — the
+      // probe stream is counted in one pass, no anti-join materialization.
+      val custRi = report("orders_o_custkey_in_customer",
+        orders.select(col("o_custkey"))
+          .join(customer.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_outer")
+          .agg(
+            count(lit(1)).as("n_checked"),
+            sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations")))
+      val orderRi = report("lineitem_l_orderkey_in_orders",
+        lineitem.select(col("l_orderkey"))
+          .join(orders.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_outer")
+          .agg(
+            count(lit(1)).as("n_checked"),
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations")))
+
+      // Hard range/nullability constraints (hold on this corpus).
+      val qtyRange = scanCheck("lineitem_l_quantity_in_1_50", lineitem,
+        col("l_quantity").isNull || col("l_quantity") < 1 || col("l_quantity") > 50)
+      val textPresent = scanCheck("documents_text_nonempty", docs,
+        col("text").isNull || length(trim(col("text"))) === 0)
+
+      // Soft expectations (fail with non-zero counts on this corpus).
+      val docLength = scanCheck("documents_n_chars_at_least_100", docs, col("n_chars") < 100)
+      val priceCap = scanCheck("orders_totalprice_below_300k", orders,
+        col("o_totalprice") >= 300000.0)
+
+      Seq(docIdUnique, orderKeyUnique, custRi, orderRi, qtyRange, textPresent,
+        docLength, priceCap)
+        .reduce(_.unionByName(_))
+        .orderBy("check_name")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dq_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'documents_doc_id_unique' AS check_name,
+        |    (SELECT COUNT(*) FROM documents) AS n_checked,
+        |    (SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents) AS n_violations
+        |  UNION ALL
+        |  SELECT 'orders_o_orderkey_unique',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL
+        |  SELECT 'orders_o_custkey_in_customer',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |     WHERE c_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem_l_orderkey_in_orders',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |     WHERE o_orderkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem_l_quantity_in_1_50',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+        |  UNION ALL
+        |  SELECT 'documents_text_nonempty',
+        |    (SELECT COUNT(*) FROM documents),
+        |    (SELECT COUNT(*) FROM documents WHERE text IS NULL OR length(trim(text)) = 0)
+        |  UNION ALL
+        |  SELECT 'documents_n_chars_at_least_100',
+        |    (SELECT COUNT(*) FROM documents),
+        |    (SELECT COUNT(*) FROM documents WHERE n_chars < 100)
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_below_300k',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 300000.0)
+        |) ORDER BY check_name""".stripMargin
+  )
+}
