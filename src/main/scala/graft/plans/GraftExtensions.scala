@@ -99,6 +99,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         })
     )
     e.injectFunction(
+      (FunctionIdentifier("graft_repetition"),
+        info("graft_repetition",
+          "graft_repetition(text, n) - struct(total_grams, distinct_grams, top_count) over text's word n-grams."),
+        (args: Seq[Expression]) => args match {
+          case Seq(c)    => graft.functions.RepetitionStats(c, 3)
+          case Seq(c, n) => graft.functions.RepetitionStats(c, foldableInt("graft_repetition", "n", n))
+          case _ =>
+            throw new IllegalArgumentException("graft_repetition expects (text) or (text, n)")
+        })
+    )
+    e.injectFunction(
       (FunctionIdentifier("graft_quantize_i8"),
         info("graft_quantize_i8",
           "graft_quantize_i8(vec, norm) - int8 codes floor(vec[i]*127/norm + 0.5) of a double array."),

@@ -26,6 +26,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out.getSeq[String](0) == Seq("a b", "b c", "c d"))
   }
 
+  test("repetition stats callable from SQL, with and without the width argument") {
+    val out = spark.sql(
+      "SELECT graft_repetition('a b a b a b') AS r3, graft_repetition('a a a', 2) AS r2").head()
+    val r3 = out.getStruct(0)
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) == ((4L, 2L, 2L)))
+    val r2 = out.getStruct(1)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((2L, 1L, 2L)))
+  }
+
   test("winnow and quantize functions are callable from SQL") {
     val out = spark.sql(
       """SELECT graft_winnow('a b c d e f g h i j k l', 4, 8) AS fp,
