@@ -230,12 +230,15 @@ object TextAnalysis {
     // spread barrier materializes the stats struct once so the four field
     // consumers below don't re-run the per-document counting pass
     // (projection collapse would inline the expression per field — the
-    // ta_token_stats / minhashSigs trap).
+    // ta_token_stats / minhashSigs trap). The ≥3-token gate is the CHEAP
+    // tokenize-only expression, evaluated before the struct is built — a
+    // filter on rep.total_grams would be predicate-pushed below the
+    // barrier's projection and re-run the whole counting pass per row.
     "ta_repetition" -> { (s, dir) =>
       Relational.t(s, dir, "documents")
+        .filter(size(tokens(col("text"))) >= 3)
         .select(col("doc_id"), graft.functions.RepetitionStats(col("text"), 3).as("rep"))
         .transform(Dedup.spread("doc_id"))
-        .filter(col("rep.total_grams") > 0)
         .select(
           col("doc_id"),
           col("rep.total_grams").as("total_grams"),
