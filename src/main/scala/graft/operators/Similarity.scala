@@ -322,6 +322,12 @@ object Similarity {
     * assign/recenter rounds, zero driver-side actions), run for all PqSub
     * subspaces at once — the subspace id is just another grouping column,
     * so one plan trains every codebook in parallel.
+    *
+    * Assignment is `max_by` over a (score, -cid) struct, not a ranked
+    * window: an argmax needs no sort, the hash aggregate's partial step
+    * merges map-side, and each Lloyd round drops an exchange+sort pair —
+    * the struct tie-break reproduces the window's (sc DESC, cid ASC)
+    * order exactly.
     */
   private def trainPqCodebook(sr: DataFrame): DataFrame = {
     val wi = Window.partitionBy("sub")
@@ -329,12 +335,14 @@ object Similarity {
     val init = sr.withColumn("irk", row_number().over(wi))
       .filter(col("irk") <= PqK)
       .select(col("sub"), (col("irk") - 1).cast("int").as("cid"), col("sv").as("cv"))
-    val wa = Window.partitionBy("vec_id", "sub").orderBy(col("sc").desc, col("cid").asc)
     (1 to PqIters).foldLeft(init) { (cb, _) =>
       sr.join(broadcast(cb), Seq("sub"))
         .select(col("sub"), col("vec_id"), col("sv"), col("cid"),
           pqScore(col("sv"), col("cv")).as("sc"))
-        .withColumn("ark", row_number().over(wa)).filter(col("ark") === 1)
+        .groupBy("sub", "vec_id")
+        // sv is functionally determined by (sub, vec_id): first() is unique.
+        .agg(max_by(col("cid"), struct(col("sc"), -col("cid"))).as("cid"),
+          first(col("sv")).as("sv"))
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("sub", "cid", "pos")
         .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
@@ -371,13 +379,13 @@ object Similarity {
     val e = vecs(s, dir)
     val sr = subRows(e)
     val cb = trainPqCodebook(sr)
-    // Encode: nearest codeword per (vector, subspace).
-    val wa = Window.partitionBy("vec_id", "sub").orderBy(col("sc").desc, col("cid").asc)
+    // Encode: nearest codeword per (vector, subspace) — max_by argmax, same
+    // sort-free shape as training assignment.
     val codes = sr.join(broadcast(cb), Seq("sub"))
       .select(col("vec_id"), col("nrm"), col("sub"), col("cid"),
         pqScore(col("sv"), col("cv")).as("sc"))
-      .withColumn("ark", row_number().over(wa)).filter(col("ark") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("nrm"), col("sub"), col("cid"))
+      .groupBy(col("vec_id").as("neighbor_id"), col("nrm"), col("sub"))
+      .agg(max_by(col("cid"), struct(col("sc"), -col("cid"))).as("cid"))
     // Query partial-dot tables: queries × PqSub × PqK, broadcast.
     val qparts = subRows(e.filter(col("vec_id") < NQueries))
       .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"), col("sub"), col("sv"))
