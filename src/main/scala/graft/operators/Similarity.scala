@@ -179,6 +179,10 @@ object Similarity {
     // shape; rows-only driver check, recall measured in SimilaritySpec.
     "ss_ann_pq" -> { (s, dir) => pqTopk(s, dir) },
 
+    // IVF-PQ composition (cells prune rows, codes prune bytes): same output
+    // shape; rows-only driver check, recall measured in SimilaritySpec.
+    "ss_ann_ivfpq" -> { (s, dir) => ivfPqTopk(s, dir) },
+
     // Norm + int8 quantization codes per vector — the storage/SIMD form a
     // vector store keeps (4× smaller than float32). One narrow codegen'd
     // pass, no shuffle; deterministic via floor(x+0.5) round-half-up and the
@@ -375,8 +379,12 @@ object Similarity {
     * IVF-PQ); compose with the IVF cells of [[ivfTopk]] to also prune
     * WHICH codes are scanned.
     */
-  private def pqTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
+  /** PQ index for a corpus: (codes, qparts). `codes` is the 64×-compressed
+    * code table (neighbor_id, nrm, sub, cid) — the only thing the recurring
+    * ADC scan reads; `qparts` is each query's partial-dot table against
+    * every (sub, cid) codeword (queries × PqSub × PqK rows, broadcastable).
+    */
+  private def pqIndex(e: DataFrame): (DataFrame, DataFrame) = {
     val sr = subRows(e)
     val cb = trainPqCodebook(sr)
     // Encode: nearest codeword per (vector, subspace) — max_by argmax, same
@@ -386,16 +394,21 @@ object Similarity {
         pqScore(col("sv"), col("cv")).as("sc"))
       .groupBy(col("vec_id").as("neighbor_id"), col("nrm"), col("sub"))
       .agg(max_by(col("cid"), struct(col("sc"), -col("cid"))).as("cid"))
-    // Query partial-dot tables: queries × PqSub × PqK, broadcast.
     val qparts = subRows(e.filter(col("vec_id") < NQueries))
       .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"), col("sub"), col("sv"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("qnrm"), col("sub"), col("cid"),
         Dedup.dotSeq(col("sv"), col("cv")).as("pdot"))
-    // ADC: sum the matching partials over subspaces; approximate cosine
-    // normalizes by the EXACT norms (stored with the codes).
+    (codes, qparts)
+  }
+
+  /** Shared ADC tail: sum partial dots per (query, neighbor), keep the top
+    * PqRerank by approximate cosine (EXACT norms ride with the codes), then
+    * re-score the nominated candidates against their true vectors.
+    */
+  private def adcRerank(e: DataFrame, joined: DataFrame): DataFrame = {
     val wadc = Window.partitionBy("query_id").orderBy(col("adc_cos").desc, col("neighbor_id").asc)
-    val candidates = codes.join(broadcast(qparts), Seq("sub", "cid"))
+    val candidates = joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id", "qnrm", "nrm")
       .agg(sum(col("pdot")).as("adc"), count(lit(1)).as("nsub"))
@@ -404,7 +417,6 @@ object Similarity {
         (col("adc") / (col("qnrm") * col("nrm"))).as("adc_cos"))
       .withColumn("crk", row_number().over(wadc)).filter(col("crk") <= PqRerank)
       .select("query_id", "neighbor_id")
-    // Exact re-rank of the nominated candidates only.
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -414,6 +426,42 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
       .select("query_id", "rk", "neighbor_id", "cos")
       .orderBy("query_id", "rk")
+  }
+
+  private def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val (codes, qparts) = pqIndex(e)
+    adcRerank(e, codes.join(broadcast(qparts), Seq("sub", "cid")))
+  }
+
+  /** IVF-PQ: the two pruning structures composed (the FAISS production
+    * shape). The trained coarse quantizer assigns every vector to a cell
+    * (WHICH code rows a query scans — prunes rows); the PQ codes compress
+    * what is read per row (prunes bytes). A query probes its IvfProbes
+    * nearest cells and runs the ADC sum only over codes in those cells, so
+    * the recurring cost is |corpus|·(probes/cells) code-table rows, each 8
+    * nibbles wide — at 100 TB the cell id would be stored WITH the codes
+    * (here it rides in on a vec-id join) and the code table would be
+    * cluster-by-cell laid out ([[graft.operators.Maintenance.clusterBy]])
+    * so probed cells are contiguous file ranges.
+    */
+  private def ivfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cent = trainCentroids(e)
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
+    val cellsOf = scored.groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+    val wq = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val qprobes = scored.filter(col("vec_id") < NQueries)
+      .withColumn("crk", row_number().over(wq)).filter(col("crk") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("c_id").as("cell"))
+    val (codes, qparts) = pqIndex(e)
+    val joined = codes
+      .join(cellsOf.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qprobes), Seq("cell"))
+      .join(broadcast(qparts), Seq("query_id", "sub", "cid"))
+    adcRerank(e, joined)
   }
 
   val oracles: Map[String, String] = Map(
@@ -466,6 +514,6 @@ object Similarity {
         |  array_to_string(list_transform(v, x ->
         |    CAST(CAST(floor(x * 127 / nrm + 0.5) AS INT) AS VARCHAR)), ',') AS qvec
         |FROM n ORDER BY vec_id""".stripMargin
-    // ss_ann_lsh / ss_ann_ivf / ss_ann_pq: intentionally no oracle (approximate); recall tested in ScalaTest.
+    // ss_ann_lsh / ss_ann_ivf / ss_ann_pq / ss_ann_ivfpq: intentionally no oracle (approximate); recall tested in ScalaTest.
   )
 }

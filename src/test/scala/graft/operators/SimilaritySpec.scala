@@ -65,6 +65,23 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean PQ recall@5 too low: $mean ($recalls)")
   }
 
+  test("IVF-PQ recall@5 vs brute force is acceptable; output bounded by k per query") {
+    val exact = neighbors("ss_topk_bruteforce")
+    val ivfpq = neighbors("ss_ann_ivfpq")
+    ivfpq.values.foreach(n => assert(n.size <= Similarity.TopK))
+    val recalls = exact.map { case (q, ex) =>
+      val got = ivfpq.getOrElse(q, Seq.empty).toSet
+      ex.count(got.contains).toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"IVF-PQ mean recall@5 = $mean")
+    // The candidate set is the intersection of the probed cells (4/16) and
+    // the ADC top-PqRerank, so recall is bounded by BOTH parents (~0.56 PQ,
+    // ~0.54 IVF on this unclustered corpus); floor set from the measured
+    // value with jitter headroom.
+    assert(mean >= 0.3, s"mean IVF-PQ recall@5 too low: $mean ($recalls)")
+  }
+
   test("ANN candidate generation prunes the corpus (not brute force in disguise)") {
     // Each query should compare against far fewer than all vectors: check the
     // result is not identical to brute force across all queries (extremely
