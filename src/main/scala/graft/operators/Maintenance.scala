@@ -224,7 +224,7 @@ object Maintenance {
       val frag = Connectors.tmp("documents_scatter")
       src.repartition(40).write.mode("overwrite").parquet(frag)
       val clustered = Connectors.tmp("documents_clustered")
-      clusterBy(s, frag, clustered, Seq("n_chars", "doc_id"), 4L * 1024)
+      clusterBy(s, frag, clustered, Seq("n_chars", "doc_id"), 64L * 1024)
       s.read.parquet(clustered)
         .filter(col("n_chars").between(150, 300))
         .groupBy("lang")
@@ -274,7 +274,7 @@ object Maintenance {
       val frag = Connectors.tmp("documents_zscatter")
       src.repartition(40).write.mode("overwrite").parquet(frag)
       val zed = Connectors.tmp("documents_zorder")
-      zOrderBy(s, frag, zed, "doc_id", "n_chars", 4L * 1024)
+      zOrderBy(s, frag, zed, "doc_id", "n_chars", 64L * 1024)
       s.read.parquet(zed)
         .filter(col("doc_id").between(100, 250) && col("n_chars").between(100, 400))
         .groupBy("lang")
