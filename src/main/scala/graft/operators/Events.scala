@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.streaming.EventStreams
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -99,6 +99,49 @@ object Events {
         .agg(count(lit(1)).as("n_events"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
         .orderBy("window_start", "event_type")
+    },
+
+    // Ordered conversion funnel: view → click (strictly after the user's
+    // first view) → purchase (strictly after that click). Three cascaded
+    // per-user aggregates, each an equi-join on user_id — every stage
+    // reuses the same key partitioning, the conversion predicate rides in
+    // the join filter, and no window sort over the raw event stream is
+    // needed. Output is one row per stage with the surviving-user count —
+    // the product-analytics primitive behind every conversion dashboard.
+    "ev_funnel" -> { (s, dir) =>
+      val ev = Relational.t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users")).select(lit("2_click").as("stage"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users")).select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy("stage")
+    },
+
+    // Cohort retention: users grouped by their first-signup week, counted
+    // as active in each later week they emit ANY event. Weeks are integer
+    // day-offsets / 7 from a fixed epoch — pure integer arithmetic both
+    // engines compute identically (no locale/week-start semantics). Two
+    // aggregates + one join on user_id; the distinct (user, week) activity
+    // set is the only intermediate, already the minimal one.
+    "ev_retention" -> { (s, dir) =>
+      val ev = Relational.t(s, dir, "events")
+      def week(ts: Column): Column =
+        floor(datediff(to_date(ts), lit("2024-01-01").cast("date")) / 7).cast("int")
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(week(col("ts"))).as("cohort_week"))
+      val active = ev.select(col("user_id"), week(col("ts")).as("week")).distinct()
+      cohort.join(active, Seq("user_id"))
+        .filter(col("week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
     }
   )
 
@@ -149,6 +192,38 @@ object Events {
         |FROM (
         |  SELECT ts, event_type, time_bucket(INTERVAL '30 minutes', ts) AS s0 FROM events
         |), LATERAL (SELECT UNNEST([s0, s0 - INTERVAL '30 minutes']) AS window_start)
-        |GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin
+        |GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+    "ev_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id
+        |)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+        |ORDER BY stage""".stripMargin,
+    "ev_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id,
+        |    MIN(CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), active AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT) AS week
+        |  FROM events
+        |)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_active
+        |FROM cohort c JOIN active a ON c.user_id = a.user_id
+        |WHERE week >= cohort_week
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }
