@@ -100,37 +100,33 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
-    // Exact 3-NN graph over EVERY vector — the structure diversity
-    // sampling, cluster seeding, and graph-based dedup all start from.
-    // Composes two proven mechanisms: the dd_embed_pairs block-grid
-    // equality join (G² balanced tiles, no cartesian node, shuffle O(n·G))
-    // generates every ordered pair once, and the TopKRows bounded heap
-    // reduces each vector's n-1 candidate neighbors to k map-side, so the
-    // second exchange carries O(n·k) entries — never the O(n²) pair set.
-    // Hash-matched against a DuckDB all-pairs + ROW_NUMBER oracle (cosines
-    // are bit-identical via the shared sequential-fold dot product).
-    "ss_knn_graph" -> { (s, dir) =>
-      val G = Dedup.embedGrid(s)
-      val e = vecs(s, dir).withColumn("nrm", sqrt(Dedup.dotSeq(col("v"), col("v"))))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"),
-          pmod(col("vec_id"), lit(G)).cast("int").as("blk_a"))
-        .withColumn("grid_a", explode(sequence(lit(0), lit(G - 1))))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
-          pmod(col("vec_id"), lit(G)).cast("int").as("blk_b"))
-        .withColumn("grid_b", explode(sequence(lit(0), lit(G - 1))))
-      a.join(b, col("blk_a") === col("grid_b") && col("grid_a") === col("blk_b") &&
-          col("id_a") =!= col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          (Dedup.dotSeq(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-        .groupBy("id_a")
-        .agg(graft.functions.TopKRows(3, col("cos"), col("id_b").cast("string")).as("top"))
-        .select(col("id_a").as("vec_id"), posexplode(col("top")))
-        .select(
-          col("vec_id"),
-          (col("pos") + 1).cast("int").as("rank"),
-          col("col.payload").cast("long").as("nbr_id"),
-          col("col.ord").as("cosine"))
-        .orderBy("vec_id", "rank")
+    // Exact 3-NN graph over EVERY vector — see [[knnGraph]].
+    "ss_knn_graph" -> { (s, dir) => knnGraph(s, dir).orderBy("vec_id", "rank") },
+
+    // Triangle count over the exact 3-NN graph — graph analytics expressed
+    // relationally: orient each undirected edge low-id → high-id, then a
+    // wedge join (shared middle vertex) closed by an edge-existence hash
+    // join. Both joins are equality-keyed; at scale the standard refinement
+    // is to orient by DEGREE (low-degree endpoint first) so the wedge set
+    // is bounded by Σ deg(v)·min(deg(v), √E) — the id orientation here is
+    // that algorithm with ids standing in for the (uniform) degrees of a
+    // k-NN graph, where every out-degree is exactly k. The k-NN edge set
+    // itself is oracle-checked (`ss_knn_graph`), so the DuckDB twin derives
+    // the IDENTICAL graph and the triangle census is exact.
+    "ss_knn_triangles" -> { (s, dir) =>
+      val edges = knnGraph(s, dir)
+        .select(least(col("vec_id"), col("nbr_id")).as("a"),
+          greatest(col("vec_id"), col("nbr_id")).as("b"))
+        .distinct()
+      val wedges = edges.join(
+        edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      val triangles = wedges.join(
+          edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .agg(count(lit(1)).as("value"))
+      edges.agg(count(lit(1)).as("value"))
+        .select(lit("n_edges").as("metric"), col("value"))
+        .unionByName(triangles.select(lit("n_triangles").as("metric"), col("value")))
+        .orderBy("metric")
     },
 
     // LSH-bucketed ANN: same output shape, approximate neighbor set.
@@ -379,6 +375,39 @@ object Similarity {
     * IVF-PQ); compose with the IVF cells of [[ivfTopk]] to also prune
     * WHICH codes are scanned.
     */
+  /** Exact 3-NN graph over EVERY vector — the structure diversity sampling,
+    * cluster seeding, and graph-based dedup all start from. Composes two
+    * proven mechanisms: the dd_embed_pairs block-grid equality join (G²
+    * balanced tiles, no cartesian node, shuffle O(n·G)) generates every
+    * ordered pair once, and the TopKRows bounded heap reduces each vector's
+    * n-1 candidate neighbors to k map-side, so the second exchange carries
+    * O(n·k) entries — never the O(n²) pair set. Hash-matched against a
+    * DuckDB all-pairs + ROW_NUMBER oracle (cosines are bit-identical via
+    * the shared sequential-fold dot product).
+    */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val G = Dedup.embedGrid(s)
+    val e = vecs(s, dir).withColumn("nrm", sqrt(Dedup.dotSeq(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"),
+        pmod(col("vec_id"), lit(G)).cast("int").as("blk_a"))
+      .withColumn("grid_a", explode(sequence(lit(0), lit(G - 1))))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+        pmod(col("vec_id"), lit(G)).cast("int").as("blk_b"))
+      .withColumn("grid_b", explode(sequence(lit(0), lit(G - 1))))
+    a.join(b, col("blk_a") === col("grid_b") && col("grid_a") === col("blk_b") &&
+        col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (Dedup.dotSeq(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .groupBy("id_a")
+      .agg(graft.functions.TopKRows(3, col("cos"), col("id_b").cast("string")).as("top"))
+      .select(col("id_a").as("vec_id"), posexplode(col("top")))
+      .select(
+        col("vec_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload").cast("long").as("nbr_id"),
+        col("col.ord").as("cosine"))
+  }
+
   /** PQ index for a corpus: (codes, qparts). `codes` is the 64×-compressed
     * code table (neighbor_id, nrm, sub, cid) — the only thing the recurring
     * ADC scan reads; `qparts` is each query's partial-dot table against
@@ -502,6 +531,35 @@ object Similarity {
         |)
         |SELECT vec_id, CAST(rnk AS INT) AS rank, nbr_id, cosine
         |FROM r WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin,
+    "ss_knn_triangles" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, len(v)+1)], (p, q) -> p + q)) AS nrm
+        |  FROM e
+        |), p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    list_reduce([a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)], (p, q) -> p + q)
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |), r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id
+        |      ORDER BY cosine DESC, CAST(nbr_id AS VARCHAR) ASC) AS rnk
+        |  FROM p
+        |), ed AS (
+        |  SELECT DISTINCT LEAST(vec_id, nbr_id) AS a, GREATEST(vec_id, nbr_id) AS b
+        |  FROM r WHERE rnk <= 3
+        |)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_edges' AS metric, COUNT(*) AS value FROM ed
+        |  UNION ALL
+        |  SELECT 'n_triangles', COUNT(*)
+        |  FROM ed e1 JOIN ed e2 ON e1.b = e2.a JOIN ed e3
+        |    ON e3.a = e1.a AND e3.b = e2.b
+        |) ORDER BY metric""".stripMargin,
     "ss_embed_quant" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
