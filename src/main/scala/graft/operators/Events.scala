@@ -124,6 +124,29 @@ object Events {
         .orderBy("stage")
     },
 
+    // Stored mergeable distinct-count sketches (DataSketches HLL): build
+    // one user sketch PER DAY — a tiny sketch table maintained
+    // incrementally, the distinct-count analog of [[graft.plans.MatViews]]
+    // — then answer weekly distinct users by UNIONING the daily sketches,
+    // never rescanning the event stream. At 100 TB this turns "distinct
+    // users over any date range" from a full-scan distinct into a merge of
+    // O(days) KB-sized sketches. Estimates are approximate ⇒ rows-only on
+    // the driver gate; EventStreamsSpec bounds the error against the exact
+    // distinct and proves the estimate is identical to the one computed
+    // directly from the raw week (sketch merge loses nothing vs
+    // sketch-from-scratch).
+    "ev_hll_rollup" -> { (s, dir) =>
+      val ev = Relational.t(s, dir, "events")
+      val daily = ev
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily
+        .groupBy(floor(datediff(col("day"), lit("2024-01-01").cast("date")) / 7).cast("int").as("week"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .orderBy("week")
+    },
+
     // Cohort retention: users grouped by their first-signup week, counted
     // as active in each later week they emit ANY event. Weeks are integer
     // day-offsets / 7 from a fixed epoch — pure integer arithmetic both
