@@ -338,6 +338,26 @@ object Relational2 {
         .orderBy("c_mktsegment", "rn")
     },
 
+    // Fixed-width histogram: the profiling primitive behind every numeric
+    // column summary. Bucket ids are integer floor-division — a narrow map
+    // — and the per-bucket stats are algebraic, so the whole histogram is
+    // one partial-aggregated pass at scan speed; empty buckets are absent
+    // by construction (sparse form). Exact bucket edges (integer division
+    // of decimal-cast cents) keep both engines bit-identical.
+    "q43_price_histogram" -> { (s, dir) =>
+      val bucketWidth = 50000L
+      t(s, dir, "orders")
+        .select((floor(dec(col("o_totalprice")) / lit(bucketWidth)).cast("long")).as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("bucket")
+    },
+
     // Aggregate navigation: the user-shaped grouped aggregate over the BASE
     // table, with a materialized view registered for (lang, source) partials
     // — the engine's MatViewReroute rule proves the substitution and the
@@ -449,6 +469,12 @@ object Relational2 {
   val PivotYears: Seq[Int] = 1995 to 2001
 
   val oracles: Map[String, String] = Map(
+    "q43_price_histogram" ->
+      """SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 50000) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "mv_agg_reroute" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
