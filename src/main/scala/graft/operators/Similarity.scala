@@ -262,7 +262,9 @@ object Similarity {
     */
   private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cent = trainCentroids(e)
+    // `scored` is consumed twice (corpus cells + query probes), so the
+    // trained quantizer is materialized — see [[materialize]].
+    val cent = materialize(trainCentroids(e), "ivf_centroids")
     val scored = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
     val wc = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
@@ -408,6 +410,19 @@ object Similarity {
         col("col.ord").as("cosine"))
   }
 
+  /** Materialize a trained index structure to parquet and read it back —
+    * the production shape (codebooks/centroids are built offline ONCE and
+    * stored; queries read the stored structure), and the device that keeps
+    * the training dataflow single-execution when two downstream consumers
+    * would otherwise each re-run the whole Lloyd's chain (exchange reuse
+    * does not deduplicate across an AQE plan's independent broadcasts).
+    */
+  private def materialize(df: DataFrame, name: String): DataFrame = {
+    val path = Connectors.tmp(name)
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** PQ index for a corpus: (codes, qparts). `codes` is the 64×-compressed
     * code table (neighbor_id, nrm, sub, cid) — the only thing the recurring
     * ADC scan reads; `qparts` is each query's partial-dot table against
@@ -415,7 +430,7 @@ object Similarity {
     */
   private def pqIndex(e: DataFrame): (DataFrame, DataFrame) = {
     val sr = subRows(e)
-    val cb = trainPqCodebook(sr)
+    val cb = materialize(trainPqCodebook(sr), "pq_codebook")
     // Encode: nearest codeword per (vector, subspace) — max_by argmax, same
     // sort-free shape as training assignment.
     val codes = sr.join(broadcast(cb), Seq("sub"))
@@ -476,7 +491,7 @@ object Similarity {
     */
   private def ivfPqTopk(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cent = trainCentroids(e)
+    val cent = materialize(trainCentroids(e), "ivfpq_centroids")
     val scored = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
     val cellsOf = scored.groupBy("vec_id")
