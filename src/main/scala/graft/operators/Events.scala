@@ -92,6 +92,18 @@ object Events {
         .orderBy("error_id", "click_id")
     },
 
+    // LEFT OUTER stream-stream interval join (batch twin): every error,
+    // with its follow-up click or the -1 sentinel. The streaming path runs
+    // the identical plan builder with watermarks on both sides; unmatched
+    // errors there emit only after the watermark passes their join window
+    // (asserted with the closed-window bound in EventStreamsSpec).
+    "ev_error_click_outer" -> { (s, dir) =>
+      val ev = Relational.t(s, dir, "events")
+      EventStreams.errorClickPairsOuter(ev, ev)
+        .select("error_id", "click_id", "user_id")
+        .orderBy("error_id", "click_id")
+    },
+
     // Sliding 1h windows every 30min: each event lands in two windows.
     "ev_window_sliding" -> { (s, dir) =>
       Relational.t(s, dir, "events")
@@ -216,6 +228,15 @@ object Events {
         |  SELECT ts, event_type, time_bucket(INTERVAL '30 minutes', ts) AS s0 FROM events
         |), LATERAL (SELECT UNNEST([s0, s0 - INTERVAL '30 minutes']) AS window_start)
         |GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+    "ev_error_click_outer" ->
+      """SELECT e.event_id AS error_id, COALESCE(c.event_id, -1) AS click_id, e.user_id
+        |FROM events e LEFT JOIN events c
+        |  ON e.user_id = c.user_id
+        |  AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(e.ts)
+        |  AND epoch_us(c.ts) <= epoch_us(e.ts) + 300000000
+        |WHERE e.event_type = 'error'
+        |ORDER BY error_id, click_id""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id

@@ -110,6 +110,39 @@ object EventStreams {
       errors.withWatermark("ts", "10 minutes"),
       clicks.withWatermark("ts", "10 minutes"))
 
+  /** LEFT OUTER interval join: EVERY error emits, with its follow-up click
+    * or with `click_id = -1` — the "errors with no follow-up click"
+    * alerting shape. The null is coalesced to a sentinel so the output
+    * stays a non-nullable hashable column for the cross-engine gate.
+    *
+    * Streaming semantics (the part worth testing): a matched pair emits as
+    * soon as both sides arrive, but an UNMATCHED error can only emit once
+    * the watermark has passed the end of its join window — before that, a
+    * matching click might still arrive. State stays watermark-bounded
+    * exactly as in the inner form; the cost of outer is emission LATENCY on
+    * the unmatched tail, not state growth.
+    */
+  def errorClickPairsOuter(errors: DataFrame, clicks: DataFrame): DataFrame = {
+    val e = errors.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    e.join(
+        c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("e_ts") &&
+          col("c_ts") <= col("e_ts") + expr(s"INTERVAL $ErrorClickHorizon"),
+        "left_outer")
+      .select(col("error_id"), coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        col("user_id"), col("e_ts"))
+  }
+
+  /** Watermarked streaming variant of [[errorClickPairsOuter]]. */
+  def streamingErrorClickPairsOuter(errors: DataFrame, clicks: DataFrame): DataFrame =
+    errorClickPairsOuter(
+      errors.withWatermark("ts", "10 minutes"),
+      clicks.withWatermark("ts", "10 minutes"))
+
   /** Streaming exact dedup by event_id: watermark-bounded state, the
     * streaming twin of the batch dedup tier. Duplicates older than the
     * watermark horizon are expired from state — at 100 TB/day the state held

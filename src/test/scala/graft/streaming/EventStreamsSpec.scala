@@ -223,6 +223,59 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer stream-stream join: matches emit eagerly, unmatched only after window close") {
+    val errors = EventStreams.readEventStream(spark, eventsDir)
+    val clicks = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.streamingErrorClickPairsOuter(errors, clicks)
+      .select("error_id", "click_id", "user_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssj_outer_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_outer_test").collect().map(_.toSeq).toSet
+      val batchRows = Events.queries("ev_error_click_outer")(spark, sf()).collect()
+      val batch = batchRows.map(_.toSeq).toSet
+
+      // Everything streamed must be a batch row (no spurious emissions)...
+      assert(streamed.subsetOf(batch), s"streaming emitted rows batch never produces")
+      // ...every MATCHED pair emits (matches never wait on the watermark)...
+      val matched = batch.filter(r => r(1).asInstanceOf[Long] != -1L)
+      assert(matched.subsetOf(streamed), "matched pairs must all emit")
+      // ...and unmatched emission follows the outer join's defining
+      // behavior: a sentinel row appears only once the watermark passes the
+      // error's join window, so the emitted/held split must be a MONOTONE
+      // FRONTIER in window-close time (every emitted close < every held
+      // close), the frontier must sit at or before the final watermark
+      // (nothing emits early), and both sides must be non-empty on this
+      // corpus (the last horizon's errors are necessarily still held). The
+      // exact frontier position includes Spark's internal eviction margin,
+      // so the test pins the semantics, not the implementation constant.
+      import org.apache.spark.sql.functions._
+      val ev = graft.operators.Relational.t(spark, sf(), "events")
+      val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val wmMicros = maxTs - 10L * 60 * 1000000
+      val eTs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val horizon = 5L * 60 * 1000000
+      val unmatchedStreamed =
+        streamed.filter(_(1).asInstanceOf[Long] == -1L).map(_(0).asInstanceOf[Long])
+      val (emittedCloses, heldCloses) = batch.toSeq
+        .filter(r => r(1).asInstanceOf[Long] == -1L)
+        .map(r => (r(0).asInstanceOf[Long], eTs(r(0).asInstanceOf[Long]) + horizon))
+        .partition { case (id, _) => unmatchedStreamed.contains(id) }
+      assert(emittedCloses.nonEmpty, "no unmatched error ever emitted its sentinel row")
+      assert(heldCloses.nonEmpty, "the final horizon's unmatched errors must still be held")
+      assert(emittedCloses.map(_._2).max < heldCloses.map(_._2).min,
+        "emitted/held must split as a monotone frontier in window-close time")
+      assert(emittedCloses.map(_._2).max <= wmMicros,
+        "no sentinel row may emit before the watermark passed its window")
+    } finally q.stop()
+  }
+
   test("batch sessionizers (window-function and typed) agree exactly") {
     val a = Events.queries("ev_sessions")(spark, sf()).collect().map(_.toSeq).toSet
     val b = Events.queries("ev_sessions_typed")(spark, sf()).collect().map(_.toSeq).toSet
