@@ -338,6 +338,28 @@ object Relational2 {
         .orderBy("c_mktsegment", "rn")
     },
 
+    // Ratio-to-report: each nation's share of its region's revenue — the
+    // percent-of-total reporting idiom. The share divides two EXACT decimal
+    // sums (nation-level aggregate, then a windowed region total over the
+    // ~25 aggregated rows — the window runs over the rollup, never the fact
+    // table), so the double division is deterministic cross-engine.
+    "q44_revenue_share" -> { (s, dir) =>
+      val w = Window.partitionBy("r_name")
+      val byNation = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(dec(col("l_extendedprice"))).as("rev_dec"))
+      byNation
+        .select(col("r_name"), col("n_name"),
+          col("rev_dec").cast("double").as("revenue"),
+          (col("rev_dec").cast("double") / sum(col("rev_dec")).over(w).cast("double"))
+            .as("region_share"))
+        .orderBy("r_name", "n_name")
+    },
+
     // Fixed-width histogram: the profiling primitive behind every numeric
     // column summary. Bucket ids are integer floor-division — a narrow map
     // — and the per-bucket stats are algebraic, so the whole histogram is
@@ -469,6 +491,21 @@ object Relational2 {
   val PivotYears: Seq[Int] = 1995 to 2001
 
   val oracles: Map[String, String] = Map(
+    "q44_revenue_share" ->
+      """WITH byn AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name
+        |)
+        |SELECT r_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+        |    AS region_share
+        |FROM byn ORDER BY r_name, n_name""".stripMargin,
     "q43_price_histogram" ->
       """SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 50000) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_orders,
