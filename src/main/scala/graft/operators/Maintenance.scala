@@ -115,6 +115,24 @@ object Maintenance {
     n
   }
 
+  /** Codec migration: rewrite a parquet directory under a different
+    * compression codec (and the [[compact]] byte budget). The routine lake
+    * migration when a table's access pattern changes — zstd trades ~30%
+    * smaller files for slightly costlier decode, the right trade for
+    * cold/archival partitions at 100 TB, while hot partitions stay on
+    * snappy. Purely a storage-layer rewrite: content preservation is on
+    * the oracle gate (`mt_recompress`), the codec change itself asserted
+    * in MaintenanceSpec from the written file names.
+    */
+  def recompress(spark: SparkSession, inPath: String, outPath: String,
+      codec: String, targetBytes: Long = DefaultTargetBytes): Int = {
+    val totalBytes = parquetBytes(spark, inPath)
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").option("compression", codec).parquet(outPath)
+    n
+  }
+
   /** Z-order (Morton-curve) clustered rewrite over TWO numeric columns.
     *
     * [[clusterBy]] on (a, b) skips perfectly for predicates on `a` but not
@@ -286,6 +304,25 @@ object Maintenance {
         .orderBy("lang")
     },
 
+    // Codec migration round-trip: snappy (write default) → zstd, then
+    // aggregate the recompressed copy; the oracle reads the ORIGINAL
+    // parquet, so a hash-match proves the codec rewrite is lossless.
+    "mt_recompress" -> { (s, dir) =>
+      val src = Relational.t(s, dir, "documents")
+      val frag = Connectors.tmp("documents_snappy")
+      src.repartition(8).write.mode("overwrite").parquet(frag)
+      val zstd = Connectors.tmp("documents_zstd")
+      recompress(s, frag, zstd, "zstd", 64L * 1024)
+      s.read.parquet(zstd)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("lang")
+    },
+
     // Order-independent table fingerprint: per-group row count + the sum of
     // a 60-bit cross-engine row hash (md5 over the '\x01'-joined columns).
     // This is how two engines — or two copies of a 100 TB table before and
@@ -323,6 +360,10 @@ object Maintenance {
         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         |FROM documents WHERE lang IN ('en', 'zh')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "mt_recompress" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "mt_zorder" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id

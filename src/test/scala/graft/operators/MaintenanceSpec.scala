@@ -137,6 +137,25 @@ class MaintenanceSpec extends SparkSpec {
       s"expected lang in partitionFilters, got ${scan.partitionFilters}")
   }
 
+  test("recompress writes the requested codec and smaller files") {
+    val src = Relational.t(spark, sf(), "documents")
+    val snappy = java.nio.file.Files.createTempDirectory("mt-snappy").toString
+    val zstd = java.nio.file.Files.createTempDirectory("mt-zstd").toString
+    src.repartition(4).write.mode("overwrite").parquet(snappy)
+    Maintenance.recompress(spark, snappy, zstd, "zstd", 64L * 1024)
+
+    def files(dir: String) = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files(snappy).forall(_.getName.contains(".snappy.")), "fixture must start on snappy")
+    assert(files(zstd).nonEmpty && files(zstd).forall(_.getName.contains(".zstd.")),
+      s"recompressed files must carry the zstd codec: ${files(zstd).map(_.getName).toSeq}")
+    assert(files(zstd).map(_.length).sum < files(snappy).map(_.length).sum,
+      "zstd should compress this text corpus tighter than snappy")
+
+    val a = src.orderBy("doc_id").collect().map(_.toSeq)
+    val b = spark.read.parquet(zstd).orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("zOrderBy skips on BOTH dimensions from parquet stats; content survives") {
     val src = Relational.t(spark, sf(), "documents")
     val frag = java.nio.file.Files.createTempDirectory("mt-zfrag").toString
