@@ -154,6 +154,18 @@ object Maintenance {
     * skip rows from parquet stats alone; the `mt_zorder` oracle proves the
     * rewrite is content-preserving end-to-end.
     */
+  /** 16-bit Morton interleave of two [0, 65535] coordinates: z = ... y1 x1
+    * y0 x0. Plain codegen'd integer ops; the 32 inlined shift/mask terms
+    * re-evaluate the two cheap norm divisions, which is noise (unlike the
+    * md5/tokenize re-evaluation traps elsewhere). Shared with
+    * ZOrderProperties so the bit math has exactly one definition.
+    */
+  def mortonZ(xn: Column, yn: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(xn, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yn, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
   def zOrderBy(spark: SparkSession, inPath: String, outPath: String,
       c1: String, c2: String, targetBytes: Long = DefaultTargetBytes): Int = {
     val totalBytes = parquetBytes(spark, inPath)
@@ -169,13 +181,7 @@ object Maintenance {
         .otherwise(lit(0L))
     val xn = norm(col(c1), col("__x0"), col("__x1"))
     val yn = norm(col(c2), col("__y0"), col("__y1"))
-    // Bit-interleave: z = ... y1 x1 y0 x0. Plain codegen'd integer ops; the
-    // 32 inlined shift/mask terms re-evaluate the two cheap norm divisions,
-    // which is noise (unlike the md5/tokenize re-evaluation traps elsewhere).
-    val z = (0 until 16).map { i =>
-      shiftleft(shiftright(xn, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(yn, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    val z = mortonZ(xn, yn)
     df.crossJoin(broadcast(bounds))
       .withColumn("__z", z)
       .repartitionByRange(n, col("__z"))
@@ -337,8 +343,17 @@ object Maintenance {
       d.groupBy("lang")
         .agg(
           count(lit(1)).as("n_rows"),
+          // Each column rides through its own NULL sentinel BEFORE the
+          // concat: concat_ws silently drops NULL arguments (and their
+          // separator), so without the coalesce a row with (lang=NULL,
+          // source='x') would hash identically to (lang='x', source=NULL)
+          // — a checksum collision between genuinely different tables.
           sum(graft.functions.HashFunctions.md5Long(concat_ws("\u0001",
-            col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+            coalesce(col("doc_id").cast("string"), lit("\u0002")),
+            coalesce(col("text"), lit("\u0002")),
+            coalesce(col("lang"), lit("\u0002")),
+            coalesce(col("source"), lit("\u0002")),
+            coalesce(col("n_chars").cast("string"), lit("\u0002"))))
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             .cast("string").as("checksum"))
         .orderBy("lang")
@@ -372,8 +387,10 @@ object Maintenance {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "mt_table_checksum" ->
       """SELECT lang, COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST('0x' || substr(md5(
-        |    concat_ws(chr(1), doc_id, text, lang, source, n_chars)), 1, 15) AS BIGINT))
+        |  CAST(SUM(CAST('0x' || substr(md5(concat_ws(chr(1),
+        |    COALESCE(CAST(doc_id AS VARCHAR), chr(2)), COALESCE(text, chr(2)),
+        |    COALESCE(lang, chr(2)), COALESCE(source, chr(2)),
+        |    COALESCE(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15) AS BIGINT))
         |    AS VARCHAR) AS checksum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )

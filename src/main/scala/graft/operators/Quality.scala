@@ -50,15 +50,21 @@ object Quality {
 
       // Referential integrity as a left join + conditional count — the
       // probe stream is counted in one pass, no anti-join materialization.
+      // The referenced key set is DISTINCT'd first: a duplicate key in the
+      // referenced table would otherwise multiply its probe rows through
+      // the join and inflate n_checked past the probe-side row count —
+      // exactly the anomaly class a DQ gate must not be confused by.
       val custRi = report("orders_o_custkey_in_customer",
         orders.select(col("o_custkey"))
-          .join(customer.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_outer")
+          .join(customer.select(col("c_custkey")).distinct(),
+            col("o_custkey") === col("c_custkey"), "left_outer")
           .agg(
             count(lit(1)).as("n_checked"),
             sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations")))
       val orderRi = report("lineitem_l_orderkey_in_orders",
         lineitem.select(col("l_orderkey"))
-          .join(orders.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_outer")
+          .join(orders.select(col("o_orderkey")).distinct(),
+            col("l_orderkey") === col("o_orderkey"), "left_outer")
           .agg(
             count(lit(1)).as("n_checked"),
             sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations")))

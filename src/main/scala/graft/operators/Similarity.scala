@@ -45,7 +45,7 @@ object Similarity {
   /** Single-file parquet = one input partition; repartition to parallelize
     * the per-vector work (see Dedup.shingled).
     */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private[operators] def vecs(s: SparkSession, dir: String): DataFrame =
     Relational.t(s, dir, "embeddings")
       .transform(Dedup.spread("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -312,7 +312,7 @@ object Similarity {
     * vector's norm carried along (stored WITH the codes in production, so
     * cosine needs no second lookup).
     */
-  private def subRows(e: DataFrame): DataFrame =
+  private[operators] def subRows(e: DataFrame): DataFrame =
     e.withColumn("nrm", sqrt(Dedup.dotSeq(col("v"), col("v"))))
       .select(col("vec_id"), col("nrm"),
         explode(sequence(lit(0), lit(PqSub - 1))).as("sub"), col("v"))
@@ -331,7 +331,7 @@ object Similarity {
     * the struct tie-break reproduces the window's (sc DESC, cid ASC)
     * order exactly.
     */
-  private def trainPqCodebook(sr: DataFrame): DataFrame = {
+  private[operators] def trainPqCodebook(sr: DataFrame): DataFrame = {
     val wi = Window.partitionBy("sub")
       .orderBy(md5Long(11, col("vec_id").cast("string")), col("vec_id"))
     val init = sr.withColumn("irk", row_number().over(wi))
@@ -356,27 +356,6 @@ object Similarity {
     }
   }
 
-  /** PQ ANN with asymmetric distance computation and exact re-rank.
-    *
-    * Offline: train per-subspace codebooks, encode every corpus vector as
-    * PqSub code ids (argmin-L2 per subspace) — the code table plus norm is
-    * all the ADC scan ever reads. Query time: each query precomputes its
-    * partial-dot table against every (sub, cid) codeword — queries ×
-    * PqSub × PqK rows, broadcast — and the ADC score is the SUM of the
-    * partials matching the corpus codes: q·v ≈ Σ_s q_s·c_{s,code_s(v)}.
-    * The top PqRerank candidates per query by approximate cosine are then
-    * re-scored EXACTLY against their true vectors (a broadcast of the
-    * candidate id set — queries × PqRerank rows, constant-size) for the
-    * final top-k.
-    *
-    * 100 TB shape: training/encoding are broadcast joins against ≤
-    * PqSub×PqK codewords; the recurring per-query cost is one narrow scan
-    * of the 64×-compressed code table + a grouped sum, and the exact pass
-    * touches PqRerank vectors per query instead of the corpus. This is the
-    * memory-bandwidth trade every production vector store makes (FAISS
-    * IVF-PQ); compose with the IVF cells of [[ivfTopk]] to also prune
-    * WHICH codes are scanned.
-    */
   /** Exact 3-NN graph over EVERY vector — the structure diversity sampling,
     * cluster seeding, and graph-based dedup all start from. Composes two
     * proven mechanisms: the dd_embed_pairs block-grid equality join (G²
@@ -472,6 +451,27 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** PQ ANN with asymmetric distance computation and exact re-rank.
+    *
+    * Offline: train per-subspace codebooks, encode every corpus vector as
+    * PqSub code ids (argmin-L2 per subspace) — the code table plus norm is
+    * all the ADC scan ever reads. Query time: each query precomputes its
+    * partial-dot table against every (sub, cid) codeword — queries ×
+    * PqSub × PqK rows, broadcast — and the ADC score is the SUM of the
+    * partials matching the corpus codes: q·v ≈ Σ_s q_s·c_{s,code_s(v)}.
+    * The top PqRerank candidates per query by approximate cosine are then
+    * re-scored EXACTLY against their true vectors (a broadcast of the
+    * candidate id set — queries × PqRerank rows, constant-size) for the
+    * final top-k.
+    *
+    * 100 TB shape: training/encoding are broadcast joins against ≤
+    * PqSub×PqK codewords; the recurring per-query cost is one narrow scan
+    * of the 64×-compressed code table + a grouped sum, and the exact pass
+    * touches PqRerank vectors per query instead of the corpus. This is the
+    * memory-bandwidth trade every production vector store makes (FAISS
+    * IVF-PQ); compose with the IVF cells of [[ivfTopk]] to also prune
+    * WHICH codes are scanned.
+    */
   private def pqTopk(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val (codes, qparts) = pqIndex(e)

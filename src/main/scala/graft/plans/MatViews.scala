@@ -1,6 +1,5 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
@@ -53,9 +52,17 @@ object MatViews {
   def maxCol(m: String): String = s"graft_mv_max_$m"
 
   /** Registry keyed by the base path's normalized URI path. Process-global
-    * (one registry per JVM, like the session extension itself).
+    * (one registry per JVM, like the session extension itself), bounded:
+    * gate/bench loops register a fresh per-invocation tmp base each pass
+    * and never revisit the old one, so the eldest entries are dead weight —
+    * an LRU cap keeps the registry from growing for the JVM's lifetime.
     */
-  private val views = new ConcurrentHashMap[String, View]()
+  private val MaxViews = 64
+  private val views = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, View](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, View]): Boolean =
+        size() > MaxViews
+    })
 
   private def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
@@ -170,20 +177,26 @@ object MatViewReroute extends Rule[LogicalPlan] {
     }
 
   /** count(*) / sum / min / max over a registered measure → the re-aggregation
-    * of the view's partial column. Output types line up exactly: measures are
-    * stored un-widened, count partials are longs, and SUM over longs is a
-    * long, so no cast is needed and the driver-gate schema hash is unchanged.
+    * of the view's partial column. The rewritten function must produce the
+    * ORIGINAL output type exactly — the Alias keeps the original exprId, so
+    * a widened type (e.g. SUM over an already-widened decimal partial:
+    * Decimal(28,2) → Decimal(38,2)) would change the schema under every
+    * parent that was resolved against it. Long/double sums re-aggregate at
+    * the same type and fire; type-widening cases decline conservatively.
     */
   private def rewriteFn(fn: AggregateFunction, view: MatViews.View,
-      mvAttr: Map[String, Attribute]): Option[AggregateFunction] = fn match {
-    case Count(Seq(Literal(1, _))) =>
-      Some(Sum(mvAttr(MatViews.CntCol)))
-    case Sum(a: AttributeReference, _) if view.measures.contains(a.name) =>
-      Some(Sum(mvAttr(MatViews.sumCol(a.name))))
-    case Min(a: AttributeReference) if view.measures.contains(a.name) =>
-      Some(Min(mvAttr(MatViews.minCol(a.name))))
-    case Max(a: AttributeReference) if view.measures.contains(a.name) =>
-      Some(Max(mvAttr(MatViews.maxCol(a.name))))
-    case _ => None
+      mvAttr: Map[String, Attribute]): Option[AggregateFunction] = {
+    val rewritten: Option[AggregateFunction] = fn match {
+      case Count(Seq(Literal(1, _))) =>
+        Some(Sum(mvAttr(MatViews.CntCol)))
+      case Sum(a: AttributeReference, _) if view.measures.contains(a.name) =>
+        Some(Sum(mvAttr(MatViews.sumCol(a.name))))
+      case Min(a: AttributeReference) if view.measures.contains(a.name) =>
+        Some(Min(mvAttr(MatViews.minCol(a.name))))
+      case Max(a: AttributeReference) if view.measures.contains(a.name) =>
+        Some(Max(mvAttr(MatViews.maxCol(a.name))))
+      case _ => None
+    }
+    rewritten.filter(_.dataType == fn.dataType)
   }
 }

@@ -82,6 +82,18 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"mean IVF-PQ recall@5 too low: $mean ($recalls)")
   }
 
+  test("PQ codebook keeps full cardinality after training (no empty-cluster dropout)") {
+    // A centroid that wins no assignment in a Lloyd round silently vanishes
+    // from the recentered codebook (classic k-means dropout — documented,
+    // never re-seeded). On THIS corpus every (sub, cid) must survive all
+    // rounds; if a corpus change ever trips dropout, this failure names the
+    // cause instead of a mysterious recall drop.
+    val cb = Similarity.trainPqCodebook(Similarity.subRows(Similarity.vecs(spark, sf())))
+      .collect()
+    assert(cb.length == Similarity.PqSub * Similarity.PqK,
+      s"codebook lost centroids: ${cb.length} of ${Similarity.PqSub * Similarity.PqK}")
+  }
+
   test("ANN candidate generation prunes the corpus (not brute force in disguise)") {
     // Each query should compare against far fewer than all vectors: check the
     // result is not identical to brute force across all queries (extremely

@@ -3,12 +3,12 @@ package graft.operators
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 
-/** Bit-exactness of the Morton interleave used by
-  * [[Maintenance.zOrderBy]]: de-interleaving the z-value recovers both
-  * normalized coordinates, and the curve preserves quadrant ordering (the
-  * property file-level min/max pruning relies on). Evaluated through the
-  * same Column expression the rewrite uses, compiled by Catalyst over a
-  * literal DataFrame — no handwritten twin of the bit math.
+/** Bit-exactness of [[Maintenance.mortonZ]] (the interleave
+  * [[Maintenance.zOrderBy]] sorts by): de-interleaving the z-value recovers
+  * both normalized coordinates, and the curve preserves quadrant ordering
+  * (the property file-level min/max pruning relies on). Calls the SHARED
+  * production expression — the only bit-math twin here is the trivial
+  * de-interleaver.
   */
 object ZOrderProperties extends Properties("ZOrderMorton") {
 
@@ -16,14 +16,8 @@ object ZOrderProperties extends Properties("ZOrderMorton") {
   private val coord = Gen.choose(0L, 65535L)
 
   private def z(x: Long, y: Long): Long = {
-    import org.apache.spark.sql.functions._
-    val xs = lit(x)
-    val ys = lit(y)
-    val zc = (0 until 16).map { i =>
-      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
-    spark.range(1).select(zc.as("z")).head().getLong(0)
+    import org.apache.spark.sql.functions.lit
+    spark.range(1).select(Maintenance.mortonZ(lit(x), lit(y)).as("z")).head().getLong(0)
   }
 
   private def deinterleave(zv: Long): (Long, Long) = {
