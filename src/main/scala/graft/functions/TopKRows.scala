@@ -132,11 +132,24 @@ object TopKRows {
 
   final case class Entry(ord: Double, payload: String)
 
-  /** `a` outranks `b`: higher ord wins, ties broken by lexicographically
-    * smaller payload (total order ⇒ deterministic result).
+  /** Spark SQL's double ordering: NaN is the LARGEST value (and equal to
+    * itself), -0.0 == 0.0. Primitive `>`/`==` would make NaN unorderable
+    * (false in both directions) — entries would silently drop from the heap
+    * while `row_number()` ranks them first, breaking the provable-identity
+    * contract [[graft.plans.TopKRewrite]] relies on. `Double.compare` gives
+    * NaN-greatest directly; the signed-zero divergence is normalized away.
     */
-  private def outranks(a: Entry, b: Entry): Boolean =
-    a.ord > b.ord || (a.ord == b.ord && a.payload < b.payload)
+  private def cmpOrd(a: Double, b: Double): Int =
+    java.lang.Double.compare(if (a == 0.0d) 0.0d else a, if (b == 0.0d) 0.0d else b)
+
+  /** `a` outranks `b`: higher ord wins (NaN greatest, as Spark sorts), ties
+    * broken by lexicographically smaller payload (total order ⇒
+    * deterministic result).
+    */
+  private def outranks(a: Entry, b: Entry): Boolean = {
+    val c = cmpOrd(a.ord, b.ord)
+    c > 0 || (c == 0 && a.payload < b.payload)
+  }
 
   /** k-bounded heap; head is the WORST kept entry so a beaten candidate
     * evicts in O(log k).

@@ -446,6 +446,22 @@ object Dedup {
       case _ => ()
     }
 
+  /** Shared cluster-assignment query: exact >=MinJaccard pair edges from
+    * the lossless candidate tier, closed by the given connected-components
+    * algorithm, labeled and sized. One builder for dd_clusters and
+    * dd_clusters_ls so the two algorithms are compared on literally the
+    * same pipeline.
+    */
+  private def clustersQuery(cc: DataFrame => DataFrame): (SparkSession, String) => DataFrame = {
+    (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = materialized(shingled(s, dir))
+      val pairs = verifyJaccard(ngramCandidates(sh), sh, MinJaccard).select("doc_a", "doc_b")
+      cc(pairs)
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Near-dup cluster assignment: transitive closure of the exact ≥0.8-
@@ -454,27 +470,13 @@ object Dedup {
     // component's min doc_id. The DuckDB oracle computes the same closure
     // with a recursive CTE — hash-equality proves the fixpoint, not just one
     // propagation round.
-    "dd_clusters" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val sh = materialized(shingled(s, dir))
-      val pairs = verifyJaccard(ngramCandidates(sh), sh, MinJaccard).select("doc_a", "doc_b")
-      connectedComponents(pairs)
-        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
-        .orderBy("doc_id")
-    },
+    "dd_clusters" -> clustersQuery(connectedComponents(_)),
 
     // Same transitive closure via the alternating large-star/small-star
     // edge-rewriting algorithm — two different CC algorithms must land on
-    // the identical fixpoint (both hash-checked against the one
-    // recursive-CTE oracle).
-    "dd_clusters_ls" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val sh = materialized(shingled(s, dir))
-      val pairs = verifyJaccard(ngramCandidates(sh), sh, MinJaccard).select("doc_a", "doc_b")
-      connectedComponentsStars(pairs)
-        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
-        .orderBy("doc_id")
-    },
+    // the identical fixpoint (both hash-checked against the ONE shared
+    // recursive-CTE oracle, through the ONE shared query builder).
+    "dd_clusters_ls" -> clustersQuery(connectedComponentsStars(_)),
 
     // Edit-distance verification over the near-dup candidate tier: the
     // character-level Levenshtein distance between each verified pair's
@@ -634,29 +636,22 @@ object Dedup {
     // For clustered corpora at real near-dup thresholds (≥0.8 cosine) the
     // LSH candidate→verify path (dd_minhash_pairs shape) replaces this.
     "dd_embed_pairs" -> { (s, dir) =>
-      val G = embedGrid(s)
       // Norms are precomputed per vector behind a materialization barrier —
       // the pair loop then does one dot product per pair instead of three.
       val e = Relational.t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dotSeq(col("v"), col("v"))))
         .transform(spread("vec_id"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"),
-          pmod(col("vec_id"), lit(G)).cast("int").as("blk_a"))
-        .withColumn("grid_a", explode(sequence(lit(0), lit(G - 1))))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
-          pmod(col("vec_id"), lit(G)).cast("int").as("blk_b"))
-        .withColumn("grid_b", explode(sequence(lit(0), lit(G - 1))))
-      // Pair (id_a, id_b) meets exactly once: at grid key (blk_a, blk_b).
-      // Condition order matters: the cheap id test short-circuits before the
-      // 64-wide dot product, so cosine is evaluated for half the probed pairs.
-      a.join(b, col("blk_a") === col("grid_b") && col("grid_a") === col("blk_b") &&
-          col("id_a") < col("id_b") &&
-          dotSeq(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.4)
+      // Predicate order matters: the cheap id test short-circuits before the
+      // 64-wide dot product, so cosine is evaluated for half the probed
+      // pairs; Catalyst folds the filter into the grid join's condition.
+      blockGridPairs(e, "vec_id", embedGrid(s))
+        .filter(col("vec_id_a") < col("vec_id_b") &&
+          dotSeq(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")) >= 0.4)
         .select(
-          col("id_a"),
-          col("id_b"),
-          (dotSeq(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine")
+          col("vec_id_a").as("id_a"),
+          col("vec_id_b").as("id_b"),
+          (dotSeq(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine")
         )
         .orderBy("id_a", "id_b")
     }
@@ -671,6 +666,26 @@ object Dedup {
     */
   def embedGrid(s: SparkSession): Int =
     math.max(2, math.round(math.sqrt(s.sparkContext.defaultParallelism.toDouble)).toInt)
+
+  /** The G×G block-grid pair scaffold shared by dd_embed_pairs and
+    * ss_knn_graph: every column of `e` comes back twice with `_a`/`_b`
+    * suffixes, and every ORDERED pair of rows meets EXACTLY ONCE — at the
+    * equality grid key (blk(id_a), blk(id_b)) — so downstream predicates
+    * (id ordering, similarity thresholds) belong in a filter directly on
+    * the result, where Catalyst folds them into the join condition. One
+    * definition of the meet-exactly-once condition on purpose: the
+    * subtlety lives here, not at the call sites.
+    */
+  def blockGridPairs(e: DataFrame, idCol: String, G: Int): DataFrame = {
+    def side(sfx: String): DataFrame =
+      e.columns.foldLeft(e)((df, c) => df.withColumnRenamed(c, s"${c}_$sfx"))
+        .withColumn(s"__blk_$sfx", pmod(col(s"${idCol}_$sfx"), lit(G)).cast("int"))
+        .withColumn(s"__grid_$sfx", explode(sequence(lit(0), lit(G - 1))))
+    side("a")
+      .join(side("b"),
+        col("__blk_a") === col("__grid_b") && col("__grid_a") === col("__blk_b"))
+      .drop("__blk_a", "__grid_a", "__blk_b", "__grid_b")
+  }
 
   /** Sequential left-fold dot product: exact-product doubles summed in array
     * order. DuckDB twin: `list_reduce([x[i]*y[i] ...], (a,b) -> a+b)`.
@@ -720,6 +735,24 @@ object Dedup {
       |                 FOR i IN range(0, 60)]) AS BIGINT) AS simhash
       |FROM hs""".stripMargin
 
+  /** The recursive-CTE transitive-closure oracle shared VERBATIM by
+    * dd_clusters and dd_clusters_ls: two CC algorithms, one fixpoint truth.
+    */
+  private lazy val ccClosureSql: String =
+    s"""WITH RECURSIVE pairs AS ($exactPairsSql),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
+         |),
+         |reach(u, v) AS (
+         |  SELECT DISTINCT u, u AS v FROM edges
+         |  UNION
+         |  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+         |),
+         |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+         |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dd_exact_summary" ->
       """SELECT COUNT(*) AS n_docs,
@@ -761,20 +794,7 @@ object Dedup {
          |FROM common JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
          |WHERE CAST(common AS DOUBLE) / (len(a.shingles) + len(b.shingles) - common) >= 0.8
          |ORDER BY incoming_id, existing_id""".stripMargin,
-    "dd_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($exactPairsSql),
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
-         |),
-         |reach(u, v) AS (
-         |  SELECT DISTINCT u, u AS v FROM edges
-         |  UNION
-         |  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
-         |),
-         |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
-         |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         |FROM lab ORDER BY doc_id""".stripMargin,
+    "dd_clusters" -> ccClosureSql,
     "dd_edit_pairs" ->
       s"""WITH pairs AS ($exactPairsSql)
          |SELECT doc_a, doc_b,
@@ -785,21 +805,9 @@ object Dedup {
          |JOIN documents da ON doc_a = da.doc_id
          |JOIN documents db ON doc_b = db.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // Identical closure, computed by the alternating-star algorithm.
-    "dd_clusters_ls" ->
-      s"""WITH RECURSIVE pairs AS ($exactPairsSql),
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
-         |),
-         |reach(u, v) AS (
-         |  SELECT DISTINCT u, u AS v FROM edges
-         |  UNION
-         |  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
-         |),
-         |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
-         |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         |FROM lab ORDER BY doc_id""".stripMargin,
+    // Identical closure, computed by the alternating-star algorithm —
+    // ONE oracle definition on purpose: both CC algorithms must land on it.
+    "dd_clusters_ls" -> ccClosureSql,
     // MinHash with this fixed hash family has (verified) 100% recall at
     // Jaccard ≥ 0.8 on the corpus, and candidates are exact-verified, so the
     // LSH output equals the exact pair set.

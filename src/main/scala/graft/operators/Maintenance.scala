@@ -58,14 +58,15 @@ object Maintenance {
     * `filesPerPartition` target-sized files.
     *
     * Mechanics: rows shuffle on (partitionCol, salt) where salt =
-    * pmod(xxhash64(entire row), filesPerPartition) — deterministic (retried
+    * pmod(xxhash64(entire row), k(partitionValue)) — deterministic (retried
     * tasks re-emit identical salts; `rand()` could mis-bucket under shuffle
     * retries, see [[Skew]]) — and the writer's `partitionBy` then splits
     * each task's rows by partition value. A partition value's rows span at
-    * most `filesPerPartition` tasks, bounding its file count; sizing
-    * `filesPerPartition` = ceil(maxPartitionBytes / targetBytes) from the
-    * recursive listing keeps files near target size without scanning data.
-    * Returns the per-partition file bound.
+    * most its OWN k = ceil(dirBytes / targetBytes) tasks (sized per value
+    * from the recursive listing, no data scan), so a skewed tree compacts
+    * each partition toward target-sized files independently — the big
+    * partition fans out, the small ones still collapse to one file each.
+    * Returns the LARGEST per-partition file bound.
     */
   def compactPartitioned(spark: SparkSession, inPath: String, outPath: String,
       partitionCol: String, targetBytes: Long = DefaultTargetBytes): Int = {
@@ -75,12 +76,23 @@ object Maintenance {
     val dirs = partitionDirs(spark, inPath)
     require(dirs.nonEmpty,
       s"$inPath has no first-level col=value partition directories — use compact() for flat layouts")
-    // Bytes of the LARGEST partition directory drive the per-partition file
-    // count — partitions are compacted independently.
-    val maxDirBytes = dirs.map(d => parquetBytes(spark, s"$inPath/$d")).max
-    val k = math.max(1L, (maxDirBytes + targetBytes - 1) / targetBytes).toInt
+    // PER-PARTITION salt modulus: each partition value gets its own
+    // ceil(dirBytes / targetBytes). A single modulus sized from the largest
+    // directory would shatter every SMALL partition of a skewed tree into
+    // that many near-empty files — the opposite of compaction. The
+    // per-value moduli ship as a literal map (one entry per partition
+    // directory — partition counts are metadata-sized by definition).
+    val kByValue: Map[String, Long] = dirs.map { d =>
+      val bytes = parquetBytes(spark, s"$inPath/$d")
+      d.substring(d.indexOf('=') + 1) ->
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    }.toMap
+    val k = kByValue.values.max.toInt
     val df = spark.read.parquet(inPath)
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(k.toLong))
+    val kCol = element_at(
+      map(kByValue.toSeq.flatMap { case (v, m) => Seq(lit(v), lit(m)) }: _*),
+      col(partitionCol).cast("string"))
+    val salt = pmod(xxhash64(df.columns.map(col): _*), kCol)
     df.repartition(math.max(spark.sparkContext.defaultParallelism, k), col(partitionCol), salt)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(outPath)
     k

@@ -367,18 +367,11 @@ object Similarity {
     * the shared sequential-fold dot product).
     */
   private def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    val G = Dedup.embedGrid(s)
     val e = vecs(s, dir).withColumn("nrm", sqrt(Dedup.dotSeq(col("v"), col("v"))))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"),
-        pmod(col("vec_id"), lit(G)).cast("int").as("blk_a"))
-      .withColumn("grid_a", explode(sequence(lit(0), lit(G - 1))))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
-        pmod(col("vec_id"), lit(G)).cast("int").as("blk_b"))
-      .withColumn("grid_b", explode(sequence(lit(0), lit(G - 1))))
-    a.join(b, col("blk_a") === col("grid_b") && col("grid_a") === col("blk_b") &&
-        col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (Dedup.dotSeq(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    Dedup.blockGridPairs(e, "vec_id", Dedup.embedGrid(s))
+      .filter(col("vec_id_a") =!= col("vec_id_b"))
+      .select(col("vec_id_a").as("id_a"), col("vec_id_b").as("id_b"),
+        (Dedup.dotSeq(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
       .groupBy("id_a")
       .agg(graft.functions.TopKRows(3, col("cos"), col("id_b").cast("string")).as("top"))
       .select(col("id_a").as("vec_id"), posexplode(col("top")))

@@ -304,8 +304,10 @@ object EventStreams {
     * schema-evolvable `ValueState` in the RocksDB state store instead of a
     * single opaque `GroupState` blob. At scale that buys incremental
     * (changelog) checkpointing, state reads that spill to disk instead of
-    * the executor heap, and per-state TTL — the operational posture a
-    * 100 TB event stream needs. Semantics are byte-identical to
+    * the executor heap, and BOUNDED state: an event-time reaper timer
+    * clears users idle past [[SessionStateRetentionMs]], so state tracks
+    * recently active users, not lifetime-distinct ones — the operational
+    * posture a 100 TB event stream needs. Semantics are byte-identical to
     * [[sessionizeStream]]: both feed [[splitSessions]], and
     * EventStreamsSpec asserts all three paths (batch, GroupState, TWS)
     * agree on closed sessions.
@@ -379,11 +381,23 @@ object EventStreams {
       if (!buf.exists()) Iterator.empty
       else {
         val st = buf.get()
-        if (st.pending.isEmpty) Iterator.empty
-        else {
+        if (st.pending.isEmpty) {
+          // Reaper case: no events since the last flush. Clearing here is
+          // what BOUNDS state — without it every user ever seen keeps a
+          // (Seq.empty, emitted) row forever. The price: a user returning
+          // after a full retention horizon restarts session numbering at 1
+          // (the GroupState twin keeps its counter — and its state —
+          // unboundedly; bounded state is this path's point).
+          buf.clear()
+          Iterator.empty
+        } else {
           val recs = st.pending.sorted.map { case (ts, id) => EventRec(id, ts, uid) }
           val flushed = splitSessions(uid, recs) // exactly one open session
           buf.update(SessionBuf(Seq.empty, st.emitted + flushed.size))
+          // Arm the retention reaper: if the user stays quiet for the whole
+          // horizon, the next expiry finds pending empty and clears state.
+          getHandle.registerTimer(
+            expiredTimerInfo.getExpiryTimeInMs() + SessionStateRetentionMs)
           flushed.iterator.zipWithIndex.map { case (s, i) =>
             s.copy(sess_id = st.emitted + i + 1)
           }
@@ -391,4 +405,12 @@ object EventStreams {
       }
     }
   }
+
+  /** Event-time retention for a flushed user's numbering counter: after this
+    * long with no events, the reaper timer clears the user's state row
+    * entirely, keeping total state proportional to RECENTLY ACTIVE users
+    * instead of lifetime-distinct users. 90 days ≫ any test corpus span, so
+    * the three-way batch/GroupState/TWS agreement is unaffected there.
+    */
+  val SessionStateRetentionMs: Long = 90L * 24 * 3600 * 1000
 }

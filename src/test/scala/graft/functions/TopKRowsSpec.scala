@@ -25,6 +25,28 @@ class TopKRowsSpec extends SparkSpec {
       ("b", 0, 2.0, "p"), ("b", 1, 2.0, "q")))
   }
 
+  test("NaN ords rank FIRST, matching Spark's double sort order") {
+    // Spark sorts NaN greater than every double; primitive >/== comparisons
+    // would drop NaN from the heap while row_number() keeps it at rank 1.
+    val df = Seq(
+      ("a", 9.0, "x"), ("a", Double.NaN, "n"), ("a", 8.0, "y"), ("a", Double.NaN, "m")
+    ).toDF("g", "ord", "id")
+    val got = df.groupBy("g")
+      .agg(TopKRows(3, col("ord"), col("id")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("pos"), col("col.payload"))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2).toSeq
+    // Two NaNs tie (payload asc: m before n), then 9.0.
+    assert(got == Seq("m", "n", "x"))
+
+    // And the window form agrees exactly.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(col("ord").desc, col("id").asc)
+    val win = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .orderBy("rn").select("id").as[String].collect().toSeq
+    assert(win == got)
+  }
+
   test("groups smaller than k return all rows; null ord/payload rows skipped") {
     val df = Seq(
       (Some("a"), Some(1.0), Some("x")),

@@ -137,6 +137,32 @@ class MaintenanceSpec extends SparkSpec {
       s"expected lang in partitionFilters, got ${scan.partitionFilters}")
   }
 
+  test("partitioned compact on a SKEWED tree does not shatter small partitions") {
+    val src = Relational.t(spark, sf(), "documents")
+    val frag = java.nio.file.Files.createTempDirectory("mt-skew-frag").toString
+    val out = java.nio.file.Files.createTempDirectory("mt-skew-out").toString
+    // Skewed layout: 'en' is the whole corpus (many fragments), every other
+    // lang a single tiny fragment.
+    graft.sources.Formats.writePartitioned(
+      src.withColumn("lang", when(col("doc_id") % 10 =!= 0, "en").otherwise(col("lang")))
+        .repartition(16),
+      frag, "lang")
+    val k = Maintenance.compactPartitioned(spark, frag, out, "lang", 32L * 1024)
+    assert(k > 1, "the big partition must plan multiple files for skew to be visible")
+    // A single largest-directory modulus would spread every small lang
+    // across ~k files; the per-value modulus must keep them at 1.
+    for (d <- Maintenance.partitionDirs(spark, out) if d != "lang=en") {
+      val c = Maintenance.dataFileCount(spark, s"$out/$d")
+      assert(c == 1, s"$d shattered into $c files (k=$k)")
+    }
+    // Content preserved.
+    val a = spark.read.parquet(frag).select("doc_id", "text", "source", "n_chars")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = spark.read.parquet(out).select("doc_id", "text", "source", "n_chars")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("recompress writes the requested codec and smaller files") {
     val src = Relational.t(spark, sf(), "documents")
     val snappy = java.nio.file.Files.createTempDirectory("mt-snappy").toString
