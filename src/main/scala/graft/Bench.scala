@@ -54,17 +54,46 @@ object Bench {
     val flaky = runs.collect { case (name, ts) if ts.size == 1 => name }
 
     def names(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+
+    // Full artifact — every query time plus every surviving pass per query
+    // (a contention-inflated pass, pass A ≫ pass B at an identical plan, is
+    // diagnosable from the file alone instead of needing a judge re-timing).
+    // This goes to a FILE: the round driver captures only the last ~2000
+    // chars of the run log, and a 119-query JSON line is ~3× that — every
+    // prior round's stdout line was head-truncated into unparseability.
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    // Every surviving pass per query, in run order: a contention-inflated
-    // pass (pass A ≫ pass B at an identical plan) is then diagnosable from
-    // the artifact alone instead of needing a judge re-timing.
     val passes = runs.collect { case (name, ts) if ts.nonEmpty =>
       "\"" + name + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"),
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_times":$passes,"sf":"$sfDir","passes":2,"failed":${names(
           failed)},"flaky":${names(flaky)},"gc_sec":$gcSec%.1f}""")
+
+    // Stdout line — must survive the driver's 2000-char log tail INTACT to be
+    // machine-parseable. Report the most expensive queries first (they carry
+    // the performance signal) up to a serialized budget; fold the cheap
+    // remainder into queries_omitted/omitted_sec so `value` always equals
+    // sum(queries) + omitted_sec and nothing is silently dropped.
+    val byCost = results.sortBy { case (n, t) => (-t, n) }
+    val budget = 1250
+    val kept = new StringBuilder
+    var nKept = 0
+    var full = false
+    byCost.foreach { case (k, v) =>
+      val entry = (if (nKept == 0) "" else ",") + "\"" + k + f"\":$v%.3f"
+      // Stop at the first entry that does not fit (rather than best-fit
+      // packing smaller later entries) so the kept set is exactly a prefix
+      // of the cost-sorted order and `omitted` is exactly the suffix.
+      if (!full && kept.length + entry.length <= budget) { kept.append(entry); nKept += 1 }
+      else full = true
+    }
+    val omitted = byCost.drop(nKept)
+    val omittedSec = omitted.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${kept.result()}},"queries_omitted":${omitted.size},"omitted_sec":$omittedSec%.3f,"n_queries":${results.size},"sf":"$sfDir","passes":2,"failed":${names(
+          failed)},"flaky":${names(flaky)},"gc_sec":$gcSec%.1f,"detail":"bench_detail.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
