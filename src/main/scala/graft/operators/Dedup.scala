@@ -108,6 +108,12 @@ object Dedup {
     */
   val MinJaccard = 0.8
 
+  /** Word-gram width for the [[queries dd_contamination]] eval-overlap
+    * screen (6-grams: long enough that shared grams indicate copied spans,
+    * not common phrases).
+    */
+  val ContamGram = 6
+
   /** Distinct candidate pairs from the shingle inverted index, via PREFIX
     * FILTERING (the AllPairs/PPJoin family): order each document's shingles
     * by ascending document frequency (rarest first, ties by shingle value —
@@ -551,6 +557,38 @@ object Dedup {
     // (buckets < 80) — the production crawl-ingest shape: index the corpus
     // once, probe each incoming batch, never a corpus-wide self-join per
     // batch. Cross-set prefix filtering keeps candidates lossless.
+    // Benchmark-contamination screen: which training-corpus documents
+    // contain any 6-gram from a held-out eval set? The held-out side is the
+    // deterministic hash split (≥90 bucket — the same family sp_split_assign
+    // cuts), so membership is reproducible; grams are distinct-per-doc, so a
+    // doc repeating an eval phrase counts it once. Scale shape: the eval
+    // side collapses to a DISTINCT gram set orders of magnitude smaller
+    // than the corpus and BROADCASTS — the corpus-side gram stream never
+    // shuffles on the (skewed) gram key, and the only exchange is the final
+    // per-doc count. This is the standard pre-training decontamination
+    // pass (eval sets are KBs, corpora are TBs).
+    "dd_contamination" -> { (s, dir) =>
+      // Two consumers (eval + corpus sides) — materialize the gram sets.
+      val g = materialized(
+        Relational.t(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(size(split(trim(col("text")), " +")) >= ContamGram)
+          .transform(spread("doc_id"))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .select(col("doc_id"),
+            array_distinct(transform(
+              sequence(lit(1), size(col("ts")) - (ContamGram - 1)),
+              i => concat_ws(" ", slice(col("ts"), i, lit(ContamGram))))).as("grams")))
+      val eval = g.filter(Pipeline.bucket(col("doc_id")) >= 90)
+        .select(explode(col("grams")).as("gram")).distinct()
+      g.filter(Pipeline.bucket(col("doc_id")) < 90)
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .join(broadcast(eval), "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_eval_grams"))
+        .orderBy("doc_id")
+    },
+
     "dd_incremental" -> { (s, dir) =>
       // Four consumers: both cross-filter sides + both verification sides.
       val sh = materialized(shingled(s, dir))
@@ -770,6 +808,25 @@ object Dedup {
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_pairs" -> exactPairsSql,
+    "dd_contamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(ts[i:i+${ContamGram - 1}], ' ')
+         |                   FOR i IN range(1, len(ts) - ${ContamGram - 2})]) AS grams
+         |  FROM toks WHERE len(ts) >= $ContamGram
+         |), ev AS (
+         |  SELECT DISTINCT UNNEST(grams) AS gram FROM g
+         |  WHERE ${Pipeline.bucketSql("doc_id")} >= 90
+         |), corp AS (
+         |  SELECT doc_id, UNNEST(grams) AS gram FROM g
+         |  WHERE ${Pipeline.bucketSql("doc_id")} < 90
+         |)
+         |SELECT doc_id, COUNT(*) AS n_eval_grams
+         |FROM corp JOIN ev USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_incremental" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts

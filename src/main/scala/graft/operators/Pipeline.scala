@@ -130,8 +130,69 @@ object Pipeline {
         .groupBy("lang", "shard_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
         .orderBy("lang", "shard_id")
+    },
+
+    // Fixed-token-window chunking with overlap — the step that turns
+    // documents into model-context-sized training sequences (chunk i covers
+    // tokens [i·stride+1, i·stride+ChunkSize]; consecutive chunks share
+    // ChunkSize−ChunkStride tokens so no span is split across a boundary
+    // without also appearing whole in one chunk). Chunk count and membership
+    // are pure functions of the token count, so the op is a narrow
+    // explode — no shuffle, no state; the output sort is gate-only.
+    // At 100 TB this is the highest-fan-out narrow op in the pipeline
+    // (corpus × chunks-per-doc rows), which is exactly why it must NOT
+    // shuffle: chunks flow straight into the downstream shard writer.
+    "pl_chunk_tokens" -> { (s, dir) =>
+      val n = size(col("ts"))
+      val extra = greatest(lit(0L),
+        ceil((n - lit(ChunkSize)).cast("double") / lit(ChunkStride.toDouble)))
+      Relational.t(s, dir, "documents")
+        .transform(Dedup.spread("doc_id"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 1)
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(0L), extra)).as("chunk_id"))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("int").as("chunk_id"),
+          size(slice(col("ts"), (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize)))
+            .as("n_chunk_tokens"),
+          concat_ws(" ",
+            slice(col("ts"), (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize)))
+            .as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Weighted sampling without replacement (Duffield–Lund–Thorup priority
+    // sampling): each document draws a deterministic uniform u ∈ (0, 1] from
+    // the cross-engine hash and gets priority w/u; the k largest priorities
+    // are the sample. Selection probability rises with weight (here
+    // n_chars — longer documents carry more training signal), membership is
+    // a pure function of the row key (reproducible across engines, runs,
+    // and partitionings — no RNG state), and the plan is a narrow map +
+    // TakeOrderedAndProject: per-partition top-k, driver merge, no global
+    // sort at any scale. Division is a single IEEE op, so priorities are
+    // bit-identical in DuckDB (the log/pow forms of A-Res sampling are not).
+    "sp_weighted_sample" -> { (s, dir) =>
+      val u = (pmod(md5Long(WSampleSeed, col("doc_id").cast("string")), lit(1048576L)) + 1L)
+        .cast("double") / lit(1048576.0)
+      Relational.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars").cast("double") / u).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id").asc)
+        .limit(WSampleK)
     }
   )
+
+  /** Chunking parameters for [[queries pl_chunk_tokens]]: window and stride
+    * in tokens (overlap = ChunkSize − ChunkStride).
+    */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** Priority-sample size and hash seed for [[queries sp_weighted_sample]]. */
+  val WSampleK = 25
+  val WSampleSeed = 13
 
   /** Tokens per training shard for [[queries pl_token_pack]]. */
   val TokenShardBudget = 2000L
@@ -192,6 +253,30 @@ object Pipeline {
          |)
          |SELECT lang, CAST(FLOOR((cum - n_tokens) / $TokenShardBudget) AS BIGINT) AS shard_id,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
-         |FROM c GROUP BY lang, shard_id ORDER BY lang, shard_id""".stripMargin
+         |FROM c GROUP BY lang, shard_id ORDER BY lang, shard_id""".stripMargin,
+    // Slice arithmetic (1-based inclusive, clamped at the array end on both
+    // engines): chunk i covers ts[i*stride+1 : i*stride+ChunkSize].
+    "pl_chunk_tokens" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, ts,
+         |    1 + greatest(0, CAST(ceil((len(ts) - $ChunkSize) / $ChunkStride.0) AS BIGINT)) AS k
+         |  FROM d WHERE len(ts) >= 1
+         |), e AS (
+         |  SELECT doc_id, ts, UNNEST(range(0, k)) AS i FROM c
+         |)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         |  CAST(len(ts[i*$ChunkStride+1 : i*$ChunkStride+$ChunkSize]) AS INT) AS n_chunk_tokens,
+         |  array_to_string(ts[i*$ChunkStride+1 : i*$ChunkStride+$ChunkSize], ' ') AS chunk
+         |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    "sp_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  CAST(n_chars AS DOUBLE) /
+         |    ((CAST('0x' || substr(md5('$WSampleSeed:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % 1048576 + 1) / 1048576.0) AS priority
+         |FROM documents
+         |ORDER BY priority DESC, doc_id ASC LIMIT $WSampleK""".stripMargin
   )
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sparse (lexical) retrieval over the `documents` table — the text-side
+  * counterpart of the dense [[Similarity]] tier: an inverted index and
+  * BM25-ranked keyword search, the scoring that backs corpus search,
+  * hard-negative mining, and retrieval-augmented data curation.
+  *
+  * Reference scope: the reference engine has no retrieval operators at all
+  * (its only text processing is the word-count UDF pair,
+  * `test/user_tasks.cc:12-34`); both operators here are north-star
+  * extensions built from the same verified aggregation/join primitives as
+  * the rest of the engine.
+  *
+  * Determinism: BM25's classic idf is a `ln` — libm, not bit-stable across
+  * engines. Like `ta_salience`, the idf here is the RATIONAL form
+  * (N − df + 0.5)/(df + 0.5): per-term monotone-equivalent to the log form
+  * (both decrease in df), so rankings for single-term queries are identical
+  * and multi-term scores stay a deterministic composition of IEEE ops that
+  * DuckDB reproduces bit-for-bit. Per-document term contributions are
+  * summed through DECIMAL(38,18) (exact, order-independent) so the score
+  * does not depend on aggregation order.
+  *
+  * Scale shape (100 TB): the token explode is pruned to the query terms
+  * BEFORE any exchange (a narrow filter on the generator output), so the
+  * per-term stream entering the tf aggregation is |matching tokens|, not
+  * |corpus tokens|. The df and corpus-stats sides are term-cardinality and
+  * one-row aggregates respectively — both broadcast. Only the final top-k
+  * runs as TakeOrderedAndProject (per-partition heap + driver merge).
+  */
+object Retrieval {
+
+  /** The fixed keyword query for the gate (terms present in the corpus
+    * vocabulary with distinct document frequencies).
+    */
+  val Bm25Terms: Seq[String] = Seq("spark", "hash", "window")
+
+  /** BM25 result-list size. (k1 = 1.2 and b = 0.75 — the standard Robertson
+    * defaults — appear as literals `2.2`/`1.2`/`0.25`/`0.75` in BOTH the
+    * Spark expression and the oracle SQL so the arithmetic trees match
+    * exactly; keep them in sync textually.)
+    */
+  val Bm25K = 20
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Inverted index: term → document frequency + the sorted posting list.
+    // Distinct (doc, term) pairs via per-doc distinct token arrays (dedup
+    // happens inside the array before the explode — the exchange carries
+    // one row per POSTING, never per occurrence). Postings ride as a
+    // comma-joined string (the gate hash-compares scalar columns; same
+    // convention as q32). At 100 TB the posting list of a stop-term is the
+    // classic skew cell — production would cap or tier those lists; here
+    // the corpus vocabulary is small and every list is exact.
+    "rt_inverted_index" -> { (s, dir) =>
+      Relational.t(s, dir, "documents")
+        .transform(Dedup.spread("doc_id"))
+        .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .groupBy("term")
+        .agg(
+          count(lit(1)).as("df"),
+          array_join(
+            transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+            ",").as("postings"))
+        .orderBy("term")
+    },
+
+    // BM25-ranked keyword search for [[Bm25Terms]]: score(d) =
+    // Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    "rt_bm25" -> { (s, dir) =>
+      val docs = Relational.t(s, dir, "documents")
+        .transform(Dedup.spread("doc_id"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 1)
+      val dls = docs.select(col("doc_id"), size(col("ts")).cast("double").as("dl"))
+      val stats = dls.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl").cast("long")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs.select(col("doc_id"), explode(col("ts")).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(df), "term")
+        .join(broadcast(stats))
+        .join(dls, "doc_id")
+        .select(col("doc_id"),
+          ((((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2)))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+            .as("c"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("c").cast(DecimalType(38, 18))).cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(Bm25K)
+    }
+  )
+
+  private val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "rt_inverted_index" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) AS ts
+        |  FROM documents
+        |), post AS (
+        |  SELECT doc_id, UNNEST(ts) AS term FROM d
+        |)
+        |SELECT term, COUNT(*) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM post GROUP BY term ORDER BY term""".stripMargin,
+    "rt_bm25" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), dls AS (
+         |  SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM d WHERE len(ts) >= 1
+         |), st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+         |  FROM dls
+         |), tfq AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+         |    SELECT doc_id, UNNEST(ts) AS term FROM d WHERE len(ts) >= 1
+         |  ) WHERE term IN ($termList) GROUP BY doc_id, term
+         |), dfq AS (
+         |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY term
+         |)
+         |SELECT doc_id, COUNT(*) AS n_terms,
+         |  CAST(SUM(CAST(
+         |    (((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2))
+         |      / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+         |  AS DECIMAL(38,18))) AS DOUBLE) AS score
+         |FROM tfq JOIN dfq USING (term) CROSS JOIN st JOIN dls USING (doc_id)
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
+  )
+}

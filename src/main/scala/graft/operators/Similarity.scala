@@ -129,6 +129,40 @@ object Similarity {
         .orderBy("metric")
     },
 
+    // PageRank over the exact 3-NN graph — the iterative-dataflow graph
+    // centrality the diversity-sampling / seed-selection tier uses (rank a
+    // corpus by graph importance, sample high-rank docs first). PrIters
+    // synchronous power-iteration rounds at damping 0.85 over the
+    // oracle-checked edge set; every node has out-degree exactly 3, so the
+    // contribution of u to each neighbor is pr(u)/3 and there are no
+    // dangling-mass corrections. Per-round shape: one equality join
+    // (edges × ranks, shuffled on the SAME src/vec_id key every round — at
+    // scale both sides pre-partition once) + one hash aggregate; in-edge
+    // contributions sum through DECIMAL(38,18) (exact, order-independent),
+    // so ranks are bit-reproducible across partitionings and engines — the
+    // unrolled DuckDB oracle lands on identical doubles. The edge frame is
+    // materialized once ([[Dedup.materialized]]) and reused by all rounds.
+    "ss_pagerank" -> { (s, dir) =>
+      val nodes = vecs(s, dir).select(col("vec_id"))
+      val nN = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+      val edges = Dedup.materialized(
+        knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+      val init = nodes.join(broadcast(nN))
+        .select(col("vec_id"), (lit(1.0) / col("n_nodes")).as("pr"))
+      (1 to PrIters).foldLeft(init) { (pr, _) =>
+        val contrib = edges
+          .join(pr.withColumnRenamed("vec_id", "src"), "src")
+          .select(col("dst"),
+            (col("pr") / lit(3.0)).cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("c"))
+          .groupBy("dst")
+          .agg(sum(col("c")).cast("double").as("s"))
+        nodes.join(broadcast(nN))
+          .join(contrib, col("vec_id") === col("dst"), "left")
+          .select(col("vec_id"),
+            (lit(0.15) / col("n_nodes") + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+      }.orderBy("vec_id")
+    },
+
     // LSH-bucketed ANN: same output shape, approximate neighbor set.
     // Rows-only driver check; recall measured in SimilaritySpec.
     // Candidate generation is ids-only: the bucket join and the distinct
@@ -197,6 +231,9 @@ object Similarity {
         .orderBy("vec_id")
     }
   )
+
+  /** PageRank power-iteration rounds for [[queries ss_pagerank]]. */
+  val PrIters = 3
 
   /** IVF parameters: cells, probed cells per query, Lloyd's rounds. */
   val IvfCells = 16
@@ -539,6 +576,46 @@ object Similarity {
         |)
         |SELECT vec_id, CAST(rnk AS INT) AS rank, nbr_id, cosine
         |FROM r WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // Same knn-edge CTE chain as ss_knn_graph, then PrIters unrolled
+    // synchronous PageRank rounds (built programmatically below): each
+    // round is contributions (SUM of pr/3.0 through DECIMAL(38,18), exact
+    // and order-independent) then rank refresh 0.15/nn + 0.85·Σ.
+    "ss_pagerank" -> {
+      val rounds = (1 to PrIters).map { i =>
+        s"""c$i AS (
+           |  SELECT dst, CAST(SUM(CAST(pr / 3.0 AS DECIMAL(38,18))) AS DOUBLE) AS s
+           |  FROM ed JOIN p${i - 1} ON src = p${i - 1}.vec_id GROUP BY dst
+           |), p$i AS (
+           |  SELECT em.vec_id, 0.15 / nn + 0.85 * COALESCE(s, 0.0) AS pr
+           |  FROM embeddings em CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = em.vec_id
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, len(v)+1)], (p, q) -> p + q)) AS nrm
+         |  FROM e
+         |), p AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         |    list_reduce([a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)], (p, q) -> p + q)
+         |      / (a.nrm * b.nrm) AS cosine
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |), r AS (
+         |  SELECT vec_id, nbr_id, cosine,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id
+         |      ORDER BY cosine DESC, CAST(nbr_id AS VARCHAR) ASC) AS rnk
+         |  FROM p
+         |), ed AS (
+         |  SELECT vec_id AS src, nbr_id AS dst FROM r WHERE rnk <= 3
+         |), nn AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM embeddings
+         |), p0 AS (
+         |  SELECT vec_id, 1.0 / nn AS pr FROM embeddings CROSS JOIN nn
+         |), $rounds
+         |SELECT vec_id, pr FROM p$PrIters ORDER BY vec_id""".stripMargin
+    },
     "ss_knn_triangles" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

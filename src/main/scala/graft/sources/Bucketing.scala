@@ -49,23 +49,7 @@ object Bucketing {
     // unbucketed join — hash-equality proves the layout is semantically
     // free, exactly like the salting oracles ([[graft.operators.Skew]]).
     "bk_colocated_join" -> { (s, dir) =>
-      // Bucketing is a write-ONCE-join-many layout: the ingest shuffle is
-      // paid at table build, every later join is exchange-free. Model that
-      // honestly — build the bucketed tables once per (session, source dir)
-      // and let repeat invocations measure the steady state, the co-located
-      // join itself. Table names carry the dir so scale factors never share
-      // a stale layout; the in-memory catalog scopes reuse to this JVM.
-      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val liT = s"bk_gate_lineitem_$key"
-      val oT = s"bk_gate_orders_$key"
-      if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(oT)) {
-        val li = graft.operators.Relational.t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_quantity"))
-        val o = graft.operators.Relational.t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderpriority"))
-        writeBucketed(li, liT, "l_orderkey", 8)
-        writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"), oT, "l_orderkey", 8)
-      }
+      val (liT, oT) = gateTables(s, dir)
       read(s, liT)
         .join(read(s, oT).hint("merge"), "l_orderkey")
         .groupBy("o_orderpriority")
@@ -73,14 +57,59 @@ object Bucketing {
           count(lit(1)).as("n_items"),
           graft.operators.Relational.dsum(col("l_quantity")).as("total_qty"))
         .orderBy("o_orderpriority")
+    },
+
+    // Co-located aggregation: a groupBy on the bucket key over a bucketed
+    // (and in-bucket sorted) table needs NO exchange — each map task
+    // aggregates its own buckets to completion. This is the recurring
+    // per-entity rollup (per-order, per-user, per-document) a lake runs
+    // daily over its largest fact table; bucketing turns it from a full
+    // shuffle of the fact table into a scan. BucketingSpec asserts the
+    // executed plan is Exchange-free; the oracle proves the layout is
+    // semantically invisible.
+    "bk_colocated_agg" -> { (s, dir) =>
+      val (liT, _) = gateTables(s, dir)
+      read(s, liT)
+        .groupBy("l_orderkey")
+        .agg(
+          count(lit(1)).as("n_items"),
+          graft.operators.Relational.dsum(col("l_quantity")).as("total_qty"))
+        .orderBy("l_orderkey")
     }
   )
+
+  /** Build the gate's bucketed tables once per (session, source dir).
+    *
+    * Bucketing is a write-ONCE-query-many layout: the ingest shuffle is
+    * paid at table build, every later join/agg on the bucket key is
+    * exchange-free. Model that honestly — repeat invocations measure the
+    * steady state. Table names carry the dir so scale factors never share
+    * a stale layout; the in-memory catalog scopes reuse to this JVM.
+    */
+  private def gateTables(s: SparkSession, dir: String): (String, String) = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val liT = s"bk_gate_lineitem_$key"
+    val oT = s"bk_gate_orders_$key"
+    if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(oT)) {
+      val li = graft.operators.Relational.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = graft.operators.Relational.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      writeBucketed(li, liT, "l_orderkey", 8)
+      writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"), oT, "l_orderkey", 8)
+    }
+    (liT, oT)
+  }
 
   val oracles: Map[String, String] = Map(
     "bk_colocated_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "bk_colocated_agg" ->
+      """SELECT l_orderkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
   )
 }

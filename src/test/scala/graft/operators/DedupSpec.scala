@@ -213,4 +213,33 @@ class DedupSpec extends SparkSpec {
       assert(pairs("dd_ngram_pairs") == base)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("contamination screen: flagged docs are corpus-side and really share an eval gram") {
+    import org.apache.spark.sql.functions._
+    val flagged = Dedup.queries("dd_contamination")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.values.forall(_ >= 1))
+    // Recompute the gram overlap independently (set algebra on the driver —
+    // fine at test scale) and require exact agreement.
+    val grams = Relational.t(spark, sf(), "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= Dedup.ContamGram)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("ts")) - (Dedup.ContamGram - 1)),
+          i => concat_ws(" ", slice(col("ts"), i, lit(Dedup.ContamGram))))).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${Pipeline.SampleSeed}:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100L
+    }
+    val evalGrams = grams.collect { case (id, g) if bucket(id) >= 90 => g }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = grams.collect {
+      case (id, g) if bucket(id) < 90 && (g & evalGrams).nonEmpty => id -> (g & evalGrams).size.toLong
+    }.toMap
+    assert(flagged == expected)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{col, count, lit, when}
+import org.apache.spark.sql.functions.{col, count, lit, size, when}
 
 class PipelineSpec extends SparkSpec {
 
@@ -59,5 +59,43 @@ class PipelineSpec extends SparkSpec {
       .filter(Pipeline.bucket(col("doc_id")) < 80)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(base.subsetOf(trainIds))
+  }
+
+  test("token chunks tile every document: full windows, stride offsets, covered tail") {
+    val chunks = Pipeline.queries("pl_chunk_tokens")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+    val docLens = Relational.t(spark, sf(), "documents")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (docId, cs) =>
+      val n = docLens(docId)
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are 0..k-1 with the documented count
+      val expectK = 1 + math.max(0, math.ceil((n - Pipeline.ChunkSize).toDouble / Pipeline.ChunkStride).toInt)
+      assert(sorted.map(_._2).toSeq == (0 until expectK), s"doc $docId")
+      sorted.foreach { case (_, i, len, text) =>
+        val start = i * Pipeline.ChunkStride // 0-based
+        // every chunk is the full window except where the doc ends
+        assert(len == math.min(Pipeline.ChunkSize, n - start), s"doc $docId chunk $i")
+        assert(text.split(" ").length == len)
+      }
+      // the last chunk reaches the final token: full coverage, no orphan tail
+      val (_, lastI, lastLen, _) = sorted.last
+      assert(lastI * Pipeline.ChunkStride + lastLen == n, s"doc $docId tail")
+    }
+  }
+
+  test("weighted priority sample: k rows, deterministic, priority >= weight") {
+    val a = Pipeline.queries("sp_weighted_sample")(spark, sf()).collect()
+    assert(a.length == Pipeline.WSampleK)
+    a.foreach { r =>
+      // u <= 1 so priority = w/u >= w; equality only at the max hash value
+      assert(r.getDouble(3) >= r.getLong(r.fieldIndex("n_chars")).toDouble)
+    }
+    // membership is a pure function of (doc_id, weight): stable re-run
+    val b = Pipeline.queries("sp_weighted_sample")(spark, sf()).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
   }
 }

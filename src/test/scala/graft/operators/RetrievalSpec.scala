@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+
+  test("inverted index: df equals posting-list length; postings sorted and total matches") {
+    val rows = Retrieval.queries("rt_inverted_index")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getString(r.fieldIndex("postings")).split(",").map(_.toLong)
+      assert(ids.length.toLong == r.getLong(r.fieldIndex("df")), s"term ${r.getString(0)}")
+      assert(ids.sameElements(ids.sorted), s"postings sorted for ${r.getString(0)}")
+    }
+    // Σ df over terms == distinct (doc, term) pairs in the corpus.
+    val expected = Relational.t(spark, sf(), "documents")
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("t"))
+      .count()
+    assert(rows.map(_.getLong(1)).sum == expected)
+  }
+
+  test("bm25: k results, positive non-increasing scores, docs really match the query") {
+    val rows = Retrieval.queries("rt_bm25")(spark, sf()).collect()
+    assert(rows.nonEmpty && rows.length <= Retrieval.Bm25K)
+    val scores = rows.map(_.getDouble(rows.head.fieldIndex("score")))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "sorted by score desc")
+    rows.foreach { r =>
+      val nTerms = r.getLong(r.fieldIndex("n_terms"))
+      assert(nTerms >= 1 && nTerms <= Retrieval.Bm25Terms.length)
+    }
+    // Every scored document contains at least one query term.
+    val hitIds = rows.map(_.getLong(0)).toSet
+    val withTerm = Relational.t(spark, sf(), "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .filter(arrays_overlap(col("ts"), lit(Retrieval.Bm25Terms.toArray)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hitIds.subsetOf(withTerm))
+    // A doc matching MORE distinct query terms with the same length profile
+    // should generally outrank fewer-term docs; at minimum the top result
+    // matches at least as many terms as the median result.
+    val byTerms = rows.map(r => r.getLong(r.fieldIndex("n_terms")))
+    assert(byTerms.head >= byTerms(byTerms.length / 2) - 1)
+  }
+}

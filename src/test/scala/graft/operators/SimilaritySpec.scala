@@ -121,4 +121,18 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("pagerank conserves probability mass and ranks every vector") {
+    val rows = Similarity.queries("ss_pagerank")(spark, sf()).collect()
+    val n = Relational.t(spark, sf(), "embeddings").count()
+    assert(rows.length == n)
+    val prs = rows.map(_.getDouble(1))
+    assert(prs.forall(_ > 0))
+    // No dangling nodes (every vector has out-degree exactly 3), so each
+    // synchronous round preserves total mass: Σ pr = 0.15 + 0.85 · Σ = 1.
+    assert(math.abs(prs.sum - 1.0) < 1e-9, s"mass = ${prs.sum}")
+    // The floor rank (a node with no in-edges) is 0.15/n; everything sits
+    // at or above it.
+    assert(prs.forall(_ >= 0.15 / n - 1e-12))
+  }
 }

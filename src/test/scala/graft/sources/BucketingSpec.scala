@@ -37,6 +37,14 @@ class BucketingSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("gate query bk_colocated_agg aggregates bucket-locally with no exchange") {
+    val df = Bucketing.queries("bk_colocated_agg")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed gate agg must not shuffle:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("aggregation on the bucket key is also exchange-free") {
     val agg = Bucketing.read(spark, "b_lineitem")
       .groupBy("l_orderkey")
