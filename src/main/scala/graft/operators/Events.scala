@@ -159,6 +159,35 @@ object Events {
         .orderBy("week")
     },
 
+    // Rate-anomaly detection: hourly event-type counts whose deviation from
+    // that type's mean exceeds 2 sample standard deviations. The flag
+    // condition is evaluated in EXACT integer arithmetic —
+    // (x·n − S)²·(n−1) > 4·n·(n·ΣX² − S²) is (x−μ)² > 4·σ̂² cleared of
+    // divisions — so window membership can never flip on a float
+    // knife-edge and an external engine reproduces the row set exactly
+    // (a real monitoring concern: alert sets must be stable across
+    // recomputation). Shape: one windowed count, one per-type moment
+    // aggregate (3 sums — broadcastable, |event types| rows), one broadcast
+    // join back; the hourly subplan is shared by both consumers (reused
+    // exchange), so events scan once. Hours with zero events of a type are
+    // absent, not zero-filled — the series is the observed one.
+    "ev_anomaly" -> { (s, dir) =>
+      val hourly = EventStreams.windowedAgg(Relational.t(s, dir, "events"))
+        .select(col("window_start"), col("event_type"), col("n_events"))
+      val stats = hourly.groupBy("event_type").agg(
+        count(lit(1)).as("n_w"),
+        sum(col("n_events")).as("s"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+      val dev = col("n_events") * col("n_w") - col("s")
+      hourly.join(broadcast(stats), "event_type")
+        .filter(col("n_w") > 1 &&
+          dev * dev * (col("n_w") - 1) >
+            lit(4L) * col("n_w") * (col("n_w") * col("s2") - col("s") * col("s")))
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          (col("s").cast("double") / col("n_w")).as("mean_events"))
+        .orderBy("window_start", "event_type")
+    },
+
     // Cohort retention: users grouped by their first-signup week, counted
     // as active in each later week they emit ANY event. Weeks are integer
     // day-offsets / 7 from a fixed epoch — pure integer arithmetic both
@@ -202,6 +231,22 @@ object Events {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+    // DuckDB promotes SUM(BIGINT) to HUGEINT, so the squared terms cannot
+    // overflow there; Spark stays in BIGINT — exact at any count the gate
+    // scales reach (overflow headroom ~3·10⁹ events/hour/type).
+    "ev_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events
+        |  FROM events GROUP BY window_start, event_type
+        |), st AS (
+        |  SELECT event_type, COUNT(*) AS n_w, SUM(n_events) AS s, SUM(n_events * n_events) AS s2
+        |  FROM h GROUP BY event_type
+        |)
+        |SELECT window_start, h.event_type, n_events, CAST(s AS DOUBLE) / n_w AS mean_events
+        |FROM h JOIN st ON h.event_type = st.event_type
+        |WHERE n_w > 1 AND
+        |  (n_events * n_w - s) * (n_events * n_w - s) * (n_w - 1) > 4 * n_w * (n_w * s2 - s * s)
+        |ORDER BY window_start, h.event_type""".stripMargin,
     "ev_sessions" -> sessionsSql,
     "ev_sessions_typed" -> sessionsSql,
     "ev_sessions_native" -> sessionsSql,

@@ -35,4 +35,26 @@ class EventsSpec extends SparkSpec {
         s"week $w: merged ${est(w)} vs direct $d")
     }
   }
+
+  test("anomaly flags exactly the windows beyond 2 sample stddevs (integer recompute)") {
+    val flagged = Events.queries("ev_anomaly")(spark, sf()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    // Independent recomputation on the driver with the same exact integer
+    // criterion, from the raw hourly series.
+    val hourly = graft.streaming.EventStreams
+      .windowedAgg(Relational.t(spark, sf(), "events"))
+      .select(col("window_start"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val expected = hourly.groupBy(_._2).toSeq.flatMap { case (tpe, rows) =>
+      val n = rows.length.toLong
+      val s = rows.map(_._3).sum
+      val s2 = rows.map(x => x._3 * x._3).sum
+      rows.collect {
+        case (ts, _, x) if n > 1 &&
+          (x * n - s) * (x * n - s) * (n - 1) > 4 * n * (n * s2 - s * s) => (ts, tpe)
+      }
+    }.toSet
+    assert(flagged == expected)
+    assert(flagged.nonEmpty, "corpus should contain at least one >2-sigma hour")
+  }
 }
