@@ -110,5 +110,49 @@ class PlanAuditSpec extends SparkSpec {
       "limit after sort should plan TakeOrderedAndProject")
     assert(plan("ta_ngram_freq").contains("TakeOrderedAndProject"),
       "bigram top-20 should plan TakeOrderedAndProject")
+    assert(plan("sp_weighted_sample").contains("TakeOrderedAndProject"),
+      "priority sample should plan TakeOrderedAndProject")
+    assert(plan("rt_bm25").contains("TakeOrderedAndProject"),
+      "bm25 top-k should plan TakeOrderedAndProject")
+  }
+
+  test("contamination screen joins corpus grams against a BROADCAST eval gram set") {
+    // The corpus-side gram stream (the TB-scale side) must meet the eval
+    // grams through a broadcast hash join — a sort-merge join here would
+    // shuffle every corpus gram on the skewed gram key. The eval branch's
+    // own tiny distinct may shuffle; that side is KBs by construction.
+    val p = plan("dd_contamination")
+    assert(p.contains("BroadcastHashJoin [gram"), s"eval side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams must never sort-merge on the gram key:\n$p")
+  }
+
+  test("bm25 joins the tf stream against BROADCAST df and corpus stats") {
+    // df (term-cardinality rows) and the one-row corpus stats broadcast;
+    // the tf stream — already pruned to query terms — is never the build
+    // side of anything and never sort-merges on the skewed term key.
+    val p = plan("rt_bm25")
+    assert(p.contains("BroadcastHashJoin [term"), s"df join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge joins in the scoring plan:\n$p")
+  }
+
+  test("token chunking is a pure narrow fan-out (no required shuffle above the scan)") {
+    // The explode is the highest-fan-out op in the pipeline; its plan must
+    // need no exchange so chunks stream straight into a downstream writer.
+    // Allowed: the spread() explicit repartition (REPARTITION_BY_NUM — it
+    // parallelizes the single-file test input, not a plan requirement) and
+    // the gate's output-sort range exchange. Forbidden: any
+    // ENSURE_REQUIREMENTS hash exchange (a real shuffle dependency).
+    val p = plan("pl_chunk_tokens")
+    val required = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(required.isEmpty, s"chunking must not require a hash shuffle:\n$p")
+  }
+
+  test("pagerank rounds join edges to ranks equality-keyed with exact decimal mass sums") {
+    val p = plan("ss_pagerank")
+    assert(!p.contains("NestedLoop") || p.contains("BroadcastNestedLoopJoin"),
+      s"rank join must be equality-keyed (broadcast NLJ only for the one-row n):\n$p")
+    assert(p.contains("sum(c#") || p.contains("sum(c"),
+      s"contribution sums must aggregate the decimal column:\n$p")
   }
 }
