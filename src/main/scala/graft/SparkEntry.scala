@@ -22,7 +22,8 @@ object SparkEntry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Events.queries ++ Multimodal.queries ++ Joins.queries ++ Relational2.queries ++
       Connectors.queries ++ Pipeline.queries ++ Skew.queries ++ Maintenance.queries ++
-      Changes.queries ++ Quality.queries ++ Retrieval.queries ++ graft.sources.Bucketing.queries
+      Changes.queries ++ Quality.queries ++ Retrieval.queries ++
+      graft.sources.Bucketing.queries ++ graft.sources.Versioned.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Events.oracles ++ Multimodal.oracles ++ Joins.oracles ++ Relational2.oracles ++
       Connectors.oracles ++ Pipeline.oracles ++ Skew.oracles ++ Maintenance.oracles ++
-      Changes.oracles ++ Quality.oracles ++ Retrieval.oracles ++ graft.sources.Bucketing.oracles
+      Changes.oracles ++ Quality.oracles ++ Retrieval.oracles ++
+      graft.sources.Bucketing.oracles ++ graft.sources.Versioned.oracles
 }

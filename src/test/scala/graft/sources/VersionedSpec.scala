@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VersionedSpec extends SparkSpec {
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_versioned_spec").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/t"
+  }
+
+  test("snapshot isolation: a committed version is immutable under later appends") {
+    import spark.implicits._
+    val dir = freshDir()
+    assert(Versioned.latest(dir).isEmpty)
+    assert(Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir) == 0)
+    val v0Before = Versioned.readVersion(spark, dir, 0).collect().map(_.toString).sorted.toSeq
+    assert(Versioned.append(Seq((3L, "c")).toDF("id", "s"), dir) == 1)
+    val v0After = Versioned.readVersion(spark, dir, 0).collect().map(_.toString).sorted.toSeq
+    assert(v0After == v0Before, "v0 must be byte-identical after the v1 commit")
+    assert(Versioned.read(spark, dir).count() == 3)
+    assert(Versioned.latest(dir).contains(1))
+    // time travel reads resolve from manifests, not directory listings
+    assert(Versioned.readVersion(spark, dir, 0).count() == 2)
+  }
+
+  test("a crashed commit's orphan data dir is invisible and cleared by the next append") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    // Simulate a crash: v1 data files land but the manifest never does.
+    Seq((99L, "junk")).toDF("id", "s").write.parquet(s"$dir/v1")
+    assert(Versioned.latest(dir).contains(0), "uncommitted data must not advance the version")
+    assert(Versioned.read(spark, dir).count() == 1, "readers never see uncommitted files")
+    // The next commit clears the orphan and lands cleanly.
+    assert(Versioned.append(Seq((2L, "b")).toDF("id", "s"), dir) == 1)
+    val v1 = Versioned.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(v1 == Set(1L, 2L), s"orphan rows must not leak into the committed table: $v1")
+  }
+
+  test("gate query answers both versions from one physical table") {
+    val df = Versioned.queries("mt_time_travel")(spark, sf())
+    val rows = df.collect()
+    val byVersion = rows.groupBy(_.getInt(0))
+    assert(byVersion.keySet == Set(0, 1))
+    // v1 strictly contains v0: every status count can only grow.
+    val c0 = byVersion(0).map(r => r.getString(1) -> r.getLong(2)).toMap
+    val c1 = byVersion(1).map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(c0.keySet.subsetOf(c1.keySet))
+    c0.foreach { case (k, n) => assert(c1(k) >= n, s"status $k shrank: $n -> ${c1(k)}") }
+  }
+}
