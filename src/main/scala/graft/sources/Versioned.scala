@@ -35,7 +35,17 @@ object Versioned {
   /** Commit `df` as the next version of the table at `dir`; returns the new
     * version number. Version 0 creates the table.
     */
-  def append(df: DataFrame, dir: String): Int = {
+  def append(df: DataFrame, dir: String): Int = commit(df, dir, carryForward = true)
+
+  /** Commit `df` as the next version whose manifest lists ONLY the new data
+    * — a rewrite commit (compaction, clustering, codec migration of a
+    * versioned table). Prior versions stay readable until [[vacuum]]ed;
+    * after a replace, their data dirs are no longer referenced by newer
+    * manifests and become reclaimable.
+    */
+  def replace(df: DataFrame, dir: String): Int = commit(df, dir, carryForward = false)
+
+  private def commit(df: DataFrame, dir: String, carryForward: Boolean): Int = {
     val v = latest(dir).map(_ + 1).getOrElse(0)
     val dataDir = s"$dir/v$v"
     // A data dir past the last manifest is an orphan from a crashed commit
@@ -45,10 +55,32 @@ object Versioned {
     if (orphan.exists()) org.apache.commons.io.FileUtils.deleteDirectory(orphan)
     df.write.mode("errorifexists").parquet(dataDir)
     val prev: Seq[String] =
-      if (v == 0) Seq.empty
+      if (v == 0 || !carryForward) Seq.empty
       else readManifest(dir, v - 1)
     writeManifest(dir, v, prev :+ dataDir)
     v
+  }
+
+  /** Retention cleanup: keep the newest `keep` versions, drop older
+    * manifests, and delete every data directory no surviving manifest
+    * references (old pre-replace data, plus any crashed-commit orphans).
+    * Returns the deleted data-dir paths. Append-only histories share all
+    * their data with the latest version, so vacuum reclaims bytes exactly
+    * when [[replace]] commits have rewritten data — the
+    * compact-then-vacuum loop every lakehouse runs. Time travel to a
+    * vacuumed version correctly fails (its manifest is gone).
+    */
+  def vacuum(dir: String, keep: Int = 1): Seq[String] = {
+    require(keep >= 1, "must keep at least the latest version")
+    val lv = latest(dir).getOrElse(return Seq.empty)
+    val keepFrom = math.max(0, lv - keep + 1)
+    val referenced = (keepFrom to lv).flatMap(v => readManifest(dir, v)).toSet
+    (0 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
+    val dataDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    val doomed = dataDirs.filter(d => !referenced.contains(s"$dir/${d.getName}"))
+    doomed.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    doomed.map(d => s"$dir/${d.getName}").toSeq
   }
 
   /** Read the table as of version `v` (time travel). */

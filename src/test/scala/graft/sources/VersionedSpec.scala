@@ -40,6 +40,37 @@ class VersionedSpec extends SparkSpec {
     assert(v1 == Set(1L, 2L), s"orphan rows must not leak into the committed table: $v1")
   }
 
+  test("replace + vacuum reclaims rewritten data; survivors stay byte-identical") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)            // v0
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), dir)            // v1 = v0 + new
+    // Rewrite commit: compact the whole table into one new data dir.
+    val compacted = Versioned.read(spark, dir).repartition(1)
+    assert(Versioned.replace(compacted, dir) == 2)                   // v2 lists only itself
+    val v2Before = Versioned.read(spark, dir).collect().map(_.toString).sorted.toSeq
+    // Before vacuum: time travel to v1 still works (its manifest + data live).
+    assert(Versioned.readVersion(spark, dir, 1).count() == 2)
+    val deleted = Versioned.vacuum(dir, keep = 1)
+    // v0/v1 data dirs are unreferenced by v2 and must be reclaimed.
+    assert(deleted.map(_.split('/').last).toSet == Set("v0", "v1"), s"deleted: $deleted")
+    assert(Versioned.latest(dir).contains(2))
+    assert(Versioned.read(spark, dir).collect().map(_.toString).sorted.toSeq == v2Before)
+    // Vacuumed versions are gone — structurally, not just by convention.
+    intercept[Exception](Versioned.readVersion(spark, dir, 1).collect())
+  }
+
+  test("vacuum keeps shared data referenced by surviving append-only versions") {
+    import spark.implicits._
+    val dir = freshDir()
+    Versioned.append(Seq((1L, "a")).toDF("id", "s"), dir)            // v0
+    Versioned.append(Seq((2L, "b")).toDF("id", "s"), dir)            // v1 references v0's data
+    val deleted = Versioned.vacuum(dir, keep = 1)
+    // v1's manifest still lists v0's data dir: nothing is reclaimable.
+    assert(deleted.isEmpty, s"shared data must survive: $deleted")
+    assert(Versioned.read(spark, dir).count() == 2)
+  }
+
   test("gate query answers both versions from one physical table") {
     val df = Versioned.queries("mt_time_travel")(spark, sf())
     val rows = df.collect()
