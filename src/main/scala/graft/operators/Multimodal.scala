@@ -151,6 +151,27 @@ object Multimodal {
           sum(length(col("frame")).cast("long")).as("total_frame_bytes")
         )
         .orderBy("doc_id")
+    },
+
+    // Exact media dedup by payload content hash, summarized per format —
+    // the asset-store ingest step (same media uploaded twice must store
+    // once). The shuffle carries one 32-hex digest per row, never the
+    // binary payload; at 100 TB this matters more than anywhere else in the
+    // engine — media payloads are the biggest rows in the lake, and
+    // hash-then-shuffle is the only viable dedup shape for them. Hashing
+    // binary (not a string view) keeps the op correct for real non-UTF8
+    // media; DuckDB's md5 over the same bytes proves the digest is
+    // portable across engines.
+    "mm_exact_dedup" -> { (s, dir) =>
+      manifest(s, dir)
+        .select(col("meta.format").as("format"), md5(col("media")).as("h"),
+          col("meta.n_bytes").as("n_bytes"))
+        .groupBy("format")
+        .agg(
+          count(lit(1)).as("n_media"),
+          countDistinct(col("h")).as("n_distinct_payloads"),
+          max(col("n_bytes")).as("max_bytes"))
+        .orderBy("format")
     }
   )
 
@@ -173,6 +194,12 @@ object Multimodal {
          |        ELSE (length(text) // $FrameBytes) * $FrameBytes END)::BIGINT AS total_frame_bytes
          |FROM documents
          |WHERE doc_id % 4 = 3 AND length(text) >= $FrameBytes
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "mm_exact_dedup" ->
+      """SELECT ['png','jpeg','wav','mp4'][CAST(doc_id % 4 + 1 AS INT)] AS format,
+        |  COUNT(*) AS n_media,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
+        |  CAST(MAX(length(text)) AS BIGINT) AS max_bytes
+        |FROM documents GROUP BY format ORDER BY format""".stripMargin
   )
 }
