@@ -413,4 +413,39 @@ object EventStreams {
     * the three-way batch/GroupState/TWS agreement is unaffected there.
     */
   val SessionStateRetentionMs: Long = 90L * 24 * 3600 * 1000
+
+  /** Exactly-once `foreachBatch` sink into a [[graft.sources.Versioned]]
+    * table: micro-batch b commits as table version b. Spark's built-in file
+    * sink gets exactly-once from its own commit log; a CUSTOM sink must
+    * supply idempotence itself, and this one gets it from the manifest
+    * commit protocol — replay-safe at both crash points:
+    *
+    *  - crash AFTER the sink committed but BEFORE the checkpoint advanced:
+    *    the replayed batch finds `latest >= batchId` and skips — the
+    *    version is already durable, re-appending would duplicate;
+    *  - crash MID-commit (data files written, manifest not): the replayed
+    *    batch's commit clears the invisible orphan and lands cleanly
+    *    ([[graft.sources.Versioned.append]]).
+    *
+    * foreachBatch delivers batch ids sequentially from the checkpoint, so
+    * version == batchId is an invariant, asserted to fail fast if the sink
+    * is pointed at a table it does not own.
+    */
+  def versionedSink(tableDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val latest = graft.sources.Versioned.latest(tableDir)
+    if (latest.exists(_ >= batchId)) () // replayed, already-committed batch
+    else {
+      val v = graft.sources.Versioned.append(batch, tableDir)
+      require(v == batchId, s"sink table out of sync: committed v$v for batch $batchId")
+    }
+  }
+
+  /** Stream into a versioned table via [[versionedSink]] (AvailableNow). */
+  def writeVersioned(events: DataFrame, tableDir: String, ckpt: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch(versionedSink(tableDir) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }
