@@ -140,13 +140,14 @@ object Similarity {
     // scale both sides pre-partition once) + one hash aggregate; in-edge
     // contributions sum through DECIMAL(38,18) (exact, order-independent),
     // so ranks are bit-reproducible across partitionings and engines — the
-    // unrolled DuckDB oracle lands on identical doubles. The edge frame is
-    // materialized once ([[Dedup.materialized]]) and reused by all rounds.
+    // unrolled DuckDB oracle lands on identical doubles. The edge set is
+    // the STORED k-NN index ([[knnGraph]]): built once, scanned per round.
     "ss_pagerank" -> { (s, dir) =>
       val nodes = vecs(s, dir).select(col("vec_id"))
       val nN = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-      val edges = Dedup.materialized(
-        knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+      // knnGraph is a stored parquet index ([[materialize]]): each round's
+      // scan of the edge table is a cheap re-read, no checkpoint needed.
+      val edges = knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
       val init = nodes.join(broadcast(nN))
         .select(col("vec_id"), (lit(1.0) / col("n_nodes")).as("pr"))
       (1 to PrIters).foldLeft(init) { (pr, _) =>
@@ -405,7 +406,18 @@ object Similarity {
     * DuckDB all-pairs + ROW_NUMBER oracle (cosines are bit-identical via
     * the shared sequential-fold dot product).
     */
-  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  private def knnGraph(s: SparkSession, dir: String): DataFrame =
+    // The k-NN graph is itself a stored index structure (diversity
+    // sampling, cluster seeding, triangles, and PageRank all start from
+    // it): the O(n²/G) block-grid build runs once per corpus, every
+    // downstream consumer — including repeat invocations of the graph
+    // query itself — reads the edge table.
+    materialize("knn_graph", dir, s)(knnGraphBuild(s, dir))
+
+  /** The one-time k-NN build plan (audited by PlanAuditSpec: partial
+    * map-side heap shrink before the exchange, no cartesian node).
+    */
+  private[graft] def knnGraphBuild(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir).withColumn("nrm", sqrt(Dedup.dotSeq(col("v"), col("v"))))
     Dedup.blockGridPairs(e, "vec_id", Dedup.embedGrid(s))
       .filter(col("vec_id_a") =!= col("vec_id_b"))

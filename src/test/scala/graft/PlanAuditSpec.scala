@@ -91,8 +91,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("grouped top-k aggregate runs partial (map-side) heap shrink") {
-    for (name <- Seq("q37_topk_pergroup", "ss_knn_graph")) {
-      val p = plan(name)
+    // ss_knn_graph serves from the stored index, so its ONE-TIME build plan
+    // is audited directly (the gate query's own plan is just the index scan).
+    val plans = Seq(
+      "q37_topk_pergroup" -> plan("q37_topk_pergroup"),
+      "knn_graph_build" ->
+        graft.operators.Similarity.knnGraphBuild(spark, sf()).queryExecution.executedPlan.toString)
+    for ((name, p) <- plans) {
       assert(p.toLowerCase.contains("partial_graft_topk_rows"),
         s"$name must pre-shrink groups map-side before the exchange:\n$p")
     }
