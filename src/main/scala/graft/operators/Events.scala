@@ -178,11 +178,20 @@ object Events {
         count(lit(1)).as("n_w"),
         sum(col("n_events")).as("s"),
         sum(col("n_events") * col("n_events")).as("s2"))
-      val dev = col("n_events") * col("n_w") - col("s")
+      // The squared moment terms overflow BIGINT once Σ counts reach ~3·10⁹
+      // per type, so the comparison runs in DECIMAL(38,0) — still exact
+      // integer arithmetic, matching DuckDB's automatic HUGEINT promotion
+      // of SUM(BIGINT), with headroom to 10³⁸.
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val x = col("n_events").cast(d38)
+      val nw = col("n_w").cast(d38)
+      val sm = col("s").cast(d38)
+      val s2m = col("s2").cast(d38)
+      val dev = x * nw - sm
       hourly.join(broadcast(stats), "event_type")
         .filter(col("n_w") > 1 &&
-          dev * dev * (col("n_w") - 1) >
-            lit(4L) * col("n_w") * (col("n_w") * col("s2") - col("s") * col("s")))
+          dev * dev * (nw - lit(1).cast(d38)) >
+            lit(4).cast(d38) * nw * (nw * s2m - sm * sm))
         .select(col("window_start"), col("event_type"), col("n_events"),
           (col("s").cast("double") / col("n_w")).as("mean_events"))
         .orderBy("window_start", "event_type")
@@ -231,9 +240,8 @@ object Events {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
-    // DuckDB promotes SUM(BIGINT) to HUGEINT, so the squared terms cannot
-    // overflow there; Spark stays in BIGINT — exact at any count the gate
-    // scales reach (overflow headroom ~3·10⁹ events/hour/type).
+    // DuckDB promotes SUM(BIGINT) to HUGEINT, so the squared terms stay
+    // exact 128-bit integers; the Spark side mirrors with DECIMAL(38,0).
     "ev_anomaly" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events

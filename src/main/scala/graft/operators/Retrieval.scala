@@ -71,10 +71,14 @@ object Retrieval {
     // BM25-ranked keyword search for [[Bm25Terms]]: score(d) =
     // Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
     "rt_bm25" -> { (s, dir) =>
-      val docs = Relational.t(s, dir, "documents")
-        .transform(Dedup.spread("doc_id"))
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 1)
+      // Three consumers of the tokenized corpus (tf, corpus stats, dl join)
+      // would each re-run the scan+tokenize subtree — materialize it once,
+      // the dd_incremental multi-consumer pattern.
+      val docs = Dedup.materialized(
+        Relational.t(s, dir, "documents")
+          .transform(Dedup.spread("doc_id"))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 1))
       val dls = docs.select(col("doc_id"), size(col("ts")).cast("double").as("dl"))
       val stats = dls.agg(
         count(lit(1)).cast("double").as("n_docs"),

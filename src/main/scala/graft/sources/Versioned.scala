@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * Layout: data files live flat under the table dir, written once and NEVER
   * rewritten; each commit writes its new files into a fresh `v<N>/`
-  * subdirectory and then a manifest `_v<N>.json` listing EVERY data
+  * subdirectory and then a manifest `_v<N>.manifest` listing EVERY data
   * directory composing that snapshot (previous version's listing + the new
   * one). A reader resolves a version by reading one tiny manifest and
   * scanning exactly the listed directories — so:
@@ -45,7 +45,8 @@ object Versioned {
     */
   def replace(df: DataFrame, dir: String): Int = commit(df, dir, carryForward = false)
 
-  private def commit(df: DataFrame, dir: String, carryForward: Boolean): Int = {
+  private def commit(df: DataFrame, dir0: String, carryForward: Boolean): Int = {
+    val dir = canon(dir0)
     val v = latest(dir).map(_ + 1).getOrElse(0)
     val dataDir = s"$dir/v$v"
     // A data dir past the last manifest is an orphan from a crashed commit
@@ -70,18 +71,27 @@ object Versioned {
     * compact-then-vacuum loop every lakehouse runs. Time travel to a
     * vacuumed version correctly fails (its manifest is gone).
     */
-  def vacuum(dir: String, keep: Int = 1): Seq[String] = {
+  def vacuum(dir0: String, keep: Int = 1): Seq[String] = {
     require(keep >= 1, "must keep at least the latest version")
+    val dir = canon(dir0)
     val lv = latest(dir).getOrElse(return Seq.empty)
     val keepFrom = math.max(0, lv - keep + 1)
-    val referenced = (keepFrom to lv).flatMap(v => readManifest(dir, v)).toSet
+    // Canonicalize both sides of the membership test: manifests written
+    // through a different-but-equivalent path form of the same dir
+    // (trailing slash, relative vs absolute) must still protect their data.
+    val referenced = (keepFrom to lv).flatMap(v => readManifest(dir, v)).map(canon).toSet
     (0 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
     val dataDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-    val doomed = dataDirs.filter(d => !referenced.contains(s"$dir/${d.getName}"))
+    val doomed = dataDirs.filter(d => !referenced.contains(canon(d.getPath)))
     doomed.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     doomed.map(d => s"$dir/${d.getName}").toSeq
   }
+
+  /** Canonical path form — commits and vacuum must agree on identity even
+    * when callers mix trailing-slash / relative / symlinked forms.
+    */
+  private def canon(p: String): String = new java.io.File(p).getCanonicalPath
 
   /** Read the table as of version `v` (time travel). */
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame =
@@ -98,24 +108,29 @@ object Versioned {
   def latest(dir: String): Option[Int] = {
     val names = Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
     val vs = names.collect {
-      case n if n.startsWith("_v") && n.endsWith(".json") =>
-        n.stripPrefix("_v").stripSuffix(".json").toInt
+      case n if n.startsWith("_v") && n.endsWith(".manifest") =>
+        n.stripPrefix("_v").stripSuffix(".manifest").toInt
     }
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def manifestPath(dir: String, v: Int) = Paths.get(s"$dir/_v$v.json")
+  private def manifestPath(dir: String, v: Int) = Paths.get(s"$dir/_v$v.manifest")
 
-  private def writeManifest(dir: String, v: Int, dataDirs: Seq[String]): Unit =
-    Files.writeString(manifestPath(dir, v),
-      dataDirs.map(p => "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString("[", ",", "]"))
+  /** Manifest codec: one data-dir path per line. Deliberately NOT
+    * hand-rolled JSON — the commit protocol's own metadata must have a
+    * codec with no escaping ambiguity (a quote/backslash sequence in a
+    * path corrupting the manifest would be a silent data-integrity hole).
+    * Newlines are the one reserved character, rejected at commit time.
+    */
+  private def writeManifest(dir: String, v: Int, dataDirs: Seq[String]): Unit = {
+    require(dataDirs.forall(p => !p.contains("\n") && !p.contains("\r")),
+      "newlines in table paths are not supported")
+    Files.writeString(manifestPath(dir, v), dataDirs.mkString("\n"))
+  }
 
   private def readManifest(dir: String, v: Int): Seq[String] = {
-    val raw = Files.readString(manifestPath(dir, v)).trim.stripPrefix("[").stripSuffix("]")
-    if (raw.isEmpty) Seq.empty
-    else raw.split("\",\\s*\"").toSeq
-      .map(_.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"").replace("\\\\", "\\"))
+    val raw = Files.readString(manifestPath(dir, v))
+    if (raw.isEmpty) Seq.empty else raw.split("\n").toSeq
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -135,7 +150,12 @@ object Versioned {
       // reused across invocations within one session.
       val tdir =
         s"${sys.props("java.io.tmpdir")}/graft_versioned_${ProcessHandle.current().pid()}_$key"
-      if (Versioned.latest(tdir).isEmpty) {
+      // The gate needs BOTH versions: a partial build (v0 committed, then
+      // the v1 append failed transiently) must rebuild from scratch, not
+      // wedge every retry on a missing v1 manifest.
+      if (Versioned.latest(tdir).forall(_ < 1)) {
+        val t = new java.io.File(tdir)
+        if (t.exists()) org.apache.commons.io.FileUtils.deleteDirectory(t)
         val orders = graft.operators.Relational.t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
         append(orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")), tdir)

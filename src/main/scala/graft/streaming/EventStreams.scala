@@ -428,12 +428,19 @@ object EventStreams {
     *    ([[graft.sources.Versioned.append]]).
     *
     * foreachBatch delivers batch ids sequentially from the checkpoint, so
-    * version == batchId is an invariant, asserted to fail fast if the sink
-    * is pointed at a table it does not own.
+    * version == batchId is an invariant. OWNERSHIP CONTRACT: the sink must
+    * create the table (its checkpoint and the table advance together); a
+    * legitimate replay can only ever be the LAST committed batch (crash
+    * after commit, before the checkpoint advanced), so batchId < latest —
+    * a fresh checkpoint pointed at a table it did not build — fails fast
+    * rather than silently dropping the leading batches as "replays".
     */
   def versionedSink(tableDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val latest = graft.sources.Versioned.latest(tableDir)
-    if (latest.exists(_ >= batchId)) () // replayed, already-committed batch
+    require(!latest.exists(_ > batchId),
+      s"sink does not own table $tableDir: it is at v${latest.get} but the " +
+        "checkpoint delivered batch " + batchId + " — replays can only be the last batch")
+    if (latest.contains(batchId)) () // replayed, already-committed last batch
     else {
       val v = graft.sources.Versioned.append(batch, tableDir)
       require(v == batchId, s"sink table out of sync: committed v$v for batch $batchId")

@@ -154,10 +154,25 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("pagerank rounds join edges to ranks equality-keyed with exact decimal mass sums") {
-    val p = plan("ss_pagerank")
-    assert(!p.contains("NestedLoop") || p.contains("BroadcastNestedLoopJoin"),
-      s"rank join must be equality-keyed (broadcast NLJ only for the one-row n):\n$p")
-    assert(p.contains("sum(c#") || p.contains("sum(c"),
-      s"contribution sums must aggregate the decimal column:\n$p")
+    val q = SparkEntry.queries("ss_pagerank")(spark, sf()).queryExecution
+    val p = q.executedPlan.toString
+    // The edges-to-ranks join each round must be an equality-keyed HASH
+    // join family member; the only nested-loop allowed is the broadcast of
+    // the ONE-ROW n_nodes scalar. Count them: 3 rounds → 3 broadcast NLJs
+    // for the scalar + the init's, and every remaining join is a hash join.
+    // Equality-keyed joins (hash OR sort-merge) are both fine; degenerate
+    // is a cartesian, or more nested-loops than the one-row n_nodes
+    // broadcasts (one per round + init).
+    val nljs = p.linesIterator.count(_.contains("NestedLoopJoin"))
+    val cartesians = p.linesIterator.count(_.contains("CartesianProduct"))
+    assert(cartesians == 0, s"rank joins degenerated to cartesian:\n$p")
+    assert(nljs <= PrItersPlusInit,
+      s"only the one-row n_nodes broadcasts may nested-loop ($nljs found):\n$p")
+    // The mass summation must run over DECIMAL(38,18) — the property that
+    // makes ranks order-independent. Assert on the ANALYZED plan, where
+    // column types are visible (the physical string hides them).
+    assert(q.analyzed.toString.contains("decimal(38,18)"),
+      s"contribution sums must be decimal-exact:\n${q.analyzed}")
   }
+  private val PrItersPlusInit = graft.operators.Similarity.PrIters + 1
 }
