@@ -163,6 +163,31 @@ object Pipeline {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // Stable global row numbering — the sequence-id assignment a training
+    // run gives its examples. A naive ROW_NUMBER() OVER (ORDER BY key)
+    // funnels the whole table through ONE partition; the scalable form is
+    // two-phase: range-partition by the key (each partition owns a
+    // contiguous key interval), count per partition, broadcast the prefix
+    // offsets, then number locally — O(rows) work, no global sort funnel.
+    // That is exactly what RDD.zipWithIndex implements (one counting job +
+    // one numbering pass), applied after a repartitionByRange + in-partition
+    // sort so the index order is the KEY order, deterministically. The
+    // DuckDB oracle is the single-node ROW_NUMBER truth.
+    "sp_row_numbers" -> { (s, dir) =>
+      val sorted = Relational.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+      val schema = sorted.schema
+      val numbered = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
+      }
+      s.createDataFrame(numbered,
+          schema.add(org.apache.spark.sql.types.StructField("seq_id",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        .orderBy("seq_id")
+    },
+
     // Weighted sampling without replacement (Duffield–Lund–Thorup priority
     // sampling): each document draws a deterministic uniform u ∈ (0, 1] from
     // the cross-engine hash and gets priority w/u; the k largest priorities
@@ -271,6 +296,10 @@ object Pipeline {
          |  CAST(len(ts[i*$ChunkStride+1 : i*$ChunkStride+$ChunkSize]) AS INT) AS n_chunk_tokens,
          |  array_to_string(ts[i*$ChunkStride+1 : i*$ChunkStride+$ChunkSize], ' ') AS chunk
          |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    "sp_row_numbers" ->
+      """SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (ORDER BY doc_id) AS seq_id
+        |FROM documents ORDER BY seq_id""".stripMargin,
     "sp_weighted_sample" ->
       s"""SELECT doc_id, lang, n_chars,
          |  CAST(n_chars AS DOUBLE) /

@@ -87,6 +87,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("global row numbers are 1..N in key order, stable across partition counts") {
+    val rows = Pipeline.queries("sp_row_numbers")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("seq_id")))
+    val n = Relational.t(spark, sf(), "documents").count()
+    assert(rows.map(_._2).toSeq == (1L to n))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq, "numbered in key order")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val re = Pipeline.queries("sp_row_numbers")(spark, sf()).collect()
+        .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("seq_id")))
+      assert(re.toSeq == rows.toSeq, "numbering must not depend on partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("weighted priority sample: k rows, deterministic, priority >= weight") {
     val a = Pipeline.queries("sp_weighted_sample")(spark, sf()).collect()
     assert(a.length == Pipeline.WSampleK)
