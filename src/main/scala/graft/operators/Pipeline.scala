@@ -188,6 +188,35 @@ object Pipeline {
         .orderBy("seq_id")
     },
 
+    // Temperature-scaled corpus mixture weights — the sampling distribution a
+    // multi-source training run draws from. Raw proportional sampling lets
+    // the biggest source drown the mixture; uniform sampling overfits tiny
+    // sources. The standard compromise is w_i ∝ size_i^α with α ∈ (0,1);
+    // α = 1/2 is the one temperature whose power is an EXACT IEEE operation
+    // (sqrt is correctly rounded; pow/exp/log are libm, not bit-stable
+    // across engines), so the whole weight table is oracle-checkable.
+    // Normalization sums the sqrt masses through DECIMAL(38,18)
+    // (order-independent), one double division per source, and an integer
+    // floor allocation against the token budget. Shape: one narrow
+    // aggregation to ~|sources| rows, then an unpartitioned window over
+    // those few rows — the window's single-partition funnel holds |sources|
+    // rows, never corpus rows.
+    "pl_mixture_weights" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sw = sum(sqrt(col("n_tokens"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .over(Window.partitionBy()).cast("double")
+      val weight = sqrt(col("n_tokens")) / sw
+      Relational.t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          weight.as("weight"),
+          floor(weight * lit(MixTokenBudget)).cast("long").as("alloc_tokens"))
+        .orderBy("source")
+    },
+
     // Weighted sampling without replacement (Duffield–Lund–Thorup priority
     // sampling): each document draws a deterministic uniform u ∈ (0, 1] from
     // the cross-engine hash and gets priority w/u; the k largest priorities
@@ -221,6 +250,11 @@ object Pipeline {
 
   /** Tokens per training shard for [[queries pl_token_pack]]. */
   val TokenShardBudget = 2000L
+
+  /** Mixture token budget allocated across sources in
+    * [[queries pl_mixture_weights]].
+    */
+  val MixTokenBudget = 1000000L
 
   /** Retention threshold for [[queries pl_train_corpus]] — keeps ~60% of the
     * corpus (score distribution: min 0.2, median ≈ 0.32, max ≈ 0.64).
@@ -300,6 +334,21 @@ object Pipeline {
       """SELECT doc_id, lang,
         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS seq_id
         |FROM documents ORDER BY seq_id""".stripMargin,
+    // sqrt + one division + floor: every step is a single correctly-rounded
+    // IEEE op; the normalizer sums through DECIMAL(38,18) in both engines.
+    "pl_mixture_weights" ->
+      s"""WITH t AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(list_filter(string_split_regex(lower(text), ' +'), x -> x <> ''))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source
+         |)
+         |SELECT source, n_docs, n_tokens,
+         |  sqrt(n_tokens) / CAST(SUM(CAST(sqrt(n_tokens) AS DECIMAL(38,18))) OVER () AS DOUBLE)
+         |    AS weight,
+         |  CAST(FLOOR(sqrt(n_tokens) / CAST(SUM(CAST(sqrt(n_tokens) AS DECIMAL(38,18))) OVER () AS DOUBLE)
+         |    * $MixTokenBudget) AS BIGINT) AS alloc_tokens
+         |FROM t ORDER BY source""".stripMargin,
     "sp_weighted_sample" ->
       s"""SELECT doc_id, lang, n_chars,
          |  CAST(n_chars AS DOUBLE) /

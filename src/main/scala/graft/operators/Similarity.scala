@@ -164,6 +164,35 @@ object Similarity {
       }.orderBy("vec_id")
     },
 
+    // Single-source BFS hop distances over the undirected 3-NN graph — the
+    // frontier-expansion iteration pattern (the third iterative-dataflow
+    // shape after label propagation's fixpoint and PageRank's fixed power
+    // rounds): round h joins ONLY the hop-(h−1) frontier against the edge
+    // table and min-merges the discoveries, so per-round work is
+    // O(frontier × k), never O(nodes) — on a 100 TB graph the early rounds
+    // touch a vanishing fraction of the edge exchange a whole-graph round
+    // would shuffle. Edges come from the STORED k-NN index ([[knnGraph]]),
+    // re-read per round like ss_pagerank; hop counts are exact integers, so
+    // the bounded recursive-CTE oracle lands on identical rows. Unreached
+    // nodes are absent (not ∞) — membership itself is the result.
+    "ss_bfs_hops" -> { (s, dir) =>
+      val e = knnGraph(s, dir)
+      // k-NN edges are directed (a's neighbor b need not have a in ITS top
+      // 3); hop distance is over the undirected closure.
+      val und = e.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        .unionByName(e.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
+        .distinct()
+      val init = s.range(1).select(lit(BfsSource).cast("long").as("vec_id"), lit(0).as("hops"))
+      (1 to BfsMaxHops).foldLeft(init) { (dist, h) =>
+        val expanded = dist.filter(col("hops") === h - 1)
+          .join(und, col("vec_id") === col("src"))
+          .select(col("dst").as("vec_id"), lit(h).as("hops"))
+        dist.unionByName(expanded)
+          .groupBy("vec_id")
+          .agg(min(col("hops")).as("hops"))
+      }.orderBy("vec_id")
+    },
+
     // LSH-bucketed ANN: same output shape, approximate neighbor set.
     // Rows-only driver check; recall measured in SimilaritySpec.
     // Candidate generation is ids-only: the bucket join and the distinct
@@ -235,6 +264,14 @@ object Similarity {
 
   /** PageRank power-iteration rounds for [[queries ss_pagerank]]. */
   val PrIters = 3
+
+  /** BFS source vertex and hop bound for [[queries ss_bfs_hops]]. The bound
+    * is structural, not a tuning knob: it caps the recursion in BOTH engines
+    * (the oracle's recursive CTE would otherwise rediscover cycle nodes at
+    * ever-higher hop counts forever).
+    */
+  val BfsSource = 0L
+  val BfsMaxHops = 4
 
   /** IVF parameters: cells, probed cells per query, Lloyd's rounds. */
   val IvfCells = 16
@@ -660,6 +697,42 @@ object Similarity {
          |), $rounds
          |SELECT vec_id, pr FROM p$PrIters ORDER BY vec_id""".stripMargin
     },
+    // Same knn-edge CTE chain, undirected closure, then a bounded
+    // recursive walk: UNION dedups (vec_id, hops) states, the hop bound
+    // terminates cycles, MIN picks the BFS distance.
+    "ss_bfs_hops" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, len(v)+1)], (p, q) -> p + q)) AS nrm
+         |  FROM e
+         |), p AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         |    list_reduce([a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)], (p, q) -> p + q)
+         |      / (a.nrm * b.nrm) AS cosine
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |), r AS (
+         |  SELECT vec_id, nbr_id,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id
+         |      ORDER BY cosine DESC, CAST(nbr_id AS VARCHAR) ASC) AS rnk
+         |  FROM p
+         |), und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT vec_id AS src, nbr_id AS dst FROM r WHERE rnk <= 3
+         |    UNION ALL
+         |    SELECT nbr_id, vec_id FROM r WHERE rnk <= 3
+         |  )
+         |), walk(vec_id, hops) AS (
+         |  SELECT CAST($BfsSource AS BIGINT), 0
+         |  UNION
+         |  SELECT u.dst, w.hops + 1
+         |  FROM walk w JOIN und u ON u.src = w.vec_id
+         |  WHERE w.hops < $BfsMaxHops
+         |)
+         |SELECT vec_id, MIN(hops) AS hops FROM walk
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "ss_knn_triangles" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

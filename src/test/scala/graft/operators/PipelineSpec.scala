@@ -113,4 +113,28 @@ class PipelineSpec extends SparkSpec {
     val b = Pipeline.queries("sp_weighted_sample")(spark, sf()).collect()
     assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
   }
+
+  test("mixture weights: normalized, sqrt-tempered between uniform and proportional") {
+    val rows = Pipeline.queries("pl_mixture_weights")(spark, sf()).collect()
+    val nSources = rows.length
+    val totalTokens = rows.map(_.getLong(2)).sum.toDouble
+    val weights = rows.map(r => r.getLong(2) -> r.getDouble(3))
+    assert(math.abs(weights.map(_._2).sum - 1.0) < 1e-12, "weights form a distribution")
+    // α = 1/2 damps toward uniform: every source's share sits BETWEEN its
+    // raw proportional share and the uniform share (the defining property
+    // of a sub-linear temperature — big sources give up mass, small ones
+    // gain), with equality only if all sources are the same size.
+    for ((nt, w) <- weights) {
+      val prop = nt / totalTokens
+      val unif = 1.0 / nSources
+      val (lo, hi) = (math.min(prop, unif), math.max(prop, unif))
+      assert(w >= lo - 1e-12 && w <= hi + 1e-12,
+        s"share $w outside [$prop proportional, $unif uniform]")
+    }
+    // Monotone: more tokens never means a smaller share.
+    val sorted = weights.sortBy(_._1)
+    sorted.sliding(2).foreach { case Array((_, w1), (_, w2)) => assert(w2 >= w1 - 1e-15) }
+    // Floor allocation never overspends the budget.
+    assert(rows.map(_.getLong(4)).sum <= Pipeline.MixTokenBudget)
+  }
 }

@@ -135,4 +135,27 @@ class SimilaritySpec extends SparkSpec {
     // at or above it.
     assert(prs.forall(_ >= 0.15 / n - 1e-12))
   }
+
+  test("bfs hop distances are a valid BFS layering of the undirected knn graph") {
+    val hops = Similarity.queries("ss_bfs_hops")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hops(Similarity.BfsSource) == 0, "source sits at hop 0")
+    assert(hops.values.forall(h => h >= 0 && h <= Similarity.BfsMaxHops))
+    // Undirected edge closure of the exact 3-NN graph, for the layering
+    // invariants below.
+    val und = Similarity.queries("ss_knn_graph")(spark, sf()).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(2), r.getLong(2) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // Every non-source reached node has a neighbor one layer closer (its
+    // BFS parent), and no edge skips a layer (|hop(u) − hop(v)| ≤ 1 for
+    // reached neighbors — otherwise the farther node was discoverable
+    // earlier and the reported distance is not minimal).
+    for ((v, h) <- hops if h > 0)
+      assert(und(v).exists(u => hops.get(u).contains(h - 1)), s"node $v at hop $h has no parent")
+    for ((v, h) <- hops; u <- und(v); hu <- hops.get(u))
+      assert(math.abs(hu - h) <= 1, s"edge $v($h)–$u($hu) skips a BFS layer")
+    // The frontier bound genuinely bounds: nodes beyond BfsMaxHops hops are
+    // absent, and something IS reached beyond hop 0 on a connected-ish graph.
+    assert(hops.values.max >= 1, "BFS never left the source")
+  }
 }
