@@ -22,7 +22,7 @@ object SparkEntry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Events.queries ++ Multimodal.queries ++ Joins.queries ++ Relational2.queries ++
       Connectors.queries ++ Pipeline.queries ++ Skew.queries ++ Maintenance.queries ++
-      Changes.queries ++ Quality.queries ++ Retrieval.queries ++
+      Changes.queries ++ Quality.queries ++ Retrieval.queries ++ Spatial.queries ++ Analytics.queries ++
       graft.sources.Bucketing.queries ++ graft.sources.Versioned.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,6 +31,6 @@ object SparkEntry {
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Events.oracles ++ Multimodal.oracles ++ Joins.oracles ++ Relational2.oracles ++
       Connectors.oracles ++ Pipeline.oracles ++ Skew.oracles ++ Maintenance.oracles ++
-      Changes.oracles ++ Quality.oracles ++ Retrieval.oracles ++
+      Changes.oracles ++ Quality.oracles ++ Retrieval.oracles ++ Spatial.oracles ++ Analytics.oracles ++
       graft.sources.Bucketing.oracles ++ graft.sources.Versioned.oracles
 }

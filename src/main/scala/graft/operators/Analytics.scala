@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.functions.BitmapDistinct
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytical operators beyond plain SQL aggregation: a distributed 2-D
+  * skyline (Pareto frontier), exact closed-form grouped linear regression,
+  * and bitmap-based exact distinct counting.
+  *
+  * Reference scope: none of these exist in the reference (its only
+  * aggregate is word count's sum, `test/user_tasks.cc:19-34`); all three
+  * are north-star extensions whose *reduce shapes* are the reference's O6
+  * algebraic-reduce contract generalized — a frontier merge, a moment
+  * vector, and a bit-set union are each associative+commutative, which is
+  * exactly what makes them partial-aggregation-friendly at scale.
+  */
+object Analytics {
+
+  /** Typed record for the skyline's per-partition prune scan. */
+  final case class SkyPoint(price: Double, sz: Long, n: Long, pk: Long)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 2-D skyline / Pareto frontier of parts minimizing (retail price,
+    // size): the points no other point beats on both dimensions. The
+    // oracle is the O(n²) NOT-EXISTS formulation; the engine runs the
+    // O(n log n) decomposition — (1) collapse to distinct (price, size)
+    // points (hash agg), (2) per-price min size (the only same-price
+    // survivor; window partitioned by price), (3) per-partition prune: a
+    // sorted running-min scan drops locally dominated points WITHOUT a
+    // shuffle (a dominated point is dominated no matter which partition
+    // saw it, so any partitioning is safe), (4) the exact global pass — the
+    // same running-min filter over the tiny survivor set (the only
+    // single-partition stage, sized |local skylines|, not |points|).
+    // Comparisons only, no FP arithmetic — hash-matches exactly.
+    "an_skyline" -> { (s, dir) =>
+      import s.implicits._
+      val pts = Relational.t(s, dir, "part")
+        .groupBy(col("p_retailprice").as("price"), col("p_size").cast("long").as("sz"))
+        .agg(count(lit(1)).as("n"), min("p_partkey").as("pk"))
+      val perPrice = pts
+        .withColumn("rn", row_number().over(Window.partitionBy("price").orderBy("sz")))
+        .filter(col("rn") === 1).drop("rn")
+      val localSkyline = perPrice.as[SkyPoint]
+        .sortWithinPartitions("price", "sz")
+        .mapPartitions { it =>
+          var best = Long.MaxValue
+          it.filter { p => val keep = p.sz < best; if (keep) best = p.sz; keep }
+        }
+      val prevMin = min("sz").over(
+        Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1))
+      localSkyline.toDF()
+        .withColumn("pm", prevMin)
+        .filter(col("pm").isNull || col("pm") > col("sz"))
+        .select("price", "sz", "n", "pk")
+        .orderBy("price")
+    },
+
+    // Exact closed-form OLS per part brand: extendedprice regressed on
+    // quantity. All sums run in DECIMAL (exact, order-independent); the
+    // final slope/intercept arithmetic is a fixed IEEE-double expression
+    // tree over deterministic decimal→double casts, identical token-for-
+    // token in the oracle — so even the catastrophic-cancellation step is
+    // bit-reproducible. One broadcast dim join + one hash aggregation;
+    // the per-group state is a 5-component moment vector (n, Σx, Σy, Σx²,
+    // Σxy), the textbook algebraic aggregate.
+    "an_linreg" -> { (s, dir) =>
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      val d = (c: String) => col(c).cast("double")
+      Relational.t(s, dir, "lineitem")
+        .join(broadcast(Relational.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+        .select(col("p_brand"), col("n"),
+          ((d("n") * d("sxy") - d("sx") * d("sy")) /
+            (d("n") * d("sxx") - d("sx") * d("sx"))).as("slope"),
+          col("sx"), col("sy"))
+        .select(col("p_brand"), col("n"), col("slope"),
+          ((d("sy") - col("slope") * d("sx")) / d("n")).as("intercept"))
+        .orderBy("p_brand")
+    },
+
+    // Exact distinct users per event type via segment bitmaps (see
+    // [[graft.functions.BitmapDistinct]]): ids shard into fixed-width
+    // segments, each (type, segment) cell ORs a flat bit vector with
+    // map-side partial aggregation, and the count is Σ popcount — shuffle
+    // volume is bounded by segments × groups × 32 bytes, not by distinct
+    // ids. Oracle: plain COUNT(DISTINCT).
+    "an_bitmap_distinct" -> { (s, dir) =>
+      Relational.t(s, dir, "events")
+        .select(col("event_type"),
+          (col("user_id") / lit(1L << BitmapDistinct.SegBits)).cast("long").as("seg"),
+          (col("user_id") % lit(1L << BitmapDistinct.SegBits)).cast("int").as("off"))
+        .groupBy("event_type", "seg")
+        .agg(BitmapDistinct.bitmapCount(col("off")).as("c"))
+        .groupBy("event_type")
+        .agg(sum("c").as("distinct_users"))
+        .orderBy("event_type")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "an_skyline" ->
+      """WITH g AS (
+        |  SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS sz,
+        |         COUNT(*) AS n, MIN(p_partkey) AS pk
+        |  FROM part GROUP BY 1, 2
+        |)
+        |SELECT price, sz, n, pk FROM g q
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM g p
+        |  WHERE p.price <= q.price AND p.sz <= q.sz
+        |    AND (p.price < q.price OR p.sz < q.sz))
+        |ORDER BY price""".stripMargin,
+    "an_linreg" ->
+      """WITH m AS (
+        |  SELECT p_brand,
+        |         COUNT(*) AS n,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand
+        |), sl AS (
+        |  SELECT p_brand, n,
+        |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+        |  FROM m
+        |)
+        |SELECT p_brand, n, slope, (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept
+        |FROM sl ORDER BY p_brand""".stripMargin,
+    "an_bitmap_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

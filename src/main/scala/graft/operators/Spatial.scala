@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.functions.HashFunctions.md5Long
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial operators over a deterministic synthetic point set: grid-cell
+  * density stats, a radius self-join, and per-point nearest-neighbor — the
+  * geo tier a training-data lake needs for location-keyed corpora (geo
+  * dedup, spatial sampling, region joins) and, more generally, the
+  * fixed-radius near-neighbor shape that also backs numeric blocking.
+  *
+  * Reference scope: the reference engine has no spatial operators (its data
+  * model is line-of-text records, SURVEY.md §1.1); this family is a
+  * north-star extension. The *shape* is the reference's own hash-partition
+  * contract (`mr_tasks.h:48`): a record's cell id is its partition key, and
+  * all work is equality-keyed on that id.
+  *
+  * Point derivation: the test tables carry no coordinates, so each customer
+  * gets a deterministic synthetic position on a [0, 100000)² integer grid
+  * from the cross-engine 60-bit md5 hash of its key
+  * ([[graft.functions.HashFunctions.md5Long]], seeds 41/42 for x/y). Both
+  * engines derive identical coordinates, so every query below hash-matches
+  * exactly — integer arithmetic end-to-end, no floating point anywhere.
+  *
+  * Scale shape (100 TB): the classic distance self-join is O(n²); the grid
+  * decomposition makes it an EQUALITY join on cell id. Each point is
+  * assigned one home cell (side b) and probes its 3×3 cell neighborhood
+  * (side a, a 9× explode of two ints — metadata-narrow). Because the cell
+  * edge equals the radius, any pair within distance r is at most one cell
+  * apart on each axis, so the neighborhood probe finds every qualifying
+  * pair exactly once (b's home cell is unique and a's nine probe cells are
+  * distinct). Candidate volume is bounded by physical density per cell, not
+  * by n² — the same argument as the dedup tier's band buckets
+  * (`Dedup.scala`): shuffle O(9n), compare O(Σ_cell n_a·n_b). At 1000
+  * executors the cell id is the shuffle key; hot cells (urban skew) would
+  * salt on a secondary grid — same remedy as [[Skew.saltedJoin]].
+  */
+object Spatial {
+
+  /** Grid extent: coordinates are in [0, Extent)². */
+  val Extent = 100000L
+
+  /** Radius for the fixed-radius join; also the grid cell edge, so the 3×3
+    * neighborhood is a complete candidate set (see class doc).
+    */
+  val Radius = 1000L
+
+  private val xSeed = 41
+  private val ySeed = 42
+
+  /** Customers with deterministic synthetic integer coordinates and their
+    * home grid cell. Exact in both engines: md5-derived ints, integer
+    * modulo, and an exact floor division (values ≪ 2^53, so the
+    * double-precision `/` both engines use for int÷int is lossless).
+    */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "customer").select(
+      col("c_custkey").as("id"),
+      (md5Long(xSeed, col("c_custkey")) % Extent).as("x"),
+      (md5Long(ySeed, col("c_custkey")) % Extent).as("y"))
+      .withColumn("cx", floor(col("x") / Radius))
+      .withColumn("cy", floor(col("y") / Radius))
+
+  /** Squared euclidean distance between (x1,y1) and (x2,y2) — exact longs. */
+  private def dist2(x1: String, y1: String, x2: String, y2: String) =
+    (col(x1) - col(x2)) * (col(x1) - col(x2)) + (col(y1) - col(y2)) * (col(y1) - col(y2))
+
+  /** All (a, b) candidate pairs from the 3×3 grid neighborhood, distance
+    * filter applied inside the join condition so non-qualifying candidates
+    * never survive the join operator. `keep` additionally restricts the
+    * pair orientation (a < b for the undirected radius join; a ≠ b for the
+    * directed nearest-neighbor scan).
+    */
+  private def neighborhoodPairs(s: SparkSession, dir: String, keep: => org.apache.spark.sql.Column): DataFrame = {
+    val pts = Dedup.materialized(points(s, dir))
+    val probe = pts
+      .withColumn("dx", explode(lit(Array(-1, 0, 1))))
+      .withColumn("dy", explode(lit(Array(-1, 0, 1))))
+      .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("dx")).as("pcx"), (col("cy") + col("dy")).as("pcy"))
+    val home = pts.select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
+      col("cx"), col("cy"))
+    probe.join(home,
+      col("pcx") === col("cx") && col("pcy") === col("cy") &&
+        keep &&
+        dist2("ax", "ay", "bx", "by") <= lit(Radius * Radius))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Grid-cell density profile: the histogram a spatial partitioner is
+    // tuned from (cell occupancy drives cell-size / salting choices at
+    // scale). One hash aggregation over the derived cell id; cells with a
+    // single point are dropped to keep the profile at collision cells.
+    "geo_cell_stats" -> { (s, dir) =>
+      points(s, dir)
+        .groupBy("cx", "cy")
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .filter(col("n") >= 2)
+        .orderBy("cx", "cy")
+    },
+
+    // Fixed-radius self-join: every unordered customer pair within
+    // euclidean distance Radius, found via the 3×3 neighborhood equality
+    // join — never an all-pairs comparison. The oracle IS the all-pairs
+    // O(n²) formulation, so the hash-match proves the grid decomposition
+    // loses no pair.
+    "geo_radius_join" -> { (s, dir) =>
+      neighborhoodPairs(s, dir, col("a") < col("b"))
+        .select(col("a"), col("b"), dist2("ax", "ay", "bx", "by").as("d2"))
+        .orderBy("a", "b")
+    },
+
+    // Nearest neighbor within Radius for each point that has one: the
+    // directed neighborhood pairs reduced by min-distance (tie-broken by
+    // lowest neighbor id — min over the exact (d2, b) pair encoded as
+    // d2 * Extent² + b). The encoded key can exceed 2^53, so decoding uses
+    // INTEGER division (`div` / DuckDB `//`), never double `/`.
+    "geo_nn" -> { (s, dir) =>
+      val enc = lit(Extent * Extent)
+      neighborhoodPairs(s, dir, col("a") =!= col("b"))
+        .select(col("a"),
+          (dist2("ax", "ay", "bx", "by") * enc + col("b")).as("key"))
+        .groupBy("a")
+        .agg(min(col("key")).as("k"))
+        .select(col("a"), (col("k") % enc).as("nn"),
+          expr(s"k div ${Extent * Extent}").as("d2"))
+        .orderBy("a")
+    }
+  )
+
+  private def coordSql(seed: Int, key: String) =
+    s"CAST('0x' || substr(md5('$seed:' || CAST($key AS VARCHAR)), 1, 15) AS BIGINT) % $Extent"
+
+  private val pointsSql =
+    s"""pts AS (
+       |  SELECT c_custkey AS id,
+       |         ${coordSql(xSeed, "c_custkey")} AS x,
+       |         ${coordSql(ySeed, "c_custkey")} AS y
+       |  FROM customer
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "geo_cell_stats" ->
+      s"""WITH $pointsSql
+         |SELECT CAST(floor(x / $Radius) AS BIGINT) AS cx,
+         |       CAST(floor(y / $Radius) AS BIGINT) AS cy,
+         |       COUNT(*) AS n,
+         |       MIN(x) AS min_x, MAX(x) AS max_x,
+         |       MIN(y) AS min_y, MAX(y) AS max_y
+         |FROM pts GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY cx, cy""".stripMargin,
+    // Deliberately the quadratic formulation: proves the grid join exact.
+    "geo_radius_join" ->
+      s"""WITH $pointsSql
+         |SELECT p.id AS a, q.id AS b,
+         |       (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS d2
+         |FROM pts p JOIN pts q ON p.id < q.id
+         |WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= ${Radius * Radius}
+         |ORDER BY a, b""".stripMargin,
+    "geo_nn" ->
+      s"""WITH $pointsSql, pairs AS (
+         |  SELECT p.id AS a,
+         |         (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS d2,
+         |         q.id AS b
+         |  FROM pts p JOIN pts q ON p.id <> q.id
+         |  WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= ${Radius * Radius}
+         |), keyed AS (
+         |  SELECT a, MIN(d2 * ${Extent * Extent} + b) AS k FROM pairs GROUP BY a
+         |)
+         |SELECT a, k % ${Extent * Extent} AS nn, k // ${Extent * Extent} AS d2
+         |FROM keyed ORDER BY a""".stripMargin
+  )
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.BitmapDistinct
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("skyline: equals brute-force pareto frontier; mutually non-dominating") {
+    val rows = Analytics.queries("an_skyline")(spark, sf()).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // Brute force on the collected distinct point set.
+    val pts = Relational.t(spark, sf(), "part")
+      .groupBy(col("p_retailprice").as("p"), col("p_size").cast("long").as("s"))
+      .agg(count(lit(1)).as("n"), min("p_partkey").as("pk"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def dominates(a: (Double, Long, Long, Long), b: (Double, Long, Long, Long)) =
+      a._1 <= b._1 && a._2 <= b._2 && (a._1 < b._1 || a._2 < b._2)
+    val brute = pts.filter(q => !pts.exists(p => dominates(p, q)))
+    assert(rows.toSet == brute.toSet)
+    // Frontier is strictly decreasing in size as price increases.
+    val sorted = rows.sortBy(_._1)
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(a._1 < b._1 && a._2 > b._2, s"$a vs $b not strictly staircase")
+    }
+  }
+
+  test("linreg: slope/intercept match an independent double-precision fit closely") {
+    val rows = Analytics.queries("an_linreg")(spark, sf()).collect()
+    assert(rows.length > 1)
+    val data = Relational.t(spark, sf(), "lineitem")
+      .join(Relational.t(spark, sf(), "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_quantity"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val xs = data(r.getString(0)).map(t => (t.getDouble(1), t.getDouble(2)))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxx = xs.map(t => t._1 * t._1).sum
+      val sxy = xs.map(t => t._1 * t._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      assert(math.abs(r.getDouble(2) - slope) < 1e-6 * math.max(1, math.abs(slope)))
+      assert(math.abs(r.getDouble(3) - intercept) < 1e-6 * math.max(1, math.abs(intercept)))
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+    }
+  }
+
+  test("bitmap distinct: equals exact count(distinct) per group") {
+    val got = Analytics.queries("an_bitmap_distinct")(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Relational.t(spark, sf(), "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+    assert(got.values.sum > 0)
+  }
+
+  test("bitmap aggregator: merge is a set union; popcount exact at segment edges") {
+    val edge = Seq(0, 63, 64, 255, 0, 63) // duplicates must not double-count
+    val b = edge.foldLeft(BitmapDistinct.Agg.zero)(BitmapDistinct.Agg.reduce)
+    assert(BitmapDistinct.Agg.finish(b) == 4)
+    val left = Seq(1, 2, 3).foldLeft(BitmapDistinct.Agg.zero)(BitmapDistinct.Agg.reduce)
+    val right = Seq(3, 4, 200).foldLeft(BitmapDistinct.Agg.zero)(BitmapDistinct.Agg.reduce)
+    assert(BitmapDistinct.Agg.finish(BitmapDistinct.Agg.merge(left, right)) == 5)
+  }
+}

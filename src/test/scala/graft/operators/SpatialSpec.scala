@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SpatialSpec extends SparkSpec {
+
+  test("radius join: grid decomposition equals the brute-force all-pairs result") {
+    val grid = Spatial.queries("geo_radius_join")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Brute force over the same derived points, computed independently.
+    val pts = Relational.t(spark, sf(), "customer").select(
+      col("c_custkey"),
+      (graft.functions.HashFunctions.md5Long(41, col("c_custkey")) % Spatial.Extent).as("x"),
+      (graft.functions.HashFunctions.md5Long(42, col("c_custkey")) % Spatial.Extent).as("y")
+    ).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts
+      if a < b
+      d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+      if d2 <= Spatial.Radius * Spatial.Radius
+    } yield (a, b, d2)
+    assert(grid.toSet == brute.toSet)
+    assert(grid.nonEmpty, "radius must capture at least one pair at sf0.001")
+  }
+
+  test("nearest neighbor: symmetric pair membership and minimality") {
+    val nn = Spatial.queries("geo_nn")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(nn.nonEmpty)
+    val pairs = Spatial.queries("geo_radius_join")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Each directed nn edge appears (in some orientation) in the radius join,
+    // with the same distance.
+    val undirected = pairs.flatMap { case (a, b, d) => Seq((a, b, d), (b, a, d)) }.toSet
+    nn.foreach { case (a, b, d) => assert(undirected.contains((a, b, d)), s"$a->$b") }
+    // Minimality: no strictly closer neighbor for any point.
+    val byPoint = undirected.groupBy(_._1)
+    nn.foreach { case (a, _, d) =>
+      assert(byPoint(a).forall(_._3 >= d), s"point $a has a closer neighbor than $d")
+    }
+    // Tie-break: among equal-distance neighbors the lowest id wins.
+    nn.foreach { case (a, b, d) =>
+      val ties = byPoint(a).filter(_._3 == d).map(_._2)
+      assert(ties.min == b, s"tie-break for $a")
+    }
+  }
+
+  test("cell stats: occupancy sums to points living in multi-point cells") {
+    val rows = Spatial.queries("geo_cell_stats")(spark, sf()).collect()
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      assert(n >= 2)
+      // min/max stay inside the cell's coordinate range.
+      val cx = r.getLong(r.fieldIndex("cx")); val cy = r.getLong(r.fieldIndex("cy"))
+      assert(r.getLong(r.fieldIndex("min_x")) >= cx * Spatial.Radius)
+      assert(r.getLong(r.fieldIndex("max_x")) < (cx + 1) * Spatial.Radius)
+      assert(r.getLong(r.fieldIndex("min_y")) >= cy * Spatial.Radius)
+      assert(r.getLong(r.fieldIndex("max_y")) < (cy + 1) * Spatial.Radius)
+    }
+  }
+}
