@@ -175,4 +175,41 @@ class PlanAuditSpec extends SparkSpec {
       s"contribution sums must be decimal-exact:\n${q.analyzed}")
   }
   private val PrItersPlusInit = graft.operators.Similarity.PrIters + 1
+
+  test("spatial radius join is equality-keyed on grid cells, never nested-loop") {
+    for (name <- Seq("geo_radius_join", "geo_nn")) {
+      val p = plan(name)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$name must join on cell ids, not compare all pairs:\n$p")
+      // The distance predicate rides INSIDE the equality join's condition —
+      // non-qualifying candidates die in the join operator, they are not
+      // re-filtered from a wider join output.
+      assert(p.linesIterator.exists(l =>
+        (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("pcx")),
+        s"$name's cell-id equality keys missing from the join node:\n$p")
+    }
+  }
+
+  test("skyline reduces per-partition before the single global pass") {
+    val p = plan("an_skyline")
+    // Stage (3)'s prune is the typed mapPartitions scan; it must sit
+    // BELOW the final window's single-partition exchange so the global
+    // stage only ever sees local-skyline survivors.
+    val lines = p.linesIterator.toSeq
+    val prune = lines.indexWhere(_.contains("MapPartitions"))
+    val global = lines.indexWhere(_.contains("SinglePartition"))
+    assert(prune >= 0, s"local prune scan missing:\n$p")
+    assert(global >= 0 && global < prune,
+      s"global pass must consume the pruned survivors (plan prints top-down):\n$p")
+  }
+
+  test("bitmap distinct aggregates partially map-side (OR before shuffle)") {
+    val p = plan("an_bitmap_distinct")
+    // The udaf runs in ObjectHashAggregate; a partial mode instance before
+    // the exchange is what bounds shuffle volume to one buffer per
+    // (group, segment) per map task.
+    assert(p.contains("ObjectHashAggregate"), s"bitmap agg not object-hash:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("ObjectHashAggregate") && l.contains("partial")),
+      s"bitmap agg lost its map-side partial phase:\n$p")
+  }
 }
