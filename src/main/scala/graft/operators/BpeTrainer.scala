@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.functions.BpeMerge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE (byte-pair-encoding) tokenizer training over the `documents` corpus
+  * — the op that sits at the very front of an LLM data pipeline: learn the
+  * merge table that defines the tokenizer everything downstream counts,
+  * packs, and dedups with.
+  *
+  * Reference scope: nothing comparable exists in the reference (its only
+  * text op is whitespace word count, `test/user_tasks.cc:12-23`); this is a
+  * north-star extension. Its dataflow shape is the engine's third iterative
+  * fixpoint family, after connected components (`Dedup.scala`) and
+  * PageRank (`Similarity.scala`).
+  *
+  * Scale shape (100 TB): industrial BPE trainers never iterate over the
+  * corpus — they iterate over the WORD-FREQUENCY table (|vocab| rows, built
+  * by one corpus-sized aggregation with map-side combine) with each word
+  * carrying its count. Every merge round is then (1) a vocab-sized pair
+  * count weighted by word frequency (hash agg, partial map-side), (2) a
+  * one-row argmax (TakeOrdered, deterministic tie-break), (3) a broadcast
+  * of that single winner row into the symbol-array rewrite
+  * ([[graft.functions.BpeMerge]], one native call per vocab entry). Corpus
+  * size only ever enters through the initial word count. Rounds are
+  * checkpointed like the other fixpoints so round k's plan does not inline
+  * rounds 1..k−1.
+  *
+  * Determinism: counts are exact longs; the winning pair is chosen by
+  * (count DESC, a ASC, b ASC) — total order, so ties cannot flip the merge
+  * table across partitionings or engines.
+  */
+object BpeTrainer {
+
+  /** Merge rounds for the gate query (a real tokenizer runs 30k–100k rounds
+    * of exactly this dataflow; the cost is rounds × vocab-sized jobs).
+    */
+  val Merges = 8
+
+  /** Result-list size for the weighted pair-count query. */
+  val PairsK = 50
+
+  /** (word, freq) — the one corpus-sized aggregation. */
+  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "documents")
+      .transform(Dedup.spread("doc_id"))
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+
+  /** Words as character-symbol arrays, frequency-weighted. */
+  private def initSymbols(s: SparkSession, dir: String): DataFrame =
+    wordFreq(s, dir).select(
+      transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))).as("s"),
+      col("f"))
+
+  /** Adjacent symbol pairs of `s`, one row per occurrence (overlapping —
+    * the classic BPE count), weighted by the word frequency column `f`.
+    */
+  private def adjacentPairs(syms: DataFrame): DataFrame =
+    syms.filter(size(col("s")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
+        i => struct(element_at(col("s"), i).as("a"), element_at(col("s"), i + 1).as("b"))))
+        .as("p"), col("f"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("f")).as("cnt"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Frequency-weighted adjacent character-pair counts — merge round 0's
+    // statistics, oracle-checked (the iterative trainer below is the same
+    // aggregation applied to evolving symbols).
+    "ta_bpe_pairs" -> { (s, dir) =>
+      wordFreq(s, dir)
+        .filter(length(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"), col("f"))
+        .groupBy("pair").agg(sum(col("f")).as("total"))
+        .orderBy(col("total").desc, col("pair").asc)
+        .limit(PairsK)
+    },
+
+    // The BPE merge table: Merges rounds of count → argmax → rewrite.
+    // Engine-native iterative op (rows-only on the driver gate, like the
+    // ANN tier); BpeTrainerSpec replays a reference Scala implementation
+    // over the same word frequencies and asserts the merge tables equal.
+    "ta_bpe_merges" -> { (s, dir) =>
+      var syms = Dedup.materialized(initSymbols(s, dir))
+      val rounds = (1 to Merges).map { r =>
+        val winner = Dedup.materialized(
+          adjacentPairs(syms).orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1))
+        syms = Dedup.materialized(
+          syms.crossJoin(broadcast(winner.select(col("a").as("ma"), col("b").as("mb"))))
+            .select(BpeMerge(col("s"), col("ma"), col("mb")).as("s"), col("f")))
+        winner.select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
+      }
+      rounds.reduce(_.union(_)).orderBy("round")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ta_bpe_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) AS w
+         |  FROM documents
+         |), wf AS (
+         |  SELECT w, COUNT(*) AS f FROM toks GROUP BY w
+         |), pe AS (
+         |  SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair, f
+         |  FROM wf WHERE len(w) >= 2
+         |)
+         |SELECT pair, CAST(SUM(f) AS BIGINT) AS total
+         |FROM pe GROUP BY pair ORDER BY total DESC, pair LIMIT $PairsK""".stripMargin
+  )
+}

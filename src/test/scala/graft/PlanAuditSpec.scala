@@ -203,6 +203,19 @@ class PlanAuditSpec extends SparkSpec {
       s"global pass must consume the pruned survivors (plan prints top-down):\n$p")
   }
 
+  test("bpe merge rounds broadcast only the one-row winner; pair counts partial-aggregate") {
+    val p = plan("ta_bpe_merges")
+    assert(!p.contains("CartesianProduct"), s"bpe rewrite degenerated to cartesian:\n$p")
+    // The only nested-loop joins allowed are the Merges winner broadcasts
+    // (one single-row frame per round).
+    val nljs = p.linesIterator.count(_.contains("NestedLoopJoin"))
+    assert(nljs <= graft.operators.BpeTrainer.Merges,
+      s"only one-row winner broadcasts may nested-loop ($nljs found):\n$p")
+    val pairs = plan("ta_bpe_pairs")
+    assert(pairs.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"weighted pair counts must combine map-side:\n$pairs")
+  }
+
   test("bitmap distinct aggregates partially map-side (OR before shuffle)") {
     val p = plan("an_bitmap_distinct")
     // The udaf runs in ObjectHashAggregate; a partial mode instance before

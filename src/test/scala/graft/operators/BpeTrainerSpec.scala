@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.BpeMerge
+import org.apache.spark.sql.functions._
+
+class BpeTrainerSpec extends SparkSpec {
+
+  /** Reference BPE: straight-line Scala over a word-frequency map. */
+  private def referenceMerges(wf: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+    var syms: Map[Vector[String], Long] =
+      wf.groupBy { case (w, _) => w.map(_.toString).toVector }
+        .map { case (s, m) => s -> m.values.sum }
+    (1 to k).map { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((s, f) <- syms; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      def rewrite(s: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+      syms = syms.groupBy { case (s, _) => rewrite(s) }.map { case (s, m) => s -> m.values.sum }
+      (a, b, cnt)
+    }
+  }
+
+  test("merge table equals the reference implementation over the same word frequencies") {
+    val wf = Relational.t(spark, sf(), "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceMerges(wf, BpeTrainer.Merges)
+    val got = BpeTrainer.queries("ta_bpe_merges")(spark, sf()).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("round-1 winner is the argmax of the oracle-checked pair counts") {
+    val top = BpeTrainer.queries("ta_bpe_pairs")(spark, sf()).collect().head
+    val first = BpeTrainer.queries("ta_bpe_merges")(spark, sf()).collect()
+      .find(_.getInt(0) == 1).get
+    assert(first.getString(1) + first.getString(2) == top.getString(0))
+    assert(first.getLong(3) == top.getLong(1))
+  }
+
+  test("BpeMerge rewrites leftmost-first non-overlapping") {
+    val df = spark.sql("SELECT array('a','a','a','b','a','a') AS s")
+      .select(BpeMerge(col("s"), lit("a"), lit("a")).as("m"))
+    assert(df.collect().head.getSeq[String](0) == Seq("aa", "a", "b", "aa"))
+    val noHit = spark.sql("SELECT array('x','y') AS s")
+      .select(BpeMerge(col("s"), lit("a"), lit("b")).as("m"))
+    assert(noHit.collect().head.getSeq[String](0) == Seq("x", "y"))
+  }
+
+  test("merge counts never increase across rounds on this corpus")  {
+    val counts = BpeTrainer.queries("ta_bpe_merges")(spark, sf()).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(3))
+    // Not a theorem of BPE in general (a merge can create a new frequent
+    // pair), but it holds on this corpus and pins accidental count
+    // inflation (e.g. double-counting after a rewrite).
+    counts.zip(counts.tail).foreach { case (x, y) => assert(x >= y, s"$x -> $y") }
+  }
+}
