@@ -197,6 +197,53 @@ object Events {
         .orderBy("window_start", "event_type")
     },
 
+    // Robust outlier detection per event type: median / MAD (median
+    // absolute deviation) instead of mean / stddev — the estimator that
+    // does not move when the outliers it hunts contaminate it. Everything
+    // is EXACT, including both medians: a median is selected by RANK, not
+    // computed by interpolation — row_number against (n+1)÷2 and (n+2)÷2
+    // picks the middle value(s); their SUM is 2×median as an exact
+    // DECIMAL (the odd-n case selects the same rank twice). Deviations
+    // stay in doubled units (dev2 = |2v − med2|) and the MAD in quadrupled
+    // units (mad4 = sum of the two middle dev2), so the outlier test
+    // |v − med| > 3·MAD becomes 4·dev2 > 3·mad4 — division-free decimal
+    // comparison, the ev_anomaly stability argument applied to rank
+    // statistics. Shape: two grouped rank-windows (shuffle on event_type)
+    // + broadcast joins of the |event types|-row stats; at 1000 executors
+    // the grouped sort is the cost, exactly as a distributed quantile
+    // should be.
+    "ev_mad_outliers" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = org.apache.spark.sql.types.DecimalType(18, 2)
+      val e = Relational.t(s, dir, "events")
+        .select(col("event_type"), col("value").cast(d).as("v"))
+      val w = Window.partitionBy("event_type")
+      def middleSum(df: DataFrame, valueCol: String): DataFrame = {
+        val ranked = df
+          .withColumn("rn", row_number().over(w.orderBy(valueCol)))
+          .withColumn("n", count(lit(1)).over(w))
+        ranked.groupBy("event_type").agg(
+          max("n").as("n"),
+          (sum(when(expr("rn = ((n+1) div 2)"), col(valueCol)).otherwise(lit(0).cast(d))) +
+            sum(when(expr("rn = ((n+2) div 2)"), col(valueCol)).otherwise(lit(0).cast(d))))
+            .as(s"${valueCol}_mid2"))
+      }
+      val med = middleSum(e, "v").withColumnRenamed("v_mid2", "med2")
+      val dev = e.join(broadcast(med.select("event_type", "med2")), "event_type")
+        .select(col("event_type"), abs(col("v") * 2 - col("med2")).as("dev2"))
+      val mad = middleSum(dev, "dev2").withColumnRenamed("dev2_mid2", "mad4").drop("n")
+      val outliers = dev.join(broadcast(mad), "event_type")
+        .filter(col("dev2") * 4 > col("mad4") * 3)
+        .groupBy("event_type").agg(count(lit(1)).as("n_out"))
+      med.join(mad, "event_type")
+        .join(outliers, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"),
+          (col("med2").cast("double") / 2).as("median_value"),
+          (col("mad4").cast("double") / 4).as("mad"),
+          coalesce(col("n_out"), lit(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+
     // Cohort retention: users grouped by their first-signup week, counted
     // as active in each later week they emit ANY event. Weeks are integer
     // day-offsets / 7 from a fixed epoch — pure integer arithmetic both
@@ -255,6 +302,44 @@ object Events {
         |WHERE n_w > 1 AND
         |  (n_events * n_w - s) * (n_events * n_w - s) * (n_w - 1) > 4 * n_w * (n_w * s2 - s * s)
         |ORDER BY window_start, h.event_type""".stripMargin,
+    "ev_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+        |), r AS (
+        |  SELECT event_type, v,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e
+        |), m AS (
+        |  SELECT event_type, MAX(n) AS n,
+        |         SUM(CASE WHEN rn = (n+1)//2 THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) +
+        |         SUM(CASE WHEN rn = (n+2)//2 THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS med2
+        |  FROM r GROUP BY event_type
+        |), d AS (
+        |  SELECT e.event_type, abs(e.v * 2 - m.med2) AS dev2
+        |  FROM e JOIN m USING (event_type)
+        |), r2 AS (
+        |  SELECT event_type, dev2,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d
+        |), mm AS (
+        |  SELECT event_type,
+        |         SUM(CASE WHEN rn = (n+1)//2 THEN dev2 ELSE 0 END) +
+        |         SUM(CASE WHEN rn = (n+2)//2 THEN dev2 ELSE 0 END) AS mad4
+        |  FROM r2 GROUP BY event_type
+        |), o AS (
+        |  SELECT d.event_type, COUNT(*) AS n_out
+        |  FROM d JOIN mm USING (event_type)
+        |  WHERE d.dev2 * 4 > mm.mad4 * 3
+        |  GROUP BY d.event_type
+        |)
+        |SELECT m.event_type, m.n,
+        |       CAST(med2 AS DOUBLE) / 2 AS median_value,
+        |       CAST(mad4 AS DOUBLE) / 4 AS mad,
+        |       COALESCE(o.n_out, 0) AS n_outliers
+        |FROM m JOIN mm USING (event_type) LEFT JOIN o USING (event_type)
+        |ORDER BY m.event_type""".stripMargin,
     "ev_sessions" -> sessionsSql,
     "ev_sessions_typed" -> sessionsSql,
     "ev_sessions_native" -> sessionsSql,

@@ -5,6 +5,33 @@ import org.apache.spark.sql.functions._
 
 class EventsSpec extends SparkSpec {
 
+  test("mad outliers: median/MAD/count equal a straight-line reference computation") {
+    val got = Events.queries("ev_mad_outliers")(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    val raw = Relational.t(spark, sf(), "events")
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .groupBy(_._1)
+    raw.foreach { case (t, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      def med2(s: Seq[BigDecimal]) = s((s.length - 1) / 2) + s(s.length / 2)
+      val m2 = med2(sorted)
+      val dev2 = sorted.map(v => (v * 2 - m2).abs).sorted
+      val mad4 = med2(dev2)
+      val nOut = dev2.count(d => d * 4 > mad4 * 3)
+      val (gn, gmed, gmad, gout) = got(t)
+      assert(gn == n)
+      assert(math.abs(gmed - (m2 / 2).toDouble) < 1e-9, s"median for $t")
+      assert(math.abs(gmad - (mad4 / 4).toDouble) < 1e-9, s"mad for $t")
+      assert(gout == nOut, s"outlier count for $t")
+      // The estimator is robust: at most half the points can be flagged.
+      assert(nOut <= n / 2)
+    }
+  }
+
   test("hll rollup: merged daily sketches track exact weekly distincts") {
     val est = Events.queries("ev_hll_rollup")(spark, sf()).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
