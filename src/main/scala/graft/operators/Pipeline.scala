@@ -35,6 +35,29 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Per-group cap: at most CapK documents per source, chosen by
+    // deterministic hash order — the "limit each domain's contribution"
+    // corpus-balancing op (a dominant crawl source must not swamp the
+    // mix). Membership is a pure function of (doc_id, the group's other
+    // members): reproducible across engines and partitionings, and
+    // *stable under appends* for the kept prefix (a new doc displaces at
+    // most the largest-hash survivor, never reshuffles the sample).
+    // Scale shape: Spark's WindowGroupLimit pushes the rank bound BELOW
+    // the full sort — each map task keeps ≤ CapK rows per group before
+    // the exchange (plan-asserted), so the shuffle carries the capped
+    // sample, not the corpus.
+    "sp_group_cap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Relational.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.HashFunctions.md5Long(7, col("doc_id")).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)))
+        .filter(col("rn") <= lit(GroupCapK))
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id")
+    },
+
     // Deterministic 10% corpus sample: membership is a pure function of
     // doc_id. The filter is a narrow map — no shuffle, no RNG.
     "sp_hash_sample" -> { (s, dir) =>
@@ -261,7 +284,21 @@ object Pipeline {
     */
   val QualityThreshold = 0.3
 
+  /** Max documents kept per source by [[queries sp_group_cap]]. */
+  val GroupCapK = 50
+
   val oracles: Map[String, String] = Map(
+    "sp_group_cap" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY source
+         |           ORDER BY CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+         |                    doc_id ASC) AS rn
+         |  FROM documents
+         |)
+         |SELECT doc_id, source FROM r WHERE rn <= $GroupCapK
+         |ORDER BY source, doc_id""".stripMargin,
     "sp_hash_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${bucketSql("doc_id")} < 10

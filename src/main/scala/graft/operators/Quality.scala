@@ -84,6 +84,45 @@ object Quality {
         docLength, priceCap)
         .reduce(_.unionByName(_))
         .orderBy("check_name")
+    },
+
+    // Column profiler — the ANALYZE-style stats pass a lake runs on ingest
+    // (and the numbers the CBO tier's CatalogStats path consumes): row
+    // count, null count, exact distinct count, min/max per column, emitted
+    // as one row per column. ONE aggregation over one scan computes every
+    // column's stats together (the distincts share a single Expand); the
+    // row-per-column shape is a 4-element explode of the 1-row result.
+    // Min/max stringify through engine-stable forms only (DECIMAL, DATE,
+    // VARCHAR — never raw double formatting, which differs across engines).
+    "dq_profile" -> { (s, dir) =>
+      val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val a = Relational.t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("l_quantity"))).as("qty_null"),
+        countDistinct(col("l_quantity")).as("qty_dist"),
+        min(col("l_quantity").cast(d2)).cast("string").as("qty_min"),
+        max(col("l_quantity").cast(d2)).cast("string").as("qty_max"),
+        (count(lit(1)) - count(col("l_extendedprice"))).as("price_null"),
+        countDistinct(col("l_extendedprice")).as("price_dist"),
+        min(col("l_extendedprice").cast(d2)).cast("string").as("price_min"),
+        max(col("l_extendedprice").cast(d2)).cast("string").as("price_max"),
+        (count(lit(1)) - count(col("l_returnflag"))).as("flag_null"),
+        countDistinct(col("l_returnflag")).as("flag_dist"),
+        min(col("l_returnflag")).as("flag_min"),
+        max(col("l_returnflag")).as("flag_max"),
+        (count(lit(1)) - count(col("l_shipdate"))).as("date_null"),
+        countDistinct(col("l_shipdate")).as("date_dist"),
+        min(col("l_shipdate")).cast("string").as("date_min"),
+        max(col("l_shipdate")).cast("string").as("date_max"))
+      def row(name: String, p: String) = struct(
+        lit(name).as("column_name"), col("n"),
+        col(s"${p}_null").as("n_null"), col(s"${p}_dist").as("n_distinct"),
+        col(s"${p}_min").as("min_value"), col(s"${p}_max").as("max_value"))
+      a.select(explode(array(
+        row("l_quantity", "qty"), row("l_extendedprice", "price"),
+        row("l_returnflag", "flag"), row("l_shipdate", "date"))).as("r"))
+        .select("r.*")
+        .orderBy("column_name")
     }
   )
 
@@ -124,6 +163,37 @@ object Quality {
         |  SELECT 'orders_totalprice_below_300k',
         |    (SELECT COUNT(*) FROM orders),
         |    (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 300000.0)
-        |) ORDER BY check_name""".stripMargin
+        |) ORDER BY check_name""".stripMargin,
+    "dq_profile" ->
+      """WITH base AS (SELECT COUNT(*) AS n FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS column_name, n,
+        |    (SELECT COUNT(*) - COUNT(l_quantity) FROM lineitem) AS n_null,
+        |    (SELECT COUNT(DISTINCT l_quantity) FROM lineitem) AS n_distinct,
+        |    (SELECT CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) FROM lineitem) AS min_value,
+        |    (SELECT CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) FROM lineitem) AS max_value
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', n,
+        |    (SELECT COUNT(*) - COUNT(l_extendedprice) FROM lineitem),
+        |    (SELECT COUNT(DISTINCT l_extendedprice) FROM lineitem),
+        |    (SELECT CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) FROM lineitem),
+        |    (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) FROM lineitem)
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'l_returnflag', n,
+        |    (SELECT COUNT(*) - COUNT(l_returnflag) FROM lineitem),
+        |    (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem),
+        |    (SELECT MIN(l_returnflag) FROM lineitem),
+        |    (SELECT MAX(l_returnflag) FROM lineitem)
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'l_shipdate', n,
+        |    (SELECT COUNT(*) - COUNT(l_shipdate) FROM lineitem),
+        |    (SELECT COUNT(DISTINCT l_shipdate) FROM lineitem),
+        |    (SELECT CAST(MIN(l_shipdate) AS VARCHAR) FROM lineitem),
+        |    (SELECT CAST(MAX(l_shipdate) AS VARCHAR) FROM lineitem)
+        |  FROM base
+        |) ORDER BY column_name""".stripMargin
   )
 }

@@ -216,6 +216,21 @@ class PlanAuditSpec extends SparkSpec {
       s"weighted pair counts must combine map-side:\n$pairs")
   }
 
+  test("group cap ranks under WindowGroupLimit on both sides of the exchange") {
+    val p = plan("sp_group_cap")
+    // Partial WindowGroupLimit BELOW the shuffle caps each map task at ≤k
+    // rows per group, so the exchange carries the capped sample, not the
+    // corpus; the post-shuffle instance finalizes the rank.
+    val limits = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(limits >= 2, s"expected partial+final WindowGroupLimit, found $limits:\n$p")
+  }
+
+  test("profile computes every column's stats in one aggregation over one scan") {
+    val p = plan("dq_profile")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"dq_profile must profile all columns from ONE scan, found $scans:\n$p")
+  }
+
   test("bitmap distinct aggregates partially map-side (OR before shuffle)") {
     val p = plan("an_bitmap_distinct")
     // The udaf runs in ObjectHashAggregate; a partial mode instance before

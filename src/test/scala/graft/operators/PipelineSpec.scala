@@ -5,6 +5,38 @@ import org.apache.spark.sql.functions.{col, count, lit, size, when}
 
 class PipelineSpec extends SparkSpec {
 
+  test("group cap keeps the k lowest-hash docs per source, never more than k") {
+    import org.apache.spark.sql.functions._
+    val kept = Pipeline.queries("sp_group_cap")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = kept.groupBy(_._2)
+    val all = Relational.t(spark, sf(), "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.HashFunctions.md5Long(7, col("doc_id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2)
+    all.foreach { case (src, docs) =>
+      val expect = docs.sortBy(d => (d._3, d._1)).take(Pipeline.GroupCapK).map(_._1).toSet
+      val got = bySource.getOrElse(src, Array.empty).map(_._1).toSet
+      assert(got == expect, s"source $src")
+      assert(got.size <= Pipeline.GroupCapK)
+    }
+    // Stability under appends: the kept set from a corpus PREFIX is the
+    // true cap of that prefix (membership is a pure function of the
+    // group's members, no RNG, no partition dependence).
+    val half = Relational.t(spark, sf(), "documents").filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"),
+        graft.functions.HashFunctions.md5Long(7, col("doc_id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).groupBy(_._2)
+    half.foreach { case (src, docs) =>
+      val expectHalf = docs.sortBy(d => (d._3, d._1)).take(Pipeline.GroupCapK).map(_._1).toSet
+      val keptFull = bySource.getOrElse(src, Array.empty).map(_._1).toSet
+      // Full-corpus survivors restricted to the half-corpus are a subset of
+      // the half-corpus cap (appends only displace, never reorder).
+      assert(keptFull.filter(_ % 2 == 0).subsetOf(expectHalf), s"source $src stability")
+    }
+  }
+
   test("hash splits are disjoint, exhaustive, and roughly 80/10/10") {
     val counts = Pipeline.queries("sp_split_assign")(spark, sf())
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -1,0 +1,27 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+
+  test("profile stats match directly computed column facts") {
+    val rows = Quality.queries("dq_profile")(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(rows.keySet == Set("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))
+    val li = Relational.t(spark, sf(), "lineitem")
+    val n = li.count()
+    rows.values.foreach { case (gn, nNull, nDist, minV, maxV) =>
+      assert(gn == n)
+      assert(nNull == 0) // corpus has no nulls in the profiled columns
+      assert(nDist > 0 && nDist <= n)
+      assert(minV.nonEmpty && maxV.nonEmpty)
+    }
+    val flagDist = li.select(countDistinct("l_returnflag")).collect().head.getLong(0)
+    assert(rows("l_returnflag")._3 == flagDist)
+    val qtyMin = li.select(min(col("l_quantity").cast(
+      org.apache.spark.sql.types.DecimalType(18, 2)))).collect().head.getDecimal(0)
+    assert(rows("l_quantity")._4 == qtyMin.toString)
+  }
+}
