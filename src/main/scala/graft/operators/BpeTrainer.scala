@@ -54,6 +54,14 @@ object BpeTrainer {
       transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))).as("s"),
       col("f"))
 
+  /** The per-round hot plan (weighted pair counting over the current
+    * symbols), exposed for PlanAuditSpec: the stored-tier gate query reads
+    * the trained table, so the ONE-TIME training dataflow is audited
+    * directly, like the k-NN graph build.
+    */
+  private[graft] def trainingRoundPlan(s: SparkSession, dir: String): DataFrame =
+    adjacentPairs(initSymbols(s, dir))
+
   /** Adjacent symbol pairs of `s`, one row per occurrence (overlapping —
     * the classic BPE count), weighted by the word frequency column `f`.
     */
@@ -84,7 +92,43 @@ object BpeTrainer {
     // Engine-native iterative op (rows-only on the driver gate, like the
     // ANN tier); BpeTrainerSpec replays a reference Scala implementation
     // over the same word frequencies and asserts the merge tables equal.
+    // Trained ONCE per corpus through the stored-structure tier — the
+    // encode query below reads the same stored table, like a tokenizer
+    // artifact shipped to the fleet.
     "ta_bpe_merges" -> { (s, dir) =>
+      trainedMerges(s, dir).orderBy("round")
+    },
+
+    // BPE ENCODE: price the corpus under the learned vocab — tokens per
+    // document after applying the stored merge table. Industrial shape
+    // again: |encode(w)| is computed once per VOCABULARY word (the merge
+    // table rides in as one broadcast array into a single native
+    // [[graft.functions.BpeApply]] call per word), and documents join that
+    // word→length map on their distinct-word counts — the corpus pays one
+    // (doc_id, word) aggregation, never a per-occurrence re-encode.
+    "ta_bpe_encode" -> { (s, dir) =>
+      val mergeArr = trainedMerges(s, dir)
+        .agg(array_sort(collect_list(struct(col("round"), col("a"), col("b")))).as("ms"))
+        .select(transform(col("ms"), m => struct(m.getField("a").as("a"), m.getField("b").as("b"))).as("ms"))
+      val wordLens = wordFreq(s, dir)
+        .crossJoin(broadcast(mergeArr))
+        .select(col("w"), size(graft.functions.BpeApply(
+          transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
+          col("ms"))).as("len"))
+      val docWords = Relational.t(s, dir, "documents")
+        .transform(Dedup.spread("doc_id"))
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      docWords.join(wordLens.hint("broadcast"), "w")
+        .groupBy("doc_id")
+        .agg(sum(col("cnt") * col("len")).as("n_tokens"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** Train (or read back) the stored merge table for `dir`. */
+  private def trainedMerges(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stored.materialize("bpe_merges", dir, s) {
       var syms = Dedup.materialized(initSymbols(s, dir))
       val rounds = (1 to Merges).map { r =>
         val winner = Dedup.materialized(
@@ -94,9 +138,8 @@ object BpeTrainer {
             .select(BpeMerge(col("s"), col("ma"), col("mb")).as("s"), col("f")))
         winner.select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
       }
-      rounds.reduce(_.union(_)).orderBy("round")
+      rounds.reduce(_.union(_))
     }
-  )
 
   val oracles: Map[String, String] = Map(
     "ta_bpe_pairs" ->

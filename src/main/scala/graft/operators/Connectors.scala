@@ -38,7 +38,7 @@ object Connectors {
       }
     ))
 
-  private[operators] def tmp(name: String): String = {
+  private[graft] def tmp(name: String): String = {
     cleanupHook
     val p = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}_${invocation.incrementAndGet()}_$name"
     tmpPaths.synchronized { tmpPaths += p }

@@ -483,15 +483,8 @@ object Similarity {
     * so scale factors never share an index; session-scoped via the JVM map
     * — a new process retrains, exactly like a cold index build.
     */
-  private val stored = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def materialize(name: String, dir: String, s: SparkSession)(df: => DataFrame): DataFrame = {
-    val path = stored.computeIfAbsent(s"$name:$dir", { _ =>
-      val p = Connectors.tmp(name)
-      df.write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+  private def materialize(name: String, dir: String, s: SparkSession)(df: => DataFrame): DataFrame =
+    graft.sources.Stored.materialize(name, dir, s)(df)
 
   /** PQ index for a corpus: (codes, qparts). `codes` is the 64×-compressed
     * code table (neighbor_id, nrm, sub, cid) — the only thing the recurring

@@ -203,17 +203,22 @@ class PlanAuditSpec extends SparkSpec {
       s"global pass must consume the pruned survivors (plan prints top-down):\n$p")
   }
 
-  test("bpe merge rounds broadcast only the one-row winner; pair counts partial-aggregate") {
-    val p = plan("ta_bpe_merges")
-    assert(!p.contains("CartesianProduct"), s"bpe rewrite degenerated to cartesian:\n$p")
-    // The only nested-loop joins allowed are the Merges winner broadcasts
-    // (one single-row frame per round).
-    val nljs = p.linesIterator.count(_.contains("NestedLoopJoin"))
-    assert(nljs <= graft.operators.BpeTrainer.Merges,
-      s"only one-row winner broadcasts may nested-loop ($nljs found):\n$p")
+  test("bpe training round and encode keep their aggregations partial and joins keyed") {
+    // The gate queries serve from the stored merge table, so the ONE-TIME
+    // per-round training plan is audited directly (knn_graph pattern).
+    val round = graft.operators.BpeTrainer.trainingRoundPlan(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(round.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"weighted pair counts must combine map-side:\n$round")
+    assert(!round.contains("CartesianProduct"), s"round plan degenerated:\n$round")
     val pairs = plan("ta_bpe_pairs")
     assert(pairs.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
       s"weighted pair counts must combine map-side:\n$pairs")
+    // Encode: the vocabulary's word→length map broadcasts into the
+    // doc-word join; the only nested loop is the one-row merge-table array.
+    val enc = plan("ta_bpe_encode")
+    assert(enc.contains("BroadcastHashJoin"), s"encode lost the vocab broadcast:\n$enc")
+    assert(!enc.contains("CartesianProduct"), s"encode degenerated:\n$enc")
   }
 
   test("group cap ranks under WindowGroupLimit on both sides of the exchange") {

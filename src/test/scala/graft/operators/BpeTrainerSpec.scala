@@ -6,6 +6,17 @@ import org.apache.spark.sql.functions._
 
 class BpeTrainerSpec extends SparkSpec {
 
+  /** One left-to-right non-overlapping rewrite (the reference rule). */
+  private def rewrite(s: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
   /** Reference BPE: straight-line Scala over a word-frequency map. */
   private def referenceMerges(wf: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
     var syms: Map[Vector[String], Long] =
@@ -16,16 +27,7 @@ class BpeTrainerSpec extends SparkSpec {
       for ((s, f) <- syms; i <- 0 until s.length - 1)
         counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
       val ((a, b), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
-      def rewrite(s: Vector[String]): Vector[String] = {
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < s.length) {
-          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
-          else { out += s(i); i += 1 }
-        }
-        out.result()
-      }
-      syms = syms.groupBy { case (s, _) => rewrite(s) }.map { case (s, m) => s -> m.values.sum }
+      syms = syms.groupBy { case (s, _) => rewrite(s, a, b) }.map { case (s, m) => s -> m.values.sum }
       (a, b, cnt)
     }
   }
@@ -48,6 +50,29 @@ class BpeTrainerSpec extends SparkSpec {
       .find(_.getInt(0) == 1).get
     assert(first.getString(1) + first.getString(2) == top.getString(0))
     assert(first.getLong(3) == top.getLong(1))
+  }
+
+  test("encode prices every document under the trained vocab, priced per vocab word") {
+    val docs = Relational.t(spark, sf(), "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase(java.util.Locale.ROOT).split(" +").filter(_.nonEmpty).toSeq)
+      .toMap
+    val wf = docs.values.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val merges = referenceMerges(wf, BpeTrainer.Merges)
+    def encLen(w: String): Long = {
+      var s = w.map(_.toString).toVector
+      merges.foreach { case (a, b, _) => s = rewrite(s, a, b) }
+      s.length.toLong
+    }
+    val expect = docs.map { case (id, ws) => id -> ws.map(encLen).sum }
+    val got = BpeTrainer.queries("ta_bpe_encode")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // Merging strictly compresses: token count below char count, at or
+    // above word count.
+    docs.foreach { case (id, ws) =>
+      assert(got(id) <= ws.map(_.length).sum && got(id) >= ws.length)
+    }
   }
 
   test("BpeMerge rewrites leftmost-first non-overlapping") {
