@@ -244,6 +244,29 @@ object Events {
         .orderBy("event_type")
     },
 
+    // Event-type transition matrix (first-order Markov counts): for each
+    // user's event stream in (ts, event_id) total order — the id tiebreak
+    // makes equal-timestamp ordering deterministic — count consecutive
+    // (prev → next) type pairs, then keep the top transitions. The
+    // behavioral-model input behind next-action prediction and funnel
+    // discovery. Shape: ONE shuffle on user_id feeds the lag window (the
+    // same partitioning every sessionization op here uses), the transition
+    // aggregation is |types|² rows with map-side combine, and the top-k is
+    // TakeOrdered. Invariant (spec-asserted): Σ counts = N − U, each user
+    // contributing exactly (events − 1) transitions.
+    "ev_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Relational.t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("prev_type").asc, col("next_type").asc)
+        .limit(20)
+    },
+
     // Cohort retention: users grouped by their first-signup week, counted
     // as active in each later week they emit ANY event. Weeks are integer
     // day-offsets / 7 from a fixed epoch — pure integer arithmetic both
@@ -302,6 +325,17 @@ object Events {
         |WHERE n_w > 1 AND
         |  (n_events * n_w - s) * (n_events * n_w - s) * (n_w - 1) > 4 * n_w * (n_w * s2 - s * s)
         |ORDER BY window_start, h.event_type""".stripMargin,
+    "ev_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, prev_type ASC, next_type ASC
+        |LIMIT 20""".stripMargin,
     "ev_mad_outliers" ->
       """WITH e AS (
         |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events

@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 
 class EventsSpec extends SparkSpec {
 
+  test("transitions: counts sum to events minus users (one chain per user)") {
+    val rows = Events.queries("ev_transitions")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    val ev = Relational.t(spark, sf(), "events")
+    val n = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    // At sf0.001 there are ≤ 25 distinct transitions, so the top-20 list
+    // covers all but the smallest; bound rather than equate when truncated.
+    if (rows.length < 20) assert(total == n - users)
+    else assert(total <= n - users && total > (n - users) * 8 / 10)
+    // Deterministic ordering: counts non-increasing.
+    val counts = rows.map(_.getLong(2))
+    counts.zip(counts.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
   test("mad outliers: median/MAD/count equal a straight-line reference computation") {
     val got = Events.queries("ev_mad_outliers")(spark, sf()).collect()
       .map(r => r.getString(0) ->
