@@ -85,6 +85,40 @@ object Analytics {
         .orderBy("p_brand")
     },
 
+    // Gini coefficient of customer spend — revenue-concentration
+    // analytics via the rank formulation G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) /
+    // (n·Σx) over ascending-sorted spend. Exact throughout: spend sums in
+    // DECIMAL, the global rank comes from range-partition + per-partition
+    // offset numbering (the sp_row_numbers technique — O(rows) work and no
+    // single-partition sort funnel; rank·x products stay exact decimals),
+    // ties contribute identically under any tie order (i·x + j·x is
+    // symmetric), and the final G is one fixed IEEE tree over decimal→
+    // double casts, token-identical in the oracle.
+    "an_gini" -> { (s, dir) =>
+      val d = DecimalType(18, 2)
+      val spend = Relational.t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(d)).as("x"))
+      val sorted = spend
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("x"), col("o_custkey"))
+        .sortWithinPartitions("x", "o_custkey")
+      val schema = sorted.schema
+      val ranked = s.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
+        },
+        schema.add(org.apache.spark.sql.types.StructField("rk",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("rk")).as("sxr"))
+        .select(col("n"),
+          col("sx").cast("double").as("total_spend"),
+          ((lit(2d) * col("sxr").cast("double") - (col("n").cast("double") + lit(1d)) * col("sx").cast("double"))
+            / (col("n").cast("double") * col("sx").cast("double"))).as("gini"))
+    },
+
     // Exact distinct users per event type via segment bitmaps (see
     // [[graft.functions.BitmapDistinct]]): ids shard into fixed-width
     // segments, each (type, segment) cell ORs a flat bit vector with
@@ -138,6 +172,19 @@ object Analytics {
         |FROM sl ORDER BY p_brand""".stripMargin,
     "an_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "an_gini" ->
+      """WITH sp AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rk FROM sp
+        |), a AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * rk) AS sxr FROM r
+        |)
+        |SELECT n, CAST(sx AS DOUBLE) AS total_spend,
+        |  (2 * CAST(sxr AS DOUBLE) - (CAST(n AS DOUBLE) + 1) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+        |FROM a""".stripMargin
   )
 }

@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** Minimum group size for [[queries dq_k_anonymity]]. */
+  val KAnonymity = 8
+
   private def report(name: String, agged: DataFrame): DataFrame =
     agged.select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
 
@@ -84,6 +87,21 @@ object Quality {
         docLength, priceCap)
         .reduce(_.unionByName(_))
         .orderBy("check_name")
+    },
+
+    // k-anonymity screen — the governance gate a dataset with
+    // quasi-identifiers passes before release: every (nationkey, segment)
+    // combination matching fewer than K individuals is re-identification
+    // risk and gets reported. One hash aggregation + HAVING; exact counts,
+    // so the violating-group list is oracle-checkable. At 100 TB the QI
+    // cardinality (not the row count) sizes the output, and the same
+    // aggregate feeds suppression/generalization decisions.
+    "dq_k_anonymity" -> { (s, dir) =>
+      Relational.t(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < KAnonymity)
+        .orderBy("c_nationkey", "c_mktsegment")
     },
 
     // Column profiler — the ANALYZE-style stats pass a lake runs on ingest
@@ -164,6 +182,10 @@ object Quality {
         |    (SELECT COUNT(*) FROM orders),
         |    (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 300000.0)
         |) ORDER BY check_name""".stripMargin,
+    "dq_k_anonymity" ->
+      s"""SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+         |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < $KAnonymity
+         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "dq_profile" ->
       """WITH base AS (SELECT COUNT(*) AS n FROM lineitem)
         |SELECT * FROM (

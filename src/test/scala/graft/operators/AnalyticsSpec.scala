@@ -47,6 +47,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("gini: matches the straight-line rank formulation; bounded in [0, 1)") {
+    val row = Analytics.queries("an_gini")(spark, sf()).collect().head
+    val (n, total, g) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    val spends = Relational.t(spark, sf(), "orders")
+      .groupBy("o_custkey").agg(sum(col("o_totalprice").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2))).as("x"))
+      .collect().map(r => BigDecimal(r.getDecimal(1))).sorted
+    assert(n == spends.length)
+    assert(math.abs(total - spends.sum.toDouble) < 1e-6)
+    val sxr = spends.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+    val expected = (2 * sxr.toDouble - (n + 1) * spends.sum.toDouble) / (n * spends.sum.toDouble)
+    assert(math.abs(g - expected) < 1e-9)
+    assert(g >= 0.0 && g < 1.0)
+  }
+
   test("bitmap distinct: equals exact count(distinct) per group") {
     val got = Analytics.queries("an_bitmap_distinct")(spark, sf()).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

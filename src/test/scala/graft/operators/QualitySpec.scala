@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 
 class QualitySpec extends SparkSpec {
 
+  test("k-anonymity: reported groups are exactly those under K") {
+    val flagged = Quality.queries("dq_k_anonymity")(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val all = Relational.t(spark, sf(), "customer")
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(flagged == all.filter(_._2 < Quality.KAnonymity))
+    flagged.values.foreach(n => assert(n > 0 && n < Quality.KAnonymity))
+  }
+
   test("profile stats match directly computed column facts") {
     val rows = Quality.queries("dq_profile")(spark, sf()).collect()
       .map(r => r.getString(0) ->
