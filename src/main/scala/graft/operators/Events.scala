@@ -244,6 +244,37 @@ object Events {
         .orderBy("event_type")
     },
 
+    // Gap-filled hourly series with LOCF (last-observation-carried-forward)
+    // imputation — the time-series repair step before any model consumes a
+    // metric stream: absent (hour, type) cells exist in the output, flagged
+    // unobserved, and carry the most recent observed count (0 before the
+    // first observation). Shape: the dense spine is |hours| × |types| —
+    // generated from a ONE-ROW min/max aggregate broadcast into a
+    // sequence() explode, never from the events table itself — left-joined
+    // against the observed hourly aggregate, then one ordered window per
+    // type for the carry-forward. All integers and truncated timestamps:
+    // exact in both engines.
+    "ev_locf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = EventStreams.windowedAgg(Relational.t(s, dir, "events"))
+        .select(col("window_start"), col("event_type"), col("n_events"))
+      val bounds = hourly.agg(min("window_start").as("lo"), max("window_start").as("hi"))
+      val types = hourly.select("event_type").distinct()
+      val spine = types.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly,
+          spine("event_type") === hourly("event_type") && col("hour") === col("window_start"),
+          "left_outer")
+        .select(spine("event_type"), col("hour"), col("n_events"))
+        .select(col("event_type"), col("hour"),
+          col("n_events").isNotNull.as("observed"),
+          coalesce(last("n_events", ignoreNulls = true).over(w), lit(0L)).as("imputed"))
+        .orderBy("event_type", "hour")
+    },
+
     // Event-type transition matrix (first-order Markov counts): for each
     // user's event stream in (ts, event_id) total order — the id tiebreak
     // makes equal-timestamp ordering deterministic — count consecutive
@@ -325,6 +356,25 @@ object Events {
         |WHERE n_w > 1 AND
         |  (n_events * n_w - s) * (n_events * n_w - s) * (n_w - 1) > 4 * n_w * (n_w * s2 - s * s)
         |ORDER BY window_start, h.event_type""".stripMargin,
+    "ev_locf" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT MIN(window_start) AS lo, MAX(window_start) AS hi FROM h
+        |), spine AS (
+        |  SELECT t.event_type, s.hour
+        |  FROM (SELECT DISTINCT event_type FROM h) t
+        |  CROSS JOIN (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b) s
+        |)
+        |SELECT spine.event_type, spine.hour,
+        |       h.n_events IS NOT NULL AS observed,
+        |       COALESCE(last_value(h.n_events IGNORE NULLS) OVER (
+        |         PARTITION BY spine.event_type ORDER BY spine.hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS imputed
+        |FROM spine LEFT JOIN h
+        |  ON spine.event_type = h.event_type AND spine.hour = h.window_start
+        |ORDER BY spine.event_type, spine.hour""".stripMargin,
     "ev_transitions" ->
       """WITH t AS (
         |  SELECT user_id, event_type,

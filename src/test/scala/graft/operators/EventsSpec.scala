@@ -5,6 +5,28 @@ import org.apache.spark.sql.functions._
 
 class EventsSpec extends SparkSpec {
 
+  test("locf: dense hourly spine; imputed values carry the last observation forward") {
+    val rows = Events.queries("ev_locf")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, series) =>
+      val s = series.sortBy(_._2.getTime)
+      // Dense: consecutive hours, no gaps.
+      s.zip(s.tail).foreach { case (a, b) =>
+        assert(b._2.getTime - a._2.getTime == 3600 * 1000L, s"$t spine gap")
+      }
+      // Carry-forward: unobserved hours repeat the previous imputed value;
+      // observed hours define it.
+      var carry = 0L
+      s.foreach { case (_, _, observed, imputed) =>
+        if (observed) carry = imputed
+        else assert(imputed == carry, s"$t LOCF break")
+      }
+      // Some gap must exist at sf0.001 for the op to be exercised.
+      assert(s.exists(!_._3), s"$t has no gaps — test corpus too dense")
+    }
+  }
+
   test("transitions: counts sum to events minus users (one chain per user)") {
     val rows = Events.queries("ev_transitions")(spark, sf()).collect()
     assert(rows.nonEmpty)
