@@ -29,7 +29,8 @@ object Analytics {
     // oracle is the O(n²) NOT-EXISTS formulation; the engine runs the
     // O(n log n) decomposition — (1) collapse to distinct (price, size)
     // points (hash agg), (2) per-price min size (the only same-price
-    // survivor; window partitioned by price), (3) per-partition prune: a
+    // survivor) as a struct-min AGGREGATE — partial map-side, no window
+    // sort, (3) per-partition prune: a
     // sorted running-min scan drops locally dominated points WITHOUT a
     // shuffle (a dominated point is dominated no matter which partition
     // saw it, so any partitioning is safe), (4) the exact global pass — the
@@ -42,8 +43,9 @@ object Analytics {
         .groupBy(col("p_retailprice").as("price"), col("p_size").cast("long").as("sz"))
         .agg(count(lit(1)).as("n"), min("p_partkey").as("pk"))
       val perPrice = pts
-        .withColumn("rn", row_number().over(Window.partitionBy("price").orderBy("sz")))
-        .filter(col("rn") === 1).drop("rn")
+        .groupBy("price")
+        .agg(min(struct(col("sz"), col("n"), col("pk"))).as("m"))
+        .select(col("price"), col("m.sz"), col("m.n"), col("m.pk"))
       val localSkyline = perPrice.as[SkyPoint]
         .sortWithinPartitions("price", "sz")
         .mapPartitions { it =>
@@ -88,8 +90,8 @@ object Analytics {
     // Gini coefficient of customer spend — revenue-concentration
     // analytics via the rank formulation G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) /
     // (n·Σx) over ascending-sorted spend. Exact throughout: spend sums in
-    // DECIMAL, the global rank comes from range-partition + per-partition
-    // offset numbering (the sp_row_numbers technique — O(rows) work and no
+    // DECIMAL, the global rank comes from [[Pipeline.globalRowNumbers]]
+    // (range-partition + per-partition offset numbering — O(rows) work, no
     // single-partition sort funnel; rank·x products stay exact decimals),
     // ties contribute identically under any tie order (i·x + j·x is
     // symmetric), and the final G is one fixed IEEE tree over decimal→
@@ -99,16 +101,7 @@ object Analytics {
       val spend = Relational.t(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast(d)).as("x"))
-      val sorted = spend
-        .repartitionByRange(s.sparkContext.defaultParallelism, col("x"), col("o_custkey"))
-        .sortWithinPartitions("x", "o_custkey")
-      val schema = sorted.schema
-      val ranked = s.createDataFrame(
-        sorted.rdd.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
-        },
-        schema.add(org.apache.spark.sql.types.StructField("rk",
-          org.apache.spark.sql.types.LongType, nullable = false)))
+      val ranked = Pipeline.globalRowNumbers(s, spend, "rk", col("x"), col("o_custkey"))
       ranked.agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"),
@@ -128,8 +121,8 @@ object Analytics {
     "an_bitmap_distinct" -> { (s, dir) =>
       Relational.t(s, dir, "events")
         .select(col("event_type"),
-          (col("user_id") / lit(1L << BitmapDistinct.SegBits)).cast("long").as("seg"),
-          (col("user_id") % lit(1L << BitmapDistinct.SegBits)).cast("int").as("off"))
+          shiftright(col("user_id"), BitmapDistinct.SegBits).as("seg"),
+          col("user_id").bitwiseAND(lit((1L << BitmapDistinct.SegBits) - 1)).cast("int").as("off"))
         .groupBy("event_type", "seg")
         .agg(BitmapDistinct.bitmapCount(col("off")).as("c"))
         .groupBy("event_type")

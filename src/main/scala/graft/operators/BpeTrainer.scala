@@ -48,11 +48,13 @@ object BpeTrainer {
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
 
+  /** A word column as its character-symbol array. */
+  private def charSyms(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
   /** Words as character-symbol arrays, frequency-weighted. */
   private def initSymbols(s: SparkSession, dir: String): DataFrame =
-    wordFreq(s, dir).select(
-      transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))).as("s"),
-      col("f"))
+    wordFreq(s, dir).select(charSyms(col("w")).as("s"), col("f"))
 
   /** The per-round hot plan (weighted pair counting over the current
     * symbols), exposed for PlanAuditSpec: the stored-tier gate query reads
@@ -112,9 +114,8 @@ object BpeTrainer {
         .select(transform(col("ms"), m => struct(m.getField("a").as("a"), m.getField("b").as("b"))).as("ms"))
       val wordLens = wordFreq(s, dir)
         .crossJoin(broadcast(mergeArr))
-        .select(col("w"), size(graft.functions.BpeApply(
-          transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
-          col("ms"))).as("len"))
+        .select(col("w"),
+          size(graft.functions.BpeApply(charSyms(col("w")), col("ms"))).as("len"))
       val docWords = Relational.t(s, dir, "documents")
         .transform(Dedup.spread("doc_id"))
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))

@@ -197,17 +197,9 @@ object Pipeline {
     // sort so the index order is the KEY order, deterministically. The
     // DuckDB oracle is the single-node ROW_NUMBER truth.
     "sp_row_numbers" -> { (s, dir) =>
-      val sorted = Relational.t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"))
-        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
-        .sortWithinPartitions("doc_id")
-      val schema = sorted.schema
-      val numbered = sorted.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
-      }
-      s.createDataFrame(numbered,
-          schema.add(org.apache.spark.sql.types.StructField("seq_id",
-            org.apache.spark.sql.types.LongType, nullable = false)))
+      Pipeline.globalRowNumbers(s,
+        Relational.t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "seq_id", col("doc_id"))
         .orderBy("seq_id")
     },
 
@@ -286,6 +278,28 @@ object Pipeline {
 
   /** Max documents kept per source by [[queries sp_group_cap]]. */
   val GroupCapK = 50
+
+  /** Stable 1-based global row numbers in `keys` order, the scalable way:
+    * range-partition by the keys (each partition owns a contiguous key
+    * interval), sort within partitions, then `zipWithIndex` (one counting
+    * job + one numbering pass — per-partition counts broadcast as prefix
+    * offsets). O(rows) work, no ROW_NUMBER single-partition funnel. Shared
+    * by `sp_row_numbers` and the Gini rank stage (`Analytics.an_gini`).
+    */
+  private[operators] def globalRowNumbers(
+      s: SparkSession, df: DataFrame, numCol: String,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val sorted = df
+      .repartitionByRange(s.sparkContext.defaultParallelism, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val schema = sorted.schema
+    val numbered = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
+    }
+    s.createDataFrame(numbered,
+      schema.add(org.apache.spark.sql.types.StructField(numCol,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  }
 
   val oracles: Map[String, String] = Map(
     "sp_group_cap" ->

@@ -72,7 +72,7 @@ object Spatial {
     * pair orientation (a < b for the undirected radius join; a ≠ b for the
     * directed nearest-neighbor scan).
     */
-  private def neighborhoodPairs(s: SparkSession, dir: String, keep: => org.apache.spark.sql.Column): DataFrame = {
+  private def neighborhoodPairs(s: SparkSession, dir: String, keep: org.apache.spark.sql.Column): DataFrame = {
     val pts = Dedup.materialized(points(s, dir))
     val probe = pts
       .withColumn("dx", explode(lit(Array(-1, 0, 1))))
