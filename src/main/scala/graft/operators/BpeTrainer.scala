@@ -112,14 +112,18 @@ object BpeTrainer {
       val mergeArr = trainedMerges(s, dir)
         .agg(array_sort(collect_list(struct(col("round"), col("a"), col("b")))).as("ms"))
         .select(transform(col("ms"), m => struct(m.getField("a").as("a"), m.getField("b").as("b"))).as("ms"))
-      val wordLens = wordFreq(s, dir)
+      // ONE corpus tokenization pass: the vocabulary derives from the same
+      // (doc_id, word) aggregate the final join consumes (materialized —
+      // two consumers would otherwise each re-run the scan+tokenize).
+      val docWords = Dedup.materialized(
+        Relational.t(s, dir, "documents")
+          .transform(Dedup.spread("doc_id"))
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt")))
+      val wordLens = docWords.select("w").distinct()
         .crossJoin(broadcast(mergeArr))
         .select(col("w"),
           size(graft.functions.BpeApply(charSyms(col("w")), col("ms"))).as("len"))
-      val docWords = Relational.t(s, dir, "documents")
-        .transform(Dedup.spread("doc_id"))
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       docWords.join(wordLens.hint("broadcast"), "w")
         .groupBy("doc_id")
         .agg(sum(col("cnt") * col("len")).as("n_tokens"))
@@ -129,18 +133,44 @@ object BpeTrainer {
 
   /** Train (or read back) the stored merge table for `dir`. */
   private def trainedMerges(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Stored.materialize("bpe_merges", dir, s) {
-      var syms = Dedup.materialized(initSymbols(s, dir))
-      val rounds = (1 to Merges).map { r =>
-        val winner = Dedup.materialized(
-          adjacentPairs(syms).orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1))
+    graft.sources.Stored.materialize("bpe_merges", dir, s)(
+      trainMergesFrom(initSymbols(s, dir)))
+
+  /** The training loop over an initial (symbols, freq) table. Stops early
+    * when a round finds NO adjacent pair (a fully collapsed vocabulary —
+    * e.g. a corpus of single-character words): the empty argmax would
+    * otherwise cross-join every later round to nothing and silently
+    * truncate the stored table. The winner is a materialized one-row
+    * frame, so the emptiness probe costs one cached-lookup job.
+    */
+  private[graft] def trainMergesFrom(init: DataFrame): DataFrame = {
+    var syms = Dedup.materialized(init)
+    val rounds = Seq.newBuilder[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= Merges && !exhausted) {
+      val winner = Dedup.materialized(
+        adjacentPairs(syms).orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1))
+      if (winner.isEmpty) { exhausted = true }
+      else {
         syms = Dedup.materialized(
           syms.crossJoin(broadcast(winner.select(col("a").as("ma"), col("b").as("mb"))))
             .select(BpeMerge(col("s"), col("ma"), col("mb")).as("s"), col("f")))
-        winner.select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
+        rounds += winner.select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
+        r += 1
       }
-      rounds.reduce(_.union(_))
     }
+    val rs = rounds.result()
+    if (rs.isEmpty)
+      init.sparkSession.createDataFrame(
+        init.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("round", org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType))))
+    else rs.reduce(_.union(_))
+  }
 
   val oracles: Map[String, String] = Map(
     "ta_bpe_pairs" ->

@@ -206,7 +206,7 @@ object Events {
     // DECIMAL (the odd-n case selects the same rank twice). Deviations
     // stay in doubled units (dev2 = |2v − med2|) and the MAD in quadrupled
     // units (mad4 = sum of the two middle dev2), so the outlier test
-    // |v − med| > 3·MAD becomes 4·dev2 > 3·mad4 — division-free decimal
+    // |v − med| > 3·MAD becomes 2·dev2 > 3·mad4 — division-free decimal
     // comparison, the ev_anomaly stability argument applied to rank
     // statistics. Shape: two grouped rank-windows (shuffle on event_type)
     // + broadcast joins of the |event types|-row stats; at 1000 executors
@@ -233,7 +233,7 @@ object Events {
         .select(col("event_type"), abs(col("v") * 2 - col("med2")).as("dev2"))
       val mad = middleSum(dev, "dev2").withColumnRenamed("dev2_mid2", "mad4").drop("n")
       val outliers = dev.join(broadcast(mad), "event_type")
-        .filter(col("dev2") * 4 > col("mad4") * 3)
+        .filter(col("dev2") * 2 > col("mad4") * 3)
         .groupBy("event_type").agg(count(lit(1)).as("n_out"))
       med.join(mad, "event_type")
         .join(outliers, Seq("event_type"), "left")
@@ -415,7 +415,7 @@ object Events {
         |), o AS (
         |  SELECT d.event_type, COUNT(*) AS n_out
         |  FROM d JOIN mm USING (event_type)
-        |  WHERE d.dev2 * 4 > mm.mad4 * 3
+        |  WHERE d.dev2 * 2 > mm.mad4 * 3
         |  GROUP BY d.event_type
         |)
         |SELECT m.event_type, m.n,

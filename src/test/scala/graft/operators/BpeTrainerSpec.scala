@@ -75,6 +75,22 @@ class BpeTrainerSpec extends SparkSpec {
     }
   }
 
+  test("training stops cleanly when the vocabulary exhausts its pairs") {
+    import spark.implicits._
+    // All single-symbol words: no adjacent pair exists — zero merge rounds,
+    // not a corrupted/truncated table.
+    val flat = BpeTrainer.trainMergesFrom(
+      Seq((Seq("a"), 3L), (Seq("b"), 2L)).toDF("s", "f")).collect()
+    assert(flat.isEmpty)
+    // One mergeable pair, then exhaustion: exactly one round is emitted
+    // even though Merges rounds were requested.
+    val one = BpeTrainer.trainMergesFrom(
+      Seq((Seq("a", "b"), 2L)).toDF("s", "f")).collect()
+    assert(one.length == 1)
+    assert(one.head.getString(1) == "a" && one.head.getString(2) == "b"
+      && one.head.getLong(3) == 2L)
+  }
+
   test("BpeMerge rewrites leftmost-first non-overlapping") {
     val df = spark.sql("SELECT array('a','a','a','b','a','a') AS s")
       .select(BpeMerge(col("s"), lit("a"), lit("a")).as("m"))

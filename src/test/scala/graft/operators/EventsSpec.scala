@@ -59,7 +59,7 @@ class EventsSpec extends SparkSpec {
       val m2 = med2(sorted)
       val dev2 = sorted.map(v => (v * 2 - m2).abs).sorted
       val mad4 = med2(dev2)
-      val nOut = dev2.count(d => d * 4 > mad4 * 3)
+      val nOut = dev2.count(d => d * 2 > mad4 * 3)
       val (gn, gmed, gmad, gout) = got(t)
       assert(gn == n)
       assert(math.abs(gmed - (m2 / 2).toDouble) < 1e-9, s"median for $t")
