@@ -244,6 +244,40 @@ object Events {
         .orderBy("event_type")
     },
 
+    // Winsorization at the exact [p05, p95] nearest-rank quantiles — the
+    // outlier-clipping normalization a feature pipeline applies before
+    // training. Quantiles are selected by RANK like the MAD medians (value
+    // at row_number (n+19)÷20 resp. (19n+19)÷20 — ceil(n/20)/ceil(19n/20)
+    // in EXACT integer arithmetic, never ceil(0.05·n) in floating point,
+    // whose representation error can flip the rank at integer boundaries).
+    // Output per type: the clip bounds, raw vs clipped exact sums, and how
+    // many values were clipped. One grouped rank window + one broadcast
+    // stats join — the ev_mad_outliers shape at different ranks.
+    "ev_winsorize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = org.apache.spark.sql.types.DecimalType(18, 2)
+      val e = Relational.t(s, dir, "events")
+        .select(col("event_type"), col("value").cast(d).as("v"))
+      val w = Window.partitionBy("event_type")
+      val qs = e
+        .withColumn("rn", row_number().over(w.orderBy("v")))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          sum(when(expr("rn = ((n + 19) div 20)"), col("v"))).as("p05"),
+          sum(when(expr("rn = ((19 * n + 19) div 20)"), col("v"))).as("p95"))
+      val clipped = least(greatest(col("v"), col("p05")), col("p95"))
+      e.join(broadcast(qs), "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          max(col("p05")).cast("double").as("p05"),
+          max(col("p95")).cast("double").as("p95"),
+          sum(col("v")).cast("double").as("sum_raw"),
+          sum(clipped).cast("double").as("sum_clipped"),
+          sum(when(col("v") < col("p05") || col("v") > col("p95"), 1L).otherwise(0L)).as("n_clipped"))
+        .orderBy("event_type")
+    },
+
     // Gap-filled hourly series with LOCF (last-observation-carried-forward)
     // imputation — the time-series repair step before any model consumes a
     // metric stream: absent (hour, type) cells exist in the output, flagged
@@ -356,6 +390,29 @@ object Events {
         |WHERE n_w > 1 AND
         |  (n_events * n_w - s) * (n_events * n_w - s) * (n_w - 1) > 4 * n_w * (n_w * s2 - s * s)
         |ORDER BY window_start, h.event_type""".stripMargin,
+    "ev_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+        |), r AS (
+        |  SELECT event_type, v,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e
+        |), q AS (
+        |  SELECT event_type, MAX(n) AS n,
+        |         SUM(CASE WHEN rn = (n + 19)//20 THEN v END) AS p05,
+        |         SUM(CASE WHEN rn = (19 * n + 19)//20 THEN v END) AS p95
+        |  FROM r GROUP BY event_type
+        |)
+        |SELECT e.event_type, MAX(q.n) AS n,
+        |       CAST(MAX(q.p05) AS DOUBLE) AS p05,
+        |       CAST(MAX(q.p95) AS DOUBLE) AS p95,
+        |       CAST(SUM(e.v) AS DOUBLE) AS sum_raw,
+        |       CAST(SUM(least(greatest(e.v, q.p05), q.p95)) AS DOUBLE) AS sum_clipped,
+        |       SUM(CASE WHEN e.v < q.p05 OR e.v > q.p95 THEN 1 ELSE 0 END) AS n_clipped
+        |FROM e JOIN q USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
     "ev_locf" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events

@@ -5,6 +5,31 @@ import org.apache.spark.sql.functions._
 
 class EventsSpec extends SparkSpec {
 
+  test("winsorize: rank-exact bounds; clipping moves sums toward the interior") {
+    val rows = Events.queries("ev_winsorize")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val raw = Relational.t(spark, sf(), "events")
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val vs = raw(t).map(_._2).sorted
+      val n = vs.length
+      assert(r.getLong(1) == n)
+      val p05 = vs((n + 19) / 20 - 1)
+      val p95 = vs((19 * n + 19) / 20 - 1)
+      assert(math.abs(r.getDouble(2) - p05.toDouble) < 1e-9)
+      assert(math.abs(r.getDouble(3) - p95.toDouble) < 1e-9)
+      val clipped = vs.map(v => v.max(p05).min(p95))
+      assert(math.abs(r.getDouble(5) - clipped.sum.toDouble) < 1e-6)
+      assert(r.getLong(6) == vs.count(v => v < p05 || v > p95))
+      // Clipping can only pull the sum toward the interior, and about 10%
+      // of points sit outside the [p05, p95] band.
+      assert(r.getLong(6) <= n / 5 && r.getLong(6) > 0)
+    }
+  }
+
   test("locf: dense hourly spine; imputed values carry the last observation forward") {
     val rows = Events.queries("ev_locf")(spark, sf()).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(2), r.getLong(3)))
