@@ -129,6 +129,43 @@ object Pipeline {
         .orderBy("split", "lang")
     },
 
+    // The corpus RELEASE pipeline — the v2 composition over the round's new
+    // operators: quality gate → exact-dedup survivors → per-source cap
+    // (the sp_group_cap balance step, applied to the deduped stream so a
+    // duplicated crawl cannot spend a source's budget twice) → split
+    // assignment → per-(split, source) release manifest. One declarative
+    // plan: Catalyst fuses the two scan filters; the shuffles are the
+    // dedup hash partition, the per-source cap rank, and the final
+    // aggregate. Every stage is an independently-gated operator
+    // (ta_quality, dd_survivors, sp_group_cap, sp_split_assign) and the
+    // chain carries its own end-to-end oracle.
+    "pl_release_corpus" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dedupW = Window.partitionBy("h").orderBy("doc_id")
+      val capW = Window.partitionBy("source")
+        .orderBy(graft.functions.HashFunctions.md5Long(SampleSeed, col("doc_id")).asc,
+          col("doc_id").asc)
+      Relational.t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .filter(TextOps.qualityScore(col("text")) >= QualityThreshold)
+        .withColumn("h", md5(TextOps.normText(col("text"))))
+        .withColumn("rk", row_number().over(dedupW))
+        .filter(col("rk") === 1)
+        .withColumn("cap_rk", row_number().over(capW))
+        .filter(col("cap_rk") <= lit(GroupCapK))
+        .select(
+          when(bucket(col("doc_id")) < 80, "train")
+            .when(bucket(col("doc_id")) < 90, "val")
+            .otherwise("test").as("split"),
+          col("source"),
+          col("n_chars"))
+        .groupBy("split", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("split", "source")
+    },
+
     // Token-budget shard packing: assign documents to fixed-token-budget
     // training shards by a running token total per language stream — the
     // step that turns a filtered corpus into the ~equal-sized sequential
@@ -351,6 +388,35 @@ object Pipeline {
          |            ELSE 'test' END AS split,
          |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM surv GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "pl_release_corpus" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS DOUBLE) AS np
+         |  FROM documents WHERE length(trim(text)) > 0
+         |), q AS (
+         |  SELECT doc_id, source, n_chars, text FROM d
+         |  WHERE greatest(0.0, least(1.0,
+         |    0.2 + (CAST(len(list_filter(ts, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE) / len(ts)) * 2.0
+         |        - (np / nc) * 3.0)) >= 0.3
+         |), surv AS (
+         |  SELECT doc_id, source, n_chars FROM q
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |    ORDER BY doc_id) = 1
+         |), capped AS (
+         |  SELECT doc_id, source, n_chars FROM surv
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    PARTITION BY source
+         |    ORDER BY CAST('0x' || substr(md5('$SampleSeed:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+         |             doc_id ASC) <= $GroupCapK
+         |)
+         |SELECT CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+         |            WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM capped GROUP BY split, source ORDER BY split, source""".stripMargin,
     "pl_token_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,

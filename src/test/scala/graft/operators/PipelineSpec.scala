@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions.{col, count, lit, size, when}
 
 class PipelineSpec extends SparkSpec {
 
+  test("release pipeline: per-source totals respect the cap; splits partition the release") {
+    val rows = Pipeline.queries("pl_release_corpus")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // The cap bounds each source's TOTAL contribution across all splits.
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sum <= Pipeline.GroupCapK, s"source $src over cap")
+    }
+    assert(rows.map(_._1).distinct.sorted.sameElements(
+      rows.map(_._1).distinct.sorted.intersect(Seq("test", "train", "val"))))
+    // Train dominates: the 80/10/10 split shows up in the release manifest.
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+  }
+
   test("group cap keeps the k lowest-hash docs per source, never more than k") {
     import org.apache.spark.sql.functions._
     val kept = Pipeline.queries("sp_group_cap")(spark, sf()).collect()
