@@ -112,6 +112,31 @@ object Analytics {
             / (col("n").cast("double") * col("sx").cast("double"))).as("gini"))
     },
 
+    // Chi-square association between document language and source — the
+    // feature-dependence screen (which sources skew which languages) run
+    // before mixture decisions. Exact core: the independence deviation
+    // dev = N·o − rowTotal·colTotal per cell is pure integer arithmetic
+    // (hash-pinned), and the χ² contribution dev²/(N·rT·cT) is one fixed
+    // IEEE tree over integer→double casts. Shape: ONE cell aggregation
+    // (|langs|×|sources| rows), then window sums over that tiny table for
+    // row/column/grand totals — corpus size never re-enters.
+    "an_chisq" -> { (s, dir) =>
+      val cells = Relational.t(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rT = sum("o").over(Window.partitionBy("lang"))
+      val cT = sum("o").over(Window.partitionBy("source"))
+      val nT = sum("o").over(Window.partitionBy())
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      cells
+        .withColumn("rt", rT).withColumn("ct", cT).withColumn("n", nT)
+        .withColumn("dev", col("n") * col("o") - col("rt") * col("ct"))
+        .select(col("lang"), col("source"), col("o"), col("dev"),
+          (d(col("dev")) * d(col("dev")) / (d(col("n")) * d(col("rt")) * d(col("ct"))))
+            .as("chi2_cell"))
+        .orderBy(abs(col("dev")).desc, col("lang").asc, col("source").asc)
+        .limit(15)
+    },
+
     // Exact distinct users per event type via segment bitmaps (see
     // [[graft.functions.BitmapDistinct]]): ids shard into fixed-width
     // segments, each (type, segment) cell ORs a flat bit vector with
@@ -166,6 +191,22 @@ object Analytics {
     "an_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "an_chisq" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+        |), t AS (
+        |  SELECT lang, source, o,
+        |         SUM(o) OVER (PARTITION BY lang) AS rt,
+        |         SUM(o) OVER (PARTITION BY source) AS ct,
+        |         SUM(o) OVER () AS n
+        |  FROM cells
+        |)
+        |SELECT lang, source, o, n * o - rt * ct AS dev,
+        |       (CAST(n * o - rt * ct AS DOUBLE) * CAST(n * o - rt * ct AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) AS chi2_cell
+        |FROM t
+        |ORDER BY abs(n * o - rt * ct) DESC, lang ASC, source ASC
+        |LIMIT 15""".stripMargin,
     "an_gini" ->
       """WITH sp AS (
         |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x

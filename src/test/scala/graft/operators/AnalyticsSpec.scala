@@ -62,6 +62,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(g >= 0.0 && g < 1.0)
   }
 
+  test("chisq: deviations and cell contributions match the contingency table") {
+    val got = Analytics.queries("an_chisq")(spark, sf()).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(got.nonEmpty)
+    val cells = Relational.t(spark, sf(), "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = cells.values.sum
+    val rT = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cT = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    got.foreach { case ((lang, src), (o, dev, chi2)) =>
+      assert(o == cells((lang, src)))
+      assert(dev == n * o - rT(lang) * cT(src))
+      val expect = dev.toDouble * dev.toDouble / (n.toDouble * rT(lang).toDouble * cT(src).toDouble)
+      assert(math.abs(chi2 - expect) < 1e-12)
+      assert(chi2 >= 0.0)
+    }
+    // Top-15 really is the 15 largest |dev| cells.
+    val allDevs = cells.map { case ((l, s2), o) => math.abs(n * o - rT(l) * cT(s2)) }.toSeq
+    val floor = got.map(g => math.abs(g._2._2)).min
+    assert(allDevs.count(_ > floor) < 15)
+  }
+
   test("bitmap distinct: equals exact count(distinct) per group") {
     val got = Analytics.queries("an_bitmap_distinct")(spark, sf()).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
