@@ -23,6 +23,34 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Readability scoring (Flesch-shaped): reading ease from words-per-
+    // sentence and syllables-per-word, with the syllable count proxied by
+    // VOWEL RUNS — a single regexp_count pass, the established marker
+    // idiom. All three counts are exact integers (hash-pinned alongside
+    // the score); the score itself is one fixed IEEE tree over int→double
+    // casts with the classic 206.835/1.015/84.6 constants, token-identical
+    // in the oracle. Sentence/syllable floors via greatest(1, ·) keep the
+    // divisions total. Narrow projection — no shuffle beyond the output
+    // sort; the corpus-quality feature a length-normalized filter chain
+    // consumes next to ta_quality.
+    "ta_readability" -> { (s, dir) =>
+      val words = size(TextOps.tokens(col("text")))
+      val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      val syllables = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      Relational.t(s, dir, "documents")
+        .filter(size(TextOps.tokens(col("text"))) >= 1)
+        .select(col("doc_id"),
+          words.cast("int").as("n_words"),
+          sentences.cast("int").as("n_sentences"),
+          syllables.cast("int").as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+          (lit(206.835)
+            - lit(1.015) * (d(col("n_words")) / d(col("n_sentences")))
+            - lit(84.6) * (d(col("n_syllables")) / d(col("n_words")))).as("flesch"))
+        .orderBy("doc_id")
+    },
+
     // Token statistics: counts, type-token ratio, mean token length, plus a
     // BPE-ish regex token count (letters runs | digit runs | other symbol).
     // The token array is materialized ONCE behind a repartition barrier:
@@ -255,6 +283,20 @@ object TextAnalysis {
   val WinnowW = 8
 
   val oracles: Map[String, String] = Map(
+    "ta_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS INT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) AS n_sentences,
+        |    CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS INT) AS n_syllables
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) >= 1
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+        |FROM t ORDER BY doc_id""".stripMargin,
     "ta_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\b(key|hash|join)\b')) AS INT) AS n_hits,
