@@ -299,6 +299,44 @@ object EventStreams {
 
   final case class SessionBuf(pending: Seq[(Long, Long)], emitted: Long)
 
+  final case class TransEvent(event_id: Long, tsMicros: Long, user_id: Long, event_type: String)
+  final case class LastSeen(tsMicros: Long, eventId: Long, eventType: String)
+  final case class TransitionRec(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming twin of the batch transition matrix (`ev_transitions`): the
+    * (prev → next) pair stream, one row per consecutive event pair per
+    * user. Per-user state is ONLY the last-seen event — a three-field
+    * record, the smallest state any cross-batch pairing can carry — so
+    * state size is O(active users), independent of history length (the
+    * sessionizer buffers an open session; this buffers one event). Events
+    * within a micro-batch pair in deterministic (ts, event_id) order; the
+    * stored last event bridges batch boundaries. EventStreamsSpec asserts
+    * the aggregated pair counts equal the batch lag-window matrix.
+    */
+  def transitionsStream(events: DataFrame): Dataset[TransitionRec] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("user_id"), col("event_type"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, TransitionRec](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+      ) { (uid, it, state) =>
+        val incoming = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+        val all = state.getOption
+          .map(ls => TransEvent(ls.eventId, ls.tsMicros, uid, ls.eventType)).toSeq ++ incoming
+        if (all.nonEmpty) {
+          val last = all.last
+          state.update(LastSeen(last.tsMicros, last.event_id, last.event_type))
+        }
+        all.zip(all.drop(1)).iterator
+          .map { case (p, n) => TransitionRec(uid, p.event_type, n.event_type) }
+      }
+  }
+
   /** The same sessionizer on Spark 4's arbitrary-state API
     * (`transformWithState` + [[SessionizeProcessor]]): state is a named,
     * schema-evolvable `ValueState` in the RocksDB state store instead of a

@@ -137,6 +137,35 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming transition pairs aggregate to the batch lag-window matrix") {
+    import spark.implicits._
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.transitionsStream(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("trans_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("trans_test")
+        .groupBy("prev_type", "next_type").count()
+        .as[(String, String, Long)].collect().map { case (p, n, c) => (p, n) -> c }.toMap
+      // Batch truth: the full lag-window matrix (ev_transitions without its
+      // top-k cut).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.col("event_id"))
+      import org.apache.spark.sql.functions._
+      val batch = graft.operators.Relational.t(spark, sf(), "events")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").count()
+        .as[(String, String, Long)].collect().map { case (p, n, c) => (p, n) -> c }.toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch twin") {
     val customer = graft.sources.Tables.t(spark, sf(), "customer")
     val stream = EventStreams.readEventStream(spark, eventsDir)
