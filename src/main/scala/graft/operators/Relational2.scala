@@ -469,6 +469,49 @@ object Relational2 {
         .orderBy(col("revenue").desc, col("n_name").asc)
     },
 
+    // Correlated scalar subqueries (the decorrelation tier): orders whose
+    // price exceeds their own customer's average order price. Written as TWO
+    // correlated aggregates over the same group (count and sum) so Catalyst
+    // exercises both RewriteCorrelatedScalarSubquery (each per-row subquery
+    // becomes an aggregate + left join on the correlation key — the plan has
+    // joins, never a per-row re-execution) and MergeScalarSubqueries (both
+    // aggregates collapse into ONE pass over orders). The comparison is the
+    // division-free form price × count > sum — DECIMAL-exact in both
+    // engines, so no avg() precision knife-edge can flip a row.
+    "q45_corr_subquery" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("q45_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+          |FROM q45_orders o
+          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+          |    (SELECT COUNT(*) FROM q45_orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |  > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          |     FROM q45_orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // LATERAL join (correlated derived table with ORDER BY + LIMIT): the two
+    // busiest nations per region. The correlation predicate is an EQUALITY on
+    // r_regionkey, so decorrelation plans a hash join plus a per-region
+    // bounded rank — never a nested-loop re-execution of the subquery per
+    // outer row (no CartesianProduct; covered by PlanAuditSpec's blanket
+    // assertion). Deterministic: the LIMIT is tie-broken by n_name.
+    "q46_lateral_topn" -> { (s, dir) =>
+      t(s, dir, "region").createOrReplaceTempView("q46_region")
+      t(s, dir, "nation").createOrReplaceTempView("q46_nation")
+      t(s, dir, "customer").createOrReplaceTempView("q46_customer")
+      s.sql(
+        """SELECT r_name, l.n_name, l.n_cust
+          |FROM q46_region r,
+          |LATERAL (
+          |  SELECT n_name, COUNT(*) AS n_cust
+          |  FROM q46_nation JOIN q46_customer ON c_nationkey = n_nationkey
+          |  WHERE n_regionkey = r.r_regionkey
+          |  GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 2
+          |) l
+          |ORDER BY r_name, n_cust DESC, n_name""".stripMargin)
+    },
+
     // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
     // hash shuffle → sorted streaming reduce-UDF), driver-verified against
     // the same oracle as the declarative q19: the engine's two execution
@@ -491,6 +534,24 @@ object Relational2 {
   val PivotYears: Seq[Int] = 1995 to 2001
 
   val oracles: Map[String, String] = Map(
+    "q45_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |    (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |  > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |     FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q46_lateral_topn" ->
+      """SELECT r_name, l.n_name, l.n_cust
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n_name, COUNT(*) AS n_cust
+        |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = r.r_regionkey
+        |  GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 2
+        |) l
+        |ORDER BY r_name, n_cust DESC, n_name""".stripMargin,
     "q44_revenue_share" ->
       """WITH byn AS (
         |  SELECT r_name, n_name,

@@ -46,6 +46,25 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads columns the query never uses: $read")
   }
 
+  test("correlated subqueries decorrelate into joins, never per-row re-execution") {
+    // q45: two correlated scalar aggregates must rewrite into aggregate +
+    // equality join branches (RewriteCorrelatedScalarSubquery) — a surviving
+    // scalar-subquery node would re-run the aggregate per outer row. q46: the
+    // LATERAL's correlated LIMIT must become a bounded per-group rank
+    // (WindowGroupLimit partial on the map side), not a per-region re-run.
+    for (name <- Seq("q45_corr_subquery", "q46_lateral_topn")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$name decorrelation fell back to a non-equality join:\n$p")
+      assert(!p.toLowerCase.contains("scalarsubquery"),
+        s"$name kept an undecorrelated scalar subquery:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        s"$name lost its equality join:\n$p")
+    }
+    assert(plan("q46_lateral_topn").contains("WindowGroupLimit"),
+      "lateral LIMIT did not become a bounded group rank")
+  }
+
   test("fact-to-dim joins broadcast the dimension side") {
     for (name <- Seq("q3_revenue_by_nation", "q4_brand_volume", "q6_customers_no_orders")) {
       assert(plan(name).contains("BroadcastHashJoin"), s"$name lost its broadcast join")
