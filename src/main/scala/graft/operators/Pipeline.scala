@@ -233,6 +233,35 @@ object Pipeline {
     // one numbering pass), applied after a repartitionByRange + in-partition
     // sort so the index order is the KEY order, deterministically. The
     // DuckDB oracle is the single-node ROW_NUMBER truth.
+    // The dataset card a corpus release ships with (the datasheet/model-card
+    // companion): per (lang, source) — and every ROLLUP subtotal up to the
+    // corpus grand total — document count, exact distinct normalized-text
+    // count (the dedup-rate numerator), and exact char/token volumes. ONE
+    // aggregation over ONE scan produces every card row: the rollup is an
+    // Expand (no re-scan per level), the distinct shares it, and the token
+    // count is the narrow codegen'd TextOps pass. At 100 TB the card is a
+    // single shuffle whose output is |langs|×|sources| rows — the provenance
+    // artifact is strictly cheaper than any query it documents.
+    "pl_dataset_card" -> { (s, dir) =>
+      Relational.t(s, dir, "documents")
+        .select(
+          col("lang"), col("source"), col("n_chars"),
+          md5(TextOps.normText(col("text"))).as("h"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .rollup("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique_texts"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .select(
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("n_unique_texts"), col("total_chars"),
+          col("total_tokens"))
+        .orderBy("lang", "source")
+    },
+
     "sp_row_numbers" -> { (s, dir) =>
       Pipeline.globalRowNumbers(s,
         Relational.t(s, dir, "documents").select(col("doc_id"), col("lang")),
@@ -447,6 +476,14 @@ object Pipeline {
          |  CAST(len(ts[i*$ChunkStride+1 : i*$ChunkStride+$ChunkSize]) AS INT) AS n_chunk_tokens,
          |  array_to_string(ts[i*$ChunkStride+1 : i*$ChunkStride+$ChunkSize], ' ') AS chunk
          |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    "pl_dataset_card" ->
+      """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique_texts,
+        |  SUM(n_chars) AS total_chars,
+        |  SUM(len(list_filter(string_split_regex(lower(text), ' +'), t -> t <> ''))) AS total_tokens
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang, source""".stripMargin,
     "sp_row_numbers" ->
       """SELECT doc_id, lang,
         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS seq_id

@@ -104,6 +104,33 @@ object Quality {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // Pseudonymization that provably preserves referential integrity: the
+    // direct identifiers (c_custkey on the dim side, user_id on the fact
+    // side) are replaced by a deterministic salted md5 surrogate computed
+    // INDEPENDENTLY on each table, the cleartext key is dropped, and the
+    // tables join ON THE SURROGATE. The oracle recomputes the surrogates
+    // with DuckDB's md5 (joining on the cleartext key — the definitional
+    // equivalence), so the hash-match proves both that the surrogate is
+    // engine-reproducible and that the pseudonymous join returns exactly
+    // the cleartext join's groups. Scale posture: each side pseudonymizes
+    // in its own narrow map pass and the join shuffles exactly as the
+    // cleartext join would (the key is merely hashed before partitioning),
+    // so de-identification costs nothing at 100 TB; no cleartext id ever
+    // reaches the shuffle, the output, or the analyst.
+    "dq_pseudonymize" -> { (s, dir) =>
+      def pid(key: Column) = md5(concat(lit("puid:"), key.cast("string")))
+      val cust = Relational.t(s, dir, "customer")
+        .select(pid(col("c_custkey")).as("pid"), col("c_mktsegment"))
+      val ev = Relational.t(s, dir, "events")
+        .select(pid(col("user_id")).as("pid"), col("value"))
+      ev.join(cust, "pid")
+        .groupBy("pid", "c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(Relational.dec(col("value"))).cast("double").as("total_value"))
+        .orderBy("pid")
+    },
+
     // Column profiler — the ANALYZE-style stats pass a lake runs on ingest
     // (and the numbers the CBO tier's CatalogStats path consumes): row
     // count, null count, exact distinct count, min/max per column, emitted
@@ -182,6 +209,12 @@ object Quality {
         |    (SELECT COUNT(*) FROM orders),
         |    (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 300000.0)
         |) ORDER BY check_name""".stripMargin,
+    "dq_pseudonymize" ->
+      """SELECT md5('puid:' || CAST(user_id AS VARCHAR)) AS pid, c_mktsegment,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY pid""".stripMargin,
     "dq_k_anonymity" ->
       s"""SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
          |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < $KAnonymity

@@ -255,6 +255,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"dq_profile must profile all columns from ONE scan, found $scans:\n$p")
   }
 
+  test("dataset card computes every rollup level from one scan (Expand, no re-scan)") {
+    val p = plan("pl_dataset_card")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"pl_dataset_card must roll up from ONE scan, found $scans:\n$p")
+    assert(p.contains("Expand"), s"rollup levels should share the scan via Expand:\n$p")
+  }
+
   test("bitmap distinct aggregates partially map-side (OR before shuffle)") {
     val p = plan("an_bitmap_distinct")
     // The udaf runs in ObjectHashAggregate; a partial mode instance before

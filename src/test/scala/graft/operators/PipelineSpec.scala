@@ -135,6 +135,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dataset card rollup levels are internally consistent") {
+    val rows = Pipeline.queries("pl_dataset_card")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val leaves = rows.filter { case ((l, s), _) => l != "ALL" && s != "ALL" }
+    val grand = rows(("ALL", "ALL"))
+    // Additive measures sum exactly up the hierarchy; the distinct count is
+    // subadditive (a text can repeat across sources) but never exceeds docs.
+    assert(leaves.values.map(_._1).sum == grand._1)
+    assert(leaves.values.map(_._3).sum == grand._3)
+    assert(leaves.values.map(_._4).sum == grand._4)
+    rows.values.foreach { case (docs, uniq, chars, toks) =>
+      assert(uniq > 0 && uniq <= docs && chars > 0 && toks > 0)
+    }
+    for ((lang, subtotal) <- rows.collect { case ((l, "ALL"), v) if l != "ALL" => (l, v) }) {
+      val langLeaves = leaves.filter(_._1._1 == lang).values
+      assert(langLeaves.map(_._1).sum == subtotal._1, s"doc subtotal broken for $lang")
+      assert(langLeaves.map(_._4).sum == subtotal._4, s"token subtotal broken for $lang")
+    }
+  }
+
   test("global row numbers are 1..N in key order, stable across partition counts") {
     val rows = Pipeline.queries("sp_row_numbers")(spark, sf()).collect()
       .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("seq_id")))

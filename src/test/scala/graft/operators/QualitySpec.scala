@@ -15,6 +15,23 @@ class QualitySpec extends SparkSpec {
     flagged.values.foreach(n => assert(n > 0 && n < Quality.KAnonymity))
   }
 
+  test("pseudonymized join preserves cleartext join cardinalities; no cleartext ids survive") {
+    val out = Quality.queries("dq_pseudonymize")(spark, sf())
+    assert(out.columns.toSeq == Seq("pid", "c_mktsegment", "n_events", "total_value"))
+    val rows = out.collect()
+    // The surrogate is an opaque 32-hex digest, never the source integer.
+    rows.foreach(r => assert(r.getString(0).matches("[0-9a-f]{32}")))
+    // Injective on this domain: one surrogate per distinct cleartext user.
+    val ev = Relational.t(spark, sf(), "events")
+    val users = ev.select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(rows.map(_.getString(0)).distinct.length.toLong == users)
+    // The pseudonymous join loses no fact rows vs the cleartext join.
+    val cleartext = ev.join(
+      Relational.t(spark, sf(), "customer"),
+      col("user_id") === col("c_custkey")).count()
+    assert(rows.map(_.getLong(2)).sum == cleartext)
+  }
+
   test("profile stats match directly computed column facts") {
     val rows = Quality.queries("dq_profile")(spark, sf()).collect()
       .map(r => r.getString(0) ->
