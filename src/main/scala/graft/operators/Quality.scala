@@ -24,6 +24,9 @@ object Quality {
   /** Minimum group size for [[queries dq_k_anonymity]]. */
   val KAnonymity = 8
 
+  /** Hash-bucket share (of 100) standing in for the erasure-request list. */
+  val ErasurePct = 5
+
   private def report(name: String, agged: DataFrame): DataFrame =
     agged.select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
 
@@ -131,6 +134,42 @@ object Quality {
         .orderBy("pid")
     },
 
+    // Right-to-erasure cascade audit (the GDPR triad's third leg, beside
+    // dq_k_anonymity and dq_pseudonymize): a deterministic hash-bucket of
+    // customers stands in for the deletion-request list, and the audit
+    // reports, for every table the key cascades through (customer → orders
+    // → lineitem), exactly how many rows a compliant purge removes and
+    // keeps. Scale posture: the request list is always small relative to
+    // the lake, so it BROADCASTS into each table's one-pass conditional
+    // count; lineitem resolves its customer through its key-partitioned
+    // orders join (never a second shuffle of the fact table); physical
+    // row removal is a [[graft.sources.Versioned]] REPLACE commit of the
+    // surviving rows — this audit is the pre/post contract for it.
+    "dq_erasure" -> { (s, dir) =>
+      val requests = Relational.t(s, dir, "customer")
+        .filter(Pipeline.bucket(col("c_custkey")) < ErasurePct)
+        .select(col("c_custkey").as("k"))
+      def audit(table: String, df: DataFrame, purged: Column): DataFrame =
+        df.agg(
+          count(lit(1)).as("n_before"),
+          sum(when(purged, 1L).otherwise(0L)).as("n_purged"))
+          .select(lit(table).as("table_name"), col("n_before"), col("n_purged"),
+            (col("n_before") - col("n_purged")).as("n_after"))
+      val cust = audit("customer", Relational.t(s, dir, "customer"),
+        Pipeline.bucket(col("c_custkey")) < ErasurePct)
+      val orders = audit("orders",
+        Relational.t(s, dir, "orders")
+          .join(broadcast(requests), col("o_custkey") === col("k"), "left"),
+        col("k").isNotNull)
+      val li = audit("lineitem",
+        Relational.t(s, dir, "lineitem")
+          .join(Relational.t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(requests), col("o_custkey") === col("k"), "left"),
+        col("k").isNotNull)
+      cust.union(orders).union(li).orderBy("table_name")
+    },
+
     // Column profiler — the ANALYZE-style stats pass a lake runs on ingest
     // (and the numbers the CBO tier's CatalogStats path consumes): row
     // count, null count, exact distinct count, min/max per column, emitted
@@ -209,6 +248,29 @@ object Quality {
         |    (SELECT COUNT(*) FROM orders),
         |    (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 300000.0)
         |) ORDER BY check_name""".stripMargin,
+    "dq_erasure" ->
+      s"""WITH req AS (SELECT c_custkey AS k FROM customer
+         |  WHERE ${Pipeline.bucketSql("c_custkey")} < $ErasurePct)
+         |SELECT * FROM (
+         |  SELECT 'customer' AS table_name,
+         |    (SELECT COUNT(*) FROM customer) AS n_before,
+         |    (SELECT COUNT(*) FROM req) AS n_purged,
+         |    (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM req) AS n_after
+         |  UNION ALL
+         |  SELECT 'orders',
+         |    (SELECT COUNT(*) FROM orders),
+         |    (SELECT COUNT(*) FROM orders JOIN req ON o_custkey = k),
+         |    (SELECT COUNT(*) FROM orders)
+         |      - (SELECT COUNT(*) FROM orders JOIN req ON o_custkey = k)
+         |  UNION ALL
+         |  SELECT 'lineitem',
+         |    (SELECT COUNT(*) FROM lineitem),
+         |    (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |     JOIN req ON o_custkey = k),
+         |    (SELECT COUNT(*) FROM lineitem)
+         |      - (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |         JOIN req ON o_custkey = k)
+         |) ORDER BY table_name""".stripMargin,
     "dq_pseudonymize" ->
       """SELECT md5('puid:' || CAST(user_id AS VARCHAR)) AS pid, c_mktsegment,
         |  COUNT(*) AS n_events,

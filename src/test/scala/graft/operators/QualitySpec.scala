@@ -32,6 +32,32 @@ class QualitySpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == cleartext)
   }
 
+  test("erasure audit counts are the exact pre/post contract of a versioned REPLACE purge") {
+    import graft.sources.Versioned
+    val audit = Quality.queries("dq_erasure")(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(audit.keySet == Set("customer", "orders", "lineitem"))
+    // Cascade sanity: some rows purge at every level, none purge fully.
+    audit.values.foreach { case (before, purged, after) =>
+      assert(purged > 0 && purged < before && after == before - purged)
+    }
+    // Apply the purge physically: REPLACE-commit the surviving customers
+    // into a versioned table; the new version must hold exactly n_after
+    // rows and zero requested keys, while time travel still reads the
+    // pre-purge version in full (the audit trail survives the erasure).
+    val dir = java.nio.file.Files.createTempDirectory("erasure").toString
+    val cust = Relational.t(spark, sf(), "customer")
+    val req = cust.filter(Pipeline.bucket(col("c_custkey")) < Quality.ErasurePct)
+      .select(col("c_custkey").as("k"))
+    val v0 = Versioned.append(cust, dir)
+    val v1 = Versioned.replace(
+      cust.join(req, col("c_custkey") === col("k"), "left_anti"), dir)
+    assert(Versioned.readVersion(spark, dir, v1).count() == audit("customer")._3)
+    assert(Versioned.readVersion(spark, dir, v1)
+      .join(req, col("c_custkey") === col("k")).count() == 0)
+    assert(Versioned.readVersion(spark, dir, v0).count() == audit("customer")._1)
+  }
+
   test("profile stats match directly computed column facts") {
     val rows = Quality.queries("dq_profile")(spark, sf()).collect()
       .map(r => r.getString(0) ->
