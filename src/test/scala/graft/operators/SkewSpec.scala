@@ -34,6 +34,49 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits a runtime-skewed sort-merge join (the automatic tier beside salting)") {
+    // Manual salting (above) handles skew the planner can predict; AQE's
+    // skew-join split handles skew discovered at RUNTIME from map-output
+    // sizes — at 100 TB both tiers matter, so the engine must demonstrably
+    // run with the automatic one live. Thresholds are lowered so a ~4 MB
+    // hot key counts as skewed in a test-sized shuffle; the assertion is
+    // Spark's own `skew=true` annotation on the final adaptive plan.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // Deterministic skew: half of 120k rows share key 0, padded to ~70 B.
+      val hot = spark.range(0, 120000).select(
+        when($"id" % 2 === 0, 0L).otherwise($"id").as("k"),
+        rpad($"id".cast("string"), 64, "p").as("pad"))
+      val dim = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("v"))
+      // collect() (not a noop write, which clones the QueryExecution) so
+      // THIS plan's AdaptiveSparkPlan finalizes and carries the annotation.
+      val j = hot.join(dim, "k").select(sum(length($"pad") + $"v").as("chk"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition at runtime:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salts are deterministic and balanced across buckets") {
     val e = Relational.t(spark, sf(), "events")
       .withColumn("__salt", pmod(col("event_id"), lit(Skew.saltR(spark).toLong)).cast("int"))
