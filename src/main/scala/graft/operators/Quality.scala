@@ -180,7 +180,14 @@ object Quality {
     // VARCHAR — never raw double formatting, which differs across engines).
     "dq_profile" -> { (s, dir) =>
       val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
-      val a = Relational.t(s, dir, "lineitem").agg(
+      // The 4-column distinct shares one Expand, which multiplies the scan
+      // ×4 before the partial agg — the heaviest map side in the dq tier.
+      // parallelizeNarrowScan spreads it across the session's cores when
+      // the file layout under-splits (single-file local table); no-op at
+      // scale, where the table scans as thousands of splits.
+      val a = Relational.parallelizeNarrowScan(
+        Relational.t(s, dir, "lineitem")
+          .select("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")).agg(
         count(lit(1)).as("n"),
         (count(lit(1)) - count(col("l_quantity"))).as("qty_null"),
         countDistinct(col("l_quantity")).as("qty_dist"),
