@@ -250,13 +250,19 @@ object Pipeline {
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
         .rollup("lang", "source")
         .agg(
+          // grouping() indicators, not coalesce-on-NULL: a genuine NULL data
+          // value must stay a leaf group, never collide with the rollup
+          // subtotal's 'ALL' label. (grouping() is only legal inside the
+          // rollup's aggregate list, so the labels resolve in the select.)
+          grouping(col("lang")).as("gl"),
+          grouping(col("source")).as("gs"),
           count(lit(1)).as("n_docs"),
           countDistinct(col("h")).as("n_unique_texts"),
           sum(col("n_chars")).as("total_chars"),
           sum(col("n_tokens")).as("total_tokens"))
         .select(
-          coalesce(col("lang"), lit("ALL")).as("lang"),
-          coalesce(col("source"), lit("ALL")).as("source"),
+          when(col("gl") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+          when(col("gs") === 1, lit("ALL")).otherwise(col("source")).as("source"),
           col("n_docs"), col("n_unique_texts"), col("total_chars"),
           col("total_tokens"))
         .orderBy("lang", "source")
@@ -477,7 +483,8 @@ object Pipeline {
          |  array_to_string(ts[i*$ChunkStride+1 : i*$ChunkStride+$ChunkSize], ' ') AS chunk
          |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
     "pl_dataset_card" ->
-      """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+      """SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
         |  COUNT(*) AS n_docs,
         |  COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique_texts,
         |  SUM(n_chars) AS total_chars,

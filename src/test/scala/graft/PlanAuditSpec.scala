@@ -56,7 +56,9 @@ class PlanAuditSpec extends SparkSpec {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
         s"$name decorrelation fell back to a non-equality join:\n$p")
-      assert(!p.toLowerCase.contains("scalarsubquery"),
+      // Spark prints surviving subquery remnants as "Subquery subquery#N"
+      // (physical) or "scalar-subquery#N" (logical) — match those forms.
+      assert(!p.contains("Subquery subquery") && !p.toLowerCase.contains("scalar-subquery"),
         s"$name kept an undecorrelated scalar subquery:\n$p")
       assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
         s"$name lost its equality join:\n$p")
