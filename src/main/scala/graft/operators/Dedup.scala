@@ -692,8 +692,66 @@ object Dedup {
           (dotSeq(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine")
         )
         .orderBy("id_a", "id_b")
+    },
+
+    // Cross-document duplicate SPANS — sub-document exact-substring dedup
+    // (the granularity document-level dedup can't see: boilerplate headers,
+    // license blocks, quoted passages shared between otherwise-distinct
+    // docs). Every [[SpanGram]]-token window is hashed WITH its position;
+    // windows whose gram occurs in ≥2 distinct documents are duplicated,
+    // and runs of adjacent duplicated windows merge into MAXIMAL spans via
+    // gaps-and-islands (pos − row_number is constant exactly on a
+    // consecutive run). A reported span of w windows is a duplicated token
+    // run of w + SpanGram − 1 tokens; maximality holds because a window
+    // adjacent to the span would itself be duplicated and join the island.
+    // Scale shape (100 TB): the gram stream is O(corpus tokens) — the same
+    // exchange class as winnowing/contamination — grouped by gram hash
+    // (equality, partial count first); the island merge runs only on
+    // DUPLICATED positions (≪ corpus) behind a per-doc window. The
+    // duplicated-gram set joins back by SHUFFLE on the hash: unlike the
+    // eval side of dd_contamination it is corpus-sized, so broadcasting it
+    // would not survive scale-up.
+    "dd_dup_spans" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // Two consumers of the positioned gram stream (dup-set + probe side).
+      val grams = materialized(
+        Relational.t(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .filter(size(split(trim(col("text")), " +")) >= SpanGram)
+          .transform(spread("doc_id"))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(1), size(col("ts")) - (SpanGram - 1)),
+              i => struct(i.as("pos"),
+                md5(concat_ws(" ", slice(col("ts"), i, lit(SpanGram)))).as("h"))
+            )).as("g"))
+          .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h")))
+      val dup = grams.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select("h")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      grams.join(dup, "h")
+        .select(col("doc_id"), col("pos"))
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+          min(col("pos")).as("start_tok"),
+          (max(col("pos")) + (SpanGram - 1)).as("end_tok"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_grams"))
+        .orderBy("doc_id", "start_tok")
     }
   )
+
+  /** Duplicate-span window width (tokens): the shortest cross-document
+    * repeated run [[queries dd_dup_spans]] can report. 8 keeps the gram
+    * stream one hash per token (like winnowing's 4-grams) while staying
+    * under the corpus' observed shared-run floor; production substring
+    * dedup (Lee et al. 2022 use 50-token windows) only raises it.
+    */
+  val SpanGram = 8
 
   /** Block-grid width G for the exact all-pairs embedding join: G² equality-
     * keyed join tasks, each handling a (n/G)×(n/G) tile of the pair matrix.
@@ -893,6 +951,26 @@ object Dedup {
         |)
         |SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
         |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dd_dup_spans" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, UNNEST(range(1, len(ts) - ${SpanGram - 2})) AS pos, ts
+         |  FROM d WHERE len(ts) >= $SpanGram
+         |), gh AS (
+         |  SELECT doc_id, pos, md5(array_to_string(ts[pos:pos+${SpanGram - 1}], ' ')) AS h FROM g
+         |), dup AS (
+         |  SELECT h FROM gh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM gh JOIN dup USING (h)
+         |)
+         |SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + ${SpanGram - 1} AS end_tok,
+         |  COUNT(*) AS n_grams
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, start_tok""".stripMargin
   )
 }

@@ -273,4 +273,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("ObjectHashAggregate") && l.contains("partial")),
       s"bitmap agg lost its map-side partial phase:\n$p")
   }
+
+  test("duplicate-span detection joins gram streams equality-keyed with partial dup counts") {
+    val p = plan("dd_dup_spans")
+    // The duplicated-gram set must come from a partial-then-final count
+    // (the gram stream is corpus-sized; the exchange must carry per-map
+    // partials) and join back to the positioned stream by hash EQUALITY.
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"dup-gram count lost its map-side partial phase:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"dup-gram probe fell back to a non-equality join:\n$p")
+  }
 }

@@ -242,4 +242,31 @@ class DedupSpec extends SparkSpec {
     }.toMap
     assert(flagged == expected)
   }
+
+  test("duplicate spans find exactly the planted shared block, maximal, and nothing else") {
+    import spark.implicits._
+    val K = Dedup.SpanGram
+    // Planted corpus: docs 1 and 2 share a 20-token block at token positions
+    // 11..30 (each has 10 unique leading and 10 unique trailing tokens);
+    // doc 3 is entirely unique. The duplicated K-gram starts are exactly
+    // 11..(30-K+1), so the ONE maximal span per sharing doc must be
+    // [11, 30] with 20-K+1 windows — any wider span would need a duplicated
+    // window outside the block, any narrower misses an adjacent duplicate.
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, ((1 to 10).map(i => s"a$i").mkString(" ")) + " " + shared + " " +
+        ((1 to 10).map(i => s"az$i").mkString(" "))),
+      (2L, ((1 to 10).map(i => s"b$i").mkString(" ")) + " " + shared + " " +
+        ((1 to 10).map(i => s"bz$i").mkString(" "))),
+      (3L, (1 to 40).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val spans = Dedup.queries("dd_dup_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val expected = Set(
+      (1L, 11, 30, (20 - K + 1).toLong),
+      (2L, 11, 30, (20 - K + 1).toLong))
+    assert(spans == expected, s"got $spans")
+  }
 }
