@@ -102,8 +102,75 @@ object Retrieval {
           sum(col("c").cast(DecimalType(38, 18))).cast("double").as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(Bm25K)
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion (RRF) of the dense (embedding
+    // cosine) and sparse (3-gram Jaccard) rankings for each query document —
+    // the standard fusion behind production RAG / hard-negative mining
+    // stacks (Cormack et al. 2009): score(d) = Σ_lists 1/(C + rank_d), a
+    // rank-only combination immune to the two systems' incomparable score
+    // scales. Determinism: ranks are row_numbers with total-order
+    // tie-breaks, and the fused score is ONE two-term IEEE tree
+    // (1/(60+rd) + 1/(60+rl)) both engines evaluate identically — no libm,
+    // no accumulation-order dependence.
+    // Scale shape (100 TB): the query side is BOUNDED (NQueries docs) —
+    // its shingle set broadcasts, so the corpus-side posting stream is
+    // filtered by an equality broadcast join before any exchange (the
+    // dd_contamination shape); the dense side is the bounded-query
+    // brute-force scan (the ss_topk_bruteforce baseline — an ANN tier
+    // replaces it at corpus-×-corpus scale); the fusion itself joins two
+    // ≤ NQueries×ListK rank lists — negligible at any scale.
+    "rt_hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // Dense ranks: exact cosine of each corpus vector against the query set.
+      val e = Similarity.vecs(s, dir)
+      val qv = e.filter(col("vec_id") < Similarity.NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wD = Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id").asc)
+      val dense = qv.join(e, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          Similarity.cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rd", row_number().over(wD)).filter(col("rd") <= RrfListK)
+        .select("query_id", "doc_id", "rd")
+      // Lexical ranks: query shingle sets broadcast; candidates from the
+      // shingle-EQUALITY join; exact Jaccard over the full sets.
+      val sh = Dedup.materialized(Dedup.shingled(s, dir))
+      val qsh = sh.filter(col("doc_id") < Similarity.NQueries)
+        .select(col("doc_id").as("query_id"), col("shingles").as("qs"))
+      val qg = qsh.select(col("query_id"), explode(col("qs")).as("sng"))
+      val cands = sh.select(col("doc_id"), explode(col("shingles")).as("sng"))
+        .join(broadcast(qg), "sng")
+        .filter(col("doc_id") =!= col("query_id"))
+        .select("query_id", "doc_id").distinct()
+      val wL = Window.partitionBy("query_id").orderBy(col("jac").desc, col("doc_id").asc)
+      val lex = cands
+        .join(broadcast(qsh), "query_id")
+        .join(sh, "doc_id")
+        .select(col("query_id"), col("doc_id"),
+          (size(array_intersect(col("qs"), col("shingles"))).cast("double") /
+            (size(col("qs")) + size(col("shingles"))
+              - size(array_intersect(col("qs"), col("shingles"))))).as("jac"))
+        .withColumn("rl", row_number().over(wL)).filter(col("rl") <= RrfListK)
+        .select("query_id", "doc_id", "rl")
+      // Fuse: full-outer on (query, doc); a doc missing from one list
+      // contributes nothing for that system.
+      val wF = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id").asc)
+      dense.join(lex, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("rd")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rl")), lit(0.0))).as("rrf"))
+        .withColumn("rnk", row_number().over(wF)).filter(col("rnk") <= RrfTopK)
+        .select("query_id", "rnk", "doc_id", "rrf")
+        .orderBy("query_id", "rnk")
     }
   )
+
+  /** RRF parameters: per-system list depth, fused list depth. The RRF
+    * constant C = 60 (Cormack et al.'s default) appears as the literal
+    * `60` in BOTH the Spark expression and the oracle SQL — keep in sync.
+    */
+  val RrfListK = 20
+  val RrfTopK = 10
 
   private val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
 
@@ -143,6 +210,56 @@ object Retrieval {
          |  AS DECIMAL(38,18))) AS DOUBLE) AS score
          |FROM tfq JOIN dfq USING (term) CROSS JOIN st JOIN dls USING (doc_id)
          |GROUP BY doc_id
-         |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
+         |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin,
+    "rt_hybrid_rrf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < ${Similarity.NQueries}
+         |), dcos AS (
+         |  SELECT query_id, e.vec_id AS doc_id,
+         |    list_reduce([qv[i] * v[i] FOR i IN range(1, len(v)+1)], (p, s) -> p + s)
+         |      / (sqrt(list_reduce([qv[i] * qv[i] FOR i IN range(1, len(qv)+1)], (p, s) -> p + s))
+         |       * sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, len(v)+1)], (p, s) -> p + s))) AS cos
+         |  FROM q JOIN e ON e.vec_id <> query_id
+         |), dense AS (
+         |  SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rd
+         |  FROM dcos QUALIFY rd <= $RrfListK
+         |), toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts)-1)]) AS shingles
+         |  FROM toks WHERE len(ts) >= 3
+         |), qsh AS (
+         |  SELECT doc_id AS query_id, shingles AS qs FROM sh WHERE doc_id < ${Similarity.NQueries}
+         |), qg AS (
+         |  SELECT query_id, unnest(qs) AS sng FROM qsh
+         |), inv AS (
+         |  SELECT doc_id, unnest(shingles) AS sng FROM sh
+         |), cand AS (
+         |  SELECT DISTINCT query_id, doc_id FROM inv JOIN qg USING (sng) WHERE doc_id <> query_id
+         |), lexs AS (
+         |  SELECT c.query_id, c.doc_id,
+         |    CAST(len(list_intersect(q.qs, s.shingles)) AS DOUBLE)
+         |      / (len(q.qs) + len(s.shingles) - len(list_intersect(q.qs, s.shingles))) AS jac
+         |  FROM cand c JOIN qsh q USING (query_id) JOIN sh s ON c.doc_id = s.doc_id
+         |), lex AS (
+         |  SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY jac DESC, doc_id ASC) AS rl
+         |  FROM lexs QUALIFY rl <= $RrfListK
+         |), fused AS (
+         |  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+         |    COALESCE(d.doc_id, l.doc_id) AS doc_id,
+         |    COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rd), 0)
+         |      + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rl), 0) AS rrf
+         |  FROM dense d FULL JOIN lex l ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+         |)
+         |SELECT query_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rnk,
+         |  doc_id, rrf
+         |FROM fused QUALIFY rnk <= $RrfTopK ORDER BY query_id, rnk""".stripMargin
   )
 }

@@ -274,6 +274,15 @@ class PlanAuditSpec extends SparkSpec {
       s"bitmap agg lost its map-side partial phase:\n$p")
   }
 
+  test("hybrid RRF meets the corpus posting stream through a BROADCAST query-shingle join") {
+    // The corpus-side shingle explode (the TB-scale side) must be filtered
+    // by the bounded query gram set via broadcast — the dd_contamination
+    // shape; sort-merge there would shuffle every corpus posting on the
+    // skewed shingle key.
+    val p = plan("rt_hybrid_rrf")
+    assert(p.contains("BroadcastHashJoin [sng"), s"query shingles must broadcast:\n$p")
+  }
+
   test("duplicate-span detection joins gram streams equality-keyed with partial dup counts") {
     val p = plan("dd_dup_spans")
     // The duplicated-gram set must come from a partial-then-final count

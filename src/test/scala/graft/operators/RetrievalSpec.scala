@@ -43,4 +43,27 @@ class RetrievalSpec extends SparkSpec {
     val byTerms = rows.map(r => r.getLong(r.fieldIndex("n_terms")))
     assert(byTerms.head >= byTerms(byTerms.length / 2) - 1)
   }
+
+  test("hybrid RRF scores are exact reciprocal-rank sums from the two lists") {
+    val rows = Retrieval.queries("rt_hybrid_rrf")(spark, sf("sf0.01")).collect()
+    assert(rows.length == Similarity.NQueries * Retrieval.RrfTopK)
+    // Every fused score must be EXACTLY expressible as 1/(60+rd) + 1/(60+rl)
+    // or a single such term with rank ≤ RrfListK — RRF admits no other
+    // value, so a score outside the achievable set means a broken rank or a
+    // drifted arithmetic tree.
+    val singles = (1 to Retrieval.RrfListK).map(r => 1.0 / (60.0 + r))
+    val achievable = (singles ++
+      (for (a <- singles; b <- singles) yield a + b)).toSet
+    rows.foreach { r =>
+      val rrf = r.getDouble(r.fieldIndex("rrf"))
+      assert(achievable.contains(rrf), s"score $rrf is not a valid RRF sum")
+    }
+    // Per query: ranks are 1..TopK and scores are non-increasing in rank.
+    rows.groupBy(_.getLong(0)).foreach { case (_, qr) =>
+      val byRank = qr.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to Retrieval.RrfTopK))
+      val scores = byRank.map(_.getDouble(3)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
