@@ -23,7 +23,7 @@ object SparkEntry {
       Events.queries ++ Multimodal.queries ++ Joins.queries ++ Relational2.queries ++
       Connectors.queries ++ Pipeline.queries ++ Skew.queries ++ Maintenance.queries ++
       Changes.queries ++ Quality.queries ++ Retrieval.queries ++ Spatial.queries ++ Analytics.queries ++
-      BpeTrainer.queries ++
+      BpeTrainer.queries ++ Learn.queries ++
       graft.sources.Bucketing.queries ++ graft.sources.Versioned.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,6 +33,6 @@ object SparkEntry {
       Events.oracles ++ Multimodal.oracles ++ Joins.oracles ++ Relational2.oracles ++
       Connectors.oracles ++ Pipeline.oracles ++ Skew.oracles ++ Maintenance.oracles ++
       Changes.oracles ++ Quality.oracles ++ Retrieval.oracles ++ Spatial.oracles ++ Analytics.oracles ++
-      BpeTrainer.oracles ++
+      BpeTrainer.oracles ++ Learn.oracles ++
       graft.sources.Bucketing.oracles ++ graft.sources.Versioned.oracles
 }

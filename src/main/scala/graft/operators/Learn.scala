@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trainable-model operators expressed as pure dataflow: a multinomial
+  * Naive-Bayes text classifier (train = counting, predict = additive
+  * log-scoring) and a k-NN majority-vote label propagator over the embedding
+  * corpus. These are the "cheap classifier" shapes a large-scale corpus
+  * pipeline actually runs — fastText-style quality/language gates, label
+  * transfer from a seed set — re-expressed so the MODEL IS A DATAFRAME
+  * (no driver-side state, no mutable model object, retrainable by re-running
+  * the plan on new data).
+  *
+  * Reference scope: the reference engine has no learning surface at all (its
+  * only UDFs are word count, `test/user_tasks.cc:12-34`); this tier is a
+  * north-star extension composed from the engine's verified primitives
+  * (hash-split sampling, token explode + partial aggregation, broadcast
+  * joins, bounded-set brute-force scoring).
+  *
+  * Determinism contract (the gate hash-compares against DuckDB):
+  *  - Training is INTEGER counting — exact on any engine.
+  *  - Prediction quantizes each log-probability to a 64-bit integer
+  *    (`round(1e6·ln p)`) BEFORE summation, so the per-document score is an
+  *    integer sum — order-independent within an engine (no float
+  *    accumulation-order drift between runs) and stable across engines (a
+  *    1-ulp libm `ln` difference flips a quantized value only within ~2e-9
+  *    of a rounding boundary; argmax margins here are ≥ thousands of
+  *    quanta). Ties break on label order.
+  *  - k-NN votes are integer counts over a top-k selected by the
+  *    cross-engine-exact cosine ([[Similarity.cosine]] — sequential-fold dot
+  *    products) with total-order tie-breaks.
+  *
+  * NOTE on the synthetic corpus: `documents.lang` and `embeddings.label` are
+  * assigned independently of content, so heldout accuracy at any SF is chance
+  * level BY CONSTRUCTION — the gate verifies the math is exact, and
+  * LearnSpec proves the learning behavior (100% heldout accuracy) on planted
+  * separable corpora.
+  *
+  * Scale shape (100 TB):
+  *  - Train: one token explode + one (label, token) partial-agg — linear in
+  *    corpus tokens, map-side combined, no other exchange.
+  *  - Predict: the model (vocab × |labels| rows) broadcasts; the test stream
+  *    fans out only ×|labels| before its per-document aggregation. With a
+  *    vocabulary too large to broadcast, the same plan holds with the model
+  *    join falling back to an equality shuffle join on `token` — no shape
+  *    change.
+  *  - k-NN: the labeled seed query set is BOUNDED (heldout bucket), so the
+  *    scan is one broadcast-nested-loop pass over the train corpus — the
+  *    declared ss_topk_bruteforce baseline shape; corpus-×-corpus label
+  *    propagation swaps the candidate generator for the ANN tier
+  *    (ss_knn_graph / ss_ann_lsh) without touching the vote/argmax tail.
+  */
+object Learn {
+
+  /** Hash-split thresholds (see [[Pipeline.bucket]]): bucket < TrainBucket →
+    * train; bucket >= TestBucket → heldout test. (80/10/10 — the val slice
+    * [80, 90) is deliberately untouched by both queries.)
+    */
+  val TrainBucket = 80
+  val TestBucket = 90
+
+  /** k for the k-NN vote. */
+  val Knn = 5
+
+  /** Quantized natural log: round(1e6·ln p) as a 64-bit integer. The literal
+    * `1000000.0` appears in BOTH the Spark expression and the oracle SQL —
+    * keep them textually in sync.
+    */
+  private def qlog(p: Column): Column =
+    round(lit(1000000.0) * log(p)).cast("long")
+
+  /** Tokenized, split-bucketed documents — shared scan for train/predict. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "documents")
+      .transform(Dedup.spread("doc_id"))
+      .select(
+        col("doc_id"), col("lang"),
+        Pipeline.bucket(col("doc_id")).as("b"),
+        TextOps.tokens(col("text")).as("ts"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Multinomial NB training: the model is the (label, token, count) table
+    // over the train split. Pure integer counting — one explode, one
+    // partial aggregation; the model for this corpus is vocab×|labels| rows.
+    "cl_nb_model" -> { (s, dir) =>
+      docs(s, dir)
+        .filter(col("b") < TrainBucket)
+        .select(col("lang"), explode(col("ts")).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "token")
+    },
+
+    // NB prediction over the heldout split: per (doc, label) score =
+    // qlog(prior) + Σ_tokens tf · qlog((cnt+1)/(total+V)) (Laplace
+    // smoothing), argmax by (score desc, label asc). Integer arithmetic
+    // end-to-end after quantization — see the determinism contract above.
+    "cl_nb_predict" -> { (s, dir) =>
+      val d = Dedup.materialized(docs(s, dir))
+      val counts = Dedup.materialized(
+        d.filter(col("b") < TrainBucket)
+          .select(col("lang"), explode(col("ts")).as("token"))
+          .groupBy("lang", "token")
+          .agg(count(lit(1)).as("cnt")))
+      val totals = counts.groupBy("lang").agg(sum("cnt").as("tot"))
+      val vocab = counts.agg(countDistinct(col("token")).as("v"))
+      val trainDocs = d.filter(col("b") < TrainBucket)
+      val priors = trainDocs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val totalDocs = trainDocs.agg(count(lit(1)).as("total_docs"))
+      // Label-side stats: one row per label (tiny) — broadcast.
+      val labelStats = priors.join(totals, "lang").crossJoin(vocab).crossJoin(totalDocs)
+      val testTf = d.filter(col("b") >= TestBucket)
+        .select(col("doc_id"), explode(col("ts")).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc)
+      testTf
+        .crossJoin(broadcast(labelStats))
+        .join(broadcast(counts), Seq("lang", "token"), "left")
+        .select(
+          col("doc_id"), col("lang"),
+          (col("tf") * qlog((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / (col("tot") + col("v")))).as("c"),
+          qlog(col("n_docs").cast("double") / col("total_docs")).as("prior_q"))
+        .groupBy("doc_id", "lang")
+        .agg((min(col("prior_q")) + sum(col("c"))).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+        .orderBy("doc_id")
+    },
+
+    // k-NN label vote: each heldout vector takes the majority label of its
+    // Knn nearest train-split neighbors by exact cosine (ties: higher vote
+    // count, then smaller label). The bounded heldout set makes this the
+    // ss_topk_bruteforce scan shape.
+    "cl_knn_label" -> { (s, dir) =>
+      val e = Relational.t(s, dir, "embeddings")
+        .transform(Dedup.spread("vec_id"))
+        .select(
+          col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"),
+          Pipeline.bucket(col("vec_id")).as("b"))
+      val test = e.filter(col("b") >= TestBucket).select(col("vec_id"), col("v"))
+      val train = e.filter(col("b") < TrainBucket)
+        .select(col("vec_id").as("nid"), col("label").as("nlabel"), col("v").as("nv"))
+      val wk = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nid").asc)
+      val wv = Window.partitionBy("vec_id").orderBy(col("votes").desc, col("nlabel").asc)
+      test.join(train, col("vec_id") =!= col("nid"))
+        .select(col("vec_id"), col("nid"), col("nlabel"),
+          Similarity.cosine(col("v"), col("nv")).as("cos"))
+        .withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= Knn)
+        .groupBy("vec_id", "nlabel")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("vec_id"), col("nlabel").as("pred_label"), col("votes"))
+        .orderBy("vec_id")
+    }
+  )
+
+  private def docsSql: String =
+    s"""SELECT doc_id, lang, ${Pipeline.bucketSql("doc_id")} AS b,
+       |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+       |  FROM documents""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "cl_nb_model" ->
+      s"""WITH d AS (
+         |  $docsSql
+         |)
+         |SELECT lang, token, COUNT(*) AS cnt
+         |FROM (SELECT lang, UNNEST(ts) AS token FROM d WHERE b < $TrainBucket)
+         |GROUP BY lang, token ORDER BY lang, token""".stripMargin,
+    "cl_nb_predict" ->
+      s"""WITH d AS (
+         |  $docsSql
+         |), counts AS (
+         |  SELECT lang, token, COUNT(*) AS cnt
+         |  FROM (SELECT lang, UNNEST(ts) AS token FROM d WHERE b < $TrainBucket)
+         |  GROUP BY lang, token
+         |), totals AS (
+         |  SELECT lang, SUM(cnt) AS tot FROM counts GROUP BY lang
+         |), vocab AS (
+         |  SELECT COUNT(DISTINCT token) AS v FROM counts
+         |), priors AS (
+         |  SELECT lang, COUNT(*) AS n_docs FROM d WHERE b < $TrainBucket GROUP BY lang
+         |), td AS (
+         |  SELECT COUNT(*) AS total_docs FROM d WHERE b < $TrainBucket
+         |), ls AS (
+         |  SELECT p.lang, p.n_docs, t.tot, v.v, td.total_docs
+         |  FROM priors p JOIN totals t USING (lang) CROSS JOIN vocab v CROSS JOIN td
+         |), test_tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, UNNEST(ts) AS token FROM d WHERE b >= $TestBucket)
+         |  GROUP BY doc_id, token
+         |), scored AS (
+         |  SELECT tt.doc_id, ls.lang,
+         |    CAST(MIN(CAST(round(1000000.0 * ln(CAST(ls.n_docs AS DOUBLE) / ls.total_docs)) AS BIGINT))
+         |      + SUM(tt.tf * CAST(round(1000000.0 * ln((COALESCE(c.cnt, 0) + 1.0) / (ls.tot + ls.v))) AS BIGINT))
+         |      AS BIGINT) AS score
+         |  FROM test_tf tt CROSS JOIN ls
+         |  LEFT JOIN counts c ON c.lang = ls.lang AND c.token = tt.token
+         |  GROUP BY tt.doc_id, ls.lang
+         |)
+         |SELECT doc_id, lang AS pred_lang, score FROM scored
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+         |ORDER BY doc_id""".stripMargin,
+    "cl_knn_label" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    ${Pipeline.bucketSql("vec_id")} AS b
+         |  FROM embeddings
+         |), test AS (
+         |  SELECT vec_id, v FROM e WHERE b >= $TestBucket
+         |), train AS (
+         |  SELECT vec_id AS nid, label AS nlabel, v AS nv FROM e WHERE b < $TrainBucket
+         |), scored AS (
+         |  SELECT t.vec_id, tr.nid, tr.nlabel,
+         |    list_reduce([t.v[i] * tr.nv[i] FOR i IN range(1, len(t.v)+1)], (p, s) -> p + s)
+         |      / (sqrt(list_reduce([t.v[i] * t.v[i] FOR i IN range(1, len(t.v)+1)], (p, s) -> p + s))
+         |         * sqrt(list_reduce([tr.nv[i] * tr.nv[i] FOR i IN range(1, len(tr.nv)+1)], (p, s) -> p + s))) AS cos
+         |  FROM test t JOIN train tr ON t.vec_id <> tr.nid
+         |), knn AS (
+         |  SELECT vec_id, nlabel,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nid ASC) AS rk
+         |  FROM scored QUALIFY rk <= $Knn
+         |), votes AS (
+         |  SELECT vec_id, nlabel, COUNT(*) AS votes FROM knn GROUP BY vec_id, nlabel
+         |)
+         |SELECT vec_id, nlabel AS pred_label, votes FROM votes
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY votes DESC, nlabel ASC) = 1
+         |ORDER BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Learning-behavior tests for the [[Learn]] tier. The driver gate proves the
+  * arithmetic is cross-engine exact on the real tables (where labels are
+  * content-independent by construction); these specs prove the MODELS LEARN
+  * on planted separable corpora — NB and k-NN must both reach 100% heldout
+  * accuracy when the classes actually differ.
+  */
+class LearnSpec extends SparkSpec {
+
+  test("NB trained on a separable planted corpus classifies every heldout doc correctly") {
+    import spark.implicits._
+    // Two classes with disjoint vocabularies; class = doc_id parity. The
+    // md5 split buckets scatter doc_ids across train/test, so both splits
+    // contain both classes (asserted, not assumed).
+    val vocabA = Seq("apple", "banana", "cherry", "date", "elder")
+    val vocabB = Seq("quark", "rho", "sigma", "tau", "upsilon")
+    val docs = (0 until 200).map { i =>
+      val v = if (i % 2 == 0) vocabA else vocabB
+      val text = (0 until 12).map(j => v((i + j) % v.length)).mkString(" ")
+      (i.toLong, if (i % 2 == 0) "alpha" else "beta", text)
+    }.toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("nb").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    // Model: no token may appear under the wrong class.
+    val model = Learn.queries("cl_nb_model")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(model.nonEmpty)
+    assert(model.forall { case (lang, token) =>
+      if (lang == "alpha") vocabA.contains(token) else vocabB.contains(token)
+    }, s"cross-class token leakage: ${model.mkString(", ")}")
+
+    val pred = Learn.queries("cl_nb_predict")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(pred.length > 10, s"heldout split too small: ${pred.length}")
+    assert(pred.map(_._1 % 2).toSet.size == 2, "heldout split missing a class")
+    val wrong = pred.filterNot { case (id, lang) =>
+      lang == (if (id % 2 == 0) "alpha" else "beta")
+    }
+    assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
+  }
+
+  test("k-NN vote labels every heldout vector with its planted cluster") {
+    import spark.implicits._
+    // Two tight clusters on orthogonal axes with small deterministic jitter;
+    // label = vec_id parity.
+    val vecs = (0 until 200).map { i =>
+      val j = 0.01f * (i % 7)
+      val v = if (i % 2 == 0) Array(1.0f, j, 0.0f, j) else Array(j, 0.0f, 1.0f, j)
+      (i.toLong, v, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("knn").toString
+    vecs.write.parquet(s"$dir/embeddings.parquet")
+
+    val pred = Learn.queries("cl_knn_label")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(pred.length > 10, s"heldout split too small: ${pred.length}")
+    val wrong = pred.filterNot { case (id, label, _) => label == (id % 2).toInt }
+    assert(wrong.isEmpty, s"mislabeled: ${wrong.mkString(", ")}")
+    // With tight clusters every vote should be unanimous.
+    assert(pred.forall(_._3 == Learn.Knn), s"non-unanimous votes: ${pred.mkString(", ")}")
+  }
+}
