@@ -99,7 +99,12 @@ object Learn {
     // smoothing), argmax by (score desc, label asc). Integer arithmetic
     // end-to-end after quantization — see the determinism contract above.
     "cl_nb_predict" -> { (s, dir) =>
-      val d = Dedup.materialized(docs(s, dir))
+      // The corpus is NOT materialized: train tokens feed only `counts`,
+      // test tokens only `testTf`, and the prior aggregates prune the
+      // token column entirely — each branch is one narrow scan pass, so a
+      // cache would cost a full corpus write for zero reuse. Only the MODEL
+      // (vocab × |labels| rows, consumed three times) is materialized.
+      val d = docs(s, dir)
       val counts = Dedup.materialized(
         d.filter(col("b") < TrainBucket)
           .select(col("lang"), explode(col("ts")).as("token"))
