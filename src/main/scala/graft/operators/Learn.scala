@@ -64,12 +64,53 @@ object Learn {
   /** k for the k-NN vote. */
   val Knn = 5
 
+  /** Positive class for the one-vs-rest ROC-AUC (`cl_auc`). */
+  val AucPosLabel = "en"
+
   /** Quantized natural log: round(1e6·ln p) as a 64-bit integer. The literal
     * `1000000.0` appears in BOTH the Spark expression and the oracle SQL —
     * keep them textually in sync.
     */
   private def qlog(p: Column): Column =
     round(lit(1000000.0) * log(p)).cast("long")
+
+  /** Per-(heldout doc, label) quantized NB log-posterior scores — the shared
+    * scoring frame behind cl_nb_predict (argmax) and cl_auc (ranking).
+    *
+    * The corpus is NOT materialized: train tokens feed only `counts`, test
+    * tokens only `testTf`, and the prior aggregates prune the token column
+    * entirely — each branch is one narrow scan pass, so a cache would cost a
+    * full corpus write for zero reuse. Only the MODEL (vocab × |labels|
+    * rows, consumed three times) is materialized.
+    */
+  private def nbScores(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val counts = Dedup.materialized(
+      d.filter(col("b") < TrainBucket)
+        .select(col("lang"), explode(col("ts")).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("cnt")))
+    val totals = counts.groupBy("lang").agg(sum("cnt").as("tot"))
+    val vocab = counts.agg(countDistinct(col("token")).as("v"))
+    val trainDocs = d.filter(col("b") < TrainBucket)
+    val priors = trainDocs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val totalDocs = trainDocs.agg(count(lit(1)).as("total_docs"))
+    // Label-side stats: one row per label (tiny) — broadcast.
+    val labelStats = priors.join(totals, "lang").crossJoin(vocab).crossJoin(totalDocs)
+    val testTf = d.filter(col("b") >= TestBucket)
+      .select(col("doc_id"), explode(col("ts")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    testTf
+      .crossJoin(broadcast(labelStats))
+      .join(broadcast(counts), Seq("lang", "token"), "left")
+      .select(
+        col("doc_id"), col("lang"),
+        (col("tf") * qlog((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / (col("tot") + col("v")))).as("c"),
+        qlog(col("n_docs").cast("double") / col("total_docs")).as("prior_q"))
+      .groupBy("doc_id", "lang")
+      .agg((min(col("prior_q")) + sum(col("c"))).as("score"))
+  }
 
   /** Tokenized, split-bucketed documents — shared scan for train/predict. */
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -99,42 +140,59 @@ object Learn {
     // smoothing), argmax by (score desc, label asc). Integer arithmetic
     // end-to-end after quantization — see the determinism contract above.
     "cl_nb_predict" -> { (s, dir) =>
-      // The corpus is NOT materialized: train tokens feed only `counts`,
-      // test tokens only `testTf`, and the prior aggregates prune the
-      // token column entirely — each branch is one narrow scan pass, so a
-      // cache would cost a full corpus write for zero reuse. Only the MODEL
-      // (vocab × |labels| rows, consumed three times) is materialized.
-      val d = docs(s, dir)
-      val counts = Dedup.materialized(
-        d.filter(col("b") < TrainBucket)
-          .select(col("lang"), explode(col("ts")).as("token"))
-          .groupBy("lang", "token")
-          .agg(count(lit(1)).as("cnt")))
-      val totals = counts.groupBy("lang").agg(sum("cnt").as("tot"))
-      val vocab = counts.agg(countDistinct(col("token")).as("v"))
-      val trainDocs = d.filter(col("b") < TrainBucket)
-      val priors = trainDocs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      val totalDocs = trainDocs.agg(count(lit(1)).as("total_docs"))
-      // Label-side stats: one row per label (tiny) — broadcast.
-      val labelStats = priors.join(totals, "lang").crossJoin(vocab).crossJoin(totalDocs)
-      val testTf = d.filter(col("b") >= TestBucket)
-        .select(col("doc_id"), explode(col("ts")).as("token"))
-        .groupBy("doc_id", "token")
-        .agg(count(lit(1)).as("tf"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc)
-      testTf
-        .crossJoin(broadcast(labelStats))
-        .join(broadcast(counts), Seq("lang", "token"), "left")
-        .select(
-          col("doc_id"), col("lang"),
-          (col("tf") * qlog((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / (col("tot") + col("v")))).as("c"),
-          qlog(col("n_docs").cast("double") / col("total_docs")).as("prior_q"))
-        .groupBy("doc_id", "lang")
-        .agg((min(col("prior_q")) + sum(col("c"))).as("score"))
+      nbScores(s, dir)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
         .orderBy("doc_id")
+    },
+
+    // Model evaluation: the confusion matrix of the NB predictions against
+    // the true labels — pure integer counting over a doc_id equality join;
+    // the canonical model-eval artifact, sized |labels|².
+    "cl_eval" -> { (s, dir) =>
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc)
+      val pred = nbScores(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang").as("pred_lang"))
+      val truth = Relational.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("true_lang"))
+      pred.join(truth, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")
+    },
+
+    // Exact one-vs-rest ROC-AUC of the [[AucPosLabel]] score via the
+    // Mann-Whitney rank statistic: AUC = (R⁺ − P(P+1)/2) / (P·N) with
+    // midranks for ties. DISTRIBUTED ranking: items are range-partitioned by
+    // score and numbered with per-partition prefix offsets
+    // ([[Pipeline.globalRowNumbers]] — the an_gini machinery), then each tie
+    // block's midrank is (min+max)/2 of its row numbers — no
+    // single-partition ORDER BY funnel anywhere. Every intermediate is an
+    // integer or an exact half (≤ n² ≪ 2⁵³), so the sums are
+    // order-independent and the single final division is the only inexact
+    // IEEE op — bit-identical across engines.
+    "cl_auc" -> { (s, dir) =>
+      val truth = Relational.t(s, dir, "documents")
+        .select(col("doc_id"), (col("lang") === AucPosLabel).cast("long").as("y"))
+      val scored = nbScores(s, dir)
+        .filter(col("lang") === AucPosLabel)
+        .select(col("doc_id"), col("score"))
+        .join(truth, "doc_id")
+      Pipeline.globalRowNumbers(s, scored.select(col("score"), col("y")), "rn", col("score"))
+        .groupBy("score")
+        .agg(min("rn").as("lo"), max("rn").as("hi"),
+          sum("y").as("p"), count(lit(1)).as("t"))
+        .agg(
+          sum(col("p")).as("n_pos"),
+          sum(col("t") - col("p")).as("n_neg"),
+          sum(col("p") * ((col("lo") + col("hi")) / lit(2.0))).as("r_pos"))
+        .select(col("n_pos"), col("n_neg"),
+          ((col("r_pos") - col("n_pos") * (col("n_pos") + lit(1L)) / lit(2.0))
+            / (col("n_pos") * col("n_neg")).cast("double")).as("auc"))
     },
 
     // k-NN label vote: each heldout vector takes the majority label of its
@@ -167,6 +225,42 @@ object Learn {
     }
   )
 
+  /** Shared oracle CTE chain ending at `scored` — the DuckDB twin of
+    * [[nbScores]]; consumers append `SELECT ...` or further `, x AS (...)`
+    * clauses.
+    */
+  private def nbScoredSql: String =
+    s"""WITH d AS (
+       |  $docsSql
+       |), counts AS (
+       |  SELECT lang, token, COUNT(*) AS cnt
+       |  FROM (SELECT lang, UNNEST(ts) AS token FROM d WHERE b < $TrainBucket)
+       |  GROUP BY lang, token
+       |), totals AS (
+       |  SELECT lang, SUM(cnt) AS tot FROM counts GROUP BY lang
+       |), vocab AS (
+       |  SELECT COUNT(DISTINCT token) AS v FROM counts
+       |), priors AS (
+       |  SELECT lang, COUNT(*) AS n_docs FROM d WHERE b < $TrainBucket GROUP BY lang
+       |), td AS (
+       |  SELECT COUNT(*) AS total_docs FROM d WHERE b < $TrainBucket
+       |), ls AS (
+       |  SELECT p.lang, p.n_docs, t.tot, v.v, td.total_docs
+       |  FROM priors p JOIN totals t USING (lang) CROSS JOIN vocab v CROSS JOIN td
+       |), test_tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, UNNEST(ts) AS token FROM d WHERE b >= $TestBucket)
+       |  GROUP BY doc_id, token
+       |), scored AS (
+       |  SELECT tt.doc_id, ls.lang,
+       |    CAST(MIN(CAST(round(1000000.0 * ln(CAST(ls.n_docs AS DOUBLE) / ls.total_docs)) AS BIGINT))
+       |      + SUM(tt.tf * CAST(round(1000000.0 * ln((COALESCE(c.cnt, 0) + 1.0) / (ls.tot + ls.v))) AS BIGINT))
+       |      AS BIGINT) AS score
+       |  FROM test_tf tt CROSS JOIN ls
+       |  LEFT JOIN counts c ON c.lang = ls.lang AND c.token = tt.token
+       |  GROUP BY tt.doc_id, ls.lang
+       |)""".stripMargin
+
   private def docsSql: String =
     s"""SELECT doc_id, lang, ${Pipeline.bucketSql("doc_id")} AS b,
        |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
@@ -181,39 +275,35 @@ object Learn {
          |FROM (SELECT lang, UNNEST(ts) AS token FROM d WHERE b < $TrainBucket)
          |GROUP BY lang, token ORDER BY lang, token""".stripMargin,
     "cl_nb_predict" ->
-      s"""WITH d AS (
-         |  $docsSql
-         |), counts AS (
-         |  SELECT lang, token, COUNT(*) AS cnt
-         |  FROM (SELECT lang, UNNEST(ts) AS token FROM d WHERE b < $TrainBucket)
-         |  GROUP BY lang, token
-         |), totals AS (
-         |  SELECT lang, SUM(cnt) AS tot FROM counts GROUP BY lang
-         |), vocab AS (
-         |  SELECT COUNT(DISTINCT token) AS v FROM counts
-         |), priors AS (
-         |  SELECT lang, COUNT(*) AS n_docs FROM d WHERE b < $TrainBucket GROUP BY lang
-         |), td AS (
-         |  SELECT COUNT(*) AS total_docs FROM d WHERE b < $TrainBucket
-         |), ls AS (
-         |  SELECT p.lang, p.n_docs, t.tot, v.v, td.total_docs
-         |  FROM priors p JOIN totals t USING (lang) CROSS JOIN vocab v CROSS JOIN td
-         |), test_tf AS (
-         |  SELECT doc_id, token, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, UNNEST(ts) AS token FROM d WHERE b >= $TestBucket)
-         |  GROUP BY doc_id, token
-         |), scored AS (
-         |  SELECT tt.doc_id, ls.lang,
-         |    CAST(MIN(CAST(round(1000000.0 * ln(CAST(ls.n_docs AS DOUBLE) / ls.total_docs)) AS BIGINT))
-         |      + SUM(tt.tf * CAST(round(1000000.0 * ln((COALESCE(c.cnt, 0) + 1.0) / (ls.tot + ls.v))) AS BIGINT))
-         |      AS BIGINT) AS score
-         |  FROM test_tf tt CROSS JOIN ls
-         |  LEFT JOIN counts c ON c.lang = ls.lang AND c.token = tt.token
-         |  GROUP BY tt.doc_id, ls.lang
-         |)
+      s"""$nbScoredSql
          |SELECT doc_id, lang AS pred_lang, score FROM scored
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
          |ORDER BY doc_id""".stripMargin,
+    "cl_eval" ->
+      s"""$nbScoredSql, pred AS (
+         |  SELECT doc_id, lang AS pred_lang FROM scored
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+         |)
+         |SELECT d2.lang AS true_lang, p.pred_lang, COUNT(*) AS n
+         |FROM pred p JOIN documents d2 USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "cl_auc" ->
+      s"""$nbScoredSql, pos AS (
+         |  SELECT s.score, CASE WHEN d2.lang = '$AucPosLabel' THEN 1 ELSE 0 END AS y
+         |  FROM scored s JOIN documents d2 USING (doc_id) WHERE s.lang = '$AucPosLabel'
+         |), rn AS (
+         |  SELECT score, y, ROW_NUMBER() OVER (ORDER BY score) AS rn FROM pos
+         |), g AS (
+         |  SELECT score, MIN(rn) AS lo, MAX(rn) AS hi, SUM(y) AS p, COUNT(*) AS t
+         |  FROM rn GROUP BY score
+         |), agg AS (
+         |  SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(t - p) AS BIGINT) AS n_neg,
+         |    SUM(p * ((lo + hi) / 2.0)) AS r_pos
+         |  FROM g
+         |)
+         |SELECT n_pos, n_neg,
+         |  (r_pos - n_pos * (n_pos + 1) / 2.0) / CAST(n_pos * n_neg AS DOUBLE) AS auc
+         |FROM agg""".stripMargin,
     "cl_knn_label" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

@@ -15,12 +15,14 @@ class LearnSpec extends SparkSpec {
     // Two classes with disjoint vocabularies; class = doc_id parity. The
     // md5 split buckets scatter doc_ids across train/test, so both splits
     // contain both classes (asserted, not assumed).
+    // Even doc_ids are class "en" (= Learn.AucPosLabel, so the AUC query is
+    // exercised with real positives), odd are class "xx".
     val vocabA = Seq("apple", "banana", "cherry", "date", "elder")
     val vocabB = Seq("quark", "rho", "sigma", "tau", "upsilon")
     val docs = (0 until 200).map { i =>
       val v = if (i % 2 == 0) vocabA else vocabB
       val text = (0 until 12).map(j => v((i + j) % v.length)).mkString(" ")
-      (i.toLong, if (i % 2 == 0) "alpha" else "beta", text)
+      (i.toLong, if (i % 2 == 0) Learn.AucPosLabel else "xx", text)
     }.toDF("doc_id", "lang", "text")
     val dir = java.nio.file.Files.createTempDirectory("nb").toString
     docs.write.parquet(s"$dir/documents.parquet")
@@ -30,7 +32,7 @@ class LearnSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(model.nonEmpty)
     assert(model.forall { case (lang, token) =>
-      if (lang == "alpha") vocabA.contains(token) else vocabB.contains(token)
+      if (lang == Learn.AucPosLabel) vocabA.contains(token) else vocabB.contains(token)
     }, s"cross-class token leakage: ${model.mkString(", ")}")
 
     val pred = Learn.queries("cl_nb_predict")(spark, dir)
@@ -38,9 +40,20 @@ class LearnSpec extends SparkSpec {
     assert(pred.length > 10, s"heldout split too small: ${pred.length}")
     assert(pred.map(_._1 % 2).toSet.size == 2, "heldout split missing a class")
     val wrong = pred.filterNot { case (id, lang) =>
-      lang == (if (id % 2 == 0) "alpha" else "beta")
+      lang == (if (id % 2 == 0) Learn.AucPosLabel else "xx")
     }
     assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
+
+    // Confusion matrix: strictly diagonal on a separable corpus.
+    val conf = Learn.queries("cl_eval")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(conf.forall { case (t, p, _) => t == p }, s"off-diagonal entries: ${conf.mkString(", ")}")
+    assert(conf.map(_._3).sum == pred.length.toLong)
+
+    // AUC: every positive outranks every negative on the positive-class score.
+    val auc = Learn.queries("cl_auc")(spark, dir).collect().head
+    assert(auc.getLong(0) > 0 && auc.getLong(1) > 0, s"degenerate split: $auc")
+    assert(auc.getDouble(2) == 1.0, s"AUC on a separable corpus must be exactly 1.0: $auc")
   }
 
   test("k-NN vote labels every heldout vector with its planted cluster") {
