@@ -602,6 +602,29 @@ object Dedup {
         .orderBy("incoming_id", "existing_id")
     },
 
+    // Entity resolution, best-match contract: each incoming record links to
+    // AT MOST ONE existing record — the highest-Jaccard match with
+    // similarity ≥ MinJaccard, or no row at all (the standard blocked
+    // record-linkage semantics, vs dd_incremental's all-pairs-≥-τ dedup
+    // contract). Candidates come from the SAME lossless cross-set prefix
+    // filter, so the argmax over verified pairs is exact; the per-probe
+    // argmax is a WindowGroupLimit (map-side bounded), never a global sort.
+    "er_best_match" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = materialized(shingled(s, dir))
+      val existing = sh.filter(Pipeline.bucket(col("doc_id")) < 80)
+      val incoming = sh.filter(Pipeline.bucket(col("doc_id")) >= 80)
+      val w = Window.partitionBy("doc_b").orderBy(col("jaccard").desc, col("doc_a").asc)
+      verifyJaccard(ngramCandidatesAcross(existing, incoming), sh, MinJaccard)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(
+          col("doc_b").as("entity_id"),
+          col("doc_a").as("match_id"),
+          col("jaccard"))
+        .orderBy("entity_id")
+    },
+
     // MinHash + LSH banding: signatures → band buckets → bucket join →
     // exact-Jaccard verification. The scalable path: candidates are generated
     // by equality join on (band, bucket), cost linear in true duplicates.
@@ -909,6 +932,33 @@ object Dedup {
          |FROM common JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
          |WHERE CAST(common AS DOUBLE) / (len(a.shingles) + len(b.shingles) - common) >= 0.8
          |ORDER BY incoming_id, existing_id""".stripMargin,
+    "er_best_match" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts)-1)]) AS shingles
+         |  FROM toks WHERE len(ts) >= 3
+         |), tagged AS (
+         |  SELECT doc_id, shingles,
+         |    CASE WHEN ${Pipeline.bucketSql("doc_id")} < 80 THEN 'x' ELSE 'y' END AS side
+         |  FROM sh
+         |), inv AS (
+         |  SELECT side, doc_id, unnest(shingles) AS sng FROM tagged
+         |), common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM inv x JOIN inv y ON x.sng = y.sng AND x.side = 'x' AND y.side = 'y'
+         |  GROUP BY x.doc_id, y.doc_id
+         |), verified AS (
+         |  SELECT doc_b AS entity_id, doc_a AS match_id,
+         |    CAST(common AS DOUBLE) / (len(a.shingles) + len(b.shingles) - common) AS jaccard
+         |  FROM common JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (len(a.shingles) + len(b.shingles) - common) >= 0.8
+         |)
+         |SELECT entity_id, match_id, jaccard FROM verified
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY entity_id ORDER BY jaccard DESC, match_id ASC) = 1
+         |ORDER BY entity_id""".stripMargin,
     "dd_clusters" -> ccClosureSql,
     "dd_edit_pairs" ->
       s"""WITH pairs AS ($exactPairsSql)

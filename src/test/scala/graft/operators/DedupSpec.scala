@@ -269,4 +269,34 @@ class DedupSpec extends SparkSpec {
       (2L, 11, 30, (20 - K + 1).toLong))
     assert(spans == expected, s"got $spans")
   }
+
+  test("er_best_match links each probe to exactly its highest-Jaccard index record, or none") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Split membership is a pure hash of doc_id — recover each id's side
+    // the same way the operator does instead of assuming it.
+    val ids = (0L until 40L).toDF("doc_id")
+      .select(col("doc_id"), Pipeline.bucket(col("doc_id")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val index = ids.filter(_._2 < 80).map(_._1)
+    val probes = ids.filter(_._2 >= 80).map(_._1)
+    assert(index.length >= 3 && probes.length >= 2, s"unlucky hash spread: ${ids.mkString(",")}")
+
+    val base = (1 to 100).map(i => s"w$i")
+    val exact = base.mkString(" ")                                  // jac 1.0 vs probe0
+    val near = base.updated(50, "CHANGED").mkString(" ")            // jac ≈ 0.94
+    val far = (1 to 100).map(i => s"z$i").mkString(" ")             // index noise
+    val half = (base.take(50) ++ (1 to 50).map(i => s"q$i")).mkString(" ") // < 0.8 vs probe1
+    val docs = Seq(
+      (index(0), exact), (index(1), near), (index(2), far),
+      (probes(0), exact),                                           // must link to index(0)
+      (probes(1), base.take(50).mkString(" ") + " " + (1 to 50).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("er").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val links = Dedup.queries("er_best_match")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(links.toSeq == Seq((probes(0), index(0), 1.0)),
+      s"expected one link (probe ${probes(0)} -> index ${index(0)}), got ${links.mkString(", ")}; half=$half")
+  }
 }
