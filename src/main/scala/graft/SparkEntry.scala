@@ -17,22 +17,41 @@ object SparkEntry {
     Relational.queries("q3_revenue_by_nation")(
       spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
+  /** The module inventory, kept as an explicit (queries, oracles) list so the
+    * contract spec can assert there are no cross-module name collisions —
+    * `Map ++` silently shadows, which would drop a query from the gate.
+    */
+  val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (Relational.queries, Relational.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (Events.queries, Events.oracles),
+      (Multimodal.queries, Multimodal.oracles),
+      (Joins.queries, Joins.oracles),
+      (Relational2.queries, Relational2.oracles),
+      (Connectors.queries, Connectors.oracles),
+      (Pipeline.queries, Pipeline.oracles),
+      (Skew.queries, Skew.oracles),
+      (Maintenance.queries, Maintenance.oracles),
+      (Changes.queries, Changes.oracles),
+      (Quality.queries, Quality.oracles),
+      (Retrieval.queries, Retrieval.oracles),
+      (Spatial.queries, Spatial.oracles),
+      (Analytics.queries, Analytics.oracles),
+      (BpeTrainer.queries, BpeTrainer.oracles),
+      (Learn.queries, Learn.oracles),
+      (graft.sources.Bucketing.queries, graft.sources.Bucketing.oracles),
+      (graft.sources.Versioned.queries, graft.sources.Versioned.oracles)
+    )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Events.queries ++ Multimodal.queries ++ Joins.queries ++ Relational2.queries ++
-      Connectors.queries ++ Pipeline.queries ++ Skew.queries ++ Maintenance.queries ++
-      Changes.queries ++ Quality.queries ++ Retrieval.queries ++ Spatial.queries ++ Analytics.queries ++
-      BpeTrainer.queries ++ Learn.queries ++
-      graft.sources.Bucketing.queries ++ graft.sources.Versioned.queries
+    modules.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Events.oracles ++ Multimodal.oracles ++ Joins.oracles ++ Relational2.oracles ++
-      Connectors.oracles ++ Pipeline.oracles ++ Skew.oracles ++ Maintenance.oracles ++
-      Changes.oracles ++ Quality.oracles ++ Retrieval.oracles ++ Spatial.oracles ++ Analytics.oracles ++
-      BpeTrainer.oracles ++ Learn.oracles ++
-      graft.sources.Bucketing.oracles ++ graft.sources.Versioned.oracles
+    modules.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants for [[SparkEntry]]. The round driver trusts
+  * these maps blindly: an oracle whose key doesn't match its query is
+  * silently skipped, a cross-module name collision silently shadows a query
+  * (`Map ++`), and a query that loses its oracle silently downgrades from
+  * hash-checked to rows-only. Each of those failure modes becomes a test
+  * failure here instead.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  /** Queries that are rows-only BY DESIGN (approximate / engine-native ops
+    * with no SQL-expressible oracle); each has a ScalaTest bound instead.
+    * Growing this set is a deliberate act — add the name here AND a spec.
+    */
+  private val rowsOnlyByDesign = Set(
+    "ev_hll_rollup",        // stored HLL sketch rollup (engine-native binary state)
+    "mm_decode_features",   // stub decode kernel (no codecs in environment)
+    "q24_approx_distinct",  // HLL approximate distinct
+    "q36_approx_quantiles", // KLL/GK approximate quantiles
+    "ss_ann_ivf",           // approximate NN (recall-bounded in SimilaritySpec)
+    "ss_ann_ivfpq",
+    "ss_ann_lsh",
+    "ss_ann_pq",
+    "ta_bpe_encode",        // BPE greedy encode (iterative merge table application)
+    "ta_bpe_merges",        // BPE merge-table training (iterative)
+    "ta_fingerprint_fnv"    // FNV-1a 64-bit (no unsigned-64 twin in DuckDB; golden vectors)
+  )
+
+  test("every oracle key names a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query (typo?): ${orphans.toSeq.sorted}")
+  }
+
+  test("the rows-only set is exactly the declared by-design list") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val undeclared = rowsOnly -- rowsOnlyByDesign
+    val stale = rowsOnlyByDesign -- rowsOnly
+    assert(undeclared.isEmpty,
+      s"queries silently downgraded to rows-only (lost their oracle?): ${undeclared.toSeq.sorted}")
+    assert(stale.isEmpty,
+      s"declared rows-only but now oracle-checked or gone (update the list): ${stale.toSeq.sorted}")
+  }
+
+  test("no cross-module query-name collisions (Map ++ would shadow one)") {
+    val perModule = SparkEntry.modules.map(_._1.keySet)
+    assert(perModule.map(_.size).sum == SparkEntry.queries.size,
+      {
+        val dupes = perModule.flatten.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+        s"query name declared in more than one module: ${dupes.toSeq.sorted}"
+      })
+    val perModuleO = SparkEntry.modules.map(_._2.keySet)
+    assert(perModuleO.map(_.size).sum == SparkEntry.oracleSql.size,
+      {
+        val dupes = perModuleO.flatten.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+        s"oracle declared in more than one module: ${dupes.toSeq.sorted}"
+      })
+  }
+}
