@@ -293,4 +293,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"dup-gram probe fell back to a non-equality join:\n$p")
   }
+
+  test("NB prediction joins the BROADCAST model against the test token stream") {
+    // The model (vocab × |labels|) and label stats must broadcast so the
+    // corpus-sized test token stream never shuffles on the skewed token key;
+    // the per-document argmax must be a map-side-bounded WindowGroupLimit.
+    val p = plan("cl_nb_predict")
+    assert(p.contains("BroadcastHashJoin [lang") || p.contains("BroadcastHashJoin [token"),
+      s"model join must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"argmax lost its group limit:\n$p")
+    val trainAggPartial = p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(trainAggPartial, s"training count lost its map-side partial phase:\n$p")
+  }
+
+  test("AUC ranks without a single-partition global sort") {
+    // globalRowNumbers range-partitions by score; a plain ORDER BY window
+    // would appear as an Exchange SinglePartition feeding a Window.
+    val p = plan("cl_auc")
+    // No Window node at all: ranking must run on the zipWithIndex RDD path
+    // (range partition + per-partition offsets), which surfaces in the SQL
+    // plan as an ExistingRDD scan — the an_gini/sp_row_numbers machinery.
+    assert(!p.contains("Window ["), s"AUC fell back to a global window sort:\n$p")
+    assert(p.contains("ExistingRDD"), s"AUC lost the distributed numbering path:\n$p")
+  }
+
+  test("best-match ER resolves the per-probe argmax under WindowGroupLimit") {
+    val p = plan("er_best_match")
+    assert(p.contains("WindowGroupLimit"), s"per-probe argmax lost its group limit:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"candidate tier fell back to a non-equality join:\n$p")
+  }
 }
