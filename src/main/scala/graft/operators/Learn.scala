@@ -84,6 +84,18 @@ object Learn {
     * rows, consumed three times) is materialized.
     */
   private def nbScores(s: SparkSession, dir: String): DataFrame = {
+    val (counts, labelStats) = nbModel(s, dir)
+    scoreDocs(docs(s, dir).filter(col("b") >= TestBucket).select("doc_id", "ts"),
+      counts, labelStats)
+  }
+
+  /** Train the NB model frames from the train bucket: the (label, token,
+    * count) table (materialized — three consumers) and the one-row-per-label
+    * stats frame (priors, totals, vocab size). Both broadcast at predict
+    * time; both are plain DataFrames a caller can persist and reuse — in
+    * particular the streaming scorer closes over them as static sides.
+    */
+  private[graft] def nbModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = docs(s, dir)
     val counts = Dedup.materialized(
       d.filter(col("b") < TrainBucket)
@@ -95,13 +107,18 @@ object Learn {
     val trainDocs = d.filter(col("b") < TrainBucket)
     val priors = trainDocs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val totalDocs = trainDocs.agg(count(lit(1)).as("total_docs"))
-    // Label-side stats: one row per label (tiny) — broadcast.
-    val labelStats = priors.join(totals, "lang").crossJoin(vocab).crossJoin(totalDocs)
-    val testTf = d.filter(col("b") >= TestBucket)
+    (counts, priors.join(totals, "lang").crossJoin(vocab).crossJoin(totalDocs))
+  }
+
+  /** Per-(doc, label) quantized scores for a (doc_id, ts) token frame
+    * against trained model frames — the shared scoring tail.
+    */
+  private[graft] def scoreDocs(docsTs: DataFrame, counts: DataFrame,
+      labelStats: DataFrame): DataFrame =
+    docsTs
       .select(col("doc_id"), explode(col("ts")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    testTf
       .crossJoin(broadcast(labelStats))
       .join(broadcast(counts), Seq("lang", "token"), "left")
       .select(
@@ -110,7 +127,27 @@ object Learn {
         qlog(col("n_docs").cast("double") / col("total_docs")).as("prior_q"))
       .groupBy("doc_id", "lang")
       .agg((min(col("prior_q")) + sum(col("c"))).as("score"))
+
+  /** Per-document argmax over a (doc_id, lang, score) frame →
+    * (doc_id, pred_lang, score); ties break on label order.
+    */
+  private[graft] def argmaxLabel(scores: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc)
+    scores
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
   }
+
+  /** Classify raw (doc_id, text) rows with trained model frames. Stateless
+    * given the model — the streaming scorer applies exactly this per
+    * micro-batch ([[graft.streaming.DocStreams]]).
+    */
+  private[graft] def classifyDocs(raw: DataFrame, counts: DataFrame,
+      labelStats: DataFrame): DataFrame =
+    argmaxLabel(scoreDocs(
+      raw.select(col("doc_id"), TextOps.tokens(col("text")).as("ts")),
+      counts, labelStats))
 
   /** Tokenized, split-bucketed documents — shared scan for train/predict. */
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -140,23 +177,14 @@ object Learn {
     // smoothing), argmax by (score desc, label asc). Integer arithmetic
     // end-to-end after quantization — see the determinism contract above.
     "cl_nb_predict" -> { (s, dir) =>
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc)
-      nbScores(s, dir)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
-        .orderBy("doc_id")
+      argmaxLabel(nbScores(s, dir)).orderBy("doc_id")
     },
 
     // Model evaluation: the confusion matrix of the NB predictions against
     // the true labels — pure integer counting over a doc_id equality join;
     // the canonical model-eval artifact, sized |labels|².
     "cl_eval" -> { (s, dir) =>
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc)
-      val pred = nbScores(s, dir)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("doc_id"), col("lang").as("pred_lang"))
+      val pred = argmaxLabel(nbScores(s, dir)).select("doc_id", "pred_lang")
       val truth = Relational.t(s, dir, "documents")
         .select(col("doc_id"), col("lang").as("true_lang"))
       pred.join(truth, "doc_id")
