@@ -20,25 +20,21 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw schema of events.parquet as read with nanosAsLong (see
-    * [[graft.sources.Tables.events]]): ts arrives as epoch-nanos long.
+  /** Streaming source over an events parquet directory.
+    *
+    * File-stream sources need the schema declared up front, and the events
+    * table has shipped with two `ts` layouts (epoch-nanos long under
+    * `nanosAsLong`, plain micros `TIMESTAMP_NTZ` — see
+    * [[graft.sources.Tables]]). Probe the on-disk layout with a one-footer
+    * batch schema read (driver-side metadata only, no data scan), then apply
+    * the same normalization as the batch loader so the streaming and batch
+    * plans see an identical logical column.
     */
-  val RawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)
-  ))
-
-  /** Streaming source over an events parquet directory. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(RawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val onDisk = spark.read.parquet(dir).schema
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(onDisk).parquet(dir))
   }
 
   /** Tumbling 1-hour window × event_type counts and value sums. Works on both
