@@ -322,6 +322,50 @@ object Pipeline {
           (col("n_chars").cast("double") / u).as("priority"))
         .orderBy(col("priority").desc, col("doc_id").asc)
         .limit(WSampleK)
+    },
+
+    // Curriculum ordering — the deterministic global order a training run
+    // reads the mix in: rank documents within each source by quality
+    // (descending, doc_id tie-break — the score is the engine-stable
+    // qualityScore, so the rank order is reproducible), then interleave
+    // round-robin across sources (round r emits every source's rank-r doc in
+    // source order) so the stream front-loads quality AND never runs a long
+    // single-source streak. The naive global position is
+    // ROW_NUMBER() OVER (ORDER BY src_rank, source) — a single-partition
+    // funnel over the whole corpus. The scalable form computes the SAME
+    // position in closed form against the |sources|-row count table:
+    //   pos = Σ_s min(src_rank−1, n_s)            (all docs of earlier rounds)
+    //       + |{s : s < source ∧ n_s ≥ src_rank}| (this round, earlier sources)
+    //       + 1
+    // broadcast as a one-row sorted array (the mt_zorder bounds pattern), so
+    // the op is one per-source rank window plus a narrow map — no global
+    // sort at any scale. The HOF lambdas run interpreted, but over
+    // |sources|-element arrays (5 here), not per-token data — O(|sources|)
+    // per row, unlike the per-token lambdas TextOps bans. The DuckDB oracle
+    // runs the naive ROW_NUMBER form: the hash-match proves the closed form
+    // IS the global interleave order.
+    "pl_curriculum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Relational.t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("q"))
+        .withColumn("src_rank", row_number().over(
+          Window.partitionBy("source").orderBy(col("q").desc, col("doc_id").asc))
+          .cast("long"))
+      val counts = ranked.groupBy("source").agg(count(lit(1)).as("n"))
+        .agg(sort_array(collect_list(struct(col("source"), col("n")))).as("srcs"))
+      ranked
+        .crossJoin(broadcast(counts))
+        .select(
+          (aggregate(col("srcs"), lit(0L),
+              (acc, x) => acc + least(col("src_rank") - 1, x.getField("n")))
+            + size(filter(col("srcs"), x =>
+                x.getField("source") < col("source") &&
+                x.getField("n") >= col("src_rank"))).cast("long")
+            + 1L).as("pos"),
+          col("doc_id"), col("source"), col("src_rank"))
+        .orderBy("pos")
     }
   )
 
@@ -516,6 +560,27 @@ object Pipeline {
          |    ((CAST('0x' || substr(md5('$WSampleSeed:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
          |      % 1048576 + 1) / 1048576.0) AS priority
          |FROM documents
-         |ORDER BY priority DESC, doc_id ASC LIMIT $WSampleK""".stripMargin
+         |ORDER BY priority DESC, doc_id ASC LIMIT $WSampleK""".stripMargin,
+    // The naive single-node truth: a global ROW_NUMBER over the interleave
+    // order. The engine's closed-form position must hash-match it exactly.
+    "pl_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts,
+        |    CAST(length(text) AS DOUBLE) AS nc,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS DOUBLE) AS np
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY source
+        |      ORDER BY greatest(0.0, least(1.0,
+        |        0.2 + (CAST(len(list_filter(ts, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE) / len(ts)) * 2.0
+        |            - (np / nc) * 3.0)) DESC, doc_id ASC) AS src_rank
+        |  FROM d
+        |)
+        |SELECT ROW_NUMBER() OVER (ORDER BY src_rank, source) AS pos,
+        |  doc_id, source, src_rank
+        |FROM r ORDER BY pos""".stripMargin
   )
 }

@@ -512,6 +512,28 @@ object Relational2 {
           |ORDER BY r_name, n_cust DESC, n_name""".stripMargin)
     },
 
+    // NOT IN with a NULLABLE subquery column — the null-aware anti join.
+    // Three-valued logic makes `x NOT IN S` never-true when S contains a
+    // NULL, so the planner cannot use a plain anti join keyed on equality:
+    // it must also check the build side for nulls (Spark's
+    // BroadcastHashJoin ... isNullAware=true, asserted in PlanAuditSpec).
+    // The NULLIF wraps a sentinel no order matches, so the OUTPUT equals the
+    // plain anti join's — but the plan must still be null-aware because the
+    // planner cannot prove NULLIF never fires. Scale: single-key NAAJ
+    // broadcasts the subquery side; the probe is one narrow pass, no
+    // shuffle of the big side.
+    "q47_notin_nullaware" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("q47_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q47_orders")
+      s.sql(
+        """SELECT c_custkey, c_name
+          |FROM q47_customer
+          |WHERE c_custkey NOT IN (
+          |  SELECT NULLIF(o_custkey, -1) FROM q47_orders WHERE o_orderstatus = 'F'
+          |)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
     // hash shuffle → sorted streaming reduce-UDF), driver-verified against
     // the same oracle as the declarative q19: the engine's two execution
@@ -552,6 +574,13 @@ object Relational2 {
         |  GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 2
         |) l
         |ORDER BY r_name, n_cust DESC, n_name""".stripMargin,
+    "q47_notin_nullaware" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT NULLIF(o_custkey, -1) FROM orders WHERE o_orderstatus = 'F'
+        |)
+        |ORDER BY c_custkey""".stripMargin,
     "q44_revenue_share" ->
       """WITH byn AS (
         |  SELECT r_name, n_name,

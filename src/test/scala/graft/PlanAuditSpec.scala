@@ -324,4 +324,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"candidate tier fell back to a non-equality join:\n$p")
   }
+
+  test("NOT IN plans a null-aware anti join, not a nested-loop fallback") {
+    // The planner cannot prove the NULLIF-wrapped build side non-null, so a
+    // plain LeftAnti hash join would be WRONG under three-valued logic; the
+    // single-key form must stay a broadcast hash join with the null-aware
+    // flag (the trailing `true` build argument), never the O(n·m)
+    // BroadcastNestedLoopJoin general-NAAJ fallback.
+    val p = plan("q47_notin_nullaware")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"NOT IN lost its broadcast anti join:\n$p")
+    assert(!p.contains("NestedLoop"), s"NAAJ fell back to nested loop:\n$p")
+  }
+
+  test("curriculum position computes without a global-window funnel") {
+    // The only Window may be the per-source rank; the naive global
+    // ROW_NUMBER form would surface as an Exchange SinglePartition feeding a
+    // Window (the closed form replaces it with a one-row broadcast join).
+    // The gate-only output sort is allowed to single-partition.
+    val p = plan("pl_curriculum")
+    val windowLines = p.linesIterator.filter(_.trim.startsWith("Window ")).toSeq
+    assert(windowLines.forall(_.contains("source")),
+      s"curriculum grew an unpartitioned window:\n${windowLines.mkString("\n")}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"source-count table is not broadcast:\n$p")
+  }
 }
