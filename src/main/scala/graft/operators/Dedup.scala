@@ -86,18 +86,26 @@ object Dedup {
 
   /** Exact Jaccard over distinct shingle sets for candidate pairs
     * (`a`/`b` sides must expose doc_a/doc_b). Integer-count division: exact.
+    *
+    * The denominator is |A| + |B| − |A∩B| (inclusion-exclusion over DISTINCT
+    * sets), not `size(array_union(...))`: both are the same exact integer,
+    * but array_union would BUILD a merged string array per candidate pair
+    * only to take its length — on a duplicate-heavy corpus the verification
+    * stage is the pair tier's hottest loop, and skipping the union
+    * allocation roughly halves its per-pair array work.
     */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, minJac: Double): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     cands
       .join(a, "doc_a")
       .join(b, "doc_b")
       .select(
         col("doc_a"),
         col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard")
       )
       .filter(col("jaccard") >= minJac)
   }
