@@ -98,8 +98,16 @@ object Dedup {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    // Both join exchanges pinned (REPARTITION_BY_NUM): the candidate frame
+    // is row-heavy/byte-light, so AQE's size-based coalescing would run the
+    // array-intersect verification — the tier's hottest loop — on ONE task
+    // (profiled as a 2.3 s single-task stage in dd_edit_pairs). Pinning the
+    // join keys' distribution satisfies each join's requirement, so no
+    // extra exchange is planned.
     cands
+      .transform(spreadKeys("doc_a"))
       .join(a, "doc_a")
+      .transform(spreadKeys("doc_b"))
       .join(b, "doc_b")
       .select(
         col("doc_a"),
