@@ -145,6 +145,25 @@ object Maintenance {
     n
   }
 
+  /** Overwrite ONLY the hive partitions present in `incoming`, leaving every
+    * other partition of the tree at `path` physically untouched
+    * (`partitionOverwriteMode=dynamic` — the Spark form of Hive's dynamic
+    * INSERT OVERWRITE). The session default stays `static` (the engine's
+    * conservative default: a partitionless overwrite replacing a whole
+    * table must keep working), so the mode is scoped to this one write.
+    */
+  def dynamicOverwrite(spark: SparkSession, incoming: DataFrame, path: String,
+      partitionCol: String): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try incoming.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Z-order (Morton-curve) clustered rewrite over TWO numeric columns.
     *
     * [[clusterBy]] on (a, b) skips perfectly for predicates on `a` but not
@@ -341,6 +360,35 @@ object Maintenance {
         .orderBy("lang")
     },
 
+    // Dynamic partition overwrite — the idempotent partition-level refresh
+    // every partitioned lake table runs (re-deliver one day/language/shard
+    // without touching the rest): seed a `lang=*/` tree whose `de`
+    // partition is STALE (holds only half its docs), then write the
+    // corrected `de` slice with partitionOverwriteMode=dynamic, which
+    // replaces exactly the partitions present in the incoming frame. The
+    // oracle aggregates the ORIGINAL table, so the hash-match rules out
+    // every wrong semantic at once: static overwrite would wipe the other
+    // languages (one surviving group), append would double-count `de`, and
+    // a no-op would keep the stale half. MaintenanceSpec additionally
+    // proves the untouched partitions' data FILES survive byte-identical —
+    // the physical property (refresh cost ∝ changed partition, not table)
+    // that makes this the 100 TB shape.
+    "mt_dynamic_overwrite" -> { (s, dir) =>
+      val src = Relational.t(s, dir, "documents")
+      val tbl = Connectors.tmp("documents_dynover")
+      graft.sources.Formats.writePartitioned(
+        src.filter(col("lang") =!= "de" || pmod(col("doc_id"), lit(2)) === 0), tbl, "lang")
+      dynamicOverwrite(s, src.filter(col("lang") === "de"), tbl, "lang")
+      s.read.parquet(tbl)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("lang")
+    },
+
     // Order-independent table fingerprint: per-group row count + the sum of
     // a 60-bit cross-engine row hash (md5 over the '\x01'-joined columns).
     // This is how two engines — or two copies of a 100 TB table before and
@@ -397,6 +445,12 @@ object Maintenance {
         |FROM documents
         |WHERE doc_id BETWEEN 100 AND 250 AND n_chars BETWEEN 100 AND 400
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // The final table state must equal the ORIGINAL documents table: the
+    // stale seed + dynamic partition refresh must reconstruct it exactly.
+    "mt_dynamic_overwrite" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "mt_table_checksum" ->
       """SELECT lang, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST('0x' || substr(md5(concat_ws(chr(1),

@@ -222,4 +222,45 @@ class MaintenanceSpec extends SparkSpec {
     val (z12, s12) = (scanRows(out, p1 && p2), scanRows(frag, p1 && p2))
     assert(z12 < s12 / 3, s"rectangle predicate should prune multiplicatively: zordered=$z12 scattered=$s12")
   }
+
+  test("dynamic overwrite replaces only the incoming partitions, bytes-untouched elsewhere") {
+    val src = Relational.t(spark, sf(), "documents")
+    val tbl = java.nio.file.Files.createTempDirectory("mt-dynover").toString
+    src.filter(col("lang") =!= "de" || pmod(col("doc_id"), lit(2)) === 0)
+      .write.mode("overwrite").partitionBy("lang").parquet(tbl)
+
+    // Fingerprint every data file before the refresh: (path, size, mtime).
+    def files(sub: String): Map[String, (Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(s"$tbl/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val m = scala.collection.mutable.Map[String, (Long, Long)]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          m(f.getPath.toString) = (f.getLen, f.getModificationTime)
+      }
+      m.toMap
+    }
+    val othersBefore = files("lang=en") ++ files("lang=zh")
+    val deBefore = files("lang=de")
+
+    Maintenance.dynamicOverwrite(spark, src.filter(col("lang") === "de"), tbl, "lang")
+
+    // Untouched partitions: identical file sets, sizes, and mtimes — the
+    // refresh cost is proportional to the changed partition, not the table.
+    assert(files("lang=en") ++ files("lang=zh") == othersBefore,
+      "dynamic overwrite rewrote partitions it received no data for")
+    // The stale partition really was replaced (no stale file survives).
+    assert(files("lang=de").keySet.intersect(deBefore.keySet).isEmpty,
+      "stale lang=de files survived the overwrite")
+    // And the logical state is the original table, exactly.
+    val a = src.orderBy("doc_id").select("doc_id", "text", "source", "n_chars")
+      .collect().map(_.toSeq)
+    val b = spark.read.parquet(tbl).orderBy("doc_id")
+      .select("doc_id", "text", "source", "n_chars").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // The session default must be restored (scoped-mode contract).
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").contains("dynamic"))
+  }
 }
