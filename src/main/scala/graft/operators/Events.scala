@@ -208,26 +208,23 @@ object Events {
     // units (mad4 = sum of the two middle dev2), so the outlier test
     // |v − med| > 3·MAD becomes 2·dev2 > 3·mad4 — division-free decimal
     // comparison, the ev_anomaly stability argument applied to rank
-    // statistics. Shape: two grouped rank-windows (shuffle on event_type)
-    // + broadcast joins of the |event types|-row stats; at 1000 executors
-    // the grouped sort is the cost, exactly as a distributed quantile
-    // should be.
+    // statistics. Shape: two grouped rank selections + broadcast joins of
+    // the |event types|-row stats. The ranks come from [[groupRanks]]
+    // (range-partition + per-partition offsets), NOT a
+    // Window.partitionBy(event_type) — with a handful of event types the
+    // window's parallelism is |types| no matter how many executors exist
+    // (profiled as back-to-back 1.5 s single-task sort stages at sf0.1),
+    // while the range form spreads each type's sort across the cluster.
     "ev_mad_outliers" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val d = org.apache.spark.sql.types.DecimalType(18, 2)
       val e = Relational.t(s, dir, "events")
         .select(col("event_type"), col("value").cast(d).as("v"))
-      val w = Window.partitionBy("event_type")
-      def middleSum(df: DataFrame, valueCol: String): DataFrame = {
-        val ranked = df
-          .withColumn("rn", row_number().over(w.orderBy(valueCol)))
-          .withColumn("n", count(lit(1)).over(w))
-        ranked.groupBy("event_type").agg(
+      def middleSum(df: DataFrame, valueCol: String): DataFrame =
+        groupRanks(s, df, valueCol).groupBy("event_type").agg(
           max("n").as("n"),
           (sum(when(expr("rn = ((n+1) div 2)"), col(valueCol)).otherwise(lit(0).cast(d))) +
             sum(when(expr("rn = ((n+2) div 2)"), col(valueCol)).otherwise(lit(0).cast(d))))
             .as(s"${valueCol}_mid2"))
-      }
       val med = middleSum(e, "v").withColumnRenamed("v_mid2", "med2")
       val dev = e.join(broadcast(med.select("event_type", "med2")), "event_type")
         .select(col("event_type"), abs(col("v") * 2 - col("med2")).as("dev2"))
@@ -254,14 +251,12 @@ object Events {
     // many values were clipped. One grouped rank window + one broadcast
     // stats join — the ev_mad_outliers shape at different ranks.
     "ev_winsorize" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val d = org.apache.spark.sql.types.DecimalType(18, 2)
       val e = Relational.t(s, dir, "events")
         .select(col("event_type"), col("value").cast(d).as("v"))
-      val w = Window.partitionBy("event_type")
-      val qs = e
-        .withColumn("rn", row_number().over(w.orderBy("v")))
-        .withColumn("n", count(lit(1)).over(w))
+      // Rank selection via groupRanks for the same |types|-bounded-window
+      // parallelism reason as ev_mad_outliers.
+      val qs = groupRanks(s, e, "v")
         .groupBy("event_type")
         .agg(max("n").as("n"),
           sum(when(expr("rn = ((n + 19) div 20)"), col("v"))).as("p05"),
@@ -369,6 +364,27 @@ object Events {
        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
        |  MIN(ts) AS session_start, MAX(ts) AS session_end
        |FROM sx GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+
+  /** Per-event-type rank (`rn`, 1-based in ascending `valueCol` order) and
+    * group size (`n`) — WITHOUT a `Window.partitionBy(event_type)`: a
+    * grouped window's parallelism is capped at |groups| (a handful of event
+    * types), regardless of cluster size. Instead rows are globally numbered
+    * in (event_type, value) order by the range-partition + per-partition-
+    * offset machinery ([[Pipeline.globalRowNumbers]], the cl_auc/an_gini
+    * path), and per-group ranks are recovered by subtracting each group's
+    * first global number — a |groups|-row broadcast join. Ranks within
+    * equal values are tie-arbitrary in BOTH forms; callers must only select
+    * VALUES at ranks (tie-insensitive), never pair ranks with rows.
+    */
+  private def groupRanks(s: SparkSession, df: DataFrame, valueCol: String): DataFrame = {
+    val numbered = Pipeline.globalRowNumbers(
+      s, df, "grn", col("event_type"), col(valueCol))
+    val base = numbered.groupBy("event_type")
+      .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
+    numbered.join(broadcast(base), "event_type")
+      .withColumn("rn", col("grn") - col("g0") + 1)
+      .drop("grn", "g0")
+  }
 
   val oracles: Map[String, String] = Map(
     "ev_window_agg" ->

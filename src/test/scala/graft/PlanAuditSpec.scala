@@ -318,6 +318,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), s"AUC lost the distributed numbering path:\n$p")
   }
 
+  test("grouped quantile selections rank without a |groups|-capped window") {
+    // A Window.partitionBy(event_type) caps the sort's parallelism at the
+    // handful of event types regardless of cluster size; the rank must come
+    // from the range-partition numbering path instead (no Window node).
+    for (name <- Seq("ev_mad_outliers", "ev_winsorize")) {
+      val p = plan(name)
+      assert(!p.contains("Window ["), s"$name ranks under a grouped window:\n$p")
+      assert(p.contains("ExistingRDD"), s"$name lost the distributed numbering path:\n$p")
+    }
+  }
+
   test("best-match ER resolves the per-probe argmax under WindowGroupLimit") {
     val p = plan("er_best_match")
     assert(p.contains("WindowGroupLimit"), s"per-probe argmax lost its group limit:\n$p")
