@@ -38,6 +38,19 @@ object EngineSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate turns every explode(f(text)) into an
+      // inferred `size(f(text)) > 0 AND f(text) IS NOT NULL` filter that
+      // pushdown then moves BELOW the parallelizing exchange — so the
+      // expensive array expression (tokenization, shingling) is evaluated
+      // an extra time per row inside the narrow scan task (profiled: a 2 s
+      // single-task stage in cl_nb_model's tokenize filter). The explode
+      // operator already skips empty/null arrays natively, and this
+      // engine's generators are all computed arrays over non-null corpus
+      // columns, so the inferred filter prunes nothing it would not prune
+      // anyway — excluding the rule removes the duplicated evaluation with
+      // no semantic change (the whole oracle gate hash-matches without it).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .config("spark.task.maxFailures", "4")
       .config("spark.speculation", "true")
