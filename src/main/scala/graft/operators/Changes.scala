@@ -61,7 +61,13 @@ object Changes {
     */
   def latestPerKey(log: DataFrame): DataFrame = {
     val w = Window.partitionBy("key").orderBy(col("ts").desc, col("seq").desc)
-    log.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+    // Pinned key distribution (REPARTITION_BY_NUM): the changelog is
+    // byte-light but window-sort heavy, exactly the shape AQE's size-based
+    // coalescing runs on one task (profiled: the whole MERGE plan collapsed
+    // to single-task stages at sf0.1). Satisfies the window's required
+    // distribution, so no extra exchange is planned.
+    log.transform(Dedup.spreadKeys("key"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
   }
 
   /** MERGE: apply the latest change per key to the base snapshot.
@@ -127,6 +133,7 @@ object Changes {
     // effective ranges; the current row has valid_to NULL. One window.
     "cd_scd2_history" -> { (s, dir) =>
       val log = changelog(Relational.t(s, dir, "orders")).filter(col("op") === "U")
+        .transform(Dedup.spreadKeys("key")) // same AQE-coalescing pin as latestPerKey
       val w = Window.partitionBy("key").orderBy(col("ts").asc, col("seq").asc)
       log.select(
           col("key").as("c_custkey"),
