@@ -147,6 +147,19 @@ object EventStreams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
 
+  /** Streaming dedup with GUARANTEED bounded state: plain `dropDuplicates`
+    * ([[dedupStream]]) only expires per-key state when the dedup key itself
+    * embeds the event-time column — keyed on a pure id, its state grows with
+    * the key universe forever. `dropDuplicatesWithinWatermark` expires each
+    * key once its FIRST-SEEN event time ages past the watermark, so state is
+    * O(horizon × arrival rate) by construction whatever the key shape, and
+    * duplicates are suppressed whenever they arrive within the horizon of
+    * the first copy — the contract ingest-side retry storms need (a retry
+    * lands seconds after the original, never days).
+    */
+  def dedupWithinWatermarkStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("event_id")
+
   /** Session gap: a new session starts when a user is idle > 30 minutes. */
   val SessionGapMicros: Long = 30L * 60 * 1000 * 1000
 

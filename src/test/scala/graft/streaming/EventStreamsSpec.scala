@@ -200,6 +200,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark-scoped dedup suppresses in-horizon duplicates with bounded state") {
+    // Same duplicate staging as the plain-dedup test: every event's copy
+    // arrives in the same micro-batch, i.e. well within the 10-minute
+    // horizon of the original — exactly the retry-storm arrival pattern the
+    // operator's state bound is designed around.
+    val d = java.nio.file.Files.createTempDirectory("events-dupww")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"), d.resolve("b.parquet"))
+    val q = EventStreams.dedupWithinWatermarkStream(EventStreams.readEventStream(spark, d.toString))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_ww_test").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_ww_test").count()
+      val expected = graft.operators.Relational.t(spark, sf(), "events").count()
+      assert(n == expected, s"streamed $n vs distinct $expected")
+    } finally q.stop()
+  }
+
   test("streaming dedup is exactly-once across restart (checkpointed state + file sink)") {
     import org.apache.spark.sql.streaming.Trigger
     // Run 1 processes the corpus; run 2 restarts from the checkpoint after a
