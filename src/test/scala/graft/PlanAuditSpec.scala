@@ -336,6 +336,22 @@ class PlanAuditSpec extends SparkSpec {
       s"candidate tier fell back to a non-equality join:\n$p")
   }
 
+  test("no query funnels corpus rows through a single-partition window") {
+    // An `Exchange SinglePartition` feeding a Window is the classic
+    // unscalable rank: the whole input serializes through one task. The
+    // allowlisted queries run such a window DELIBERATELY over a frame that
+    // is already metadata-sized (|sources| mixture rows, |langs×sources|
+    // chi-square cells, the |skyline-candidates| pass) — documented in each
+    // operator; everything else must rank via partitioned windows or the
+    // range-partition numbering path.
+    val allowed = Set("pl_mixture_weights", "an_chisq", "an_skyline")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if !allowed(name)) {
+      val p = plan(name)
+      assert(!PlanAuditSpec.hasGlobalWindowFunnel(p),
+        s"$name windows over a single-partition exchange:\n$p")
+    }
+  }
+
   test("NOT IN plans a null-aware anti join, not a nested-loop fallback") {
     // The planner cannot prove the NULLIF-wrapped build side non-null, so a
     // plain LeftAnti hash join would be WRONG under three-valued logic; the
@@ -354,10 +370,36 @@ class PlanAuditSpec extends SparkSpec {
     // Window (the closed form replaces it with a one-row broadcast join).
     // The gate-only output sort is allowed to single-partition.
     val p = plan("pl_curriculum")
-    val windowLines = p.linesIterator.filter(_.trim.startsWith("Window ")).toSeq
-    assert(windowLines.forall(_.contains("source")),
-      s"curriculum grew an unpartitioned window:\n${windowLines.mkString("\n")}")
+    assert(!PlanAuditSpec.hasGlobalWindowFunnel(p),
+      s"curriculum grew an unpartitioned window:\n$p")
+    val windowLines = p.linesIterator.filter(PlanAuditSpec.isWindowLine).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("source")),
+      s"curriculum's rank window must partition by source:\n${windowLines.mkString("\n")}")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       s"source-count table is not broadcast:\n$p")
+  }
+}
+
+object PlanAuditSpec {
+  /** A physical `Window` node line, whatever its tree-drawing prefix
+    * (`+- `, `:- `, `:  +- `, indentation, codegen `*(n) ` stage ids) —
+    * `trim.startsWith("Window ")` misses every non-root node. Anchored so
+    * `WindowGroupLimit` and mentions inside expression text do not match.
+    */
+  private val WindowNode = """^[\s:|+\-]*(\*\(\d+\) )?Window \[.*""".r
+  def isWindowLine(line: String): Boolean = WindowNode.matches(line)
+
+  /** True when a Window node's input (the next few plan lines — its Sort and
+    * Exchange children) funnels through `Exchange SinglePartition`: the
+    * unscalable global-rank shape. Validated against a planted
+    * `row_number() OVER (ORDER BY ...)` plan, which prints as
+    * Window → Sort → Exchange SinglePartition.
+    */
+  def hasGlobalWindowFunnel(plan: String): Boolean = {
+    val lines = plan.linesIterator.toVector
+    lines.indices.exists { i =>
+      isWindowLine(lines(i)) &&
+        lines.slice(i + 1, i + 4).exists(_.contains("Exchange SinglePartition"))
+    }
   }
 }
