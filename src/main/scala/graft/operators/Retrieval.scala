@@ -162,8 +162,43 @@ object Retrieval {
         .withColumn("rnk", row_number().over(wF)).filter(col("rnk") <= RrfTopK)
         .select("query_id", "rnk", "doc_id", "rrf")
         .orderBy("query_id", "rnk")
+    },
+
+    // Exact PHRASE search over a positional index — the query class the
+    // unigram inverted index cannot answer ("slow hash batch" as consecutive
+    // tokens, not a bag). The classic plan is a chain of k−1 positional
+    // self-joins (term_i at pos p joins term_{i+1} at p+1); this operator
+    // uses the ANCHOR formulation instead: each posting of phrase-slot i at
+    // position p votes for anchor p − i, and an exact occurrence exists
+    // precisely where one (doc, anchor) cell collects ALL k distinct slots —
+    // consecutive-position equations rewritten as equality on one derived
+    // key, so the whole phrase match is ONE hash aggregation, no join at
+    // any k. Scale: postings are pruned to the phrase's terms by a narrow
+    // filter on the generator output (the rt_bm25 pruning argument), the
+    // (doc, anchor) key is finer than doc_id (no skew cell), and a term
+    // repeated in the phrase simply votes for several anchors (the slot
+    // explode) — `countDistinct(slot) = k` stays the exact occurrence test.
+    "rt_phrase_search" -> { (s, dir) =>
+      val k = PhraseTerms.length
+      val slotsByTerm = PhraseTerms.zipWithIndex.groupMap(_._1)(_._2)
+      val slotMap = map(slotsByTerm.toSeq.flatMap { case (t, is) =>
+        Seq(lit(t), array(is.map(i => lit(i)): _*))
+      }: _*)
+      Relational.t(s, dir, "documents")
+        .transform(Dedup.spread("doc_id"))
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+        .filter(col("token").isin(PhraseTerms.distinct: _*))
+        .select(col("doc_id"), col("pos"), explode(element_at(slotMap, col("token"))).as("slot"))
+        .groupBy(col("doc_id"), (col("pos") - col("slot")).as("anchor"))
+        .agg(countDistinct(col("slot")).as("nslots"))
+        .filter(col("nslots") === k)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy("doc_id")
     }
   )
+
+  /** The gate phrase (consecutive tokens; present in the corpus). */
+  val PhraseTerms: Seq[String] = Seq("slow", "hash", "batch")
 
   /** RRF parameters: per-system list depth, fused list depth. The RRF
     * constant C = 60 (Cormack et al.'s default) appears as the literal
@@ -260,6 +295,28 @@ object Retrieval {
          |SELECT query_id,
          |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rnk,
          |  doc_id, rrf
-         |FROM fused QUALIFY rnk <= $RrfTopK ORDER BY query_id, rnk""".stripMargin
+         |FROM fused QUALIFY rnk <= $RrfTopK ORDER BY query_id, rnk""".stripMargin,
+    // Same anchor formulation (DuckDB positions are 1-based, Spark's
+    // posexplode 0-based — anchors shift by a per-engine constant, which
+    // cancels in the per-(doc, anchor) occurrence count).
+    "rt_phrase_search" -> {
+      val values = PhraseTerms.zipWithIndex
+        .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, i AS pos, ts[i] AS token
+         |  FROM toks, UNNEST(range(1, len(ts) + 1)) AS u(i)
+         |), m AS (
+         |  SELECT doc_id, pos - idx AS anchor, idx
+         |  FROM p JOIN (VALUES $values) AS ph(t, idx) ON token = ph.t
+         |)
+         |SELECT doc_id, COUNT(*) AS n_occurrences FROM (
+         |  SELECT doc_id, anchor FROM m
+         |  GROUP BY doc_id, anchor HAVING COUNT(DISTINCT idx) = ${PhraseTerms.length}
+         |)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 }

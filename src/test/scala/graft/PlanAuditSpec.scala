@@ -352,6 +352,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("phrase search is one aggregation — no positional join chain") {
+    // The anchor formulation must plan ZERO joins (the classic k-term
+    // phrase plan is k−1 positional self-joins) and prune postings to the
+    // phrase terms before any exchange.
+    val p = plan("rt_phrase_search")
+    assert(!p.contains("Join"), s"phrase search grew a join:\n$p")
+    assert(p.contains("isin") || p.contains("IN ("), s"posting prune lost:\n$p")
+  }
+
   test("NOT IN plans a null-aware anti join, not a nested-loop fallback") {
     // The planner cannot prove the NULLIF-wrapped build side non-null, so a
     // plain LeftAnti hash join would be WRONG under three-valued logic; the
