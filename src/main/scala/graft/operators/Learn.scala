@@ -250,6 +250,50 @@ object Learn {
         .filter(col("vr") === 1)
         .select(col("vec_id"), col("nlabel").as("pred_label"), col("votes"))
         .orderBy("vec_id")
+    },
+
+    // Bigram-LM perplexity scoring — the CCNet/KenLM-style quality filter a
+    // pretraining pipeline runs: train a Laplace-smoothed bigram model on
+    // the train split, score every heldout document by its mean negative
+    // log-probability per transition (high = unlike the corpus → filter or
+    // down-weight). Determinism is the NB contract: every transition's
+    // log-probability is quantized to integer millionths BEFORE summation
+    // (order-independent integer sums, hash-exact across engines); the one
+    // division (mean = sum / n) is the final IEEE op. Scale shape: the
+    // model IS a DataFrame (bigram counts = one explode + map-side-combined
+    // aggregation over the train split); scoring joins the heldout
+    // transition tf stream against the BROADCAST model and context tables
+    // (shuffle-join on w1 when vocabulary outgrows broadcast — the
+    // cl_nb_predict fallback argument); per-doc sums are one hash
+    // aggregation.
+    "cl_lm_perplexity" -> { (s, dir) =>
+      val d = docs(s, dir)
+      def bigrams(df: DataFrame) = df
+        .select(col("doc_id"), col("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val train = bigrams(d.filter(col("b") < TrainBucket))
+      val bgCounts = train.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val ctxCounts = train.groupBy("w1").agg(count(lit(1)).as("ctx"))
+      val vocab = train.select(col("w2")).union(train.select(col("w1")))
+        .agg(countDistinct(col("w2")).as("v"))
+      bigrams(d.filter(col("b") >= TestBucket))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+        .join(broadcast(bgCounts), Seq("w1", "w2"), "left")
+        .join(broadcast(ctxCounts), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("tf"),
+          (col("tf") * -qlog((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("ctx"), lit(0L)) + col("v")))).as("nll_q"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_transitions"), sum(col("nll_q")).as("nll_q_sum"))
+        .select(col("doc_id"), col("n_transitions"), col("nll_q_sum"),
+          (col("nll_q_sum").cast("double") / col("n_transitions")).as("mean_nll_q"))
+        .orderBy("doc_id")
     }
   )
 
@@ -356,6 +400,39 @@ object Learn {
          |)
          |SELECT vec_id, nlabel AS pred_label, votes FROM votes
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY votes DESC, nlabel ASC) = 1
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+    // Same quantize-then-sum integer contract as the NB oracles; vocabulary
+    // counts distinct tokens over BOTH bigram slots (w1 ∪ w2).
+    "cl_lm_perplexity" ->
+      s"""WITH d AS (
+         |  $docsSql
+         |), bg AS (
+         |  SELECT doc_id, b, ts[i] AS w1, ts[i+1] AS w2
+         |  FROM d, UNNEST(range(1, len(ts))) AS u(i)
+         |  WHERE len(ts) >= 2
+         |), bgc AS (
+         |  SELECT w1, w2, COUNT(*) AS cnt FROM bg WHERE b < $TrainBucket GROUP BY w1, w2
+         |), ctx AS (
+         |  SELECT w1, COUNT(*) AS ctx FROM bg WHERE b < $TrainBucket GROUP BY w1
+         |), voc AS (
+         |  SELECT COUNT(DISTINCT w) AS v FROM (
+         |    SELECT w2 AS w FROM bg WHERE b < $TrainBucket
+         |    UNION ALL SELECT w1 FROM bg WHERE b < $TrainBucket)
+         |), tf AS (
+         |  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg
+         |  WHERE b >= $TestBucket GROUP BY doc_id, w1, w2
+         |), scored AS (
+         |  SELECT doc_id, tf,
+         |    tf * -CAST(round(1000000.0 * ln(
+         |      (COALESCE(cnt, 0) + 1.0) / (COALESCE(ctx, 0) + v))) AS BIGINT) AS nll_q
+         |  FROM tf
+         |  LEFT JOIN bgc USING (w1, w2)
+         |  LEFT JOIN ctx USING (w1)
+         |  CROSS JOIN voc
+         |)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_transitions,
+         |  CAST(SUM(nll_q) AS BIGINT) AS nll_q_sum,
+         |  CAST(SUM(nll_q) AS DOUBLE) / SUM(tf) AS mean_nll_q
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

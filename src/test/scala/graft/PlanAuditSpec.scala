@@ -307,6 +307,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(trainAggPartial, s"training count lost its map-side partial phase:\n$p")
   }
 
+  test("LM perplexity scoring joins the BROADCAST bigram model with partial-agg counts") {
+    val p = plan("cl_lm_perplexity")
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial_count")),
+      s"bigram counting lost its map-side partial phase:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("AUC ranks without a single-partition global sort") {
     // globalRowNumbers range-partitions by score; a plain ORDER BY window
     // would appear as an Exchange SinglePartition feeding a Window.
