@@ -52,4 +52,31 @@ class BucketingSpec extends SparkSpec {
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), s"bucketed agg should be shuffle-free:\n$plan")
   }
+
+  test("point lookup on the bucket key prunes to one bucket's files") {
+    // The third bucketed-layout dividend beside shuffle-free joins and
+    // aggs: an equality predicate on the bucket key hashes to ONE bucket at
+    // planning time, so the scan reads 1/N of the table's files — the
+    // needle-in-100-TB lookup path. Asserted from the scan node's
+    // SelectedBucketsCount annotation.
+    val li = Tables.t(spark, sf(), "lineitem").select("l_orderkey", "l_quantity")
+    Bucketing.writeBucketed(li, "b_li_prune", "l_orderkey", 8)
+    // A bare filter has no distribution-consuming operator, so the planner's
+    // auto-bucketed-scan heuristic would fall back to a plain file scan and
+    // skip bucket pruning with it; pin bucketed reading on for the lookup.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val df = Bucketing.read(spark, "b_li_prune").filter(col("l_orderkey") === 42L)
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      assert(scan.toString.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected one selected bucket:\n$scan")
+      // And the pruned scan still answers exactly.
+      val expected = Tables.t(spark, sf(), "lineitem").filter(col("l_orderkey") === 42L).count()
+      assert(df.count() == expected)
+    } finally spark.conf.set(key, prev)
+  }
 }
