@@ -76,4 +76,39 @@ class LearnSpec extends SparkSpec {
     // With tight clusters every vote should be unanimous.
     assert(pred.forall(_._3 == Learn.Knn), s"non-unanimous votes: ${pred.mkString(", ")}")
   }
+
+  test("LM perplexity separates in-distribution from out-of-distribution heldout text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Every doc cycles the same 5-word chain, so the train split's bigram
+    // table contains exactly those transitions. One heldout doc is rewritten
+    // in a vocabulary the model never saw: each of its transitions falls to
+    // the Laplace floor 1/(0+V), while in-distribution transitions are
+    // train-frequent — its mean NLL must exceed every in-distribution
+    // heldout doc's, with a wide margin (≥ twice the in-distribution max).
+    val chain = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val ids = (0L until 300L)
+    val heldout = ids.filter { i =>
+      Seq(i).toDF("doc_id").select(Pipeline.bucket(col("doc_id")).as("b"))
+        .head().getLong(0) >= Learn.TestBucket
+    }
+    assert(heldout.size >= 2, s"need ≥2 heldout docs, got ${heldout.size}")
+    val oodId = heldout.head
+    val docs = ids.map { i =>
+      val text =
+        if (i == oodId) (0 until 12).map(j => s"zx$j").mkString(" ")
+        else (0 until 12).map(j => chain(((i + j) % chain.length).toInt)).mkString(" ")
+      (i, "en", text)
+    }.toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val scored = Learn.queries("cl_lm_perplexity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(scored.keySet == heldout.toSet, s"scored ${scored.keySet} vs $heldout")
+    val ood = scored(oodId)
+    val inDist = (scored - oodId).values
+    assert(inDist.nonEmpty && ood > 2 * inDist.max,
+      s"OOD doc must score far above in-distribution: ood=$ood in=${inDist.toSeq.sorted}")
+  }
 }
