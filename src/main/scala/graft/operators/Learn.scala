@@ -267,35 +267,65 @@ object Learn {
     // cl_nb_predict fallback argument); per-doc sums are one hash
     // aggregation.
     "cl_lm_perplexity" -> { (s, dir) =>
-      val d = docs(s, dir)
-      def bigrams(df: DataFrame) = df
-        .select(col("doc_id"), col("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("ts")) - 1),
-          i => struct(element_at(col("ts"), i).as("w1"),
-            element_at(col("ts"), i + 1).as("w2")))).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val train = bigrams(d.filter(col("b") < TrainBucket))
-      val bgCounts = train.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-      val ctxCounts = train.groupBy("w1").agg(count(lit(1)).as("ctx"))
-      val vocab = train.select(col("w2")).union(train.select(col("w1")))
-        .agg(countDistinct(col("w2")).as("v"))
-      bigrams(d.filter(col("b") >= TestBucket))
-        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
-        .join(broadcast(bgCounts), Seq("w1", "w2"), "left")
-        .join(broadcast(ctxCounts), Seq("w1"), "left")
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"), col("tf"),
-          (col("tf") * -qlog((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
-            (coalesce(col("ctx"), lit(0L)) + col("v")))).as("nll_q"))
-        .groupBy("doc_id")
-        .agg(sum(col("tf")).as("n_transitions"), sum(col("nll_q")).as("nll_q_sum"))
-        .select(col("doc_id"), col("n_transitions"), col("nll_q_sum"),
-          (col("nll_q_sum").cast("double") / col("n_transitions")).as("mean_nll_q"))
+      val (bgCounts, ctxCounts, vocab) = lmModel(s, dir)
+      lmScoreDocs(
+        docs(s, dir).filter(col("b") >= TestBucket).select(col("doc_id"), col("ts")),
+        bgCounts, ctxCounts, vocab)
         .orderBy("doc_id")
     }
   )
+
+  /** Consecutive-token bigrams of a (doc_id, ts) frame → (doc_id, w1, w2). */
+  private def bigramsOf(docsTs: DataFrame): DataFrame = docsTs
+    .filter(size(col("ts")) >= 2)
+    .select(col("doc_id"), explode(transform(
+      sequence(lit(1), size(col("ts")) - 1),
+      i => struct(element_at(col("ts"), i).as("w1"),
+        element_at(col("ts"), i + 1).as("w2")))).as("bg"))
+    .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Train the bigram LM on the hash-split train bucket:
+    * (bigram counts, context counts, 1-row vocabulary size). Plain
+    * DataFrames a caller can persist and reuse — the streaming scorer
+    * ([[graft.streaming.DocStreams.lmScoreDocStream]]) closes over them as
+    * static sides, like the NB model frames.
+    */
+  private[graft] def lmModel(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val train = Dedup.materialized(
+      bigramsOf(docs(s, dir).filter(col("b") < TrainBucket).select(col("doc_id"), col("ts"))))
+    (train.groupBy("w1", "w2").agg(count(lit(1)).as("cnt")),
+      train.groupBy("w1").agg(count(lit(1)).as("ctx")),
+      train.select(col("w2")).union(train.select(col("w1")))
+        .agg(countDistinct(col("w2")).as("v")))
+  }
+
+  /** Mean quantized negative log-probability per transition for a
+    * (doc_id, ts) frame against trained LM frames — the shared scoring tail
+    * (batch gate query and per-micro-batch streaming scorer).
+    */
+  private[graft] def lmScoreDocs(docsTs: DataFrame, bgCounts: DataFrame,
+      ctxCounts: DataFrame, vocab: DataFrame): DataFrame =
+    bigramsOf(docsTs)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      .join(broadcast(bgCounts), Seq("w1", "w2"), "left")
+      .join(broadcast(ctxCounts), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * -qlog((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("ctx"), lit(0L)) + col("v")))).as("nll_q"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_transitions"), sum(col("nll_q")).as("nll_q_sum"))
+      .select(col("doc_id"), col("n_transitions"), col("nll_q_sum"),
+        (col("nll_q_sum").cast("double") / col("n_transitions")).as("mean_nll_q"))
+
+  /** Tokenize raw (doc_id, text, ...) rows to the (doc_id, ts) scoring
+    * input — the entry the streaming scorer uses per micro-batch.
+    */
+  private[graft] def lmScoreRaw(raw: DataFrame, bgCounts: DataFrame,
+      ctxCounts: DataFrame, vocab: DataFrame): DataFrame =
+    lmScoreDocs(
+      raw.select(col("doc_id"), TextOps.tokens(col("text")).as("ts")),
+      bgCounts, ctxCounts, vocab)
 
   /** Shared oracle CTE chain ending at `scored` — the DuckDB twin of
     * [[nbScores]]; consumers append `SELECT ...` or further `, x AS (...)`

@@ -55,4 +55,20 @@ object DocStreams {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Score a document stream with the trained bigram LM
+    * ([[graft.operators.Learn.lmModel]]) — perplexity filtering applied to
+    * the ingest firehose, same stateless per-micro-batch contract and
+    * exactly-once versioned sink as [[classifyDocStream]].
+    */
+  def lmScoreDocStream(docs: DataFrame, bgCounts: DataFrame, ctxCounts: DataFrame,
+      vocab: DataFrame, tableDir: String, ckpt: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        EventStreams.versionedSink(tableDir)(
+          graft.operators.Learn.lmScoreRaw(batch, bgCounts, ctxCounts, vocab), batchId)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

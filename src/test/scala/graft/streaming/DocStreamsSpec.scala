@@ -47,6 +47,23 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming LM perplexity scoring equals the batch scorer over all arriving docs") {
+    val (bg, ctx, voc) = Learn.lmModel(spark, sf())
+    val tableDir = java.nio.file.Files.createTempDirectory("lmstream-tbl").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("lmstream-ckpt").toString
+
+    val q = DocStreams.lmScoreDocStream(
+      DocStreams.readDocStream(spark, docsDir), bg, ctx, voc, tableDir, ckpt)
+    q.awaitTermination()
+
+    val streamed = Versioned.read(spark, tableDir).collect().map(_.toSeq).toSet
+    val batch = Learn.lmScoreRaw(
+      Relational.t(spark, sf(), "documents").select("doc_id", "text"), bg, ctx, voc)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "batch scorer should score the corpus")
+    assert(streamed == batch)
+  }
+
   test("per-batch scoring is per-document: each version holds exactly its file's docs") {
     // Re-run against a fresh sink; each version's doc_ids must be exactly
     // the staged half's doc_ids (no cross-batch state, no loss).
