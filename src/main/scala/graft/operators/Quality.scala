@@ -214,6 +214,44 @@ object Quality {
         row("l_returnflag", "flag"), row("l_shipdate", "date"))).as("r"))
         .select("r.*")
         .orderBy("column_name")
+    },
+
+    // Distribution-drift monitor between two corpus snapshots — the
+    // dataset-shift check a training pipeline runs before accepting a new
+    // crawl (has the length distribution moved?). Per n_chars histogram
+    // bucket, the two-sample homogeneity deviation
+    //   dev = N_new·o_old − N_old·o_new
+    // is pure integer arithmetic (zero iff the bucket's proportions are
+    // identical — sign gives the drift direction), and the χ² contribution
+    //   dev²·(N_old+N_new) / (N_old·N_new·(o_old+o_new))
+    // is one fixed IEEE tree over integer casts — the an_chisq exactness
+    // argument applied to the two-sample test. Shape: two corpus-sized
+    // bucket aggregations (map-side partial), a full-outer join on the
+    // |buckets|-row tables, window totals over that tiny frame — corpus
+    // size never re-enters the drift math.
+    "dq_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val old = Relational.t(s, dir, "documents").select("doc_id", "n_chars", "lang")
+      // floor(x / 100) and not a double→long cast: Spark's cast truncates
+      // but DuckDB's rounds — FLOOR is the one form both engines agree on.
+      def buckets(df: DataFrame, as: String) = df
+        .groupBy(floor(col("n_chars") / lit(100)).as("bucket"))
+        .agg(count(lit(1)).as(as))
+      val cells = buckets(old, "o_old")
+        .join(buckets(Changes.perturbedDocs(old), "o_new"), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("o_old"), lit(0L)).as("o_old"),
+          coalesce(col("o_new"), lit(0L)).as("o_new"))
+      val d = (c: Column) => c.cast("double")
+      cells
+        .withColumn("n_old", sum("o_old").over(Window.partitionBy()))
+        .withColumn("n_new", sum("o_new").over(Window.partitionBy()))
+        .withColumn("dev", col("n_new") * col("o_old") - col("n_old") * col("o_new"))
+        .select(col("bucket"), col("o_old"), col("o_new"), col("dev"),
+          (d(col("dev")) * d(col("dev")) * d(col("n_old") + col("n_new")) /
+            (d(col("n_old")) * d(col("n_new")) * d(col("o_old") + col("o_new"))))
+            .as("chi2_bucket"))
+        .orderBy("bucket")
     }
   )
 
@@ -318,6 +356,41 @@ object Quality {
         |    (SELECT CAST(MIN(l_shipdate) AS VARCHAR) FROM lineitem),
         |    (SELECT CAST(MAX(l_shipdate) AS VARCHAR) FROM lineitem)
         |  FROM base
-        |) ORDER BY column_name""".stripMargin
+        |) ORDER BY column_name""".stripMargin,
+    // The perturbed "newer" snapshot CTE matches Changes.perturbedDocs; the
+    // χ² tree is token-identical to the Spark expression.
+    "dq_drift" -> {
+      val b = s"(${graft.operators.Pipeline.bucketSql("doc_id")})"
+      s"""WITH newer AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $b < 10 THEN n_chars + 1000 ELSE n_chars END AS n_chars, lang
+         |  FROM documents WHERE $b >= 5
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id, n_chars, lang FROM documents WHERE $b >= 95
+         |), ob AS (
+         |  SELECT CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket, COUNT(*) AS o_old
+         |  FROM documents GROUP BY 1
+         |), nb AS (
+         |  SELECT CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket, COUNT(*) AS o_new
+         |  FROM newer GROUP BY 1
+         |), cells AS (
+         |  SELECT COALESCE(ob.bucket, nb.bucket) AS bucket,
+         |    COALESCE(o_old, 0) AS o_old, COALESCE(o_new, 0) AS o_new
+         |  FROM ob FULL OUTER JOIN nb ON ob.bucket = nb.bucket
+         |), t AS (
+         |  SELECT bucket, o_old, o_new,
+         |    CAST(SUM(o_old) OVER () AS BIGINT) AS n_old,
+         |    CAST(SUM(o_new) OVER () AS BIGINT) AS n_new
+         |  FROM cells
+         |)
+         |SELECT bucket, o_old, o_new,
+         |  n_new * o_old - n_old * o_new AS dev,
+         |  CAST(n_new * o_old - n_old * o_new AS DOUBLE)
+         |    * CAST(n_new * o_old - n_old * o_new AS DOUBLE)
+         |    * CAST(n_old + n_new AS DOUBLE)
+         |    / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE) * CAST(o_old + o_new AS DOUBLE))
+         |    AS chi2_bucket
+         |FROM t ORDER BY bucket""".stripMargin
+    }
   )
 }

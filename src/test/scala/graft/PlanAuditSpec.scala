@@ -352,7 +352,7 @@ class PlanAuditSpec extends SparkSpec {
     // chi-square cells, the |skyline-candidates| pass) — documented in each
     // operator; everything else must rank via partitioned windows or the
     // range-partition numbering path.
-    val allowed = Set("pl_mixture_weights", "an_chisq", "an_skyline")
+    val allowed = Set("pl_mixture_weights", "an_chisq", "an_skyline", "dq_drift")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !allowed(name)) {
       val p = plan(name)
       assert(!PlanAuditSpec.hasGlobalWindowFunnel(p),
