@@ -96,6 +96,32 @@ object Analytics {
     // ties contribute identically under any tie order (i·x + j·x is
     // symmetric), and the final G is one fixed IEEE tree over decimal→
     // double casts, token-identical in the oracle.
+    // Equi-depth histogram over order totals — the CBO statistics structure
+    // (each bucket holds ~n/K rows with bounds at exact rank boundaries),
+    // built WITHOUT the classic NTILE-over-global-ORDER-BY single-partition
+    // funnel: ranks come from the range-partition numbering path and the
+    // bucket id is floor((rk−1)·K ÷ n) in pure integer arithmetic (`div`),
+    // so assignment is exact and engine-identical. n comes from a separate
+    // one-row count of the INPUT (not the ranked frame — consuming the
+    // zipWithIndex output twice would re-run the numbering pipeline),
+    // broadcast into the narrow bucket projection. Ties order by
+    // (x, o_orderkey): a total order, so bucket boundaries are
+    // deterministic in both engines.
+    "an_histogram_equidepth" -> { (s, dir) =>
+      val d = DecimalType(18, 2)
+      val vals = Relational.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast(d).as("x"))
+      val ranked = Pipeline.globalRowNumbers(s, vals, "rk", col("x"), col("o_orderkey"))
+      val nRow = vals.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(nRow))
+        .select(expr(s"((rk - 1) * $HistK) div n").as("bucket"), col("x"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).cast("double").as("lo"),
+          max(col("x")).cast("double").as("hi"))
+        .orderBy("bucket")
+    },
+
     "an_gini" -> { (s, dir) =>
       val d = DecimalType(18, 2)
       val spend = Relational.t(s, dir, "orders")
@@ -156,7 +182,19 @@ object Analytics {
     }
   )
 
+  /** Equi-depth histogram bucket count. */
+  val HistK = 16
+
   val oracles: Map[String, String] = Map(
+    "an_histogram_equidepth" ->
+      s"""WITH v AS (
+         |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS x FROM orders
+         |), r AS (
+         |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS rk FROM v
+         |), n AS (SELECT COUNT(*) AS n FROM v)
+         |SELECT ((rk - 1) * $HistK) // n AS bucket, COUNT(*) AS n_rows,
+         |  CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi
+         |FROM r CROSS JOIN n GROUP BY bucket ORDER BY bucket""".stripMargin,
     "an_skyline" ->
       """WITH g AS (
         |  SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS sz,

@@ -330,7 +330,7 @@ class PlanAuditSpec extends SparkSpec {
     // A Window.partitionBy(event_type) caps the sort's parallelism at the
     // handful of event types regardless of cluster size; the rank must come
     // from the range-partition numbering path instead (no Window node).
-    for (name <- Seq("ev_mad_outliers", "ev_winsorize")) {
+    for (name <- Seq("ev_mad_outliers", "ev_winsorize", "an_histogram_equidepth")) {
       val p = plan(name)
       assert(!p.contains("Window ["), s"$name ranks under a grouped window:\n$p")
       assert(p.contains("ExistingRDD"), s"$name lost the distributed numbering path:\n$p")
