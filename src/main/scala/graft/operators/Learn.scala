@@ -257,9 +257,13 @@ object Learn {
     // the train split, score every heldout document by its mean negative
     // log-probability per transition (high = unlike the corpus → filter or
     // down-weight). Determinism is the NB contract: every transition's
-    // log-probability is quantized to integer millionths BEFORE summation
-    // (order-independent integer sums, hash-exact across engines); the one
-    // division (mean = sum / n) is the final IEEE op. Scale shape: the
+    // log-probability is quantized to integer millionths BEFORE summation,
+    // so per-doc sums are order-independent integers within an engine. The
+    // quantization does NOT make ln() itself cross-engine bit-stable (JVM
+    // vs DuckDB libm): the gate hash-match relies on no operand's
+    // 1e6·ln(p) landing within an ulp of a rounding half-boundary — true
+    // on this corpus, and any future divergence fails the gate loudly
+    // rather than passing wrong. Scale shape: the
     // model IS a DataFrame (bigram counts = one explode + map-side-combined
     // aggregation over the train split); scoring joins the heldout
     // transition tf stream against the BROADCAST model and context tables
@@ -302,10 +306,17 @@ object Learn {
   /** Mean quantized negative log-probability per transition for a
     * (doc_id, ts) frame against trained LM frames — the shared scoring tail
     * (batch gate query and per-micro-batch streaming scorer).
+    *
+    * EVERY input document gets a row: a doc with fewer than 2 tokens has no
+    * transitions to score, so it is emitted with n_transitions = 0 and a
+    * NULL mean (explicit CASE — Spark's and DuckDB's x/0 semantics differ,
+    * NULL must not depend on them) rather than silently dropped. Dropping
+    * it would pass exactly the degenerate crawl junk a quality filter most
+    * wants to surface.
     */
   private[graft] def lmScoreDocs(docsTs: DataFrame, bgCounts: DataFrame,
-      ctxCounts: DataFrame, vocab: DataFrame): DataFrame =
-    bigramsOf(docsTs)
+      ctxCounts: DataFrame, vocab: DataFrame): DataFrame = {
+    val scored = bigramsOf(docsTs)
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
       .join(broadcast(bgCounts), Seq("w1", "w2"), "left")
       .join(broadcast(ctxCounts), Seq("w1"), "left")
@@ -315,8 +326,16 @@ object Learn {
           (coalesce(col("ctx"), lit(0L)) + col("v")))).as("nll_q"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_transitions"), sum(col("nll_q")).as("nll_q_sum"))
+    docsTs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        coalesce(col("nll_q_sum"), lit(0L)).as("nll_q_sum"))
       .select(col("doc_id"), col("n_transitions"), col("nll_q_sum"),
-        (col("nll_q_sum").cast("double") / col("n_transitions")).as("mean_nll_q"))
+        when(col("n_transitions") === 0, lit(null).cast("double"))
+          .otherwise(col("nll_q_sum").cast("double") / col("n_transitions"))
+          .as("mean_nll_q"))
+  }
 
   /** Tokenize raw (doc_id, text, ...) rows to the (doc_id, ts) scoring
     * input — the entry the streaming scorer uses per micro-batch.
@@ -459,10 +478,17 @@ object Learn {
          |  LEFT JOIN bgc USING (w1, w2)
          |  LEFT JOIN ctx USING (w1)
          |  CROSS JOIN voc
+         |), agg AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_transitions,
+         |    CAST(SUM(nll_q) AS BIGINT) AS nll_q_sum
+         |  FROM scored GROUP BY doc_id
          |)
-         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_transitions,
-         |  CAST(SUM(nll_q) AS BIGINT) AS nll_q_sum,
-         |  CAST(SUM(nll_q) AS DOUBLE) / SUM(tf) AS mean_nll_q
-         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |SELECT doc_id,
+         |  COALESCE(n_transitions, 0) AS n_transitions,
+         |  COALESCE(nll_q_sum, 0) AS nll_q_sum,
+         |  CASE WHEN COALESCE(n_transitions, 0) = 0 THEN NULL
+         |       ELSE CAST(nll_q_sum AS DOUBLE) / n_transitions END AS mean_nll_q
+         |FROM (SELECT doc_id FROM d WHERE b >= $TestBucket) t
+         |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -153,16 +153,14 @@ object Maintenance {
     * table must keep working), so the mode is scoped to this one write.
     */
   def dynamicOverwrite(spark: SparkSession, incoming: DataFrame, path: String,
-      partitionCol: String): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try incoming.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+      partitionCol: String): Unit =
+    // Write-scoped option, NOT a session-conf toggle: setting the session
+    // conf around the write would leak dynamic semantics to any concurrent
+    // overwrite in the same session (a partitionless overwrite meant to
+    // replace a whole table would silently keep stale partitions).
+    incoming.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
 
   /** Z-order (Morton-curve) clustered rewrite over TWO numeric columns.
     *

@@ -32,7 +32,22 @@ object EventStreams {
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(dir).schema
+    // An EMPTY landing directory is a legitimate stream start (checkpoint
+    // created before the producer's first file); the schema probe cannot
+    // infer from zero files, so fall back to the current generation's
+    // declared layout (plain micros ts) — normalizeTs maps either declared
+    // or probed layout to the same logical column.
+    val onDisk =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampNTZType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+      }
     graft.sources.Tables.normalizeTs(
       spark.readStream.schema(onDisk).parquet(dir))
   }

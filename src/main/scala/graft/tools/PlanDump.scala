@@ -1,10 +1,26 @@
 package graft.tools
+
+/** Dev tool: print a declared query's executed-plan lines (optionally only
+  * those matching a filter substring). Usage:
+  * `runMain graft.tools.PlanDump <query> [sfDir] [filterSubstring]`.
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = graft.EngineSession.local("8")
-    val p = graft.SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+    if (args.isEmpty) {
+      System.err.println("usage: PlanDump <query> [sfDir] [filterSubstring]")
+      sys.exit(2)
+    }
+    val dir = args.lift(1).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    val spark = graft.EngineSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val p = graft.SparkEntry.queries(args(0))(spark, dir)
       .queryExecution.executedPlan.toString
-    p.linesIterator.filter(_.toLowerCase.contains("window")).foreach(l => println("LINE: " + l))
+    val lines = args.lift(2) match {
+      case Some(f) => p.linesIterator.filter(_.toLowerCase.contains(f.toLowerCase))
+      case None    => p.linesIterator
+    }
+    lines.foreach(l => println("LINE: " + l))
     spark.stop()
   }
 }

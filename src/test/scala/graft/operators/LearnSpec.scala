@@ -88,10 +88,12 @@ class LearnSpec extends SparkSpec {
     // heldout doc's, with a wide margin (≥ twice the in-distribution max).
     val chain = Seq("alpha", "beta", "gamma", "delta", "epsilon")
     val ids = (0L until 300L)
-    val heldout = ids.filter { i =>
-      Seq(i).toDF("doc_id").select(Pipeline.bucket(col("doc_id")).as("b"))
-        .head().getLong(0) >= Learn.TestBucket
-    }
+    // One job for all 300 bucket evaluations (a per-id 1-row DataFrame +
+    // head() would launch 300 sequential jobs of pure scheduler overhead).
+    val buckets = ids.toDF("doc_id")
+      .select(col("doc_id"), Pipeline.bucket(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val heldout = ids.filter(buckets(_) >= Learn.TestBucket)
     assert(heldout.size >= 2, s"need ≥2 heldout docs, got ${heldout.size}")
     val oodId = heldout.head
     val docs = ids.map { i =>

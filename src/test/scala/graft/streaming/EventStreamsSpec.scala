@@ -183,6 +183,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a stream can start on an EMPTY landing directory and pick up late files") {
+    // Production bootstrap order: checkpoint + query first, producer's
+    // first file later. The schema probe cannot infer from zero files, so
+    // readEventStream must fall back to the declared layout instead of
+    // throwing at start.
+    val d = java.nio.file.Files.createTempDirectory("events-empty")
+    val q = EventStreams.dedupStream(EventStreams.readEventStream(spark, d.toString))
+      .writeStream.outputMode("append").format("memory").queryName("empty_start_test").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("empty_start_test").count() == 0)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${sf()}/events.parquet"), d.resolve("late.parquet"))
+      q.processAllAvailable()
+      val expected = graft.operators.Relational.t(spark, sf(), "events").count()
+      assert(spark.table("empty_start_test").count() == expected)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops exact duplicate events across files") {
     // Stage the same events file twice: every event arrives in duplicate.
     val d = java.nio.file.Files.createTempDirectory("events-dup")
