@@ -275,6 +275,36 @@ object TextAnalysis {
           ((col("rep.total_grams") - col("rep.distinct_grams")).cast("double") /
             col("rep.total_grams")).as("dup_frac"))
         .orderBy("doc_id")
+    },
+
+    // Token-distribution Shannon entropy per document — the gibberish /
+    // degenerate-repetition signal beside the structural ratios: near-zero
+    // entropy = one token repeated, ln(n_tokens) = all tokens distinct.
+    // The identity Σ cnt·ln(cnt/n) = Σ cnt·ln(cnt) − n·ln(n) removes any
+    // per-token n lookup (no window, no join): per doc the entropy is two
+    // integer aggregates. Each ln is quantized to integer millionths of an
+    // INTEGER operand before the sum (the cl_lm_perplexity quantization
+    // contract and the same cross-engine ln caveat documented there);
+    // nats = entropy_q / 1e6 / n is one fixed IEEE tree. Shape: explode →
+    // (doc, token) count → per-doc sums, both map-side-combined.
+    "ta_entropy" -> { (s, dir) =>
+      def qln(c: org.apache.spark.sql.Column) =
+        round(lit(1000000.0) * log(c)).cast("long")
+      Relational.t(s, dir, "documents")
+        .transform(Dedup.spread("doc_id"))
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("cnt") * qln(col("cnt"))).as("s1"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("n_tokens") * qln(col("n_tokens")) - col("s1")).as("entropy_q"),
+          (((col("n_tokens") * qln(col("n_tokens")) - col("s1")).cast("double")
+            / lit(1000000.0)) / col("n_tokens").cast("double")).as("entropy_nats"))
+        .orderBy("doc_id")
     }
   )
 
@@ -437,6 +467,22 @@ object TextAnalysis {
         |SELECT g.doc_id, len(g.grams) AS total_grams,
         |  len(list_distinct(g.grams)) AS distinct_grams, tc.top_count,
         |  CAST(len(g.grams) - len(list_distinct(g.grams)) AS DOUBLE) / len(g.grams) AS dup_frac
-        |FROM g JOIN tc USING (doc_id) ORDER BY g.doc_id""".stripMargin
+        |FROM g JOIN tc USING (doc_id) ORDER BY g.doc_id""".stripMargin,
+    "ta_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), c AS (
+        |  SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok
+        |), a AS (
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS nd,
+        |    CAST(SUM(cnt * CAST(round(1000000.0 * ln(cnt)) AS BIGINT)) AS BIGINT) AS s1
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT doc_id, n AS n_tokens, nd AS n_distinct,
+        |  n * CAST(round(1000000.0 * ln(n)) AS BIGINT) - s1 AS entropy_q,
+        |  CAST(n * CAST(round(1000000.0 * ln(n)) AS BIGINT) - s1 AS DOUBLE)
+        |    / 1000000.0 / CAST(n AS DOUBLE) AS entropy_nats
+        |FROM a ORDER BY doc_id""".stripMargin
   )
 }
