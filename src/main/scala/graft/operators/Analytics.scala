@@ -87,15 +87,6 @@ object Analytics {
         .orderBy("p_brand")
     },
 
-    // Gini coefficient of customer spend — revenue-concentration
-    // analytics via the rank formulation G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) /
-    // (n·Σx) over ascending-sorted spend. Exact throughout: spend sums in
-    // DECIMAL, the global rank comes from [[Pipeline.globalRowNumbers]]
-    // (range-partition + per-partition offset numbering — O(rows) work, no
-    // single-partition sort funnel; rank·x products stay exact decimals),
-    // ties contribute identically under any tie order (i·x + j·x is
-    // symmetric), and the final G is one fixed IEEE tree over decimal→
-    // double casts, token-identical in the oracle.
     // Equi-depth histogram over order totals — the CBO statistics structure
     // (each bucket holds ~n/K rows with bounds at exact rank boundaries),
     // built WITHOUT the classic NTILE-over-global-ORDER-BY single-partition
@@ -122,6 +113,15 @@ object Analytics {
         .orderBy("bucket")
     },
 
+    // Gini coefficient of customer spend — revenue-concentration
+    // analytics via the rank formulation G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) /
+    // (n·Σx) over ascending-sorted spend. Exact throughout: spend sums in
+    // DECIMAL, the global rank comes from [[Pipeline.globalRowNumbers]]
+    // (range-partition + per-partition offset numbering — O(rows) work, no
+    // single-partition sort funnel; rank·x products stay exact decimals),
+    // ties contribute identically under any tie order (i·x + j·x is
+    // symmetric), and the final G is one fixed IEEE tree over decimal→
+    // double casts, token-identical in the oracle.
     "an_gini" -> { (s, dir) =>
       val d = DecimalType(18, 2)
       val spend = Relational.t(s, dir, "orders")

@@ -103,6 +103,20 @@ object Changes {
       .filter(col("op").isNotNull)
   }
 
+  /** DuckDB twin of [[perturbedDocs]] as a `newer(doc_id, n_chars, lang)`
+    * CTE body — ONE definition shared by every oracle that references the
+    * perturbed snapshot (cd_snapshot_diff here, dq_drift in Quality), so
+    * the Spark perturbation and its SQL mirror cannot drift apart.
+    */
+  def perturbedDocsSql: String = {
+    val b = s"(${Pipeline.bucketSql("doc_id")})"
+    s"""SELECT doc_id,
+       |    CASE WHEN $b < 10 THEN n_chars + 1000 ELSE n_chars END AS n_chars, lang
+       |  FROM documents WHERE $b >= 5
+       |  UNION ALL
+       |  SELECT doc_id + 10000000 AS doc_id, n_chars, lang FROM documents WHERE $b >= 95""".stripMargin
+  }
+
   /** The "newer" documents snapshot for the diff queries, derived
     * deterministically from the base table: buckets [0,5) deleted, [5,10)
     * get a perturbed n_chars, [95,100) are re-keyed as brand-new docs.
@@ -186,14 +200,9 @@ object Changes {
          |  LEAD(ts, 1) OVER (PARTITION BY key ORDER BY ts ASC, seq ASC) AS valid_to
          |FROM log WHERE op = 'U'
          |ORDER BY c_custkey, valid_from, seq""".stripMargin,
-    "cd_snapshot_diff" -> {
-      val b = s"(${Pipeline.bucketSql("doc_id")})"
+    "cd_snapshot_diff" ->
       s"""WITH newer AS (
-         |  SELECT doc_id,
-         |    CASE WHEN $b < 10 THEN n_chars + 1000 ELSE n_chars END AS n_chars, lang
-         |  FROM documents WHERE $b >= 5
-         |  UNION ALL
-         |  SELECT doc_id + 10000000 AS doc_id, n_chars, lang FROM documents WHERE $b >= 95
+         |  $perturbedDocsSql
          |), d AS (
          |  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
          |              WHEN n.doc_id IS NULL THEN 'removed'
@@ -205,6 +214,5 @@ object Changes {
          |)
          |SELECT op, COUNT(*) AS n_rows, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
          |FROM d WHERE op IS NOT NULL GROUP BY op ORDER BY op""".stripMargin
-    }
   )
 }

@@ -67,12 +67,10 @@ object Learn {
   /** Positive class for the one-vs-rest ROC-AUC (`cl_auc`). */
   val AucPosLabel = "en"
 
-  /** Quantized natural log: round(1e6·ln p) as a 64-bit integer. The literal
-    * `1000000.0` appears in BOTH the Spark expression and the oracle SQL —
-    * keep them textually in sync.
+  /** The shared quantize-before-sum log ([[TextOps.qlog]]); its `1000000.0`
+    * literal appears in this module's oracle SQL — keep in sync.
     */
-  private def qlog(p: Column): Column =
-    round(lit(1000000.0) * log(p)).cast("long")
+  private def qlog(p: Column): Column = TextOps.qlog(p)
 
   /** Per-(heldout doc, label) quantized NB log-posterior scores — the shared
     * scoring frame behind cl_nb_predict (argmax) and cl_auc (ranking).
@@ -316,7 +314,11 @@ object Learn {
     */
   private[graft] def lmScoreDocs(docsTs: DataFrame, bgCounts: DataFrame,
       ctxCounts: DataFrame, vocab: DataFrame): DataFrame = {
-    val scored = bigramsOf(docsTs)
+    // The output is keyed per doc_id. A micro-batch with a re-delivered
+    // duplicate row would otherwise double-count every transition AND emit
+    // the row once per copy — dedupe the input before anything counts.
+    val docs = docsTs.dropDuplicates("doc_id")
+    val scored = bigramsOf(docs)
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
       .join(broadcast(bgCounts), Seq("w1", "w2"), "left")
       .join(broadcast(ctxCounts), Seq("w1"), "left")
@@ -326,7 +328,7 @@ object Learn {
           (coalesce(col("ctx"), lit(0L)) + col("v")))).as("nll_q"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_transitions"), sum(col("nll_q")).as("nll_q_sum"))
-    docsTs.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),

@@ -357,16 +357,13 @@ object Quality {
         |    (SELECT CAST(MAX(l_shipdate) AS VARCHAR) FROM lineitem)
         |  FROM base
         |) ORDER BY column_name""".stripMargin,
-    // The perturbed "newer" snapshot CTE matches Changes.perturbedDocs; the
-    // χ² tree is token-identical to the Spark expression.
-    "dq_drift" -> {
-      val b = s"(${graft.operators.Pipeline.bucketSql("doc_id")})"
+    // The perturbed "newer" snapshot CTE is the SHARED Changes SQL builder
+    // (one definition with cd_snapshot_diff's oracle — cannot drift from
+    // perturbedDocs); the χ² tree is token-identical to the Spark
+    // expression.
+    "dq_drift" ->
       s"""WITH newer AS (
-         |  SELECT doc_id,
-         |    CASE WHEN $b < 10 THEN n_chars + 1000 ELSE n_chars END AS n_chars, lang
-         |  FROM documents WHERE $b >= 5
-         |  UNION ALL
-         |  SELECT doc_id + 10000000 AS doc_id, n_chars, lang FROM documents WHERE $b >= 95
+         |  ${Changes.perturbedDocsSql}
          |), ob AS (
          |  SELECT CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket, COUNT(*) AS o_old
          |  FROM documents GROUP BY 1
@@ -391,6 +388,5 @@ object Quality {
          |    / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE) * CAST(o_old + o_new AS DOUBLE))
          |    AS chi2_bucket
          |FROM t ORDER BY bucket""".stripMargin
-    }
   )
 }

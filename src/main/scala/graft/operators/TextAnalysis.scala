@@ -288,8 +288,7 @@ object TextAnalysis {
     // nats = entropy_q / 1e6 / n is one fixed IEEE tree. Shape: explode →
     // (doc, token) count → per-doc sums, both map-side-combined.
     "ta_entropy" -> { (s, dir) =>
-      def qln(c: org.apache.spark.sql.Column) =
-        round(lit(1000000.0) * log(c)).cast("long")
+      val qln = TextOps.qlog _
       Relational.t(s, dir, "documents")
         .transform(Dedup.spread("doc_id"))
         .filter(length(trim(col("text"))) > 0)

@@ -40,6 +40,17 @@ object TextOps {
       transform(sequence(lit(1), size(toks) - 2), i => concat_ws(" ", slice(toks, i, lit(3))))
     )
 
+  /** Quantized natural log: round(1e6·ln p) as a 64-bit integer — the ONE
+    * definition of the engine's quantize-before-sum contract (NB scoring,
+    * LM perplexity, token entropy). The literal `1000000.0` appears in the
+    * consumers' oracle SQL as well — keep them textually in sync. Note the
+    * quantization makes per-row terms integers (order-independent sums
+    * within an engine); it does not make ln() itself cross-engine
+    * bit-stable — see the caveat at `Learn.cl_lm_perplexity`.
+    */
+  def qlog(p: Column): Column =
+    round(lit(1000000.0) * log(p)).cast("long")
+
   /** Stopword list shared with the oracle SQL (keep in sync textually). */
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 

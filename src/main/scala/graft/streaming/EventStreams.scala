@@ -35,18 +35,25 @@ object EventStreams {
     // An EMPTY landing directory is a legitimate stream start (checkpoint
     // created before the producer's first file); the schema probe cannot
     // infer from zero files, so fall back to the current generation's
-    // declared layout (plain micros ts) — normalizeTs maps either declared
-    // or probed layout to the same logical column.
+    // declared layout (plain micros ts — an empty-dir start cannot know
+    // which generation will arrive, so this one path commits to the
+    // current one) — normalizeTs maps either declared or probed layout to
+    // the same logical column. The catch is NARROW: only the
+    // cannot-infer-from-zero-files condition falls back; a nonexistent or
+    // unreadable path still fails loudly at start rather than beginning a
+    // silently-empty stream.
     val onDisk =
       try spark.read.parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ts", TimestampNTZType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("ts", TimestampNTZType),
+            StructField("user_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType),
+            StructField("props", StringType)))
       }
     graft.sources.Tables.normalizeTs(
       spark.readStream.schema(onDisk).parquet(dir))
