@@ -21,15 +21,27 @@ TABLES = [
 ]
 
 
-def canon(df):
-    """Sort columns by name, then rows; stringify with float rounding."""
+def canon(df, digits=None):
+    """Sort columns by name, then rows; stringify floats at full precision
+    (digits=None → repr, which round-trips doubles exactly) or rounded to
+    `digits` decimal places. Int/float distinction is ALWAYS preserved
+    ("-1450" vs "-1450.0") — that type-skew class failed the driver gate in
+    round 5 while the old `%.9g` rounding here masked it.
+
+    Observed driver behavior (CORRECTNESS_r05): rejects int-vs-float skew and
+    ~1e-10 absolute float error (ev_winsorize), but PASSES genuine 1-ulp
+    divergence (rt_bm25, ss_pagerank hash-matched there while differing from
+    local DuckDB in the last bit). The gate below therefore scores an exact
+    (repr) match as pass, a round-12-only match as pass-with-ulp-warning
+    (driver expected to pass), and anything else as fail.
+    """
     df = df[sorted(df.columns)]
     rows = []
     for t in df.itertuples(index=False):
         row = []
         for v in t:
             if isinstance(v, float):
-                row.append(f"{v:.9g}")
+                row.append(repr(v if digits is None else round(v, digits)))
             else:
                 row.append(str(v))
         rows.append("\x01".join(row))
@@ -46,7 +58,7 @@ def main():
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
-    n_pass = n_fail = n_noracle = 0
+    n_pass = n_fail = n_noracle = n_ulp = 0
     # A query that crashed in graft.Verify writes no result dir; it must count
     # as a FAILURE, not silently vanish from the comparison. The declared
     # query list (queries.json, dumped by Verify) is the source of truth;
@@ -76,9 +88,16 @@ def main():
         ok_schema = sorted(got.columns) == sorted(exp.columns)
         ok_rows = len(got) == len(exp)
         ok_hash = ok_schema and ok_rows and canon(got) == canon(exp)
+        ok_ulp = (not ok_hash and ok_schema and ok_rows
+                  and canon(got, 12) == canon(exp, 12))
         if ok_hash:
             n_pass += 1
             print(f"✓ {name}: {len(got)} rows")
+        elif ok_ulp:
+            n_pass += 1
+            n_ulp += 1
+            print(f"≈ {name}: {len(got)} rows (ulp-level float divergence; "
+                  f"driver gate expected to pass)")
         else:
             n_fail += 1
             print(f"✗ {name}: schema_ok={ok_schema} rows {len(got)} vs {len(exp)}")
@@ -88,10 +107,18 @@ def main():
                 for a, b in diffs:
                     print(f"    spark:  {a[:200]}")
                     print(f"    duckdb: {b[:200]}")
+                # Type skew (int column on one side, float on the other) is
+                # the round-5 failure class — surface it explicitly.
+                cols = sorted(got.columns)
+                tskew = [(c, str(got[c].dtype), str(exp[c].dtype))
+                         for c in cols if str(got[c].dtype) != str(exp[c].dtype)]
+                for c, a, b in tskew:
+                    print(f"    dtype {c}: spark={a} duckdb={b}")
             elif not ok_schema:
                 print(f"    spark cols:  {sorted(got.columns)}")
                 print(f"    duckdb cols: {sorted(exp.columns)}")
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    print(f"\n{n_pass} pass ({n_ulp} ulp-tolerated), {n_fail} fail, "
+          f"{n_noracle} rows-only")
     sys.exit(1 if n_fail else 0)
 
 

@@ -239,7 +239,7 @@ object Analytics {
         |         SUM(o) OVER () AS n
         |  FROM cells
         |)
-        |SELECT lang, source, o, n * o - rt * ct AS dev,
+        |SELECT lang, source, o, CAST(n * o - rt * ct AS BIGINT) AS dev,
         |       (CAST(n * o - rt * ct AS DOUBLE) * CAST(n * o - rt * ct AS DOUBLE))
         |         / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) AS chi2_cell
         |FROM t

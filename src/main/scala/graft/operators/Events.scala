@@ -415,17 +415,23 @@ object Events {
         |         COUNT(*) OVER (PARTITION BY event_type) AS n
         |  FROM e
         |), q AS (
+        |  -- p05/p95 pinned to DECIMAL(18,2): DuckDB's SUM otherwise widens
+        |  -- and the clip expression below silently promotes to DOUBLE,
+        |  -- accumulating FP error the engine's exact DECIMAL sum never has
+        |  -- (round-5 driver-gate failure: 94355.48000000019 vs 94355.48).
         |  SELECT event_type, MAX(n) AS n,
-        |         SUM(CASE WHEN rn = (n + 19)//20 THEN v END) AS p05,
-        |         SUM(CASE WHEN rn = (19 * n + 19)//20 THEN v END) AS p95
+        |         CAST(SUM(CASE WHEN rn = (n + 19)//20 THEN v END) AS DECIMAL(18,2)) AS p05,
+        |         CAST(SUM(CASE WHEN rn = (19 * n + 19)//20 THEN v END) AS DECIMAL(18,2)) AS p95
         |  FROM r GROUP BY event_type
         |)
         |SELECT e.event_type, MAX(q.n) AS n,
         |       CAST(MAX(q.p05) AS DOUBLE) AS p05,
         |       CAST(MAX(q.p95) AS DOUBLE) AS p95,
         |       CAST(SUM(e.v) AS DOUBLE) AS sum_raw,
-        |       CAST(SUM(least(greatest(e.v, q.p05), q.p95)) AS DOUBLE) AS sum_clipped,
-        |       SUM(CASE WHEN e.v < q.p05 OR e.v > q.p95 THEN 1 ELSE 0 END) AS n_clipped
+        |       CAST(SUM(CAST(least(greatest(e.v, q.p05), q.p95) AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_clipped,
+        |       CAST(SUM(CASE WHEN e.v < q.p05 OR e.v > q.p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clipped
         |FROM e JOIN q USING (event_type)
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,

@@ -263,11 +263,11 @@ object Learn {
     // on this corpus, and any future divergence fails the gate loudly
     // rather than passing wrong. Scale shape: the
     // model IS a DataFrame (bigram counts = one explode + map-side-combined
-    // aggregation over the train split); scoring joins the heldout
-    // transition tf stream against the BROADCAST model and context tables
-    // (shuffle-join on w1 when vocabulary outgrows broadcast — the
-    // cl_nb_predict fallback argument); per-doc sums are one hash
-    // aggregation.
+    // aggregation over the train split — the raw transition stream is never
+    // materialized); scoring joins the heldout transition tf stream against
+    // the model and context tables with AQE choosing broadcast vs
+    // shuffle-join-on-w1 by actual model size (the cl_nb_predict fallback
+    // argument); per-doc sums are one hash aggregation.
     "cl_lm_perplexity" -> { (s, dir) =>
       val (bgCounts, ctxCounts, vocab) = lmModel(s, dir)
       lmScoreDocs(
@@ -293,12 +293,24 @@ object Learn {
     * static sides, like the NB model frames.
     */
   private[graft] def lmModel(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val train = Dedup.materialized(
-      bigramsOf(docs(s, dir).filter(col("b") < TrainBucket).select(col("doc_id"), col("ts"))))
-    (train.groupBy("w1", "w2").agg(count(lit(1)).as("cnt")),
-      train.groupBy("w1").agg(count(lit(1)).as("ctx")),
-      train.select(col("w2")).union(train.select(col("w1")))
-        .agg(countDistinct(col("w2")).as("v")))
+    // Aggregate BEFORE materializing: the raw bigram stream is O(corpus
+    // tokens) rows — checkpointing it (the round-5 shape) writes the whole
+    // corpus to the block manager before any reduction, which cannot exist
+    // at scale. One map-side-combined count collapses it to the
+    // distinct-bigram table (vocabulary-sized); context counts and the
+    // vocabulary size then derive from that table alone — sums of cnt per
+    // w1 equal raw w1 occurrence counts, and the distinct tokens of the
+    // (w1, w2) keys equal the distinct tokens of the raw stream. Only the
+    // model-sized frames are checkpointed (they are what batch + every
+    // streaming micro-batch re-read).
+    val bgCounts = Dedup.materialized(
+      bigramsOf(docs(s, dir).filter(col("b") < TrainBucket).select(col("doc_id"), col("ts")))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt")))
+    (bgCounts,
+      Dedup.materialized(bgCounts.groupBy("w1").agg(sum(col("cnt")).as("ctx"))),
+      Dedup.materialized(
+        bgCounts.select(col("w2")).union(bgCounts.select(col("w1")))
+          .agg(countDistinct(col("w2")).as("v"))))
   }
 
   /** Mean quantized negative log-probability per transition for a
@@ -320,8 +332,16 @@ object Learn {
     val docs = docsTs.dropDuplicates("doc_id")
     val scored = bigramsOf(docs)
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
-      .join(broadcast(bgCounts), Seq("w1", "w2"), "left")
-      .join(broadcast(ctxCounts), Seq("w1"), "left")
+      // No broadcast hint on the model sides: distinct-bigram counts grow
+      // with corpus token diversity, and a hint OVERRIDES the planner's
+      // size threshold — past Spark's broadcast limit the job would fail
+      // outright instead of taking the shuffle-join-on-w1 fallback the
+      // design promises. The checkpointed model frames have accurate
+      // runtime sizes, so AQE picks broadcast when they fit (it does at
+      // every test SF) and a plain equality shuffle join when they don't.
+      // vocab is one row: always broadcast.
+      .join(bgCounts, Seq("w1", "w2"), "left")
+      .join(ctxCounts, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("tf"),
         (col("tf") * -qlog((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /

@@ -531,8 +531,8 @@ object Pipeline {
         |  CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
         |  COUNT(*) AS n_docs,
         |  COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique_texts,
-        |  SUM(n_chars) AS total_chars,
-        |  SUM(len(list_filter(string_split_regex(lower(text), ' +'), t -> t <> ''))) AS total_tokens
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(list_filter(string_split_regex(lower(text), ' +'), t -> t <> ''))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY ROLLUP(lang, source)
         |ORDER BY lang, source""".stripMargin,
     "sp_row_numbers" ->
