@@ -144,17 +144,21 @@ object Analytics {
     // dev = N·o − rowTotal·colTotal per cell is pure integer arithmetic
     // (hash-pinned), and the χ² contribution dev²/(N·rT·cT) is one fixed
     // IEEE tree over integer→double casts. Shape: ONE cell aggregation
-    // (|langs|×|sources| rows), then window sums over that tiny table for
-    // row/column/grand totals — corpus size never re-enters.
+    // (|langs|×|sources| rows, checkpointed so the corpus is scanned
+    // exactly once), then the row/column/grand totals are broadcast-joined
+    // aggregates of that tiny table — no window, so no single-partition
+    // WindowExec ever appears, even as a warning.
     "an_chisq" -> { (s, dir) =>
-      val cells = Relational.t(s, dir, "documents")
-        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
-      val rT = sum("o").over(Window.partitionBy("lang"))
-      val cT = sum("o").over(Window.partitionBy("source"))
-      val nT = sum("o").over(Window.partitionBy())
+      val cells = Dedup.materialized(Relational.t(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("o")))
+      val rT = cells.groupBy("lang").agg(sum("o").as("rt"))
+      val cT = cells.groupBy("source").agg(sum("o").as("ct"))
+      val nT = cells.agg(sum("o").as("n"))
       val d = (c: org.apache.spark.sql.Column) => c.cast("double")
       cells
-        .withColumn("rt", rT).withColumn("ct", cT).withColumn("n", nT)
+        .join(broadcast(rT), "lang")
+        .join(broadcast(cT), "source")
+        .crossJoin(broadcast(nT))
         .withColumn("dev", col("n") * col("o") - col("rt") * col("ct"))
         .select(col("lang"), col("source"), col("o"), col("dev"),
           (d(col("dev")) * d(col("dev")) / (d(col("n")) * d(col("rt")) * d(col("ct"))))

@@ -285,19 +285,20 @@ object Pipeline {
     // Normalization sums the sqrt masses through DECIMAL(38,18)
     // (order-independent), one double division per source, and an integer
     // floor allocation against the token budget. Shape: one narrow
-    // aggregation to ~|sources| rows, then an unpartitioned window over
-    // those few rows — the window's single-partition funnel holds |sources|
-    // rows, never corpus rows.
+    // aggregation to the checkpointed ~|sources|-row table, then the
+    // normalizer is a broadcast ONE-ROW aggregate cross-joined back — no
+    // unpartitioned window anywhere, so the corpus is scanned once and no
+    // WindowExec warning can fire.
     "pl_mixture_weights" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val sw = sum(sqrt(col("n_tokens"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 18)))
-        .over(Window.partitionBy()).cast("double")
-      val weight = sqrt(col("n_tokens")) / sw
-      Relational.t(s, dir, "documents")
+      val perSource = Dedup.materialized(Relational.t(s, dir, "documents")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+          sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens")))
+      val total = perSource.agg(
+        sum(sqrt(col("n_tokens")).cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double").as("sw"))
+      val weight = sqrt(col("n_tokens")) / col("sw")
+      perSource.crossJoin(broadcast(total))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           weight.as("weight"),
           floor(weight * lit(MixTokenBudget)).cast("long").as("alloc_tokens"))

@@ -227,25 +227,26 @@ object Quality {
     // is one fixed IEEE tree over integer casts — the an_chisq exactness
     // argument applied to the two-sample test. Shape: two corpus-sized
     // bucket aggregations (map-side partial), a full-outer join on the
-    // |buckets|-row tables, window totals over that tiny frame — corpus
-    // size never re-enters the drift math.
+    // |buckets|-row tables (checkpointed — scanned once), and the grand
+    // totals as a broadcast one-row aggregate cross-joined back — no
+    // unpartitioned window, so corpus size never re-enters the drift math
+    // and no WindowExec warning fires.
     "dq_drift" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val old = Relational.t(s, dir, "documents").select("doc_id", "n_chars", "lang")
       // floor(x / 100) and not a double→long cast: Spark's cast truncates
       // but DuckDB's rounds — FLOOR is the one form both engines agree on.
       def buckets(df: DataFrame, as: String) = df
         .groupBy(floor(col("n_chars") / lit(100)).as("bucket"))
         .agg(count(lit(1)).as(as))
-      val cells = buckets(old, "o_old")
+      val cells = Dedup.materialized(buckets(old, "o_old")
         .join(buckets(Changes.perturbedDocs(old), "o_new"), Seq("bucket"), "full_outer")
         .select(col("bucket"),
           coalesce(col("o_old"), lit(0L)).as("o_old"),
-          coalesce(col("o_new"), lit(0L)).as("o_new"))
+          coalesce(col("o_new"), lit(0L)).as("o_new")))
+      val totals = cells.agg(sum("o_old").as("n_old"), sum("o_new").as("n_new"))
       val d = (c: Column) => c.cast("double")
       cells
-        .withColumn("n_old", sum("o_old").over(Window.partitionBy()))
-        .withColumn("n_new", sum("o_new").over(Window.partitionBy()))
+        .crossJoin(broadcast(totals))
         .withColumn("dev", col("n_new") * col("o_old") - col("n_old") * col("o_new"))
         .select(col("bucket"), col("o_old"), col("o_new"), col("dev"),
           (d(col("dev")) * d(col("dev")) * d(col("n_old") + col("n_new")) /

@@ -346,13 +346,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no query funnels corpus rows through a single-partition window") {
     // An `Exchange SinglePartition` feeding a Window is the classic
-    // unscalable rank: the whole input serializes through one task. The
-    // allowlisted queries run such a window DELIBERATELY over a frame that
-    // is already metadata-sized (|sources| mixture rows, |langs×sources|
-    // chi-square cells, the |skyline-candidates| pass) — documented in each
-    // operator; everything else must rank via partitioned windows or the
-    // range-partition numbering path.
-    val allowed = Set("pl_mixture_weights", "an_chisq", "an_skyline", "dq_drift")
+    // unscalable rank: the whole input serializes through one task. The one
+    // allowlisted query runs such a window DELIBERATELY over a frame that
+    // is already metadata-sized (the |local-skylines| exact pass) —
+    // documented in the operator; everything else (round 6 rewrote the
+    // chi-square / mixture / drift totals as broadcast one-row aggregates)
+    // must rank via partitioned windows or the range-partition numbering
+    // path.
+    val allowed = Set("an_skyline")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !allowed(name)) {
       val p = plan(name)
       assert(!PlanAuditSpec.hasGlobalWindowFunnel(p),
