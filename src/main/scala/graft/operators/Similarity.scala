@@ -194,8 +194,11 @@ object Similarity {
     },
 
     // LSH-bucketed ANN: same output shape, approximate neighbor set.
-    // Rows-only driver check; recall measured in SimilaritySpec.
-    // Candidate generation is ids-only: the bucket join and the distinct
+    // FULLY oracle-gated (round 6): the md5-derived hyperplanes, sign-bit
+    // bucketing, candidate join, and exact re-rank are all reproduced in
+    // DuckDB SQL, so the hash match proves the engine's LSH implements its
+    // spec bit-for-bit; SimilaritySpec separately bounds recall vs brute
+    // force. Candidate generation is ids-only: the bucket join and the distinct
     // shuffle two longs per hit, never the 64-dim vectors (a vector lives in
     // |Tables| buckets, so carrying payloads through the join would replicate
     // every vector 12× into the shuffle and make the distinct hash 128
@@ -231,8 +234,10 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
-    // IVF-bucketed ANN: same output shape; rows-only driver check, recall
-    // measured in SimilaritySpec.
+    // IVF-bucketed ANN: same output shape; FULLY oracle-gated (round 6) —
+    // the DuckDB twin unrolls the deterministic Lloyd's rounds (hash-sample
+    // init, cosine argmin assignment, decimal-exact centroid means) the way
+    // ss_pagerank unrolls power iteration; recall measured in SimilaritySpec.
     "ss_ann_ivf" -> { (s, dir) => ivfTopk(s, dir) },
 
     // Product-quantization ANN (ADC scan + exact re-rank): same output
@@ -316,8 +321,14 @@ object Similarity {
       assigned
         .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos")
+        // Exact DECIMAL sum (order-independent), ONE double division — not
+        // decimal division: Spark rounds a decimal quotient to scale 18
+        // before the double cast while DuckDB divides through DOUBLE, so
+        // the quotient forms diverge at the ulp; sum→double→÷n is a single
+        // correctly-rounded IEEE op in both engines, which is what lets
+        // the whole IVF pipeline carry a full SQL oracle.
         .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
-          / count(lit(1))).cast("double").as("m"))
+          .cast("double") / count(lit(1))).as("m"))
         .groupBy("c_id")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -424,8 +435,9 @@ object Similarity {
           first(col("sv")).as("sv"))
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("sub", "cid", "pos")
+        // Same sum→double→÷n form as trainCentroids (cross-engine-exact).
         .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
-          / count(lit(1))).cast("double").as("m"))
+          .cast("double") / count(lit(1))).as("m"))
         .groupBy("sub", "cid")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -612,6 +624,15 @@ object Similarity {
     adcRerank(e, joined)
   }
 
+  /** DuckDB sequential-fold dot product / cosine over list columns — the
+    * bit-exact twin of [[Dedup.dotSeq]] / [[cosine]] (left fold in index
+    * order, 0.0 seed ≡ first-element seed).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce([$a[i] * $b[i] FOR i IN range(1, len($a)+1)], (p, s) -> p + s)"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
   val oracles: Map[String, String] = Map(
     "ss_topk_bruteforce" ->
       s"""WITH e AS (
@@ -766,7 +787,106 @@ object Similarity {
         |SELECT vec_id, nrm,
         |  array_to_string(list_transform(v, x ->
         |    CAST(CAST(floor(x * 127 / nrm + 0.5) AS INT) AS VARCHAR)), ',') AS qvec
-        |FROM n ORDER BY vec_id""".stripMargin
-    // ss_ann_lsh / ss_ann_ivf / ss_ann_pq / ss_ann_ivfpq: intentionally no oracle (approximate); recall tested in ScalaTest.
+        |FROM n ORDER BY vec_id""".stripMargin,
+    // Full LSH twin: plane components re-derived from md5 exactly as
+    // [[planeComponent]] ('p:<plane>:<dim>', first 15 hex chars → 60-bit
+    // int, % 2000 − 1000, ÷ 1000.0), sign-bit bucketing per
+    // [[graft.functions.LshBuckets]] (bit p of table t = sign of the fold
+    // dot with plane t·PlanesPerTable+p), same-bucket candidate join, exact
+    // cosine re-rank. A hash match proves the engine LSH implements its
+    // spec bit-for-bit — the approximation is in the DESIGN (bucketing),
+    // not the execution, so it is as oracle-checkable as any exact query.
+    "ss_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), pl AS (
+         |  SELECT pp.p AS p,
+         |    list(((CAST('0x' || substr(md5('p:' || pp.p || ':' || dd.d), 1, 15) AS BIGINT)
+         |           % 2000) - 1000) / 1000.0 ORDER BY dd.d) AS pv
+         |  FROM range(${Tables * PlanesPerTable}) pp(p) CROSS JOIN range($Dims) dd(d)
+         |  GROUP BY pp.p
+         |), sg AS (
+         |  SELECT e.vec_id, pl.p // $PlanesPerTable AS tbl, pl.p % $PlanesPerTable AS bit,
+         |    CASE WHEN ${dotSql("e.v", "pl.pv")} >= 0 THEN 1 ELSE 0 END AS s
+         |  FROM e CROSS JOIN pl
+         |), bk AS (
+         |  SELECT vec_id, tbl, SUM(s * (1 << bit)) AS bucket FROM sg GROUP BY vec_id, tbl
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM bk q JOIN bk b ON q.tbl = b.tbl AND q.bucket = b.bucket
+         |  WHERE q.vec_id < $NQueries AND q.vec_id <> b.vec_id
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id, ${cosSql("q.v", "n.v")} AS cos
+         |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
+         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    // Full IVF twin: Lloyd's rounds unrolled the way ss_pagerank unrolls
+    // power iteration. Init = the IvfCells lowest md5Long(7, vec_id)
+    // vectors; each round assigns every vector to its (cosine DESC, c_id
+    // ASC) nearest centroid and recenters per dimension through an exact
+    // DECIMAL(38,18) sum, one double division (the engine uses the same
+    // sum→double→÷n form — decimal-quotient rounding is NOT cross-engine).
+    // Query probes its IvfProbes nearest final cells; candidates come from
+    // the stored corpus-cell assignment; exact cosine re-rank.
+    "ss_ann_ivf" -> {
+      val rounds = (1 to IvfIters).map { i =>
+        s"""a$i AS (
+           |  SELECT vec_id, v, c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id ASC) AS crk
+           |  FROM (SELECT e.vec_id, e.v, c.c_id, ${cosSql("e.v", "c.cv")} AS ccos
+           |        FROM e CROSS JOIN c${i - 1} c)
+           |), m$i AS (
+           |  SELECT c_id, d.d AS pos,
+           |    CAST(SUM(CAST(v[d.d + 1] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM a$i CROSS JOIN range($Dims) d(d) WHERE crk = 1
+           |  GROUP BY c_id, d.d
+           |), c$i AS (
+           |  SELECT c_id, list(m ORDER BY pos) AS cv FROM m$i GROUP BY c_id
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), c0 AS (
+         |  SELECT vec_id AS c_id, v AS cv FROM e
+         |  ORDER BY CAST('0x' || substr(md5('7:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+         |    vec_id
+         |  LIMIT $IvfCells
+         |), $rounds, qc AS (
+         |  SELECT vec_id AS query_id, v AS qv, c_id
+         |  FROM (
+         |    SELECT e.vec_id, e.v, c.c_id,
+         |      ROW_NUMBER() OVER (
+         |        PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS crk
+         |    FROM e CROSS JOIN c$IvfIters c WHERE e.vec_id < $NQueries
+         |  ) WHERE crk <= $IvfProbes
+         |), cc AS (
+         |  SELECT vec_id AS neighbor_id, v AS nv, c_id
+         |  FROM (
+         |    SELECT e.vec_id, e.v, c.c_id,
+         |      ROW_NUMBER() OVER (
+         |        PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS crk
+         |    FROM e CROSS JOIN c$IvfIters c
+         |  ) WHERE crk = 1
+         |), scored AS (
+         |  SELECT qc.query_id, cc.neighbor_id, ${cosSql("qc.qv", "cc.nv")} AS cos
+         |  FROM qc JOIN cc USING (c_id) WHERE qc.query_id <> cc.neighbor_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
+         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+    }
+    // ss_ann_pq / ss_ann_ivfpq: intentionally no oracle (the ADC scan's
+    // codebook argmins are reproducible but the unrolled 8-subspace twin is
+    // disproportionate SQL); recall floors tested in SimilaritySpec.
   )
 }
