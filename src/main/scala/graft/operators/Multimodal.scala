@@ -7,27 +7,107 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus partition-batched decode / feature-extraction /
   * frame-sampling operators.
   *
-  * The decode KERNELS are deterministic STUBS (no image/audio codecs exist in
-  * this environment): `stubDecodeFeatures` computes a byte-histogram "feature
-  * vector" in place of a real model/codec. Everything around the kernel —
-  * the binary+struct schema, the `mapPartitions` batch shape (one buffer
-  * reused per partition, matching how a real codec/model would amortize
-  * per-batch setup), partitioning, and column plumbing — is real and tested.
-  * Swapping in a real decoder means replacing the body of one function.
+  * Two decode tiers:
   *
-  * The media "files" are derived deterministically from the documents table
-  * (UTF-8 bytes of the text as payload) so the operators run on the standard
-  * corpus at every scale factor.
+  *  1. '''Real codec path''' (`mm_decode_features`, round 6): the image
+  *     fixture is genuine 24-bit BMP bytes (encoded AND decoded through the
+  *     JDK's ImageIO BMP codec — the one raster codec a bare JVM ships),
+  *     with pixel values a closed-form function of (doc_id, linear index),
+  *     widths 13–16 so every BMP row-padding case (1/2/3/0 pad bytes) is
+  *     exercised. The decoded per-channel pixel sums are integers, so the
+  *     whole decode pipeline — header parse, bottom-up row order, BGR
+  *     channel order, padding — is proven bit-exact against a DuckDB
+  *     closed-form oracle. A real camera JPEG would swap `ImageIO.read` for
+  *     a JPEG decode; the Spark-side shape is identical.
+  *  2. '''Stub model path''' (`stubDecodeFeatures`): a byte-histogram
+  *     "feature vector" standing in for a learned embedding model (none
+  *     exists in this environment) — kept as the documented
+  *     batched-inference shape.
+  *
+  * The non-image media "files" are derived deterministically from the
+  * documents table (UTF-8 bytes of the text as payload) so the operators run
+  * on the standard corpus at every scale factor.
   *
   * Scale: decode is a narrow per-partition map — no shuffle; feature
-  * aggregation shuffles only (source, 16-float) rows. Frame sampling fans out
-  * rows but stays narrow. At 100 TB the binary payloads dominate scan cost;
-  * metadata-only predicates (`meta.n_bytes < X`) prune before decode.
+  * aggregation shuffles only (source, few-longs) rows. Frame sampling fans
+  * out rows but stays narrow. At 100 TB the binary payloads dominate scan
+  * cost; metadata-only predicates (`meta.n_bytes < X`) prune before decode.
   */
 object Multimodal {
 
   val FeatureDims = 16
   val FrameBytes = 256
+
+  /** Image fixture geometry: height fixed, width 13–16 by doc_id so the BMP
+    * rows need 1, 2, 3, and 0 pad bytes respectively — the decode must get
+    * stride handling right for every case or the channel sums shift.
+    */
+  val ImgH = 16
+  def imgW(docId: Long): Int = 13 + (docId % 4).toInt
+
+  /** Pixel byte at linear index i of doc docId (channel-major RGB order:
+    * i = (y·W + x)·3 + c). Closed form ⇒ the DuckDB oracle recomputes the
+    * decoded sums without any codec.
+    */
+  def pixelByte(docId: Long, i: Long): Int = ((docId * 31 + i) % 256).toInt
+
+  /** Encode the doc's fixture image as real BMP bytes via the JDK codec. */
+  def encodeBmp(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (y.toLong * w + x) * 3
+        img.setRGB(x, y,
+          (pixelByte(docId, base) << 16) |
+            (pixelByte(docId, base + 1) << 8) |
+            pixelByte(docId, base + 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode kernel: parse the BMP through ImageIO and return
+    * (n_px, Σr, Σg, Σb) — integer statistics, exact by construction.
+    */
+  def decodePixelSums(payload: Array[Byte]): (Long, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth.toLong * img.getHeight, sr, sg, sb)
+  }
+
+  /** Image manifest: one real-BMP media row per document. The encode runs
+    * distributed in the same partition-batched shape as decode (in
+    * production the bytes arrive from the lake; the fixture synthesizes
+    * them in place so every scale factor has images).
+    */
+  def imageManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Relational.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per image
+        rows.map { case (id, src) => (id, src, encodeBmp(id, imgW(id), ImgH)) }
+      }
+      .toDF("doc_id", "source", "media")
+  }
 
   /** Manifest: one media row per document — binary payload + typed metadata. */
   def manifest(s: SparkSession, dir: String): DataFrame =
@@ -109,20 +189,32 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Feature extraction + per-source aggregation (rows-only driver check:
-    // the stub kernel has no SQL-engine equivalent; determinism and batch
-    // shape are asserted in MultimodalSpec).
+    // REAL image decode + per-source pixel statistics, fully hash-gated
+    // (round 6; previously a rows-only stub): every document's media is
+    // genuine BMP bytes, decoded through the JDK ImageIO codec inside a
+    // partition-batched map; the per-channel integer sums aggregate per
+    // source. The DuckDB oracle recomputes the sums from the pixel
+    // closed form — a hash match proves the encode→decode round trip
+    // (header, stride padding, BGR order, bottom-up rows) is bit-exact.
     "mm_decode_features" -> { (s, dir) =>
-      val feats = decodeFeatures(manifest(s, dir))
-      feats
-        .join(Relational.t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+      import s.implicits._
+      imageManifest(s, dir)
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions { rows =>
+          // Per-partition setup would go here (codec init, model session).
+          rows.map { case (id, src, payload) =>
+            val (n, r, g, b) = decodePixelSums(payload)
+            (id, src, n, r, g, b)
+          }
+        }
+        .toDF("doc_id", "source", "n_px", "sum_r", "sum_g", "sum_b")
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_media"),
-          sum(element_at(col("features"), 1).cast("decimal(20,10)")).cast("double").as("sum_f0"),
-          sum(aggregate(col("features"), lit(0.0f), (a, x) => a + x).cast("decimal(20,10)"))
-            .cast("double").as("sum_l1")
-        )
+          sum("n_px").as("n_px"),
+          sum("sum_r").as("sum_r"),
+          sum("sum_g").as("sum_g"),
+          sum("sum_b").as("sum_b"))
         .orderBy("source")
     },
 
@@ -182,6 +274,23 @@ object Multimodal {
     * contributes its own length.
     */
   val oracles: Map[String, String] = Map(
+    // The decoded image statistics in closed form: pixel byte i of doc d is
+    // (d·31 + i) % 256 over W·H·3 channel-major bytes, W = 13 + d%4, H = 16.
+    // A fixed max-width range cross join + per-doc length filter regenerates
+    // every channel byte (DuckDB 1.0 range() takes no lateral parameters);
+    // integer sums only.
+    "mm_decode_features" ->
+      s"""WITH px AS (
+         |  SELECT d.doc_id, d.source, i.i AS i, (d.doc_id * 31 + i.i) % 256 AS v
+         |  FROM documents d CROSS JOIN range(${16 * ImgH * 3}) i(i)
+         |  WHERE i.i < (13 + d.doc_id % 4) * $ImgH * 3
+         |)
+         |SELECT source, COUNT(DISTINCT doc_id) AS n_media,
+         |  CAST(COUNT(*) // 3 AS BIGINT) AS n_px,
+         |  CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+         |  CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+         |  CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+         |FROM px GROUP BY source ORDER BY source""".stripMargin,
     "mm_resize_meta" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(least(64 + (doc_id % 8) * 16, 96) AS INT) AS width,

@@ -15,6 +15,28 @@ class MultimodalSpec extends SparkSpec {
     assert(m.filter(col("meta.format").isin("png", "jpeg", "wav", "mp4")).count() == m.count())
   }
 
+  test("BMP fixture round-trips exactly through the JDK codec for every padding width") {
+    // doc_ids 0..3 → widths 13..16 → BMP row padding 1, 2, 3, 0 bytes.
+    for (docId <- 0L to 3L) {
+      val w = Multimodal.imgW(docId)
+      val bytes = Multimodal.encodeBmp(docId, w, Multimodal.ImgH)
+      assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "not a BMP header")
+      val (n, sr, sg, sb) = Multimodal.decodePixelSums(bytes)
+      assert(n == w.toLong * Multimodal.ImgH)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (i <- 0L until n * 3) {
+        val v = Multimodal.pixelByte(docId, i)
+        (i % 3) match {
+          case 0 => er += v
+          case 1 => eg += v
+          case _ => eb += v
+        }
+      }
+      assert((sr, sg, sb) == ((er, eg, eb)),
+        s"decoded channel sums diverge from closed form at width $w")
+    }
+  }
+
   test("stub decode kernel is deterministic and L1-normalized") {
     val payload = "hello multimodal world".getBytes("UTF-8")
     val a = Multimodal.stubDecodeFeatures(payload)
