@@ -127,21 +127,40 @@ class DedupSpec extends SparkSpec {
   }
 
   test("cluster assignment equals union-find closure of the pair set") {
-    val edges = pairs("dd_ngram_pairs")
-    // Reference closure: driver-side union-find over the collected pair set.
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    import org.apache.spark.sql.functions.col
+    def unionFind(edges: Set[(Long, Long)]): Map[Long, Long] = {
+      // Reference closure: driver-side union-find over the collected pair set.
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => x -> find(x)).toMap
     }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val want = parent.keys.map(x => x -> find(x)).toMap
-    val got = Dedup.queries("dd_clusters")(spark, sf()).collect()
-      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getLong(r.fieldIndex("cluster_id"))).toMap
-    assert(got == want, s"cluster labels diverge: ${got.toSet -- want.toSet} vs ${want.toSet -- got.toSet}")
+    def got(name: String): Map[Long, Long] =
+      Dedup.queries(name)(spark, sf()).collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getLong(r.fieldIndex("cluster_id"))).toMap
+    val full = pairs("dd_ngram_pairs")
+    // dd_clusters_ls closes the FULL pair set; dd_clusters (label-prop) runs
+    // on the deterministic bucket<cap tier — equal to the full pair set
+    // restricted to both-endpoints-in-tier (Jaccard is pairwise).
+    val wantFull = unionFind(full)
+    val gotLs = got("dd_clusters_ls")
+    assert(gotLs == wantFull,
+      s"ls labels diverge: ${gotLs.toSet -- wantFull.toSet} vs ${wantFull.toSet -- gotLs.toSet}")
+    val buckets = Relational.t(spark, sf(), "documents")
+      .select(col("doc_id"), Pipeline.bucket(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cap = Dedup.LabelPropCapBucket
+    val wantTier = unionFind(full.filter { case (a, b) => buckets(a) < cap && buckets(b) < cap })
+    val gotLp = got("dd_clusters")
+    assert(wantTier.nonEmpty, "tier should retain near-dup pairs")
+    assert(gotLp == wantTier,
+      s"label-prop labels diverge: ${gotLp.toSet -- wantTier.toSet} vs ${wantTier.toSet -- gotLp.toSet}")
   }
 
   test("cluster sizes count members per label") {
