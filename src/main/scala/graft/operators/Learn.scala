@@ -274,8 +274,58 @@ object Learn {
         docs(s, dir).filter(col("b") >= TestBucket).select(col("doc_id"), col("ts")),
         bgCounts, ctxCounts, vocab)
         .orderBy("doc_id")
+    },
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw-pool
+    // document by how much more likely its hashed-unigram features are
+    // under the TARGET distribution than under the raw pool itself —
+    // w(x) = Σ_features tf(f) · [log p̂_target(f) − log p̂_raw(f)], the
+    // log importance ratio between two Laplace-smoothed hashed n-gram LMs.
+    // Here the deterministic heldout split (bucket ≥ TestBucket) stands in
+    // for the target corpus and the train split is the raw crawl pool; the
+    // selected-for-pretraining subset is then any downstream resample over
+    // w (sp_weighted_sample composes directly). Determinism is the NB/LM
+    // contract: each log is quantized to integer millionths BEFORE the
+    // per-doc sum, so weights are exact integer sums. Scale shape: BOTH
+    // feature LMs are ≤ DsirFeatures rows (hashing is the paper's trick to
+    // bound model size independent of vocabulary) and broadcast; the corpus
+    // makes one explode → (doc, feat) tf aggregation; totals are one-row
+    // broadcast cross-joins. Nothing corpus-sized is ever collected,
+    // checkpointed, or shuffled more than once.
+    "pl_dsir_weights" -> { (s, dir) =>
+      import graft.functions.HashFunctions.md5Long
+      val d = docs(s, dir)
+      def feats(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), explode(col("ts")).as("token"))
+        .select(col("doc_id"),
+          pmod(md5Long(DsirSeed, col("token")), lit(DsirFeatures.toLong)).as("feat"))
+      val targetCounts = feats(d.filter(col("b") >= TestBucket))
+        .groupBy("feat").agg(count(lit(1)).as("ct"))
+      val rawFeats = feats(d.filter(col("b") < TrainBucket))
+      val rawCounts = rawFeats.groupBy("feat").agg(count(lit(1)).as("cr"))
+      val totals = targetCounts.agg(sum(col("ct")).as("n_t"))
+        .crossJoin(rawCounts.agg(sum(col("cr")).as("n_r")))
+      rawFeats.groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
+        .join(broadcast(targetCounts), Seq("feat"), "left")
+        .join(broadcast(rawCounts), Seq("feat"))
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("tf"),
+          (col("tf") *
+            (qlog((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("n_t") + lit(DsirFeatures))) -
+              qlog((col("cr") + lit(1.0)) / (col("n_r") + lit(DsirFeatures))))).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"), sum(col("c")).as("w_q"))
+        .orderBy("doc_id")
     }
   )
+
+  /** DSIR hashed-feature space: tokens hash into this many buckets (bounds
+    * both feature LMs at DsirFeatures rows regardless of vocabulary — the
+    * paper's scalability device) under seed [[DsirSeed]].
+    */
+  val DsirFeatures = 4096
+  val DsirSeed = 13
 
   /** Consecutive-token bigrams of a (doc_id, ts) frame → (doc_id, w1, w2). */
   private def bigramsOf(docsTs: DataFrame): DataFrame = docsTs
@@ -511,6 +561,34 @@ object Learn {
          |  CASE WHEN COALESCE(n_transitions, 0) = 0 THEN NULL
          |       ELSE CAST(nll_q_sum AS DOUBLE) / n_transitions END AS mean_nll_q
          |FROM (SELECT doc_id FROM d WHERE b >= $TestBucket) t
-         |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+         |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // DSIR twin: identical hashed-feature space (md5-bucketed unigrams),
+    // identical Laplace smoothing and quantize-before-sum log ratio.
+    // SUM() casts to BIGINT — DuckDB's HUGEINT would skew the driver's
+    // canonicalized type (the round-5 lesson).
+    "pl_dsir_weights" ->
+      s"""WITH d AS (
+         |  $docsSql
+         |), ft AS (
+         |  SELECT doc_id, b,
+         |    CAST('0x' || substr(md5('$DsirSeed:' || token), 1, 15) AS BIGINT) % $DsirFeatures AS feat
+         |  FROM (SELECT doc_id, b, UNNEST(ts) AS token FROM d)
+         |), tc AS (
+         |  SELECT feat, COUNT(*) AS ct FROM ft WHERE b >= $TestBucket GROUP BY feat
+         |), rc AS (
+         |  SELECT feat, COUNT(*) AS cr FROM ft WHERE b < $TrainBucket GROUP BY feat
+         |), tot AS (
+         |  SELECT (SELECT COUNT(*) FROM ft WHERE b >= $TestBucket) AS n_t,
+         |         (SELECT COUNT(*) FROM ft WHERE b < $TrainBucket) AS n_r
+         |), tf AS (
+         |  SELECT doc_id, feat, COUNT(*) AS tf FROM ft WHERE b < $TrainBucket
+         |  GROUP BY doc_id, feat
+         |)
+         |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(tf.tf *
+         |    (CAST(round(1000000.0 * ln((COALESCE(tc.ct, 0) + 1.0) / (tot.n_t + $DsirFeatures))) AS BIGINT)
+         |     - CAST(round(1000000.0 * ln((rc.cr + 1.0) / (tot.n_r + $DsirFeatures))) AS BIGINT))) AS BIGINT) AS w_q
+         |FROM tf LEFT JOIN tc USING (feat) JOIN rc USING (feat) CROSS JOIN tot
+         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
   )
 }

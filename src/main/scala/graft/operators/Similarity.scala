@@ -264,8 +264,44 @@ object Similarity {
             graft.functions.QuantizeInt8(col("v"), col("nrm")).cast("array<string>"),
             ",").as("qvec"))
         .orderBy("vec_id")
+    },
+
+    // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    // web-scale through semantic deduplication"): prune semantically
+    // near-duplicate items by clustering embeddings with k-means and
+    // comparing pairs ONLY within a cluster — the published trick that
+    // turns embedding dedup's O(n²) into Σ|cell|² with bounded cells (at
+    // 100 TB you raise k with n, so |cell| stays constant and the pair tier
+    // is linear in the corpus). Reuses the STORED IVF coarse quantizer
+    // (`ivf_centroids`/`ivf_cells` — one trained structure serving both ANN
+    // and dedup, like a production vector lake); each pruned vector reports
+    // its lowest-id duplicate keeper and the cosine to it. Fully hash-gated:
+    // the oracle re-runs the unrolled Lloyd's rounds (shared CTE with
+    // ss_ann_ivf) and the same intra-cell pair scan.
+    "dd_semantic" -> { (s, dir) =>
+      val m = vecs(s, dir).join(ivfCells(s, dir), "vec_id")
+      val keep = m.select(col("cell"), col("vec_id").as("keep_id"), col("v").as("kv"))
+      m.join(keep, Seq("cell"))
+        .filter(col("keep_id") < col("vec_id"))
+        .select(col("cell"), col("vec_id"), col("keep_id"),
+          cosine(col("kv"), col("v")).as("cos"))
+        .filter(col("cos") >= SemTau)
+        .groupBy("vec_id", "cell")
+        .agg(
+          min("keep_id").as("dup_of"),
+          min_by(col("cos"), col("keep_id")).as("cos"),
+          count(lit(1)).as("n_dups"))
+        .orderBy("vec_id")
     }
   )
+
+  /** SemDeDup intra-cluster cosine threshold. The corpus has no planted
+    * embedding clusters (pair cosines ~0.3-0.5), so the threshold sits in
+    * the distribution's upper tail to exercise a real pruned set at every
+    * SF; with genuinely clustered embeddings the published τ ≈ 0.95+ drops
+    * in unchanged.
+    */
+  val SemTau = 0.42
 
   /** PageRank power-iteration rounds for [[queries ss_pagerank]]. */
   val PrIters = 3
@@ -826,37 +862,11 @@ object Similarity {
          |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
          |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
     // Full IVF twin: Lloyd's rounds unrolled the way ss_pagerank unrolls
-    // power iteration. Init = the IvfCells lowest md5Long(7, vec_id)
-    // vectors; each round assigns every vector to its (cosine DESC, c_id
-    // ASC) nearest centroid and recenters per dimension through an exact
-    // DECIMAL(38,18) sum, one double division (the engine uses the same
-    // sum→double→÷n form — decimal-quotient rounding is NOT cross-engine).
-    // Query probes its IvfProbes nearest final cells; candidates come from
-    // the stored corpus-cell assignment; exact cosine re-rank.
-    "ss_ann_ivf" -> {
-      val rounds = (1 to IvfIters).map { i =>
-        s"""a$i AS (
-           |  SELECT vec_id, v, c_id,
-           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id ASC) AS crk
-           |  FROM (SELECT e.vec_id, e.v, c.c_id, ${cosSql("e.v", "c.cv")} AS ccos
-           |        FROM e CROSS JOIN c${i - 1} c)
-           |), m$i AS (
-           |  SELECT c_id, d.d AS pos,
-           |    CAST(SUM(CAST(v[d.d + 1] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
-           |  FROM a$i CROSS JOIN range($Dims) d(d) WHERE crk = 1
-           |  GROUP BY c_id, d.d
-           |), c$i AS (
-           |  SELECT c_id, list(m ORDER BY pos) AS cv FROM m$i GROUP BY c_id
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-         |), c0 AS (
-         |  SELECT vec_id AS c_id, v AS cv FROM e
-         |  ORDER BY CAST('0x' || substr(md5('7:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-         |    vec_id
-         |  LIMIT $IvfCells
-         |), $rounds, qc AS (
+    // power iteration ([[trainedCellsCte]]). Query probes its IvfProbes
+    // nearest final cells; candidates come from the stored corpus-cell
+    // assignment; exact cosine re-rank.
+    "ss_ann_ivf" ->
+      s"""WITH $trainedCellsCte, qc AS (
          |  SELECT vec_id AS query_id, v AS qv, c_id
          |  FROM (
          |    SELECT e.vec_id, e.v, c.c_id,
@@ -865,15 +875,6 @@ object Similarity {
          |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS crk
          |    FROM e CROSS JOIN c$IvfIters c WHERE e.vec_id < $NQueries
          |  ) WHERE crk <= $IvfProbes
-         |), cc AS (
-         |  SELECT vec_id AS neighbor_id, v AS nv, c_id
-         |  FROM (
-         |    SELECT e.vec_id, e.v, c.c_id,
-         |      ROW_NUMBER() OVER (
-         |        PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS crk
-         |    FROM e CROSS JOIN c$IvfIters c
-         |  ) WHERE crk = 1
          |), scored AS (
          |  SELECT qc.query_id, cc.neighbor_id, ${cosSql("qc.qv", "cc.nv")} AS cos
          |  FROM qc JOIN cc USING (c_id) WHERE qc.query_id <> cc.neighbor_id
@@ -883,10 +884,68 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
-         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
-    }
+         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    // SemDeDup twin: the SAME trained-cells CTE as ss_ann_ivf (one coarse
+    // quantizer, two consumers — mirroring the engine's shared stored
+    // index), then the identical intra-cell pair scan, threshold, and
+    // per-vector lowest-keeper aggregation.
+    "dd_semantic" ->
+      s"""WITH $trainedCellsCte, pr AS (
+         |  SELECT b.neighbor_id AS vec_id, c_id AS cell, a.neighbor_id AS keep_id,
+         |    ${cosSql("a.nv", "b.nv")} AS cos
+         |  FROM cc a JOIN cc b USING (c_id)
+         |  WHERE a.neighbor_id < b.neighbor_id
+         |)
+         |SELECT vec_id, cell, MIN(keep_id) AS dup_of, arg_min(cos, keep_id) AS cos,
+         |  COUNT(*) AS n_dups
+         |FROM pr WHERE cos >= $SemTau
+         |GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin
     // ss_ann_pq / ss_ann_ivfpq: intentionally no oracle (the ADC scan's
     // codebook argmins are reproducible but the unrolled 8-subspace twin is
     // disproportionate SQL); recall floors tested in SimilaritySpec.
   )
+
+  /** Shared DuckDB CTE prefix re-deriving the engine's stored coarse
+    * quantizer: `e` (double vectors), hash-sample init `c0`, unrolled
+    * Lloyd's rounds (cosine-argmin assignment, DECIMAL(38,18)-exact sums,
+    * ONE double division per mean — the engine's sum→double→÷n form;
+    * decimal-quotient rounding is NOT cross-engine), ending in `cc` — the
+    * corpus cell assignment (neighbor_id, nv, c_id). Shared by the
+    * ss_ann_ivf and dd_semantic oracles so both consume literally the same
+    * trained structure, exactly like the engine's shared stored index.
+    */
+  private lazy val trainedCellsCte: String = {
+    val rounds = (1 to IvfIters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, v, c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id ASC) AS crk
+         |  FROM (SELECT e.vec_id, e.v, c.c_id, ${cosSql("e.v", "c.cv")} AS ccos
+         |        FROM e CROSS JOIN c${i - 1} c)
+         |), m$i AS (
+         |  SELECT c_id, d.d AS pos,
+         |    CAST(SUM(CAST(v[d.d + 1] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM a$i CROSS JOIN range($Dims) d(d) WHERE crk = 1
+         |  GROUP BY c_id, d.d
+         |), c$i AS (
+         |  SELECT c_id, list(m ORDER BY pos) AS cv FROM m$i GROUP BY c_id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS c_id, v AS cv FROM e
+       |  ORDER BY CAST('0x' || substr(md5('7:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |    vec_id
+       |  LIMIT $IvfCells
+       |), $rounds, cc AS (
+       |  SELECT vec_id AS neighbor_id, v AS nv, c_id
+       |  FROM (
+       |    SELECT e.vec_id, e.v, c.c_id,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS crk
+       |    FROM e CROSS JOIN c$IvfIters c
+       |  ) WHERE crk = 1
+       |)""".stripMargin
+  }
 }

@@ -113,4 +113,39 @@ class LearnSpec extends SparkSpec {
     assert(inDist.nonEmpty && ood > 2 * inDist.max,
       s"OOD doc must score far above in-distribution: ood=$ood in=${inDist.toSeq.sorted}")
   }
+
+  test("DSIR weights rank target-like raw docs strictly above raw-typical docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // The target split (bucket >= TestBucket) speaks vocabT. Raw-pool docs
+    // (bucket < TrainBucket) split by parity: even doc_ids speak vocabT
+    // (target-like — what DSIR should select), odd speak vocabR. Every doc
+    // has the same token count, so the importance weights are directly
+    // comparable: every target-like raw doc must outweigh every raw-typical
+    // one (its features are common under the target LM and no rarer under
+    // the raw LM).
+    val vocabT = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val vocabR = Seq("omega", "psi", "chi", "phi", "upsilon")
+    val ids = (0L until 400L)
+    val buckets = ids.toDF("doc_id")
+      .select(col("doc_id"), Pipeline.bucket(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = ids.map { i =>
+      val v = if (buckets(i) >= Learn.TestBucket || i % 2 == 0) vocabT else vocabR
+      (i, "en", (0 until 12).map(j => v(((i + j) % v.length).toInt)).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val w = Learn.queries("pl_dsir_weights")(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("n_tokens")), r.getLong(r.fieldIndex("w_q")))).toSeq
+    val rawIds = ids.filter(i => buckets(i) < Learn.TrainBucket)
+    assert(w.map(_._1).toSet == rawIds.toSet, "exactly the raw pool is scored")
+    assert(w.forall(_._2 == 12L), "equal token counts by construction")
+    val (tLike, rLike) = w.partition(_._1 % 2 == 0)
+    assert(tLike.nonEmpty && rLike.nonEmpty)
+    assert(tLike.map(_._3).min > rLike.map(_._3).max,
+      s"target-like min ${tLike.map(_._3).min} must exceed raw-typical max ${rLike.map(_._3).max}")
+  }
 }

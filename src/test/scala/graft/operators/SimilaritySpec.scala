@@ -158,4 +158,39 @@ class SimilaritySpec extends SparkSpec {
     // absent, and something IS reached beyond hop 0 on a connected-ish graph.
     assert(hops.values.max >= 1, "BFS never left the source")
   }
+
+  test("semantic dedup prunes planted duplicate groups to one keeper each, nothing else") {
+    import spark.implicits._
+    // Two groups of IDENTICAL vectors on orthogonal axes plus one-hot
+    // singletons. Identical members have identical cosine to every centroid,
+    // so the deterministic (cos DESC, c_id ASC) assignment puts a whole
+    // group in ONE k-means cell regardless of how Lloyd's rounds land —
+    // the spec therefore pins the EXACT SemDeDup output: every non-minimum
+    // group member pruned against the group minimum at cos 1, singletons
+    // (pairwise cos 0 < τ) untouched.
+    val dims = Similarity.Dims
+    def oneHot(axis: Int): Array[Float] = {
+      val a = Array.fill(dims)(0f); a(axis) = 1f; a
+    }
+    val rows =
+      (0 until 5).map(i => (i.toLong, oneHot(0), 0)) ++
+        (5 until 9).map(i => (i.toLong, oneHot(7), 1)) ++
+        (9 until 30).map(i => (i.toLong, oneHot(14 + (i - 9)), 2))
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    rows.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.queries("dd_semantic")(spark, dir).collect()
+    val got = out.map(r =>
+      r.getLong(r.fieldIndex("vec_id")) -> r.getLong(r.fieldIndex("dup_of"))).toMap
+    val want = ((1L to 4L).map(_ -> 0L) ++ (6L to 8L).map(_ -> 5L)).toMap
+    assert(got == want, s"pruned set diverges: got $got, want $want")
+    out.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("cos")) >= Similarity.SemTau)
+      assert(r.getLong(r.fieldIndex("dup_of")) < r.getLong(r.fieldIndex("vec_id")))
+    }
+    // n_dups counts every same-cell ≥ τ neighbor with a smaller id: the
+    // k-th member of a duplicate group (0-based within the group) has k.
+    val nd = out.map(r =>
+      r.getLong(r.fieldIndex("vec_id")) -> r.getLong(r.fieldIndex("n_dups"))).toMap
+    assert(nd == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 6L -> 1L, 7L -> 2L, 8L -> 3L))
+  }
 }
