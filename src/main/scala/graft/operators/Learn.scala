@@ -276,6 +276,41 @@ object Learn {
         .orderBy("doc_id")
     },
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    // scored corpus into head/middle/tail tertiles PER LANGUAGE by LM
+    // perplexity — the published recipe for training-data curation where
+    // "head" (most in-distribution) feeds pretraining first and "tail" is
+    // dropped or down-weighted. Rank semantics, not value cutoffs: each
+    // lang's docs take the total (mean_nll_q ASC, doc_id ASC) order — ties
+    // split deterministically — and the tertile boundaries are nearest-rank
+    // ceil(n/3)/ceil(2n/3) in exact integer arithmetic (the ev_winsorize
+    // rank lesson: never floor(0.33·n) through a float). Scale shape: the
+    // per-doc global order comes from range-partition + per-partition
+    // offset numbering ([[Pipeline.globalRowNumbers]] — no single-partition
+    // ORDER BY funnel), per-lang ranks are recovered by subtracting each
+    // lang's first global number (a |langs|-row broadcast), and the bucket
+    // label is a narrow integer comparison.
+    "cl_ppl_buckets" -> { (s, dir) =>
+      val (bgCounts, ctxCounts, vocab) = lmModel(s, dir)
+      val scored = lmScoreDocs(
+        docs(s, dir).filter(col("b") >= TestBucket).select(col("doc_id"), col("ts")),
+        bgCounts, ctxCounts, vocab)
+        .filter(col("n_transitions") > 0)
+        .select(col("doc_id"), col("mean_nll_q"))
+        .join(Relational.t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      val numbered = Pipeline.globalRowNumbers(
+        s, scored, "grn", col("lang"), col("mean_nll_q"), col("doc_id"))
+      val base = numbered.groupBy("lang")
+        .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
+      numbered.join(broadcast(base), "lang")
+        .withColumn("rn", col("grn") - col("g0") + 1)
+        .select(col("doc_id"), col("lang"), col("mean_nll_q"),
+          when(col("rn") <= expr("(n + 2) div 3"), lit("head"))
+            .when(col("rn") <= expr("(2 * n + 2) div 3"), lit("middle"))
+            .otherwise(lit("tail")).as("ppl_bucket"))
+        .orderBy("doc_id")
+    },
+
     // DSIR importance weights (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): score every raw-pool
     // document by how much more likely its hashed-unigram features are
@@ -525,36 +560,7 @@ object Learn {
     // Same quantize-then-sum integer contract as the NB oracles; vocabulary
     // counts distinct tokens over BOTH bigram slots (w1 ∪ w2).
     "cl_lm_perplexity" ->
-      s"""WITH d AS (
-         |  $docsSql
-         |), bg AS (
-         |  SELECT doc_id, b, ts[i] AS w1, ts[i+1] AS w2
-         |  FROM d, UNNEST(range(1, len(ts))) AS u(i)
-         |  WHERE len(ts) >= 2
-         |), bgc AS (
-         |  SELECT w1, w2, COUNT(*) AS cnt FROM bg WHERE b < $TrainBucket GROUP BY w1, w2
-         |), ctx AS (
-         |  SELECT w1, COUNT(*) AS ctx FROM bg WHERE b < $TrainBucket GROUP BY w1
-         |), voc AS (
-         |  SELECT COUNT(DISTINCT w) AS v FROM (
-         |    SELECT w2 AS w FROM bg WHERE b < $TrainBucket
-         |    UNION ALL SELECT w1 FROM bg WHERE b < $TrainBucket)
-         |), tf AS (
-         |  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg
-         |  WHERE b >= $TestBucket GROUP BY doc_id, w1, w2
-         |), scored AS (
-         |  SELECT doc_id, tf,
-         |    tf * -CAST(round(1000000.0 * ln(
-         |      (COALESCE(cnt, 0) + 1.0) / (COALESCE(ctx, 0) + v))) AS BIGINT) AS nll_q
-         |  FROM tf
-         |  LEFT JOIN bgc USING (w1, w2)
-         |  LEFT JOIN ctx USING (w1)
-         |  CROSS JOIN voc
-         |), agg AS (
-         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_transitions,
-         |    CAST(SUM(nll_q) AS BIGINT) AS nll_q_sum
-         |  FROM scored GROUP BY doc_id
-         |)
+      s"""$lmScoredSqlPrefix
          |SELECT doc_id,
          |  COALESCE(n_transitions, 0) AS n_transitions,
          |  COALESCE(nll_q_sum, 0) AS nll_q_sum,
@@ -562,6 +568,24 @@ object Learn {
          |       ELSE CAST(nll_q_sum AS DOUBLE) / n_transitions END AS mean_nll_q
          |FROM (SELECT doc_id FROM d WHERE b >= $TestBucket) t
          |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // CCNet-style perplexity bucketing twin: the SAME scored/agg prefix as
+    // cl_lm_perplexity, then per-lang nearest-rank tertiles over the total
+    // (mean_nll_q, doc_id) order — rank semantics, not value cutoffs, so
+    // tied scores split deterministically in both engines.
+    "cl_ppl_buckets" ->
+      s"""$lmScoredSqlPrefix, rnk AS (
+         |  SELECT a.doc_id, d2.lang, a.mean_nll_q,
+         |    ROW_NUMBER() OVER (PARTITION BY d2.lang ORDER BY a.mean_nll_q, a.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY d2.lang) AS n
+         |  FROM (SELECT doc_id, CAST(nll_q_sum AS DOUBLE) / n_transitions AS mean_nll_q
+         |        FROM agg WHERE n_transitions > 0) a
+         |  JOIN documents d2 USING (doc_id)
+         |)
+         |SELECT doc_id, lang, mean_nll_q,
+         |  CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+         |       WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM rnk ORDER BY doc_id""".stripMargin,
     // DSIR twin: identical hashed-feature space (md5-bucketed unigrams),
     // identical Laplace smoothing and quantize-before-sum log ratio.
     // SUM() casts to BIGINT — DuckDB's HUGEINT would skew the driver's
@@ -591,4 +615,41 @@ object Learn {
          |FROM tf LEFT JOIN tc USING (feat) JOIN rc USING (feat) CROSS JOIN tot
          |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
   )
+
+  /** Shared bigram-LM scoring prefix (train counts → heldout per-doc
+    * quantized NLL sums in `agg`) for the cl_lm_perplexity and
+    * cl_ppl_buckets oracles — one LM definition, two consumers, mirroring
+    * the engine's shared [[lmModel]]/[[lmScoreDocs]].
+    */
+  private def lmScoredSqlPrefix: String =
+    s"""WITH d AS (
+       |  $docsSql
+       |), bg AS (
+       |  SELECT doc_id, b, ts[i] AS w1, ts[i+1] AS w2
+       |  FROM d, UNNEST(range(1, len(ts))) AS u(i)
+       |  WHERE len(ts) >= 2
+       |), bgc AS (
+       |  SELECT w1, w2, COUNT(*) AS cnt FROM bg WHERE b < $TrainBucket GROUP BY w1, w2
+       |), ctx AS (
+       |  SELECT w1, COUNT(*) AS ctx FROM bg WHERE b < $TrainBucket GROUP BY w1
+       |), voc AS (
+       |  SELECT COUNT(DISTINCT w) AS v FROM (
+       |    SELECT w2 AS w FROM bg WHERE b < $TrainBucket
+       |    UNION ALL SELECT w1 FROM bg WHERE b < $TrainBucket)
+       |), tf AS (
+       |  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg
+       |  WHERE b >= $TestBucket GROUP BY doc_id, w1, w2
+       |), scored AS (
+       |  SELECT doc_id, tf,
+       |    tf * -CAST(round(1000000.0 * ln(
+       |      (COALESCE(cnt, 0) + 1.0) / (COALESCE(ctx, 0) + v))) AS BIGINT) AS nll_q
+       |  FROM tf
+       |  LEFT JOIN bgc USING (w1, w2)
+       |  LEFT JOIN ctx USING (w1)
+       |  CROSS JOIN voc
+       |), agg AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_transitions,
+       |    CAST(SUM(nll_q) AS BIGINT) AS nll_q_sum
+       |  FROM scored GROUP BY doc_id
+       |)""".stripMargin
 }

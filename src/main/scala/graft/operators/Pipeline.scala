@@ -367,8 +367,67 @@ object Pipeline {
             + 1L).as("pos"),
           col("doc_id"), col("source"), col("src_rank"))
         .orderBy("pos")
+    },
+
+    // Quality-filter attrition funnel — the observability artifact every
+    // corpus-cleaning pipeline ships beside its output: how many documents
+    // each ORDERED filter stage removes, cumulatively (a doc is charged to
+    // the FIRST stage it fails, exactly like a short-circuiting filter
+    // chain). Stages are the engine's own per-doc signals with integer-
+    // exact thresholds (ratios cross-multiplied, entropy compared in
+    // integer quanta — no float threshold can flip a count): min token
+    // count, stopword ratio ≥ 1/20, type-token ratio ≥ 1/3 (repetition
+    // proxy), mean token entropy ≥ 2.8 nats (gibberish screen). Shape: ONE
+    // token explode + two hash aggregations compute every per-doc signal,
+    // one single-row aggregate computes every stage's removal count, and
+    // the 4-row funnel is a literal-array explode of that broadcast row —
+    // the report costs one corpus scan regardless of stage count, vs the
+    // k-scans a naive "run each filter separately and count" pipeline pays.
+    "pl_filter_funnel" -> { (s, dir) =>
+      val perDoc = Relational.t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum(col("cnt")).as("n"),
+          count(lit(1)).as("nd"),
+          sum(when(col("tok").isInCollection(TextOps.Stopwords), col("cnt"))
+            .otherwise(0L)).as("sw"),
+          sum(col("cnt") * TextOps.qlog(col("cnt").cast("double"))).as("s1"))
+        .withColumn("eq",
+          col("n") * TextOps.qlog(col("n").cast("double")) - col("s1"))
+      val p1 = col("n") >= FunnelMinTokens
+      val p2 = col("sw") * 20L >= col("n")
+      val p3 = col("nd") * 3L >= col("n")
+      val p4 = col("eq") >= lit(FunnelMinEntropyQ) * col("n")
+      def removedAt(pass: Column, prior: Column*): Column =
+        sum(when(prior.foldLeft(!pass)((c, p) => c && p), 1L).otherwise(0L))
+      val g = perDoc.agg(
+        count(lit(1)).as("total"),
+        removedAt(p1).as("r1"),
+        removedAt(p2, p1).as("r2"),
+        removedAt(p3, p1, p2).as("r3"),
+        removedAt(p4, p1, p2, p3).as("r4"))
+      def row(idx: Int, name: String, in: Column, removed: Column) =
+        struct(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          in.as("n_in"), removed.as("n_removed"), (in - removed).as("n_out"))
+      g.select(explode(array(
+          row(1, "min_tokens", col("total"), col("r1")),
+          row(2, "stopword_ratio", col("total") - col("r1"), col("r2")),
+          row(3, "type_token_ratio", col("total") - col("r1") - col("r2"), col("r3")),
+          row(4, "token_entropy",
+            col("total") - col("r1") - col("r2") - col("r3"), col("r4"))))
+          .as("f"))
+        .select(col("f.*"))
+        .orderBy("stage_idx")
     }
   )
+
+  /** Funnel thresholds: minimum tokens per doc, and the minimum mean token
+    * entropy in integer MILLIONTHS of a nat (2.8 nats — compared as
+    * entropy_q ≥ FunnelMinEntropyQ·n, all integers).
+    */
+  val FunnelMinTokens = 20L
+  val FunnelMinEntropyQ = 2800000L
 
   /** Chunking parameters for [[queries pl_chunk_tokens]]: window and stride
     * in tokens (overlap = ChunkSize − ChunkStride).
@@ -582,6 +641,41 @@ object Pipeline {
         |)
         |SELECT ROW_NUMBER() OVER (ORDER BY src_rank, source) AS pos,
         |  doc_id, source, src_rank
-        |FROM r ORDER BY pos""".stripMargin
+        |FROM r ORDER BY pos""".stripMargin,
+    // Funnel twin: identical per-doc integer signals (the ta_entropy
+    // identity for entropy_q), identical first-failing-stage attribution,
+    // the four stage rows as UNION ALL over the one-row totals. COUNTs
+    // cast to BIGINT (HUGEINT/driver-type lesson).
+    "pl_filter_funnel" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS tok
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok
+         |), a AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS nd,
+         |    CAST(SUM(CASE WHEN list_contains(['the','a','and','of','to','in','is'], tok)
+         |                  THEN cnt ELSE 0 END) AS BIGINT) AS sw,
+         |    CAST(SUM(cnt * CAST(round(1000000.0 * ln(cnt)) AS BIGINT)) AS BIGINT) AS s1
+         |  FROM c GROUP BY doc_id
+         |), f AS (
+         |  SELECT n, nd, sw, n * CAST(round(1000000.0 * ln(n)) AS BIGINT) - s1 AS eq FROM a
+         |), g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         |    CAST(COUNT(*) FILTER (NOT n >= $FunnelMinTokens) AS BIGINT) AS r1,
+         |    CAST(COUNT(*) FILTER (n >= $FunnelMinTokens AND NOT sw * 20 >= n) AS BIGINT) AS r2,
+         |    CAST(COUNT(*) FILTER (n >= $FunnelMinTokens AND sw * 20 >= n
+         |                          AND NOT nd * 3 >= n) AS BIGINT) AS r3,
+         |    CAST(COUNT(*) FILTER (n >= $FunnelMinTokens AND sw * 20 >= n AND nd * 3 >= n
+         |                          AND NOT eq >= $FunnelMinEntropyQ * n) AS BIGINT) AS r4
+         |  FROM f
+         |)
+         |SELECT 1 AS stage_idx, 'min_tokens' AS stage,
+         |  total AS n_in, r1 AS n_removed, total - r1 AS n_out FROM g
+         |UNION ALL SELECT 2, 'stopword_ratio', total - r1, r2, total - r1 - r2 FROM g
+         |UNION ALL SELECT 3, 'type_token_ratio', total - r1 - r2, r3, total - r1 - r2 - r3 FROM g
+         |UNION ALL SELECT 4, 'token_entropy', total - r1 - r2 - r3, r4,
+         |  total - r1 - r2 - r3 - r4 FROM g
+         |ORDER BY stage_idx""".stripMargin
   )
 }

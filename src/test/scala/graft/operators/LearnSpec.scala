@@ -148,4 +148,26 @@ class LearnSpec extends SparkSpec {
     assert(tLike.map(_._3).min > rLike.map(_._3).max,
       s"target-like min ${tLike.map(_._3).min} must exceed raw-typical max ${rLike.map(_._3).max}")
   }
+
+  test("perplexity buckets split each language into ordered nearest-rank tertiles") {
+    val rows = Learn.queries("cl_ppl_buckets")(spark, sf()).collect()
+      .map(r => (r.getString(r.fieldIndex("lang")),
+        r.getDouble(r.fieldIndex("mean_nll_q")), r.getString(r.fieldIndex("ppl_bucket"))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val n = docs.length.toLong
+      val byB = docs.groupBy(_._3).view.mapValues(_.map(_._2).toSeq).toMap
+      val head = byB.getOrElse("head", Seq.empty[Double])
+      val mid = byB.getOrElse("middle", Seq.empty[Double])
+      val tail = byB.getOrElse("tail", Seq.empty[Double])
+      // Nearest-rank tertile sizes: ceil(n/3), ceil(2n/3)-ceil(n/3), rest.
+      val c1 = (n + 2) / 3
+      val c2 = (2 * n + 2) / 3
+      assert(head.size == c1 && mid.size == c2 - c1 && tail.size == n - c2,
+        s"$lang sizes (${head.size},${mid.size},${tail.size}) != ($c1,${c2 - c1},${n - c2}) for n=$n")
+      // Buckets are value-ordered (ties may straddle a boundary, hence <=).
+      if (head.nonEmpty && mid.nonEmpty) assert(head.max <= mid.min)
+      if (mid.nonEmpty && tail.nonEmpty) assert(mid.max <= tail.min)
+    }
+  }
 }

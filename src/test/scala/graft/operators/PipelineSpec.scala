@@ -206,4 +206,45 @@ class PipelineSpec extends SparkSpec {
     // Floor allocation never overspends the budget.
     assert(rows.map(_.getLong(4)).sum <= Pipeline.MixTokenBudget)
   }
+
+  test("filter funnel: stages chain (n_in = prior n_out), counts match per-doc recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("pl_filter_funnel")(spark, sf()).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4), "exactly the four ordered stages")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_out")) ==
+        r.getLong(r.fieldIndex("n_in")) - r.getLong(r.fieldIndex("n_removed")))
+    }
+    // Chaining: each stage starts with the previous stage's survivors.
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(b.fieldIndex("n_in")) == a.getLong(a.fieldIndex("n_out")))
+    }
+    // Ground truth: recompute the short-circuit chain per document.
+    val docs = Relational.t(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getString(1).toLowerCase.split(" +").filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+    val stages: Seq[Array[String] => Boolean] = Seq(
+      ts => ts.length >= Pipeline.FunnelMinTokens,
+      ts => ts.count(TextOps.Stopwords.contains) * 20L >= ts.length,
+      ts => ts.distinct.length * 3L >= ts.length,
+      ts => {
+        val n = ts.length.toLong
+        val s1 = ts.groupBy(identity).values
+          .map(g => g.length * math.round(1e6 * math.log(g.length))).sum
+        n * math.round(1e6 * math.log(n.toDouble)) - s1 >= Pipeline.FunnelMinEntropyQ * n
+      })
+    val removed = Array.fill(4)(0L)
+    docs.foreach { ts =>
+      val i = stages.indexWhere(p => !p(ts))
+      if (i >= 0) removed(i) += 1
+    }
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_removed"))).toSeq == removed.toSeq,
+      s"removal attribution diverges: got ${rows.map(_.getLong(3)).toSeq}, want ${removed.toSeq}")
+    assert(rows.head.getLong(rows.head.fieldIndex("n_in")) == docs.length.toLong)
+    // The funnel is non-degenerate on the corpus: something survives and
+    // something is removed overall.
+    assert(rows.last.getLong(rows.last.fieldIndex("n_out")) > 0)
+    assert(removed.sum > 0)
+  }
 }
