@@ -16,14 +16,13 @@ class ContractSpec extends AnyFunSuite {
     * Growing this set is a deliberate act — add the name here AND a spec.
     */
   private val rowsOnlyByDesign = Set(
+    // ss_ann_lsh / ss_ann_ivf / mm_decode_features graduated to the full
+    // oracle gate in round 6 (complete SQL twins / real BMP codec path).
     "ev_hll_rollup",        // stored HLL sketch rollup (engine-native binary state)
-    "mm_decode_features",   // stub decode kernel (no codecs in environment)
     "q24_approx_distinct",  // HLL approximate distinct
     "q36_approx_quantiles", // KLL/GK approximate quantiles
-    "ss_ann_ivf",           // approximate NN (recall-bounded in SimilaritySpec)
-    "ss_ann_ivfpq",
-    "ss_ann_lsh",
-    "ss_ann_pq",
+    "ss_ann_ivfpq",         // approximate NN (recall-bounded in SimilaritySpec;
+    "ss_ann_pq",            //   the unrolled 8-subspace SQL twin is disproportionate)
     "ta_bpe_encode",        // BPE greedy encode (iterative merge table application)
     "ta_bpe_merges",        // BPE merge-table training (iterative)
     "ta_fingerprint_fnv"    // FNV-1a 64-bit (no unsigned-64 twin in DuckDB; golden vectors)
