@@ -396,6 +396,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       s"source-count table is not broadcast:\n$p")
   }
+
+  test("filter funnel costs one corpus scan and zero joins") {
+    // Every stage signal derives from one token explode + two aggregations;
+    // the 4-row report is a literal-array explode of the one-row totals — a
+    // filter-at-a-time implementation would rescan per stage or join the
+    // per-doc frame against itself.
+    val p = plan("pl_filter_funnel")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"funnel must read the corpus exactly once:\n$p")
+    assert(!p.contains("Join"), s"funnel grew a join:\n$p")
+  }
+
+  test("DSIR scoring broadcasts both bounded feature LMs") {
+    // The hashed feature space caps both model tables at DsirFeatures rows;
+    // the corpus-side tf stream must join them by broadcast (plus the
+    // one-row totals cross-join), never shuffle corpus rows on `feat`
+    // toward a merge join.
+    val p = plan("pl_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), s"feature LM join lost broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus tf stream shuffled into a merge join on the bounded side:\n$p")
+  }
+
+  test("semantic dedup reads the stored cell index and joins on cell equality") {
+    // Training ran once into the stored-structure tier; the query plan must
+    // consume the parquet cell assignment and pair members by an EQUALITY
+    // join on the cell id — the SemDeDup contract that caps the pair tier
+    // at Σ|cell|² (a cross-vector nested loop would be the O(n²) it exists
+    // to avoid).
+    val p = plan("dd_semantic")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"semantic dedup fell back to a non-equality pair join:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Scan parquet") && l.contains("ivf_cells")),
+      s"semantic dedup must read the stored cell index:\n$p")
+  }
 }
 
 object PlanAuditSpec {
