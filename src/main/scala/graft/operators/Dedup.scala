@@ -69,6 +69,17 @@ object Dedup {
       .select(col("doc_id"), graft.functions.ShingleSet(col("text")).as("shingles"))
   }
 
+  /** Frame-based shingling for an ingest micro-batch — the [[shingled]]
+    * eligibility filter + ShingleSet projection applied to an arbitrary
+    * (doc_id, text) frame (a streamed batch is already partitioned by its
+    * source, so no spread exchange here).
+    */
+  def shingleDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(trim(col("text")), " +")) >= 3)
+      .select(col("doc_id"), graft.functions.ShingleSet(col("text")).as("shingles"))
+
   /** Eagerly materialize a frame that several INDEPENDENT subplans consume
     * (the shingle/signature frames in the pair queries: candidate
     * generation plus both verification sides). Computed exactly once,
@@ -222,6 +233,24 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .transform(spreadKeys("doc_a", "doc_b"))
       .distinct()
+  }
+
+  /** Incoming-vs-existing near-dup matches: the incremental-ingest dedup
+    * contract (every ≥ MinJaccard pair straddling the two sides) over the
+    * lossless cross-set candidate tier, exact-verified. Shared verbatim by
+    * the dd_incremental gate query and the streaming ingest twin
+    * ([[graft.streaming.DocStreams.dedupDocStream]]) — matches for an
+    * incoming doc depend only on that doc and the existing side, so a
+    * micro-batched union over incoming equals one batch pass.
+    */
+  def incrementalMatches(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val lookup = existing.select(col("doc_id"), col("shingles"))
+      .union(incoming.select(col("doc_id"), col("shingles")))
+    verifyJaccard(ngramCandidatesAcross(existing, incoming), lookup, MinJaccard)
+      .select(
+        col("doc_b").as("incoming_id"),
+        col("doc_a").as("existing_id"),
+        col("jaccard"))
   }
 
   /** MinHash parameters: k = Bands × RowsPerBand hash functions. With 12×4 the
@@ -631,13 +660,9 @@ object Dedup {
     "dd_incremental" -> { (s, dir) =>
       // Four consumers: both cross-filter sides + both verification sides.
       val sh = materialized(shingled(s, dir))
-      val existing = sh.filter(Pipeline.bucket(col("doc_id")) < 80)
-      val incoming = sh.filter(Pipeline.bucket(col("doc_id")) >= 80)
-      verifyJaccard(ngramCandidatesAcross(existing, incoming), sh, MinJaccard)
-        .select(
-          col("doc_b").as("incoming_id"),
-          col("doc_a").as("existing_id"),
-          col("jaccard"))
+      incrementalMatches(
+        sh.filter(Pipeline.bucket(col("doc_id")) < 80),
+        sh.filter(Pipeline.bucket(col("doc_id")) >= 80))
         .orderBy("incoming_id", "existing_id")
     },
 

@@ -71,4 +71,30 @@ object DocStreams {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Near-dup screen the ingest firehose against a STATIC corpus shingle
+    * index ([[graft.operators.Dedup.shingled]], persisted in production):
+    * each arriving micro-batch shingles itself, runs the SAME
+    * [[graft.operators.Dedup.incrementalMatches]] the batch gate query
+    * runs (lossless cross-set prefix filter + exact Jaccard verification),
+    * and lands its (incoming_id, existing_id, jaccard) matches exactly-once
+    * in the versioned table. Stateless across batches BY CONSTRUCTION: an
+    * incoming doc's matches depend only on itself and the static index, so
+    * the streamed union over micro-batches is provably the batch result
+    * (DocStreamsSpec asserts streamed == dd_incremental). In production the
+    * index side also ABSORBS the accepted incoming docs per commit — that
+    * variant only swaps the static frame for the versioned table's latest
+    * snapshot; the per-batch body is unchanged.
+    */
+  def dedupDocStream(docs: DataFrame, corpusShingles: DataFrame,
+      tableDir: String, ckpt: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        EventStreams.versionedSink(tableDir)(
+          graft.operators.Dedup.incrementalMatches(
+            corpusShingles, graft.operators.Dedup.shingleDocs(batch)), batchId)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -91,4 +91,40 @@ class DocStreamsSpec extends SparkSpec {
     }.toSet
     assert(seen == all, "union of batch deltas must cover the corpus exactly once")
   }
+
+  test("streaming incremental dedup equals the batch ingest-vs-corpus matches") {
+    import graft.operators.{Dedup, Pipeline}
+    // Static index: the existing-corpus shingles (bucket < 80), exactly the
+    // index side of the dd_incremental gate query. The incoming (bucket
+    // >= 80) docs stream in as two files → two micro-batches; the union of
+    // streamed match versions must equal the one-pass batch result. Note
+    // the candidate tiers can differ (df-order drift between a per-batch
+    // union and the full union) — losslessness holds under any common
+    // order and verification is exact, so the OUTPUT cannot.
+    val sh = Dedup.materialized(Dedup.shingled(spark, sf()))
+    val existing = sh.filter(Pipeline.bucket(col("doc_id")) < 80)
+    val incoming = Relational.t(spark, sf(), "documents")
+      .filter(Pipeline.bucket(col("doc_id")) >= 80)
+    val d = java.nio.file.Files.createTempDirectory("dedup-stream")
+    Seq(0, 1).foreach { parity =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"dedup-half$parity")
+      incoming.filter(col("doc_id") % 2 === parity)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, d.resolve(s"half$parity.parquet"))
+    }
+    val tableDir = java.nio.file.Files.createTempDirectory("dedupstream-tbl").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("dedupstream-ckpt").toString
+    DocStreams.dedupDocStream(
+      DocStreams.readDocStream(spark, d.toString), existing, tableDir, ckpt)
+      .awaitTermination()
+
+    val streamed = Versioned.read(spark, tableDir).collect().map(_.toSeq).toSet
+    val batch = Dedup.queries("dd_incremental")(spark, sf())
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "the corpus should have cross-side near-dup pairs")
+    assert(streamed == batch,
+      s"streamed matches diverge: extra ${streamed -- batch}, missing ${batch -- streamed}")
+  }
 }
