@@ -292,6 +292,50 @@ object Similarity {
           min_by(col("cos"), col("keep_id")).as("cos"),
           count(lit(1)).as("n_dups"))
         .orderBy("vec_id")
+    },
+
+    // Greedy facility-location coreset selection, partitioned by k-means
+    // cell — the data-pruning contract (pick the few most REPRESENTATIVE
+    // items; train on the coreset): rank-1 representative per cell is the
+    // coverage argmax (the vector whose summed similarity to every cell
+    // member is highest), rank-2 the marginal-gain argmax (classic greedy
+    // submodular maximization, within-cell — the divide-and-conquer
+    // formulation that makes facility location tractable at corpus scale:
+    // the quadratic similarity scan is bounded at Σ|cell|², exactly the
+    // SemDeDup shape, and cells run in parallel). Third consumer of the
+    // stored IVF cells. Determinism: each pairwise cosine quantizes to
+    // integer millionths BEFORE the coverage/gain sums (the NB/LM
+    // contract), so every argmax compares exact integers with (value DESC,
+    // vec_id ASC) tie-breaks; the whole selection is hash-gated against a
+    // DuckDB twin over the shared trained-cells CTE.
+    "ss_coreset_greedy" -> { (s, dir) =>
+      val m = vecs(s, dir).join(ivfCells(s, dir), "vec_id")
+      val a = m.select(col("cell"), col("vec_id").as("j"), col("v").as("vj"))
+      val b = m.select(col("cell"), col("vec_id").as("i"), col("v").as("vi"))
+      val pairs = Dedup.materialized(
+        a.join(b, Seq("cell"))
+          .select(col("cell"), col("j"), col("i"),
+            round(cosine(col("vj"), col("vi")) * lit(1000000.0)).cast("long").as("sim_q")))
+      val w1 = Window.partitionBy("cell").orderBy(col("cov_q").desc, col("i").asc)
+      val r1 = pairs.groupBy("cell", "i").agg(sum("sim_q").as("cov_q"))
+        .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+        .select(col("cell"), col("i").as("rep1"), col("cov_q"))
+      val cur = pairs.join(r1.select(col("cell"), col("rep1")), Seq("cell"))
+        .filter(col("i") === col("rep1"))
+        .select(col("cell"), col("j"), col("sim_q").as("cur_q"))
+      val w2 = Window.partitionBy("cell").orderBy(col("gain_q").desc, col("i").asc)
+      val r2 = pairs.join(cur, Seq("cell", "j"))
+        .join(broadcast(r1.select(col("cell"), col("rep1"))), Seq("cell"))
+        .filter(col("i") =!= col("rep1"))
+        .select(col("cell"), col("i"),
+          greatest(col("sim_q") - col("cur_q"), lit(0L)).as("g"))
+        .groupBy("cell", "i").agg(sum("g").as("gain_q"))
+        .withColumn("rk", row_number().over(w2)).filter(col("rk") === 1)
+        .select(col("cell"), col("i").as("vec_id"), lit(2).as("sel_rank"), col("gain_q"))
+      r1.select(col("cell"), col("rep1").as("vec_id"), lit(1).as("sel_rank"),
+          col("cov_q").as("gain_q"))
+        .unionByName(r2)
+        .orderBy("cell", "sel_rank")
     }
   )
 
@@ -565,7 +609,7 @@ object Similarity {
     * deployment persists next to the centroids. max_by argmax reproduces
     * the ranked-window (c_cos DESC, c_id ASC) assignment exactly.
     */
-  private def ivfCells(s: SparkSession, dir: String): DataFrame =
+  private[operators] def ivfCells(s: SparkSession, dir: String): DataFrame =
     materialize("ivf_cells", dir, s) {
       val e = vecs(s, dir)
       val cent = materialize("ivf_centroids", dir, s)(trainCentroids(e))
@@ -899,7 +943,39 @@ object Similarity {
          |SELECT vec_id, cell, MIN(keep_id) AS dup_of, arg_min(cos, keep_id) AS cos,
          |  COUNT(*) AS n_dups
          |FROM pr WHERE cos >= $SemTau
-         |GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin
+         |GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin,
+    // Coreset twin: shared trained-cells CTE, the same quantized intra-cell
+    // similarity matrix, the same two greedy rounds with (value DESC, id
+    // ASC) tie-breaks. SUMs cast to BIGINT (HUGEINT/driver-type lesson).
+    "ss_coreset_greedy" ->
+      s"""WITH $trainedCellsCte, m AS (
+         |  SELECT neighbor_id AS vid, nv AS v, c_id AS cell FROM cc
+         |), p AS (
+         |  SELECT a.cell, a.vid AS j, b.vid AS i,
+         |    CAST(round(1000000.0 * (${cosSql("a.v", "b.v")})) AS BIGINT) AS sim_q
+         |  FROM m a JOIN m b USING (cell)
+         |), cov AS (
+         |  SELECT cell, i, CAST(SUM(sim_q) AS BIGINT) AS cov_q FROM p GROUP BY cell, i
+         |), r1 AS (
+         |  SELECT cell, i AS rep1, cov_q FROM cov
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cov_q DESC, i ASC) = 1
+         |), cur AS (
+         |  SELECT p.cell, p.j, p.sim_q AS cur_q
+         |  FROM p JOIN r1 ON p.cell = r1.cell AND p.i = r1.rep1
+         |), g AS (
+         |  SELECT p.cell, p.i, CAST(SUM(greatest(p.sim_q - cur.cur_q, 0)) AS BIGINT) AS gain_q
+         |  FROM p
+         |  JOIN cur ON p.cell = cur.cell AND p.j = cur.j
+         |  JOIN r1 ON p.cell = r1.cell
+         |  WHERE p.i <> r1.rep1
+         |  GROUP BY p.cell, p.i
+         |), r2 AS (
+         |  SELECT cell, i AS vec_id, gain_q FROM g
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY gain_q DESC, i ASC) = 1
+         |)
+         |SELECT cell, rep1 AS vec_id, 1 AS sel_rank, cov_q AS gain_q FROM r1
+         |UNION ALL SELECT cell, vec_id, 2 AS sel_rank, gain_q FROM r2
+         |ORDER BY cell, sel_rank""".stripMargin
     // ss_ann_pq / ss_ann_ivfpq: intentionally no oracle (the ADC scan's
     // codebook argmins are reproducible but the unrolled 8-subspace twin is
     // disproportionate SQL); recall floors tested in SimilaritySpec.

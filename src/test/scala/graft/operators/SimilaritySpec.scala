@@ -193,4 +193,42 @@ class SimilaritySpec extends SparkSpec {
       r.getLong(r.fieldIndex("vec_id")) -> r.getLong(r.fieldIndex("n_dups"))).toMap
     assert(nd == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 6L -> 1L, 7L -> 2L, 8L -> 3L))
   }
+
+  test("greedy coreset equals a driver-side facility-location recomputation per cell") {
+    import org.apache.spark.sql.functions.col
+    val vs = Similarity.vecs(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cells = Similarity.ivfCells(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var k = 0
+      while (k < a.length) { s += a(k) * b(k); k += 1 }; s
+    }
+    def simQ(a: Long, b: Long): Long = {
+      val (va, vb) = (vs(a), vs(b))
+      math.round(1e6 * (dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))))
+    }
+    // Reference greedy: coverage argmax, then marginal-gain argmax, ties to
+    // the smaller vec_id — per cell, straight from the definition.
+    val want = cells.groupBy(_._2).flatMap { case (cell, ms) =>
+      val ids = ms.map(_._1).sorted
+      val r1 = ids.map(i => (i, ids.map(j => simQ(i, j)).sum))
+        .maxBy { case (i, c) => (c, -i) }
+      val cur = ids.map(j => j -> simQ(r1._1, j)).toMap
+      val rest = ids.filter(_ != r1._1)
+      val r2 = rest.map(i => (i, ids.map(j => math.max(simQ(i, j) - cur(j), 0L)).sum))
+        .sortBy { case (i, g) => (-g, i) }.headOption
+      Seq((cell, 1, r1._1, r1._2)) ++ r2.map { case (i, g) => (cell, 2, i, g) }
+    }.toSet
+    val got = Similarity.queries("ss_coreset_greedy")(spark, sf()).collect()
+      .map(r => (r.getLong(r.fieldIndex("cell")), r.getInt(r.fieldIndex("sel_rank")),
+        r.getLong(r.fieldIndex("vec_id")), r.getLong(r.fieldIndex("gain_q")))).toSet
+    assert(got == want, s"greedy diverges: extra ${got -- want}, missing ${want -- got}")
+    // Submodularity sanity: the second pick's marginal gain never exceeds
+    // the first pick's coverage within a cell.
+    want.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.map(r => r._2 -> r._4).toMap
+      byRank.get(2).foreach(g2 => assert(g2 <= byRank(1)))
+    }
+  }
 }
