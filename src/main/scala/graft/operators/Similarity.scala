@@ -103,6 +103,33 @@ object Similarity {
     // Exact 3-NN graph over EVERY vector — see [[knnGraph]].
     "ss_knn_graph" -> { (s, dir) => knnGraph(s, dir).orderBy("vec_id", "rank") },
 
+    // Hard-negative mining — the contrastive-training data-prep contract
+    // (DPR/SimCSE-style): for each query item, the TopK most-similar items
+    // with a DIFFERENT label — maximally confusable non-matches, the
+    // examples a bi-encoder trains against. Same bounded-query brute-force
+    // scan as ss_topk_bruteforce with the label-inequality predicate fused
+    // into the join; at corpus×corpus scale the candidate generator swaps
+    // to the ANN tier with the label filter and re-rank tail unchanged
+    // (the cl_knn_label argument).
+    "ss_hard_negatives" -> { (s, dir) =>
+      val e = Relational.t(s, dir, "embeddings")
+        .transform(Dedup.spread("vec_id"))
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("v").as("qv"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      q.join(e, col("label") =!= col("q_label"))
+        .select(col("query_id"), col("q_label"),
+          col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+          cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        .select("query_id", "q_label", "rk", "neighbor_id", "neg_label", "cos")
+        .orderBy("query_id", "rk")
+    },
+
     // Triangle count over the exact 3-NN graph — graph analytics expressed
     // relationally: orient each undirected edge low-id → high-id, then a
     // wedge join (shared middle vertex) closed by an edge-existence hash
@@ -729,6 +756,24 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
+         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    // Hard-negative twin: the brute-force scan with the label-inequality
+    // predicate in the join.
+    "ss_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS q_label,
+         |    e.vec_id AS neighbor_id, e.label AS neg_label,
+         |    ${cosSql("q.v", "e.v")} AS cos
+         |  FROM e q JOIN e ON q.vec_id < $NQueries AND q.label <> e.label
+         |), ranked AS (
+         |  SELECT query_id, q_label, neighbor_id, neg_label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, q_label, CAST(rk AS INT) AS rk, neighbor_id, neg_label, cos
          |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
     "ss_knn_graph" ->
       """WITH e AS (

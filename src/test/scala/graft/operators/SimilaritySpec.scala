@@ -231,4 +231,34 @@ class SimilaritySpec extends SparkSpec {
       byRank.get(2).foreach(g2 => assert(g2 <= byRank(1)))
     }
   }
+
+  test("hard negatives are the true most-similar different-label items per query") {
+    import org.apache.spark.sql.functions.col
+    val e = Relational.t(spark, sf(), "embeddings").collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getInt(r.fieldIndex("label")),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var k = 0
+      while (k < a.length) { s += a(k) * b(k); k += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val got = Similarity.queries("ss_hard_negatives")(spark, sf()).collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getInt(r.fieldIndex("rk")),
+        r.getLong(r.fieldIndex("neighbor_id")), r.getInt(r.fieldIndex("neg_label"))))
+    assert(got.nonEmpty)
+    val byId = e.map(x => x._1 -> x).toMap
+    // Exactly TopK per query; every negative's label differs from the query's.
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == Similarity.TopK)
+      rows.foreach { case (_, _, nid, nl) =>
+        assert(nl == byId(nid)._2 && nl != byId(q)._2)
+      }
+      // Rank-1 really is the most-similar different-label item.
+      val (_, _, top, _) = rows.minBy(_._2)
+      val want = e.filter(x => x._2 != byId(q)._2)
+        .maxBy(x => (cos(byId(q)._3, x._3), -x._1))._1
+      assert(top == want, s"query $q: top hard negative $top, brute force says $want")
+    }
+  }
 }
