@@ -321,6 +321,27 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // IVF index health report — the observability artifact an ANN
+    // deployment monitors to decide when to RETRAIN: per trained cell, its
+    // population (balance — a skewed quantizer concentrates probes) and the
+    // quantized cosine-to-centroid distribution (cohesion — drifting data
+    // pulls assignments away from their centroids). One broadcast of the
+    // |cells|-row centroid table into a narrow scan + one bounded hash
+    // aggregate; the mean rides as an exact integer sum (sum_cos_q / n_vecs
+    // is the consumer's division). Fourth consumer of the stored index.
+    "ss_index_stats" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val cent = materialize("ivf_centroids", dir, s)(trainCentroids(e))
+      e.join(ivfCells(s, dir), "vec_id")
+        .join(broadcast(cent.select(col("c_id").as("cell"), col("cv"))), Seq("cell"))
+        .select(col("cell"),
+          round(cosine(col("v"), col("cv")) * lit(1000000.0)).cast("long").as("cq"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), sum("cq").as("sum_cos_q"),
+          min("cq").as("min_cos_q"), max("cq").as("max_cos_q"))
+        .orderBy("cell")
+    },
+
     // Greedy facility-location coreset selection, partitioned by k-means
     // cell — the data-pruning contract (pick the few most REPRESENTATIVE
     // items; train on the coreset): rank-1 representative per cell is the
@@ -989,6 +1010,18 @@ object Similarity {
          |  COUNT(*) AS n_dups
          |FROM pr WHERE cos >= $SemTau
          |GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin,
+    // Index-stats twin: shared trained-cells CTE; per-cell counts and the
+    // quantized cosine-to-centroid sum/min/max against the FINAL round's
+    // centroid table.
+    "ss_index_stats" ->
+      s"""WITH $trainedCellsCte, st AS (
+         |  SELECT cc.c_id AS cell,
+         |    CAST(round(1000000.0 * (${cosSql("cc.nv", "c.cv")})) AS BIGINT) AS cq
+         |  FROM cc JOIN c$IvfIters c ON cc.c_id = c.c_id
+         |)
+         |SELECT cell, COUNT(*) AS n_vecs, CAST(SUM(cq) AS BIGINT) AS sum_cos_q,
+         |  MIN(cq) AS min_cos_q, MAX(cq) AS max_cos_q
+         |FROM st GROUP BY cell ORDER BY cell""".stripMargin,
     // Coreset twin: shared trained-cells CTE, the same quantized intra-cell
     // similarity matrix, the same two greedy rounds with (value DESC, id
     // ASC) tie-breaks. SUMs cast to BIGINT (HUGEINT/driver-type lesson).

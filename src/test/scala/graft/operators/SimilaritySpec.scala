@@ -232,6 +232,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index stats partition the corpus and bound per-cell cohesion") {
+    val rows = Similarity.queries("ss_index_stats")(spark, sf()).collect()
+    assert(rows.nonEmpty && rows.length <= Similarity.IvfCells)
+    val n = Relational.t(spark, sf(), "embeddings").count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_vecs"))).sum == n,
+      "every vector is assigned to exactly one cell")
+    rows.foreach { r =>
+      val (nv, s, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo <= hi && nv * lo <= s && s <= nv * hi,
+        s"cell ${r.getLong(0)}: sum $s outside [n*min, n*max]")
+      assert(hi <= 1000000L, "quantized cosine cannot exceed 1")
+    }
+  }
+
   test("hard negatives are the true most-similar different-label items per query") {
     import org.apache.spark.sql.functions.col
     val e = Relational.t(spark, sf(), "embeddings").collect()
