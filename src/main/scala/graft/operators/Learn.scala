@@ -328,32 +328,60 @@ object Learn {
     // makes one explode → (doc, feat) tf aggregation; totals are one-row
     // broadcast cross-joins. Nothing corpus-sized is ever collected,
     // checkpointed, or shuffled more than once.
-    "pl_dsir_weights" -> { (s, dir) =>
-      import graft.functions.HashFunctions.md5Long
-      val d = docs(s, dir)
-      def feats(df: DataFrame): DataFrame = df
-        .select(col("doc_id"), explode(col("ts")).as("token"))
-        .select(col("doc_id"),
-          pmod(md5Long(DsirSeed, col("token")), lit(DsirFeatures.toLong)).as("feat"))
-      val targetCounts = feats(d.filter(col("b") >= TestBucket))
-        .groupBy("feat").agg(count(lit(1)).as("ct"))
-      val rawFeats = feats(d.filter(col("b") < TrainBucket))
-      val rawCounts = rawFeats.groupBy("feat").agg(count(lit(1)).as("cr"))
-      val totals = targetCounts.agg(sum(col("ct")).as("n_t"))
-        .crossJoin(rawCounts.agg(sum(col("cr")).as("n_r")))
-      rawFeats.groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
-        .join(broadcast(targetCounts), Seq("feat"), "left")
-        .join(broadcast(rawCounts), Seq("feat"))
-        .crossJoin(broadcast(totals))
-        .select(col("doc_id"), col("tf"),
-          (col("tf") *
-            (qlog((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("n_t") + lit(DsirFeatures))) -
-              qlog((col("cr") + lit(1.0)) / (col("n_r") + lit(DsirFeatures))))).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("tf")).as("n_tokens"), sum(col("c")).as("w_q"))
-        .orderBy("doc_id")
+    "pl_dsir_weights" -> { (s, dir) => dsirWeights(s, dir).orderBy("doc_id") },
+
+    // DSIR's second half — importance RESAMPLING under a budget: select the
+    // raw-pool docs a pretraining run keeps, per language, in (weight DESC,
+    // doc_id ASC) order until the language's token budget is exhausted
+    // (per-language budgets are how mixtures are actually specified — the
+    // pl_mixture_weights contract). The running token total is the
+    // pl_token_pack shape: one window per language stream (at scale,
+    // lang × hash-bucket substreams), never a global cumulative funnel.
+    "pl_dsir_select" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("w_q").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dsirWeights(s, dir)
+        .join(Relational.t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= DsirLangBudget)
+        .select(col("doc_id"), col("lang"), col("w_q"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("lang", "cum_tokens")
     }
   )
+
+  /** Per-document DSIR importance weights (doc_id, n_tokens, w_q) over the
+    * raw pool — the shared scoring frame behind pl_dsir_weights and
+    * pl_dsir_select.
+    */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.md5Long
+    val d = docs(s, dir)
+    def feats(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(col("ts")).as("token"))
+      .select(col("doc_id"),
+        pmod(md5Long(DsirSeed, col("token")), lit(DsirFeatures.toLong)).as("feat"))
+    val targetCounts = feats(d.filter(col("b") >= TestBucket))
+      .groupBy("feat").agg(count(lit(1)).as("ct"))
+    val rawFeats = feats(d.filter(col("b") < TrainBucket))
+    val rawCounts = rawFeats.groupBy("feat").agg(count(lit(1)).as("cr"))
+    val totals = targetCounts.agg(sum(col("ct")).as("n_t"))
+      .crossJoin(rawCounts.agg(sum(col("cr")).as("n_r")))
+    rawFeats.groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
+      .join(broadcast(targetCounts), Seq("feat"), "left")
+      .join(broadcast(rawCounts), Seq("feat"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") *
+          (qlog((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("n_t") + lit(DsirFeatures))) -
+            qlog((col("cr") + lit(1.0)) / (col("n_r") + lit(DsirFeatures))))).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("c")).as("w_q"))
+  }
+
+  /** Token budget PER LANGUAGE for [[queries pl_dsir_select]]. */
+  val DsirLangBudget = 1000L
 
   /** DSIR hashed-feature space: tokens hash into this many buckets (bounds
     * both feature LMs at DsirFeatures rows regardless of vocabulary — the
@@ -591,30 +619,53 @@ object Learn {
     // SUM() casts to BIGINT — DuckDB's HUGEINT would skew the driver's
     // canonicalized type (the round-5 lesson).
     "pl_dsir_weights" ->
-      s"""WITH d AS (
-         |  $docsSql
-         |), ft AS (
-         |  SELECT doc_id, b,
-         |    CAST('0x' || substr(md5('$DsirSeed:' || token), 1, 15) AS BIGINT) % $DsirFeatures AS feat
-         |  FROM (SELECT doc_id, b, UNNEST(ts) AS token FROM d)
-         |), tc AS (
-         |  SELECT feat, COUNT(*) AS ct FROM ft WHERE b >= $TestBucket GROUP BY feat
-         |), rc AS (
-         |  SELECT feat, COUNT(*) AS cr FROM ft WHERE b < $TrainBucket GROUP BY feat
-         |), tot AS (
-         |  SELECT (SELECT COUNT(*) FROM ft WHERE b >= $TestBucket) AS n_t,
-         |         (SELECT COUNT(*) FROM ft WHERE b < $TrainBucket) AS n_r
-         |), tf AS (
-         |  SELECT doc_id, feat, COUNT(*) AS tf FROM ft WHERE b < $TrainBucket
-         |  GROUP BY doc_id, feat
+      s"""$dsirWeightsSqlPrefix
+         |SELECT doc_id, n_tokens, w_q FROM w ORDER BY doc_id""".stripMargin,
+    // Selection twin: same weights prefix, per-lang running token total in
+    // (w_q DESC, doc_id ASC) order, budget cut. Window SUM cast to BIGINT.
+    "pl_dsir_select" ->
+      s"""$dsirWeightsSqlPrefix, sel AS (
+         |  SELECT w.doc_id, d2.lang, w.w_q, w.n_tokens,
+         |    CAST(SUM(w.n_tokens) OVER (
+         |      PARTITION BY d2.lang ORDER BY w.w_q DESC, w.doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM w JOIN documents d2 USING (doc_id)
          |)
-         |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(tf.tf *
-         |    (CAST(round(1000000.0 * ln((COALESCE(tc.ct, 0) + 1.0) / (tot.n_t + $DsirFeatures))) AS BIGINT)
-         |     - CAST(round(1000000.0 * ln((rc.cr + 1.0) / (tot.n_r + $DsirFeatures))) AS BIGINT))) AS BIGINT) AS w_q
-         |FROM tf LEFT JOIN tc USING (feat) JOIN rc USING (feat) CROSS JOIN tot
-         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+         |SELECT doc_id, lang, w_q, n_tokens, cum_tokens FROM sel
+         |WHERE cum_tokens <= $DsirLangBudget
+         |ORDER BY lang, cum_tokens""".stripMargin
   )
+
+  /** Shared DSIR weight CTE prefix ending in
+    * `w(doc_id, n_tokens, w_q)` — one weight definition for the
+    * pl_dsir_weights and pl_dsir_select oracles, mirroring the engine's
+    * shared [[dsirWeights]].
+    */
+  private def dsirWeightsSqlPrefix: String =
+    s"""WITH d AS (
+       |  $docsSql
+       |), ft AS (
+       |  SELECT doc_id, b,
+       |    CAST('0x' || substr(md5('$DsirSeed:' || token), 1, 15) AS BIGINT) % $DsirFeatures AS feat
+       |  FROM (SELECT doc_id, b, UNNEST(ts) AS token FROM d)
+       |), tc AS (
+       |  SELECT feat, COUNT(*) AS ct FROM ft WHERE b >= $TestBucket GROUP BY feat
+       |), rc AS (
+       |  SELECT feat, COUNT(*) AS cr FROM ft WHERE b < $TrainBucket GROUP BY feat
+       |), tot AS (
+       |  SELECT (SELECT COUNT(*) FROM ft WHERE b >= $TestBucket) AS n_t,
+       |         (SELECT COUNT(*) FROM ft WHERE b < $TrainBucket) AS n_r
+       |), tf AS (
+       |  SELECT doc_id, feat, COUNT(*) AS tf FROM ft WHERE b < $TrainBucket
+       |  GROUP BY doc_id, feat
+       |), w AS (
+       |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(tf.tf *
+       |      (CAST(round(1000000.0 * ln((COALESCE(tc.ct, 0) + 1.0) / (tot.n_t + $DsirFeatures))) AS BIGINT)
+       |       - CAST(round(1000000.0 * ln((rc.cr + 1.0) / (tot.n_r + $DsirFeatures))) AS BIGINT))) AS BIGINT) AS w_q
+       |  FROM tf LEFT JOIN tc USING (feat) JOIN rc USING (feat) CROSS JOIN tot
+       |  GROUP BY tf.doc_id
+       |)""".stripMargin
 
   /** Shared bigram-LM scoring prefix (train counts → heldout per-doc
     * quantized NLL sums in `agg`) for the cl_lm_perplexity and

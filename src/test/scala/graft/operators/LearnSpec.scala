@@ -149,6 +149,28 @@ class LearnSpec extends SparkSpec {
       s"target-like min ${tLike.map(_._3).min} must exceed raw-typical max ${rLike.map(_._3).max}")
   }
 
+  test("DSIR selection is exactly the per-language greedy weight prefix within budget") {
+    val weights = Learn.queries("pl_dsir_weights")(spark, sf()).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("n_tokens")),
+        r.getLong(r.fieldIndex("w_q"))))
+    val langs = Relational.t(spark, sf(), "documents").select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = weights.groupBy(x => langs(x._1)).toSeq.flatMap { case (lang, ds) =>
+      val sorted = ds.sortBy { case (id, _, w) => (-w, id) }
+      val cums = sorted.scanLeft(0L)(_ + _._2).tail
+      sorted.zip(cums).filter(_._2 <= Learn.DsirLangBudget)
+        .map { case ((id, n, w), c) => (id, lang, w, n, c) }
+    }.toSet
+    val got = Learn.queries("pl_dsir_select")(spark, sf()).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("lang")),
+        r.getLong(r.fieldIndex("w_q")), r.getLong(r.fieldIndex("n_tokens")),
+        r.getLong(r.fieldIndex("cum_tokens")))).toSet
+    assert(want.nonEmpty, "budget should admit some docs")
+    assert(got == want, s"selection diverges: extra ${got -- want}, missing ${want -- got}")
+    // The budget genuinely cuts: some raw docs are NOT selected.
+    assert(got.size < weights.length)
+  }
+
   test("perplexity buckets split each language into ordered nearest-rank tertiles") {
     val rows = Learn.queries("cl_ppl_buckets")(spark, sf()).collect()
       .map(r => (r.getString(r.fieldIndex("lang")),
