@@ -377,8 +377,14 @@ object Events {
     * VALUES at ranks (tie-insensitive), never pair ranks with rows.
     */
   private def groupRanks(s: SparkSession, df: DataFrame, valueCol: String): DataFrame = {
-    val numbered = Pipeline.globalRowNumbers(
-      s, df, "grn", col("event_type"), col(valueCol))
+    // Materialized: the range-partition + sort + zipWithIndex numbering is
+    // itself two Spark jobs, and this frame feeds BOTH the base aggregate
+    // and the probe side (and ev_mad_outliers runs the whole rank pipeline
+    // twice via middleSum) — un-checkpointed, the numbering re-executed up
+    // to 4× per query. Correctness never depended on it (the numbering is
+    // deterministic); this is purely cutting redundant passes.
+    val numbered = Dedup.materialized(Pipeline.globalRowNumbers(
+      s, df, "grn", col("event_type"), col(valueCol)))
     val base = numbered.groupBy("event_type")
       .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
     numbered.join(broadcast(base), "event_type")
