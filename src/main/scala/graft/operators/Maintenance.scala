@@ -92,7 +92,7 @@ object Maintenance {
     val kCol = element_at(
       map(kByValue.toSeq.flatMap { case (v, m) => Seq(lit(v), lit(m)) }: _*),
       col(partitionCol).cast("string"))
-    val salt = pmod(xxhash64(df.columns.map(col): _*), kCol)
+    val salt = pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), kCol)
     df.repartition(math.max(spark.sparkContext.defaultParallelism, k), col(partitionCol), salt)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(outPath)
     k
@@ -215,7 +215,7 @@ object Maintenance {
       .withColumn("__z", z)
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
       .write.mode("overwrite").parquet(outPath)
     n
   }

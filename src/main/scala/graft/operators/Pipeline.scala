@@ -469,7 +469,7 @@ object Pipeline {
       .repartitionByRange(s.sparkContext.defaultParallelism, keys: _*)
       .sortWithinPartitions(keys: _*)
     val schema = sorted.schema
-    val numbered = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val numbered = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
     }
     s.createDataFrame(numbered,

@@ -19,7 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(
+      classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
   /** Constant-int extraction for expression-shape parameters (same contract
     * as graft_shingles' n): demand foldability and an integral type at
