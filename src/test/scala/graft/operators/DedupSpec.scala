@@ -173,6 +173,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("both CC algorithms equal union-find on seeded random graphs") {
+    import spark.implicits._
+    // Five deterministic Erdős–Rényi-ish graphs spanning the regimes that
+    // break CC implementations differently: sub-critical (forest of small
+    // components), near-critical (one giant + many small), and dense (one
+    // component, high-degree propagation). Both algorithms must land on the
+    // union-find fixpoint exactly.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val p = Seq(0.01, 0.02, 0.05, 0.1, 0.2)(seed - 1)
+      val edges = (for {
+        a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < p
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val q = parent.getOrElseUpdate(x, x)
+          if (q == x) x else { val r = find(q); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        val df = edges.toDF("doc_a", "doc_b")
+        for ((algo, cc) <- Seq(
+            "label-prop" -> Dedup.connectedComponents(df),
+            "stars" -> Dedup.connectedComponentsStars(df))) {
+          val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == want, s"seed=$seed p=$p $algo diverges from union-find")
+        }
+      }
+    }
+  }
+
   test("connected components closes a deep chain within a logarithmic round budget") {
     import spark.implicits._
     // A 512-vertex chain has diameter 511: plain min-propagation needs ~511
