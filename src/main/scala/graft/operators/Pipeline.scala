@@ -384,21 +384,8 @@ object Pipeline {
     // the report costs one corpus scan regardless of stage count, vs the
     // k-scans a naive "run each filter separately and count" pipeline pays.
     "pl_filter_funnel" -> { (s, dir) =>
-      val perDoc = Relational.t(s, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id").agg(
-          sum(col("cnt")).as("n"),
-          count(lit(1)).as("nd"),
-          sum(when(col("tok").isInCollection(TextOps.Stopwords), col("cnt"))
-            .otherwise(0L)).as("sw"),
-          sum(col("cnt") * TextOps.qlog(col("cnt").cast("double"))).as("s1"))
-        .withColumn("eq",
-          col("n") * TextOps.qlog(col("n").cast("double")) - col("s1"))
-      val p1 = col("n") >= FunnelMinTokens
-      val p2 = col("sw") * 20L >= col("n")
-      val p3 = col("nd") * 3L >= col("n")
-      val p4 = col("eq") >= lit(FunnelMinEntropyQ) * col("n")
+      val perDoc = funnelSignals(s, dir)
+      val Seq(p1, p2, p3, p4) = funnelStages
       def removedAt(pass: Column, prior: Column*): Column =
         sum(when(prior.foldLeft(!pass)((c, p) => c && p), 1L).otherwise(0L))
       val g = perDoc.agg(
@@ -419,8 +406,51 @@ object Pipeline {
           .as("f"))
         .select(col("f.*"))
         .orderBy("stage_idx")
+    },
+
+    // Per-document filter labels — the ROW-LEVEL artifact the funnel
+    // aggregates: every doc gets keep=true or the NAME of the first stage
+    // it fails (the reason code a curation UI or appeal/audit process
+    // reads; also what a re-run diffs to see which docs a threshold change
+    // flips). Same one-scan signal computation as pl_filter_funnel; the
+    // label is a narrow CASE over the per-doc signal row.
+    "pl_filter_labels" -> { (s, dir) =>
+      val Seq(p1, p2, p3, p4) = funnelStages
+      funnelSignals(s, dir)
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          when(!p1, "min_tokens")
+            .when(!p2, "stopword_ratio")
+            .when(!p3, "type_token_ratio")
+            .when(!p4, "token_entropy")
+            .otherwise("pass").as("reason"))
+        .withColumn("keep", col("reason") === "pass")
+        .orderBy("doc_id")
     }
   )
+
+  /** Per-document funnel signals (n, nd, sw, s1, eq) in ONE token explode +
+    * two hash aggregations — shared by pl_filter_funnel and
+    * pl_filter_labels.
+    */
+  private def funnelSignals(s: SparkSession, dir: String): DataFrame =
+    Relational.t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n"),
+        count(lit(1)).as("nd"),
+        sum(when(col("tok").isInCollection(TextOps.Stopwords), col("cnt"))
+          .otherwise(0L)).as("sw"),
+        sum(col("cnt") * TextOps.qlog(col("cnt").cast("double"))).as("s1"))
+      .withColumn("eq",
+        col("n") * TextOps.qlog(col("n").cast("double")) - col("s1"))
+
+  /** The four ordered stage predicates over [[funnelSignals]] columns. */
+  private def funnelStages: Seq[Column] = Seq(
+    col("n") >= FunnelMinTokens,
+    col("sw") * 20L >= col("n"),
+    col("nd") * 3L >= col("n"),
+    col("eq") >= lit(FunnelMinEntropyQ) * col("n"))
 
   /** Funnel thresholds: minimum tokens per doc, and the minimum mean token
     * entropy in integer MILLIONTHS of a nat (2.8 nats — compared as
@@ -647,20 +677,7 @@ object Pipeline {
     // the four stage rows as UNION ALL over the one-row totals. COUNTs
     // cast to BIGINT (HUGEINT/driver-type lesson).
     "pl_filter_funnel" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS tok
-         |  FROM documents
-         |), c AS (
-         |  SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok
-         |), a AS (
-         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS nd,
-         |    CAST(SUM(CASE WHEN list_contains(['the','a','and','of','to','in','is'], tok)
-         |                  THEN cnt ELSE 0 END) AS BIGINT) AS sw,
-         |    CAST(SUM(cnt * CAST(round(1000000.0 * ln(cnt)) AS BIGINT)) AS BIGINT) AS s1
-         |  FROM c GROUP BY doc_id
-         |), f AS (
-         |  SELECT n, nd, sw, n * CAST(round(1000000.0 * ln(n)) AS BIGINT) - s1 AS eq FROM a
-         |), g AS (
+      s"""$funnelSignalsSqlPrefix, g AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
          |    CAST(COUNT(*) FILTER (NOT n >= $FunnelMinTokens) AS BIGINT) AS r1,
          |    CAST(COUNT(*) FILTER (n >= $FunnelMinTokens AND NOT sw * 20 >= n) AS BIGINT) AS r2,
@@ -676,6 +693,41 @@ object Pipeline {
          |UNION ALL SELECT 3, 'type_token_ratio', total - r1 - r2, r3, total - r1 - r2 - r3 FROM g
          |UNION ALL SELECT 4, 'token_entropy', total - r1 - r2 - r3, r4,
          |  total - r1 - r2 - r3 - r4 FROM g
-         |ORDER BY stage_idx""".stripMargin
+         |ORDER BY stage_idx""".stripMargin,
+    // Labels twin: same signals prefix, first-failing-stage CASE per doc.
+    "pl_filter_labels" ->
+      s"""$funnelSignalsSqlPrefix
+         |SELECT doc_id, n AS n_tokens,
+         |  CASE WHEN NOT n >= $FunnelMinTokens THEN 'min_tokens'
+         |       WHEN NOT sw * 20 >= n THEN 'stopword_ratio'
+         |       WHEN NOT nd * 3 >= n THEN 'type_token_ratio'
+         |       WHEN NOT eq >= $FunnelMinEntropyQ * n THEN 'token_entropy'
+         |       ELSE 'pass' END AS reason,
+         |  (n >= $FunnelMinTokens AND sw * 20 >= n AND nd * 3 >= n
+         |   AND eq >= $FunnelMinEntropyQ * n) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared per-doc funnel-signal CTE prefix ending in
+    * `f(doc_id, n, nd, sw, eq)` — one signal definition for the
+    * pl_filter_funnel and pl_filter_labels oracles, mirroring the engine's
+    * shared [[funnelSignals]].
+    */
+  private def funnelSignalsSqlPrefix: String =
+    """WITH t AS (
+      |  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok
+      |), a AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS nd,
+      |    CAST(SUM(CASE WHEN list_contains(['the','a','and','of','to','in','is'], tok)
+      |                  THEN cnt ELSE 0 END) AS BIGINT) AS sw,
+      |    CAST(SUM(cnt * CAST(round(1000000.0 * ln(cnt)) AS BIGINT)) AS BIGINT) AS s1
+      |  FROM c GROUP BY doc_id
+      |), f AS (
+      |  SELECT doc_id, n, nd, sw,
+      |    n * CAST(round(1000000.0 * ln(n)) AS BIGINT) - s1 AS eq
+      |  FROM a
+      |)""".stripMargin
 }

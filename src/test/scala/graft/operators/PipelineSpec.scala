@@ -247,4 +247,19 @@ class PipelineSpec extends SparkSpec {
     assert(rows.last.getLong(rows.last.fieldIndex("n_out")) > 0)
     assert(removed.sum > 0)
   }
+
+  test("filter labels aggregate exactly to the funnel's stage counts") {
+    val labels = Pipeline.queries("pl_filter_labels")(spark, sf()).collect()
+      .map(r => (r.getString(r.fieldIndex("reason")), r.getBoolean(r.fieldIndex("keep"))))
+    // keep is precisely reason == pass.
+    labels.foreach { case (reason, keep) => assert(keep == (reason == "pass")) }
+    val byReason = labels.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val funnel = Pipeline.queries("pl_filter_funnel")(spark, sf()).collect()
+      .map(r => r.getString(r.fieldIndex("stage")) -> r.getLong(r.fieldIndex("n_removed")))
+    funnel.foreach { case (stage, n) =>
+      assert(byReason.getOrElse(stage, 0L) == n,
+        s"stage $stage: labels say ${byReason.getOrElse(stage, 0L)}, funnel says $n")
+    }
+    assert(byReason.getOrElse("pass", 0L) == labels.length - funnel.map(_._2).sum)
+  }
 }
