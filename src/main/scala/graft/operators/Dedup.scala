@@ -199,6 +199,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Containment threshold for [[queries dd_containment]] — the asymmetric
+    * quote/excerpt detection contract, distinct from symmetric Jaccard.
+    */
+  val MinContain = 0.9
+
+  /** Ordered candidate pairs (contained, container) with possible shingle
+    * containment C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| ≥ [[MinContain]] — the
+    * asymmetric near-dup relation Jaccard misses: a short document quoted
+    * wholesale inside a much longer one has tiny Jaccard but containment ≈ 1
+    * (the "excerpt/expansion" duplication mode in web corpora).
+    *
+    * Prefix filtering is one-sided here: if C(a→b) ≥ t then a and b share
+    * ≥ ⌈t·|a|⌉ shingles, so at least one of them sits in a's first
+    * |a| − ⌈t·|a|⌉ + 1 shingles under ANY common total order (otherwise the
+    * overlap would be ≤ ⌈t·|a|⌉ − 1). The CONTAINER side admits no such
+    * bound (|b| is unconstrained), so the probe joins a's rarest-first
+    * prefix against the FULL inverted index. Skew safety still holds: a
+    * stop-phrase shingle only ever enters a *prefix* for documents whose
+    * rarest content it is — the join's per-shingle cost is
+    * df_prefix(sng) × df(sng), with df_prefix the controlled factor.
+    * One ranked frame serves both sides (prefix = rk-filtered view, full
+    * index = the same rows unfiltered), so the shingling/df/rank pipeline
+    * runs once.
+    */
+  def containmentCandidates(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = sh.select(col("doc_id"), size(col("shingles")).as("setsz"), explode(col("shingles")).as("sng"))
+    val prefixLen = (col("setsz") - ceil(col("setsz") * lit(MinContain)) + 1).cast("int")
+    // Same AQE window barriers + one-shot materialization as ngramCandidates.
+    val ranked = materialized(inv
+      .transform(spread("sng"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sng")))
+      .transform(spread("doc_id"))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id").orderBy("df", "sng")))
+      .withColumn("plen", prefixLen)
+      .select("doc_id", "sng", "rk", "plen")
+      .transform(spread("sng")))
+    ranked.filter(col("rk") <= col("plen"))
+      .select(col("doc_id").as("contained_id"), col("sng")).as("x")
+      .join(ranked.select(col("doc_id").as("container_id"), col("sng")).as("y"), "sng")
+      .filter(col("contained_id") =!= col("container_id"))
+      .select("contained_id", "container_id")
+      .transform(spreadKeys("contained_id", "container_id"))
+      .distinct()
+  }
+
   /** Cross-set prefix-filtered candidates: probe-side documents that may be
     * ≥[[MinJaccard]]-similar to an INDEX-side document — the incremental-
     * ingest shape (dedupe an incoming batch against the existing corpus)
@@ -657,6 +703,30 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Asymmetric containment pairs: |sh(a) ∩ sh(b)| / |sh(a)| ≥ 0.9 — the
+    // excerpt/quote duplication mode symmetric Jaccard misses (a 30-token
+    // doc embedded in a 3000-token doc has Jaccard ≈ 0.01, containment ≈ 1).
+    // Candidates: contained-side rarest-first prefix × full inverted index
+    // (one-sided prefix filtering, provably lossless — containmentCandidates);
+    // verification recomputes exact containment from the full shingle sets.
+    "dd_containment" -> { (s, dir) =>
+      val sh = materialized(shingled(s, dir))
+      val a = sh.select(col("doc_id").as("contained_id"), col("shingles").as("sh_a"))
+      val b = sh.select(col("doc_id").as("container_id"), col("shingles").as("sh_b"))
+      containmentCandidates(sh)
+        .transform(spreadKeys("contained_id"))
+        .join(a, "contained_id")
+        .transform(spreadKeys("container_id"))
+        .join(b, "container_id")
+        .select(
+          col("contained_id"),
+          col("container_id"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(col("sh_a"))).as("containment"))
+        .filter(col("containment") >= MinContain)
+        .orderBy("contained_id", "container_id")
+    },
+
     "dd_incremental" -> { (s, dir) =>
       // Four consumers: both cross-filter sides + both verification sides.
       val sh = materialized(shingled(s, dir))
@@ -965,6 +1035,28 @@ object Dedup {
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_pairs" -> exactPairsSql,
+    // Quadratic all-(ordered)-pairs form: the hash-match proves the one-sided
+    // prefix-filter candidate tier lossless for the asymmetric relation.
+    "dd_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts)-1)]) AS shingles
+        |  FROM toks WHERE len(ts) >= 3
+        |), inv AS (
+        |  SELECT doc_id, unnest(shingles) AS sng FROM sh
+        |), common AS (
+        |  SELECT x.doc_id AS contained_id, y.doc_id AS container_id, COUNT(*) AS common
+        |  FROM inv x JOIN inv y ON x.sng = y.sng AND x.doc_id <> y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT contained_id, container_id,
+        |  CAST(common AS DOUBLE) / len(a.shingles) AS containment
+        |FROM common JOIN sh a ON contained_id = a.doc_id
+        |WHERE CAST(common AS DOUBLE) / len(a.shingles) >= 0.9
+        |ORDER BY contained_id, container_id""".stripMargin,
     "dd_contamination" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts

@@ -94,6 +94,48 @@ class DedupSpec extends SparkSpec {
     assert(exact.subsetOf(cands), s"prefix candidates missed true pairs: ${exact -- cands}")
   }
 
+  test("containment finds the asymmetric excerpt pair symmetric Jaccard misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Doc 0 is a 6-token excerpt of doc 1's 60 tokens: containment(0→1) = 1
+    // while Jaccard = 5/59 ≈ 0.08 — far below the 0.8 near-dup threshold.
+    // Distractor docs 2-9 share nothing with either.
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (21 to 26).map(i => s"w$i").mkString(" ")
+    val docs = (Seq((0L, excerpt), (1L, long)) ++
+      (2 to 9).map(i => (i.toLong, (1 to 10).map(j => s"x${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val sh2 = docs.select(col("doc_id"), graft.functions.ShingleSet(col("text")).as("shingles"))
+    val cands = Dedup.containmentCandidates(sh2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)), s"candidate tier missed the excerpt pair: $cands")
+    // Verified output (same shape as the gate query, on the planted frame).
+    val a = sh2.select(col("doc_id").as("contained_id"), col("shingles").as("sh_a"))
+    val b = sh2.select(col("doc_id").as("container_id"), col("shingles").as("sh_b"))
+    import org.apache.spark.sql.functions.{array_intersect, size => asize}
+    val out = Dedup.containmentCandidates(sh2)
+      .join(a, "contained_id").join(b, "container_id")
+      .select(col("contained_id"), col("container_id"),
+        (asize(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          asize(col("sh_a"))).as("containment"))
+      .filter(col("containment") >= Dedup.MinContain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)),
+      s"expected exactly the excerpt pair (0,1) at containment >= 0.9, got $out")
+    // The symmetric Jaccard tier must NOT pair them (that's the point).
+    val jac = Dedup.ngramCandidates(sh2)
+    val verified = jac.join(a.withColumnRenamed("contained_id", "doc_a")
+        .withColumnRenamed("sh_a", "s1"), "doc_a")
+      .join(b.withColumnRenamed("container_id", "doc_b")
+        .withColumnRenamed("sh_b", "s2"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (asize(array_intersect(col("s1"), col("s2"))).cast("double") /
+          (asize(col("s1")) + asize(col("s2")) -
+            asize(array_intersect(col("s1"), col("s2"))))).as("j"))
+      .filter(col("j") >= Dedup.MinJaccard).count()
+    assert(verified == 0L, "excerpt pair should be invisible to symmetric Jaccard")
+  }
+
   test("incremental dedup equals the cross-side subset of the full pair set") {
     import org.apache.spark.sql.functions.col
     val buckets = Relational.t(spark, sf(), "documents")
