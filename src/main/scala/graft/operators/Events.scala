@@ -273,6 +273,24 @@ object Events {
         .orderBy("event_type")
     },
 
+    // Exact two-sample Kolmogorov–Smirnov statistic per event type between
+    // a deterministic A/B user split (hash buckets <50 vs ≥50 — the same
+    // cross-engine family as sp_split_assign, so membership is
+    // reproducible): the experiment-analysis primitive "did the metric's
+    // DISTRIBUTION move", stronger than any mean/variance comparison.
+    // D = max over v of |F_A(v) − F_B(v)| computed in pure integers:
+    // max |ca(≤v)·n_b − cb(≤v)·n_a| over the VALUE-GRID frame (values are
+    // exact cents, so the grouped (type, v) frame is bounded by the value
+    // DOMAIN — ≤ |types|·|price grid| rows at any corpus size, which is why
+    // the cumulative window here is safe where ev_winsorize's per-row rank
+    // window was not: the window input never grows with the event count).
+    // The one IEEE division ks_num/(n_a·n_b) happens once at the end, so
+    // the statistic is hash-exact across engines.
+    "ev_ks_ab" -> { (s, dir) =>
+      ksTwoSample(Relational.t(s, dir, "events"),
+        when(Pipeline.bucket(col("user_id")) < 50, 1L).otherwise(0L))
+    },
+
     // Gap-filled hourly series with LOCF (last-observation-carried-forward)
     // imputation — the time-series repair step before any model consumes a
     // metric stream: absent (hour, type) cells exist in the output, flagged
@@ -348,6 +366,34 @@ object Events {
     }
   )
 
+  /** Exact two-sample KS core shared by the ev_ks_ab gate query and the
+    * planted-distribution specs: per event_type, D between the rows where
+    * `isA` = 1 and the rest, over `value` cast to exact cents. See the
+    * ev_ks_ab query comment for the value-grid boundedness argument that
+    * makes the cumulative window scale-safe.
+    */
+  def ksTwoSample(events: DataFrame, isA: Column): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(18, 2)
+    val e = events
+      .select(col("event_type"), col("value").cast(d).as("v"), isA.as("is_a"))
+    // Map-side-combined grid aggregation: the only corpus-sized pass.
+    val g = e.groupBy("event_type", "v")
+      .agg(sum(col("is_a")).as("da"), sum(lit(1L) - col("is_a")).as("db"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = g.groupBy("event_type").agg(sum("da").as("n_a"), sum("db").as("n_b"))
+    g.withColumn("ca", sum("da").over(w))
+      .withColumn("cb", sum("db").over(w))
+      .join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))).as("ks_num"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks_stat"))
+      .orderBy("event_type")
+  }
+
   private val sessionsSql =
     s"""WITH x AS (
        |  SELECT user_id, ts, event_id,
@@ -412,6 +458,34 @@ object Events {
         |WHERE n_w > 1 AND
         |  (n_events * n_w - s) * (n_events * n_w - s) * (n_w - 1) > 4 * n_w * (n_w * s2 - s * s)
         |ORDER BY window_start, h.event_type""".stripMargin,
+    // Cumulative A/B counts over the value grid in exact integers; HUGEINT
+    // window sums cast to BIGINT at the output boundary (the an_chisq
+    // lesson), the one division shared verbatim with the Spark plan.
+    "ev_ks_ab" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+         |    CASE WHEN ${Pipeline.bucketSql("user_id")} < 50 THEN 1 ELSE 0 END AS is_a
+         |  FROM events
+         |), g AS (
+         |  SELECT event_type, v, SUM(is_a) AS da, SUM(1 - is_a) AS db
+         |  FROM e GROUP BY 1, 2
+         |), c AS (
+         |  SELECT event_type, v, da, db,
+         |    SUM(da) OVER (PARTITION BY event_type ORDER BY v) AS ca,
+         |    SUM(db) OVER (PARTITION BY event_type ORDER BY v) AS cb
+         |  FROM g
+         |), t AS (
+         |  SELECT event_type, CAST(SUM(da) AS BIGINT) AS n_a,
+         |    CAST(SUM(db) AS BIGINT) AS n_b
+         |  FROM g GROUP BY 1
+         |)
+         |SELECT c.event_type, n_a, n_b,
+         |  CAST(MAX(abs(ca * n_b - cb * n_a)) AS BIGINT) AS ks_num,
+         |  CAST(MAX(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+         |    / CAST(n_a * n_b AS DOUBLE) AS ks_stat
+         |FROM c JOIN t ON c.event_type = t.event_type
+         |GROUP BY c.event_type, n_a, n_b
+         |ORDER BY c.event_type""".stripMargin,
     "ev_winsorize" ->
       """WITH e AS (
         |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events

@@ -30,6 +30,27 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("ks two-sample: 1 on disjoint supports, 0 on identical samples, exact on a hand case") {
+    import spark.implicits._
+    // Type "shift": A-values all below every B-value → D = 1.
+    // Type "same": A and B are the same multiset → D = 0.
+    // Type "hand": A = {1,2,3}, B = {2,3,4} → ECDF gap peaks at v=1
+    //   (1/3 − 0) and v=3 (1 − 2/3) → D = 1/3; numerator max |ca·3 − cb·3| = 3.
+    val rows =
+      (1 to 10).map(i => ("shift", i.toDouble, 1L)) ++
+        (1 to 10).map(i => ("shift", 100.0 + i, 0L)) ++
+        (1 to 10).flatMap(i => Seq(("same", i.toDouble, 1L), ("same", i.toDouble, 0L))) ++
+        Seq(("hand", 1.0, 1L), ("hand", 2.0, 1L), ("hand", 3.0, 1L),
+          ("hand", 2.0, 0L), ("hand", 3.0, 0L), ("hand", 4.0, 0L))
+    val ev = rows.toDF("event_type", "value", "is_a")
+    val out = Events.ksTwoSample(ev, col("is_a"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("shift") == ((10L, 10L, 100L, 1.0)))
+    assert(out("same") == ((10L, 10L, 0L, 0.0)))
+    assert(out("hand") == ((3L, 3L, 3L, 1.0 / 3.0)))
+  }
+
   test("locf: dense hourly spine; imputed values carry the last observation forward") {
     val rows = Events.queries("ev_locf")(spark, sf()).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(2), r.getLong(3)))
