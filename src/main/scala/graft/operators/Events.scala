@@ -291,6 +291,51 @@ object Events {
         when(Pipeline.bucket(col("user_id")) < 50, 1L).otherwise(0L))
     },
 
+    // RFM user segmentation — the classic lifecycle-marketing score: per
+    // user, Recency (days since last event, against the corpus max date),
+    // Frequency (event count), Monetary (exact DECIMAL value sum), each
+    // mapped to a 1-5 quintile score by EXACT rank arithmetic
+    // ((rk−1)·5 div n + 1 — the equi-depth bucket formula, never
+    // NTILE-over-a-global-ORDER-BY and never a float percentile), with
+    // deterministic user_id tie-breaks so every score is cross-engine
+    // reproducible. Shape: one events-sized aggregation shuffling on
+    // user_id, then THREE range-partition numbering passes over the
+    // |users|-row frame (the an_gini machinery — orders of magnitude
+    // smaller than the event stream, and each pass is O(users) with no
+    // single-partition funnel) joined back on user_id.
+    "ev_rfm" -> { (s, dir) =>
+      val d = org.apache.spark.sql.types.DecimalType(18, 2)
+      val ev = Relational.t(s, dir, "events")
+      val asOf = ev.agg(max(to_date(col("ts"))).as("as_of"))
+      val base = Dedup.materialized(ev.groupBy("user_id")
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast(d)).as("monetary"))
+        .crossJoin(broadcast(asOf))
+        .select(col("user_id"),
+          datediff(col("as_of"), col("last_day")).cast("long").as("recency_days"),
+          col("frequency"), col("monetary")))
+      val n = base.agg(count(lit(1)).as("n_users"))
+      // Quintile score of `key` ascending (higher key → higher score),
+      // user_id tie-break; -recency makes "more recent" rank higher.
+      def score(key: Column, out: String): DataFrame =
+        Pipeline.globalRowNumbers(s, base.select(col("user_id"), key.as("k")),
+            "rk", col("k"), col("user_id"))
+          .crossJoin(broadcast(n))
+          .select(col("user_id"),
+            (expr("((rk - 1) * 5) div n_users") + 1).cast("int").as(out))
+      base
+        .join(score(-col("recency_days"), "r_score"), "user_id")
+        .join(score(col("frequency"), "f_score"), "user_id")
+        .join(score(col("monetary"), "m_score"), "user_id")
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary").cast("double").as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score").cast("string"), col("f_score").cast("string"),
+            col("m_score").cast("string")).as("segment"))
+        .orderBy("user_id")
+    },
+
     // Gap-filled hourly series with LOCF (last-observation-carried-forward)
     // imputation — the time-series repair step before any model consumes a
     // metric stream: absent (hour, type) cells exist in the output, flagged
@@ -458,6 +503,35 @@ object Events {
         |WHERE n_w > 1 AND
         |  (n_events * n_w - s) * (n_events * n_w - s) * (n_w - 1) > 4 * n_w * (n_w * s2 - s * s)
         |ORDER BY window_start, h.event_type""".stripMargin,
+    // Naive-window twin of the range-partition rank machinery: the
+    // hash-match proves the three numbering passes ARE the global ranks.
+    // Integer score arithmetic (// = floor div on positive operands);
+    // DECIMAL monetary cast to DOUBLE only at the output boundary.
+    "ev_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    date_diff('day', MAX(CAST(ts AS DATE)),
+        |              (SELECT MAX(CAST(ts AS DATE)) FROM events)) AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS monetary
+        |  FROM events GROUP BY user_id
+        |), n AS (SELECT COUNT(*) AS nu FROM u),
+        |r AS (
+        |  SELECT user_id, recency_days, frequency, monetary,
+        |    ROW_NUMBER() OVER (ORDER BY recency_days DESC, user_id ASC) AS rr,
+        |    ROW_NUMBER() OVER (ORDER BY frequency ASC, user_id ASC) AS rf,
+        |    ROW_NUMBER() OVER (ORDER BY monetary ASC, user_id ASC) AS rm
+        |  FROM u
+        |)
+        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+        |  CAST(monetary AS DOUBLE) AS monetary,
+        |  CAST((rr - 1) * 5 // nu + 1 AS INT) AS r_score,
+        |  CAST((rf - 1) * 5 // nu + 1 AS INT) AS f_score,
+        |  CAST((rm - 1) * 5 // nu + 1 AS INT) AS m_score,
+        |  CAST((rr - 1) * 5 // nu + 1 AS VARCHAR)
+        |    || CAST((rf - 1) * 5 // nu + 1 AS VARCHAR)
+        |    || CAST((rm - 1) * 5 // nu + 1 AS VARCHAR) AS segment
+        |FROM r, n ORDER BY user_id""".stripMargin,
     // Cumulative A/B counts over the value grid in exact integers; HUGEINT
     // window sums cast to BIGINT at the output boundary (the an_chisq
     // lesson), the one division shared verbatim with the Spark plan.

@@ -51,6 +51,24 @@ class EventsSpec extends SparkSpec {
     assert(out("hand") == ((3L, 3L, 3L, 1.0 / 3.0)))
   }
 
+  test("rfm: scores are balanced quintiles and the segment encodes them") {
+    val rows = Events.queries("ev_rfm")(spark, sf()).collect()
+    val n = rows.length
+    assert(n > 0)
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val byScore = rows.groupBy(_.getInt(rows.head.fieldIndex(c))).view.mapValues(_.length)
+      assert(byScore.keys.toSet.subsetOf((1 to 5).toSet), s"$c out of range")
+      // Equi-depth buckets: (rk−1)·5 div n puts either ⌊n/5⌋ or ⌈n/5⌉ per score.
+      byScore.values.foreach(sz => assert(sz == n / 5 || sz == n / 5 + (if (n % 5 == 0) 0 else 1),
+        s"$c bucket sizes unbalanced: ${byScore.toMap}"))
+    }
+    rows.foreach { r =>
+      val seg = r.getString(r.fieldIndex("segment"))
+      val want = s"${r.getInt(r.fieldIndex("r_score"))}${r.getInt(r.fieldIndex("f_score"))}${r.getInt(r.fieldIndex("m_score"))}"
+      assert(seg == want)
+    }
+  }
+
   test("locf: dense hourly spine; imputed values carry the last observation forward") {
     val rows = Events.queries("ev_locf")(spark, sf()).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(2), r.getLong(3)))
