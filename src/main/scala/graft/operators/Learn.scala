@@ -191,6 +191,40 @@ object Learn {
         .orderBy("true_lang", "pred_lang")
     },
 
+    // Per-class precision / recall / F1 — the classification report beside
+    // the raw confusion matrix: tp/fp/fn per true class in pure integer
+    // counting, each metric then ONE IEEE division (F1 in its one-division
+    // form 2·tp/(2·tp+fp+fn), never 2PR/(P+R) whose nested roundings are
+    // not cross-engine stable). Classes are the truth-side labels; a class
+    // never predicted gets fp = 0 and NULL precision in both engines.
+    // Shape: the |labels|²-row confusion frame aggregated twice and joined
+    // on the class — every frame after the doc join is |labels|-sized, so
+    // the report costs nothing beyond cl_eval at any corpus size.
+    "cl_prf1" -> { (s, dir) =>
+      val pred = argmaxLabel(nbScores(s, dir)).select("doc_id", "pred_lang")
+      val truth = Relational.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("true_lang"))
+      val cm = Dedup.materialized(pred.join(truth, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n")))
+      val cls = cm.groupBy(col("true_lang").as("lang"))
+        .agg(sum("n").as("n_true"),
+          sum(when(col("pred_lang") === col("true_lang"), col("n"))
+            .otherwise(0L)).as("tp"))
+      val pcls = cm.groupBy(col("pred_lang").as("lang")).agg(sum("n").as("n_pred"))
+      cls.join(pcls, Seq("lang"), "left_outer")
+        .select(col("lang"), col("n_true").as("support"), col("tp"),
+          (coalesce(col("n_pred"), lit(0L)) - col("tp")).as("fp"),
+          (col("n_true") - col("tp")).as("fn"),
+          when(coalesce(col("n_pred"), lit(0L)) > 0,
+            col("tp").cast("double") / col("n_pred").cast("double")).as("prec"),
+          (col("tp").cast("double") / col("n_true").cast("double")).as("rec"),
+          ((col("tp") * 2).cast("double") /
+            (col("tp") * 2 + coalesce(col("n_pred"), lit(0L)) - col("tp") +
+              col("n_true") - col("tp")).cast("double")).as("f1"))
+        .orderBy("lang")
+    },
+
     // Exact one-vs-rest ROC-AUC of the [[AucPosLabel]] score via the
     // Mann-Whitney rank statistic: AUC = (R⁺ − P(P+1)/2) / (P·N) with
     // midranks for ties. DISTRIBUTED ranking: items are range-partitioned by
@@ -543,6 +577,33 @@ object Learn {
          |SELECT d2.lang AS true_lang, p.pred_lang, COUNT(*) AS n
          |FROM pred p JOIN documents d2 USING (doc_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Shares the scored-prediction CTE with cl_eval; HUGEINT sums cast to
+    // BIGINT, each metric a single division on integer operands.
+    "cl_prf1" ->
+      s"""$nbScoredSql, pred AS (
+         |  SELECT doc_id, lang AS pred_lang FROM scored
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+         |), cm AS (
+         |  SELECT d2.lang AS true_lang, p.pred_lang, COUNT(*) AS n
+         |  FROM pred p JOIN documents d2 USING (doc_id)
+         |  GROUP BY 1, 2
+         |), cls AS (
+         |  SELECT true_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_true,
+         |    CAST(SUM(CASE WHEN pred_lang = true_lang THEN n ELSE 0 END) AS BIGINT) AS tp
+         |  FROM cm GROUP BY 1
+         |), pcls AS (
+         |  SELECT pred_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1
+         |)
+         |SELECT cls.lang, n_true AS support, tp,
+         |  COALESCE(n_pred, 0) - tp AS fp,
+         |  n_true - tp AS fn,
+         |  CASE WHEN COALESCE(n_pred, 0) > 0
+         |       THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS prec,
+         |  CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS rec,
+         |  CAST(tp * 2 AS DOUBLE)
+         |    / CAST(tp * 2 + COALESCE(n_pred, 0) - tp + n_true - tp AS DOUBLE) AS f1
+         |FROM cls LEFT JOIN pcls ON cls.lang = pcls.lang
+         |ORDER BY cls.lang""".stripMargin,
     "cl_auc" ->
       s"""$nbScoredSql, pos AS (
          |  SELECT s.score, CASE WHEN d2.lang = '$AucPosLabel' THEN 1 ELSE 0 END AS y

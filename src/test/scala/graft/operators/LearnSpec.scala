@@ -56,6 +56,27 @@ class LearnSpec extends SparkSpec {
     assert(auc.getDouble(2) == 1.0, s"AUC on a separable corpus must be exactly 1.0: $auc")
   }
 
+  test("per-class PRF1 is exactly the confusion matrix re-aggregated") {
+    val cm = Learn.queries("cl_eval")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val report = Learn.queries("cl_prf1")(spark, sf()).collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      val c = r.getString(r.fieldIndex("lang"))
+      val tp = cm.getOrElse((c, c), 0L)
+      val fn = cm.collect { case ((t, p), n) if t == c && p != c => n }.sum
+      val fp = cm.collect { case ((t, p), n) if t != c && p == c => n }.sum
+      assert(r.getLong(r.fieldIndex("tp")) == tp)
+      assert(r.getLong(r.fieldIndex("fp")) == fp)
+      assert(r.getLong(r.fieldIndex("fn")) == fn)
+      assert(r.getLong(r.fieldIndex("support")) == tp + fn)
+      assert(r.getDouble(r.fieldIndex("rec")) == tp.toDouble / (tp + fn))
+      if (tp + fp > 0)
+        assert(r.getDouble(r.fieldIndex("prec")) == tp.toDouble / (tp + fp))
+      assert(r.getDouble(r.fieldIndex("f1")) == 2.0 * tp / (2 * tp + fp + fn))
+    }
+  }
+
   test("k-NN vote labels every heldout vector with its planted cluster") {
     import spark.implicits._
     // Two tight clusters on orthogonal axes with small deterministic jitter;
