@@ -304,6 +304,44 @@ object TextAnalysis {
           (((col("n_tokens") * qln(col("n_tokens")) - col("s1")).cast("double")
             / lit(1000000.0)) / col("n_tokens").cast("double")).as("entropy_nats"))
         .orderBy("doc_id")
+    },
+
+    // Zipf rank-frequency fit over the corpus vocabulary — the classic
+    // corpus-health diagnostic (natural text slopes ≈ −1 in log-log space;
+    // template/boilerplate-heavy or synthetic corpora flatten or steepen).
+    // OLS of qlog(freq) on qlog(rank): ranks come from the range-partition
+    // global numbering over the |vocab|-row frequency table (freq DESC,
+    // token tie-break — never a single-partition ROW_NUMBER funnel), both
+    // logs quantized to integer millionths of INTEGER operands (the
+    // engine's quantize-before-sum contract), the 5 OLS moments summed in
+    // exact DECIMAL, and slope/intercept one token-identical IEEE tree in
+    // both engines (the an_linreg exactness argument). Shape: one
+    // corpus-sized explode + hash aggregation, then everything is
+    // O(|vocab|) — the fit itself is a one-row reduction.
+    "ta_zipf" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val qln = TextOps.qlog _
+      val freqs = Relational.t(s, dir, "documents")
+        .transform(Dedup.spread("doc_id"))
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val ranked = Pipeline.globalRowNumbers(
+        s, freqs, "rk", negate(col("freq")), col("token"))
+      val m = ranked
+        .select(col("freq"), qln(col("rk")).as("x"), qln(col("freq")).as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("freq")).as("n_tokens"),
+          sum(col("x").cast(d38)).as("sx"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"),
+          sum((col("x") * col("y")).cast(d38)).as("sxy"))
+      val slope =
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))
+      m.select(col("n").as("n_types"), col("n_tokens"), slope.as("slope"))
+        .select(col("n_types"), col("n_tokens"), col("slope"))
     }
   )
 
@@ -482,6 +520,34 @@ object TextAnalysis {
         |  n * CAST(round(1000000.0 * ln(n)) AS BIGINT) - s1 AS entropy_q,
         |  CAST(n * CAST(round(1000000.0 * ln(n)) AS BIGINT) - s1 AS DOUBLE)
         |    / 1000000.0 / CAST(n AS DOUBLE) AS entropy_nats
-        |FROM a ORDER BY doc_id""".stripMargin
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // Naive global ROW_NUMBER twin of the range-partition ranking; the OLS
+    // moments sum exact-integer quantized logs through DECIMAL(38,0) and
+    // the slope is the an_linreg fixed IEEE tree.
+    "ta_zipf" ->
+      """WITH t AS (
+        |  SELECT UNNEST(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+        |  FROM documents
+        |), f AS (
+        |  SELECT token, COUNT(*) AS freq FROM t GROUP BY token
+        |), r AS (
+        |  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rk FROM f
+        |), q AS (
+        |  SELECT freq,
+        |    CAST(round(1000000.0 * ln(rk)) AS BIGINT) AS x,
+        |    CAST(round(1000000.0 * ln(freq)) AS BIGINT) AS y
+        |  FROM r
+        |), m AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(freq) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+        |  FROM q
+        |)
+        |SELECT n AS n_types, n_tokens,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |FROM m""".stripMargin
   )
 }

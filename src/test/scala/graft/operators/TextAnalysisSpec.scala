@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("zipf slope equals a straight-line OLS over the collected frequency table") {
+    val Array(row) = TextAnalysis.queries("ta_zipf")(spark, sf()).collect()
+    val freqs = Relational.t(spark, sf(), "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val ranked = freqs.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+    def q(v: Long): Long = Math.round(1e6 * Math.log(v.toDouble))
+    val pts = ranked.map { case ((_, f), i) => (q(i + 1L), q(f)) }
+    val n = pts.length.toDouble
+    val sx = pts.map(p => BigDecimal(p._1)).sum.toDouble
+    val sy = pts.map(p => BigDecimal(p._2)).sum.toDouble
+    val sxx = pts.map(p => BigDecimal(p._1) * BigDecimal(p._1)).sum.toDouble
+    val sxy = pts.map(p => BigDecimal(p._1) * BigDecimal(p._2)).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(row.getLong(row.fieldIndex("n_types")) == freqs.length)
+    assert(row.getDouble(row.fieldIndex("slope")) == slope)
+    assert(slope < 0, "rank-frequency slope must be negative")
+  }
+
   test("readability: counts match hand-computed values on known texts; score tree exact") {
     val rows = TextAnalysis.queries("ta_readability")(spark, sf()).collect()
     assert(rows.nonEmpty)
