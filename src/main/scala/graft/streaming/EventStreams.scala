@@ -41,7 +41,12 @@ object EventStreams {
     // the same logical column. The catch is NARROW: only the
     // cannot-infer-from-zero-files condition falls back; a nonexistent or
     // unreadable path still fails loudly at start rather than beginning a
-    // silently-empty stream.
+    // silently-empty stream. If a DIFFERENT-generation file later lands in
+    // a stream started on this fallback, the declared-vs-file type clash
+    // surfaces as a StreamingQueryException (spec-proved: a raw-int64 ts
+    // file raises, zero rows emit) — the operator restarts the query and
+    // the non-empty dir then probes the true layout; timestamps are never
+    // silently misread mid-stream.
     val onDisk =
       try spark.read.parquet(dir).schema
       catch {

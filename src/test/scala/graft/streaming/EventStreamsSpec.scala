@@ -202,6 +202,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("empty-dir fallback schema fails LOUDLY if a wrong-generation file lands") {
+    // The empty-dir start commits to the current generation's micros-NTZ
+    // layout (it cannot know which generation will arrive). If a file from
+    // a different generation (ts as a raw int64 — the nanosAsLong read of
+    // the nanos layout) lands later, the declared-vs-file type clash must
+    // surface as a stream error, never as silently misread timestamps.
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = java.nio.file.Files.createTempDirectory("events-wronggen")
+    val q = EventStreams.readEventStream(spark, d.toString)
+      .writeStream.outputMode("append").format("memory").queryName("wronggen_test").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wronggen_test").count() == 0)
+      // A wrong-generation file: same columns, ts physically int64.
+      graft.operators.Relational.t(spark, sf(), "events")
+        .withColumn("ts", lit(1700000000000000000L))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(d.resolve("gen2").toString)
+      val leaf = java.nio.file.Files.list(d.resolve("gen2")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(leaf, d.resolve("late.parquet"))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        // If no read error surfaced, any emitted row would be a silent
+        // misread — fail the test explicitly in that case.
+        assert(spark.table("wronggen_test").count() == 0,
+          "wrong-generation file was silently misread into rows")
+        throw new IllegalStateException("no rows emitted and no error raised")
+      }
+      assert(err.getMessage != null)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops exact duplicate events across files") {
     // Stage the same events file twice: every event arrives in duplicate.
     val d = java.nio.file.Files.createTempDirectory("events-dup")
