@@ -225,6 +225,43 @@ object Learn {
         .orderBy("lang")
     },
 
+    // Calibration / reliability report: heldout docs in 10 EQUI-DEPTH bins
+    // of prediction margin (top score − runner-up score, an integer number
+    // of log-prob quanta — the NB confidence proxy), each bin reporting
+    // exact margin bounds and accuracy. A calibrated classifier's accuracy
+    // rises with margin; a flat profile says the margins carry no signal —
+    // the decision artifact behind confidence-thresholded auto-labeling.
+    // Determinism: margins are integer differences of the quantized scores,
+    // bins come from the exact rank formula over the range-partition
+    // numbering (margin, doc_id order — no NTILE, no global-sort funnel),
+    // and accuracy is the single IEEE division per bin.
+    "cl_calibration" -> { (s, dir) =>
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang").asc)
+      val m = nbScores(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .groupBy("doc_id")
+        .agg(max(when(col("rk") === 1, col("lang"))).as("pred_lang"),
+          (max(when(col("rk") === 1, col("score"))) -
+            max(when(col("rk") === 2, col("score")))).as("margin_q"))
+      val truth = Relational.t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val scored = m.join(truth, "doc_id")
+        .select(col("doc_id"), col("margin_q"),
+          (col("pred_lang") === col("lang")).cast("long").as("correct"))
+      val n = scored.agg(count(lit(1)).as("n_total"))
+      Pipeline.globalRowNumbers(s, scored, "rk", col("margin_q"), col("doc_id"))
+        .crossJoin(broadcast(n))
+        .withColumn("bin", expr("((rk - 1) * 10) div n_total").cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min("margin_q").as("margin_lo"), max("margin_q").as("margin_hi"),
+          sum("correct").as("n_correct"))
+        .select(col("bin"), col("n_docs"), col("margin_lo"), col("margin_hi"),
+          col("n_correct"),
+          (col("n_correct").cast("double") / col("n_docs").cast("double")).as("accuracy"))
+        .orderBy("bin")
+    },
+
     // Exact one-vs-rest ROC-AUC of the [[AucPosLabel]] score via the
     // Mann-Whitney rank statistic: AUC = (R⁺ − P(P+1)/2) / (P·N) with
     // midranks for ties. DISTRIBUTED ranking: items are range-partitioned by
@@ -604,6 +641,36 @@ object Learn {
          |    / CAST(tp * 2 + COALESCE(n_pred, 0) - tp + n_true - tp AS DOUBLE) AS f1
          |FROM cls LEFT JOIN pcls ON cls.lang = pcls.lang
          |ORDER BY cls.lang""".stripMargin,
+    // Shares the scored CTE; margin = integer difference of quantized
+    // scores, bins by the exact rank formula, HUGEINTs cast at the edge.
+    "cl_calibration" ->
+      s"""$nbScoredSql, r AS (
+         |  SELECT doc_id, lang, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk
+         |  FROM scored
+         |), m AS (
+         |  SELECT doc_id,
+         |    MAX(CASE WHEN rk = 1 THEN lang END) AS pred_lang,
+         |    CAST(MAX(CASE WHEN rk = 1 THEN score END)
+         |         - MAX(CASE WHEN rk = 2 THEN score END) AS BIGINT) AS margin_q
+         |  FROM r WHERE rk <= 2 GROUP BY doc_id
+         |), j AS (
+         |  SELECT m.doc_id, margin_q,
+         |    CASE WHEN pred_lang = d2.lang THEN 1 ELSE 0 END AS correct
+         |  FROM m JOIN documents d2 ON m.doc_id = d2.doc_id
+         |), nn AS (SELECT COUNT(*) AS n FROM j),
+         |b AS (
+         |  SELECT margin_q, correct,
+         |    ROW_NUMBER() OVER (ORDER BY margin_q ASC, doc_id ASC) AS rk
+         |  FROM j
+         |)
+         |SELECT CAST((rk - 1) * 10 // n AS INT) AS bin,
+         |  COUNT(*) AS n_docs,
+         |  CAST(MIN(margin_q) AS BIGINT) AS margin_lo,
+         |  CAST(MAX(margin_q) AS BIGINT) AS margin_hi,
+         |  CAST(SUM(correct) AS BIGINT) AS n_correct,
+         |  CAST(SUM(correct) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+         |FROM b, nn GROUP BY 1 ORDER BY 1""".stripMargin,
     "cl_auc" ->
       s"""$nbScoredSql, pos AS (
          |  SELECT s.score, CASE WHEN d2.lang = '$AucPosLabel' THEN 1 ELSE 0 END AS y

@@ -77,6 +77,25 @@ class LearnSpec extends SparkSpec {
     }
   }
 
+  test("calibration bins are equi-depth with ascending disjoint margin ranges") {
+    val rows = Learn.queries("cl_calibration")(spark, sf()).collect()
+    assert(rows.map(_.getInt(0)).toSeq == rows.map(_.getInt(0)).toSeq.sorted)
+    val n = rows.map(_.getLong(rows.head.fieldIndex("n_docs"))).sum
+    rows.foreach { r =>
+      val sz = r.getLong(r.fieldIndex("n_docs"))
+      assert(sz == n / 10 || sz == n / 10 + 1, s"bin not equi-depth: $sz of $n")
+      val acc = r.getDouble(r.fieldIndex("accuracy"))
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getLong(r.fieldIndex("margin_lo")) <= r.getLong(r.fieldIndex("margin_hi")))
+    }
+    // Equi-depth bin ranges never overlap (margins ascend with bin index).
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(a.fieldIndex("margin_hi")) <= b.getLong(b.fieldIndex("margin_lo")))
+      case _ =>
+    }
+  }
+
   test("k-NN vote labels every heldout vector with its planted cluster") {
     import spark.implicits._
     // Two tight clusters on orthogonal axes with small deterministic jitter;
