@@ -167,6 +167,35 @@ object Analytics {
         .limit(15)
     },
 
+    // Benford first-digit screen over order totals — the fraud/synthetic-
+    // data smell test: naturally-occurring multiplicative amounts follow
+    // P(d) = log10(1+1/d); ledger-like or generated values usually don't.
+    // The digit is the first character of the EXACT DECIMAL rendering
+    // (never floor(x/10^floor(log10 x)) — float logs can misclassify at
+    // power-of-ten boundaries); the expectation table is nine integer-ppm
+    // LITERALS shared textually with the oracle (zero libm anywhere), and
+    // the deviation dev_ppm_n = 1e6·n_d − exp_ppm·N is pure integer
+    // arithmetic whose sign/magnitude can never flip on a float knife-edge
+    // (the ev_anomaly alert-stability argument). One hash aggregation over
+    // a narrow projection + a one-row broadcast total; the single division
+    // (observed share) is the only IEEE op.
+    "an_benford" -> { (s, dir) =>
+      val digits = Relational.t(s, dir, "orders")
+        .select(substring(col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      val n = digits.agg(count(lit(1)).as("n_total"))
+      val expPpm = BenfordPpm.foldLeft(lit(0L)) { case (acc, (d, ppm)) =>
+        when(col("digit") === d, lit(ppm)).otherwise(acc)
+      }
+      digits.groupBy("digit").agg(count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(n))
+        .select(col("digit"), col("n_orders"),
+          expPpm.as("exp_ppm"),
+          (col("n_orders") * lit(1000000L) - expPpm * col("n_total")).as("dev_ppm_n"),
+          (col("n_orders").cast("double") / col("n_total").cast("double")).as("observed"))
+        .orderBy("digit")
+    },
+
     // Exact distinct users per event type via segment bitmaps (see
     // [[graft.functions.BitmapDistinct]]): ids shard into fixed-width
     // segments, each (type, segment) cell ORs a flat bit vector with
@@ -188,6 +217,18 @@ object Analytics {
 
   /** Equi-depth histogram bucket count. */
   val HistK = 16
+
+  /** Benford expectations round(1e6·log10(1+1/d)) as integer-ppm literals —
+    * the ONE table both engines read (generated once, never recomputed via
+    * libm at query time).
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  private def benfordCaseSql: String =
+    BenfordPpm.map { case (d, p) => s"WHEN $d THEN $p" }
+      .mkString("CASE digit ", " ", " ELSE 0 END")
 
   val oracles: Map[String, String] = Map(
     "an_histogram_equidepth" ->
@@ -233,6 +274,19 @@ object Analytics {
     "an_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The expectation table is the same nine integer literals; digit from
+    // the exact DECIMAL rendering; deviations in pure integers.
+    "an_benford" ->
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders
+         |), n AS (SELECT COUNT(*) AS n_total FROM d),
+         |g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit)
+         |SELECT digit, n_orders,
+         |  CAST($benfordCaseSql AS BIGINT) AS exp_ppm,
+         |  CAST(n_orders * 1000000 - ($benfordCaseSql) * n_total AS BIGINT) AS dev_ppm_n,
+         |  CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS observed
+         |FROM g, n ORDER BY digit""".stripMargin,
     "an_chisq" ->
       """WITH cells AS (
         |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2

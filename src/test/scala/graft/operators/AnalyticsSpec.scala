@@ -85,6 +85,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(allDevs.count(_ > floor) < 15)
   }
 
+  test("benford: digits partition the orders; deviation identity holds exactly") {
+    val rows = Analytics.queries("an_benford")(spark, sf()).collect()
+    val total = Relational.t(spark, sf(), "orders").count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_orders"))).sum == total)
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    val ppm = Analytics.BenfordPpm.toMap
+    rows.foreach { r =>
+      val d = r.getInt(r.fieldIndex("digit"))
+      val nd = r.getLong(r.fieldIndex("n_orders"))
+      assert(r.getLong(r.fieldIndex("exp_ppm")) == ppm(d))
+      assert(r.getLong(r.fieldIndex("dev_ppm_n")) == nd * 1000000L - ppm(d) * total)
+      assert(r.getDouble(r.fieldIndex("observed")) == nd.toDouble / total)
+    }
+  }
+
   test("bitmap distinct: equals exact count(distinct) per group") {
     val got = Analytics.queries("an_bitmap_distinct")(spark, sf()).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
