@@ -291,6 +291,46 @@ object Events {
         when(Pipeline.bucket(col("user_id")) < 50, 1L).otherwise(0L))
     },
 
+    // A/B conversion comparison — the companion to ev_ks_ab for BINARY
+    // outcomes: per-user converted flag (heavy purchaser: ≥ ConvPurchases
+    // purchase events — an intensive per-user property, so the ~46%
+    // conversion rate is scale-stable; "≥1 purchase" would be degenerate
+    // on this stream, every user qualifies), split by the same
+    // deterministic hash family, tested with the 2×2 chi-square
+    // χ² = N·(ad−bc)²/(r1·r2·c1·c2). The cross-product deviation ad−bc is
+    // computed in pure integers (its SIGN — which arm wins — can never
+    // flip on a float knife-edge), and χ² is one fixed IEEE tree over
+    // integer-valued doubles (the an_chisq exactness argument). Shape: one
+    // user-keyed aggregation over the event stream, then a single-row
+    // reduction — nothing after the first aggregate scales with the data.
+    "ev_ab_conversion" -> { (s, dir) =>
+      val d = (c: Column) => c.cast("double")
+      Relational.t(s, dir, "events")
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >=
+          ConvPurchases).cast("long").as("conv"))
+        .select(when(Pipeline.bucket(col("user_id")) < 50, 1L).otherwise(0L).as("is_a"),
+          col("conv"))
+        .agg(
+          sum(col("is_a")).as("n_a"),
+          sum(lit(1L) - col("is_a")).as("n_b"),
+          sum(col("is_a") * col("conv")).as("conv_a"),
+          sum((lit(1L) - col("is_a")) * col("conv")).as("conv_b"))
+        .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          (col("conv_a") * (col("n_b") - col("conv_b")) -
+            col("conv_b") * (col("n_a") - col("conv_a"))).as("dev"),
+          (d(col("conv_a")) / d(col("n_a"))).as("rate_a"),
+          (d(col("conv_b")) / d(col("n_b"))).as("rate_b"),
+          (d(col("n_a") + col("n_b")) *
+            d(col("conv_a") * (col("n_b") - col("conv_b")) -
+              col("conv_b") * (col("n_a") - col("conv_a"))) *
+            d(col("conv_a") * (col("n_b") - col("conv_b")) -
+              col("conv_b") * (col("n_a") - col("conv_a"))) /
+            (d(col("n_a")) * d(col("n_b")) *
+              d(col("conv_a") + col("conv_b")) *
+              d(col("n_a") + col("n_b") - col("conv_a") - col("conv_b")))).as("chi2"))
+    },
+
     // RFM user segmentation — the classic lifecycle-marketing score: per
     // user, Recency (days since last event, against the corpus max date),
     // Frequency (event count), Monetary (exact DECIMAL value sum), each
@@ -411,6 +451,12 @@ object Events {
     }
   )
 
+  /** Conversion threshold for [[queries ev_ab_conversion]]: a user counts
+    * as converted with ≥ this many purchase events (the median per-user
+    * purchase count is ~13 at every SF, so the split has real variation).
+    */
+  val ConvPurchases = 14
+
   /** Exact two-sample KS core shared by the ev_ks_ab gate query and the
     * planted-distribution specs: per event_type, D between the rows where
     * `isA` = 1 and the rest, over `value` cast to exact cents. See the
@@ -503,6 +549,33 @@ object Events {
         |WHERE n_w > 1 AND
         |  (n_events * n_w - s) * (n_events * n_w - s) * (n_w - 1) > 4 * n_w * (n_w * s2 - s * s)
         |ORDER BY window_start, h.event_type""".stripMargin,
+    // 2×2 chi-square with HUGEINT-safe casts; dev and the χ² tree mirror
+    // the Spark plan token-for-token.
+    "ev_ab_conversion" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |              >= $ConvPurchases THEN 1 ELSE 0 END AS conv,
+         |    CASE WHEN ${Pipeline.bucketSql("user_id")} < 50 THEN 1 ELSE 0 END AS is_a
+         |  FROM events GROUP BY user_id
+         |), t AS (
+         |  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         |    CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+         |    CAST(SUM(is_a * conv) AS BIGINT) AS conv_a,
+         |    CAST(SUM((1 - is_a) * conv) AS BIGINT) AS conv_b
+         |  FROM u
+         |)
+         |SELECT n_a, n_b, conv_a, conv_b,
+         |  conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS dev,
+         |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+         |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+         |  CAST(n_a + n_b AS DOUBLE)
+         |    * CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DOUBLE)
+         |    * CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DOUBLE)
+         |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+         |       * CAST(conv_a + conv_b AS DOUBLE)
+         |       * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)) AS chi2
+         |FROM t""".stripMargin,
     // Naive-window twin of the range-partition rank machinery: the
     // hash-match proves the three numbering passes ARE the global ranks.
     // Integer score arithmetic (// = floor div on positive operands);

@@ -51,6 +51,26 @@ class EventsSpec extends SparkSpec {
     assert(out("hand") == ((3L, 3L, 3L, 1.0 / 3.0)))
   }
 
+  test("ab conversion: 2x2 cells and chi-square equal a straight-line recompute") {
+    val Array(r) = Events.queries("ev_ab_conversion")(spark, sf()).collect()
+    val perUser = Relational.t(spark, sf(), "events")
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select(Pipeline.bucket(col("user_id")).as("b"), col("np"))
+      .collect().map(x => (x.getLong(x.fieldIndex("b")) < 50,
+        x.getLong(x.fieldIndex("np")) >= Events.ConvPurchases))
+    val na = perUser.count(_._1); val nb = perUser.length - na
+    val ca = perUser.count(p => p._1 && p._2); val cb = perUser.count(p => !p._1 && p._2)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((na.toLong, nb.toLong, ca.toLong, cb.toLong)))
+    val dev = ca.toLong * (nb - cb) - cb.toLong * (na - ca)
+    assert(r.getLong(r.fieldIndex("dev")) == dev)
+    assert(ca > 0 && ca < na && cb > 0 && cb < nb, "conversion split must have variation")
+    val chi2 = (na + nb).toDouble * dev.toDouble * dev.toDouble /
+      (na.toDouble * nb.toDouble * (ca + cb).toDouble * (na + nb - ca - cb).toDouble)
+    assert(r.getDouble(r.fieldIndex("chi2")) == chi2)
+  }
+
   test("rfm: scores are balanced quintiles and the segment encodes them") {
     val rows = Events.queries("ev_rfm")(spark, sf()).collect()
     val n = rows.length
