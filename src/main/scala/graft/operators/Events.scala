@@ -407,6 +407,29 @@ object Events {
         .orderBy("event_type", "hour")
     },
 
+    // Per-event lag/rolling feature engineering — the sequence-model input
+    // builder: for each event in its user's (ts, event_id) total order, the
+    // previous value, the inter-event gap in integer microseconds, and a
+    // trailing 3-row exact-DECIMAL sum/count. Everything is an integer, an
+    // exact DECIMAL, or a boundary-only double cast, so the whole feature
+    // frame is hash-exact. Shape: ONE shuffle on user_id (the
+    // sessionization partitioning — high-cardinality, scales with users)
+    // feeds every window; the rolling frame is ROWS-bounded so state per
+    // open window is O(3).
+    "ev_rolling_features" -> { (s, dir) =>
+      val d = org.apache.spark.sql.types.DecimalType(18, 2)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      Relational.t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value").cast(d).as("v"))
+        .select(col("event_id"), col("user_id"),
+          lag(col("v"), 1).over(w).cast("double").as("prev_value"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+          sum(col("v")).over(w3).cast("double").as("roll3_sum"),
+          count(lit(1)).over(w3).as("roll3_n"))
+        .orderBy("event_id")
+    },
+
     // Event-type transition matrix (first-order Markov counts): for each
     // user's event stream in (ts, event_id) total order — the id tiebreak
     // makes equal-timestamp ordering deterministic — count consecutive
@@ -549,6 +572,21 @@ object Events {
         |WHERE n_w > 1 AND
         |  (n_events * n_w - s) * (n_events * n_w - s) * (n_w - 1) > 4 * n_w * (n_w * s2 - s * s)
         |ORDER BY window_start, h.event_type""".stripMargin,
+    // Identical window frames; DECIMAL sums cast to double only at the
+    // output boundary, gaps in integer epoch micros.
+    "ev_rolling_features" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(lag(v) OVER w AS DOUBLE) AS prev_value,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+        |  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll3_sum,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_n
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     // 2×2 chi-square with HUGEINT-safe casts; dev and the χ² tree mirror
     // the Spark plan token-for-token.
     "ev_ab_conversion" ->

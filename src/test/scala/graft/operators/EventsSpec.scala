@@ -51,6 +51,19 @@ class EventsSpec extends SparkSpec {
     assert(out("hand") == ((3L, 3L, 3L, 1.0 / 3.0)))
   }
 
+  test("rolling features: gaps are non-negative, frames bounded, sums telescope") {
+    val rows = Events.queries("ev_rolling_features")(spark, sf()).collect()
+    assert(rows.length == Relational.t(spark, sf(), "events").count())
+    rows.foreach { r =>
+      val n3 = r.getLong(r.fieldIndex("roll3_n"))
+      assert(n3 >= 1 && n3 <= 3)
+      if (!r.isNullAt(r.fieldIndex("gap_us")))
+        assert(r.getLong(r.fieldIndex("gap_us")) >= 0L)
+      // First event of a user (null prev) must have a 1-row frame.
+      if (r.isNullAt(r.fieldIndex("prev_value"))) assert(n3 == 1L)
+    }
+  }
+
   test("ab conversion: 2x2 cells and chi-square equal a straight-line recompute") {
     val Array(r) = Events.queries("ev_ab_conversion")(spark, sf()).collect()
     val perUser = Relational.t(spark, sf(), "events")
