@@ -339,6 +339,22 @@ object EventStreams {
   final case class LastSeen(tsMicros: Long, eventId: Long, eventType: String)
   final case class TransitionRec(user_id: Long, prev_type: String, next_type: String)
 
+  /** One event in the rolling-feature history: value carried as EXACT cents
+    * (a long), converted to double only at emission — the same
+    * exact-until-the-boundary contract as the batch DECIMAL(18,2) plan.
+    */
+  final case class FeatEvent(event_id: Long, tsMicros: Long, user_id: Long, cents: Long)
+
+  /** Per-user state: the last ≤2 events, oldest first — exactly the lookback
+    * the 3-row trailing frame and the lag-1 features need, so state is O(1)
+    * per user regardless of history length.
+    */
+  final case class RollBuf(hist: Seq[FeatEvent])
+
+  final case class RollingFeatRec(
+      event_id: Long, user_id: Long, prev_value: Option[Double],
+      gap_us: Option[Long], roll3_sum: Double, roll3_n: Long)
+
   /** Streaming twin of the batch transition matrix (`ev_transitions`): the
     * (prev → next) pair stream, one row per consecutive event pair per
     * user. Per-user state is ONLY the last-seen event — a three-field
@@ -370,6 +386,47 @@ object EventStreams {
         }
         all.zip(all.drop(1)).iterator
           .map { case (p, n) => TransitionRec(uid, p.event_type, n.event_type) }
+      }
+  }
+
+  /** Streaming twin of the batch feature frame (`ev_rolling_features`):
+    * per event, lag-1 value, inter-event gap, and the trailing 3-row
+    * sum/count, computed as the event stream arrives. Per-user state is the
+    * last ≤2 events ([[RollBuf]]) — the minimal lookback the features need,
+    * O(active users) total like [[transitionsStream]]. Values ride as exact
+    * integer cents and become doubles only at emission, so the streamed
+    * frame is bit-equal to the batch DECIMAL plan (both emit the correctly
+    * rounded double of the same exact rational). Events within a
+    * micro-batch order by (ts, event_id); the stored tail bridges batch
+    * boundaries — EventStreamsSpec asserts streamed == batch across a
+    * 2-file incremental load.
+    */
+  def rollingFeaturesStream(events: DataFrame): Dataset[RollingFeatRec] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), unix_micros(col("ts")).as("tsMicros"), col("user_id"),
+        col("value").cast(DecimalType(18, 2)).multiply(lit(100)).cast("long").as("cents"))
+      .as[FeatEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollBuf, RollingFeatRec](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+      ) { (uid, it, state) =>
+        val incoming = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+        val prefix = state.getOption.map(_.hist).getOrElse(Seq.empty)
+        val all = prefix ++ incoming
+        state.update(RollBuf(all.takeRight(2)))
+        all.zipWithIndex.drop(prefix.length).iterator.map { case (e, i) =>
+          val frame = all.slice(math.max(0, i - 2), i + 1)
+          val prev = if (i > 0) Some(all(i - 1)) else None
+          RollingFeatRec(
+            e.event_id, uid,
+            prev.map(_.cents / 100.0),
+            prev.map(p => e.tsMicros - p.tsMicros),
+            frame.map(_.cents).sum / 100.0,
+            frame.length.toLong)
+        }
       }
   }
 

@@ -166,6 +166,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling features equal the batch frame across a 2-file incremental load") {
+    import org.apache.spark.sql.functions._
+    // Split the corpus in half by event time so the second file genuinely
+    // extends users' histories — the stored 2-event tail must bridge the
+    // batch boundary for every user.
+    val ev = graft.operators.Relational.t(spark, sf(), "events")
+    val cut = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    val d = java.nio.file.Files.createTempDirectory("events-roll")
+    ev.filter(unix_micros(col("ts")) <= cut).coalesce(1).write.parquet(d.resolve("p1").toString)
+    ev.filter(unix_micros(col("ts")) > cut).coalesce(1).write.parquet(d.resolve("p2").toString)
+    def land(part: String, name: String): Unit = {
+      val leaf = java.nio.file.Files.list(d.resolve(part)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(leaf, d.resolve(name))
+    }
+    land("p1", "a.parquet")
+    val q = EventStreams.rollingFeaturesStream(EventStreams.readEventStream(spark, d.toString))
+      .writeStream.outputMode("append").format("memory").queryName("roll_test").start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table("roll_test").count()
+      assert(afterFirst > 0)
+      land("p2", "b.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("roll_test")
+        .select("event_id", "user_id", "prev_value", "gap_us", "roll3_sum", "roll3_n")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      val batch = graft.operators.Events.queries("ev_rolling_features")(spark, sf())
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(afterFirst < batch.size, "both files must contribute rows")
+      assert(streamed.size == batch.size)
+      streamed.foreach { case (id, row) =>
+        assert(row == batch(id), s"event $id: streamed $row != batch ${batch(id)}")
+      }
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch twin") {
     val customer = graft.sources.Tables.t(spark, sf(), "customer")
     val stream = EventStreams.readEventStream(spark, eventsDir)
