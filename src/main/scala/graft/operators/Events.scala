@@ -136,6 +136,35 @@ object Events {
         .orderBy("stage")
     },
 
+    // TIME-BOUNDED conversion funnel: view → click → purchase where each
+    // step follows the previous within FunnelWindowMicros. This is a
+    // genuinely harder contract than ev_funnel's unbounded "after": greedy
+    // earliest-step chaining is WRONG under windows (the earliest view may
+    // time out while a later view converts), so reach is "EXISTS a chain".
+    // The engine computes it as a per-user LINEAR scan with O(|steps|)
+    // state — for each stage, the latest chain-completion time seen so
+    // far; an arriving step-k event completes iff the latest stage-(k−1)
+    // completion from a strictly earlier timestamp is within the window
+    // (if the LATEST is too old, every completion is — the monotone
+    // argument that makes O(1) state sufficient). Events at equal
+    // timestamps update against pre-tick state only, so ts_{i+1} > ts_i is
+    // structural. The quadratic EXISTS-join oracle proves the DP equals
+    // the existential semantics. Shape: one user_id shuffle, per-user O(n)
+    // compute, then a single-row aggregate exploded to the |steps|-row
+    // report (the pl_filter_funnel shape).
+    "ev_funnel_windowed" -> { (s, dir) =>
+      val one = windowedFunnelReach(Relational.t(s, dir, "events")).agg(
+        sum(when(col("max_stage") >= 1, 1L).otherwise(0L)).as("s1"),
+        sum(when(col("max_stage") >= 2, 1L).otherwise(0L)).as("s2"),
+        sum(when(col("max_stage") >= 3, 1L).otherwise(0L)).as("s3"))
+      one.select(explode(array(
+          struct(lit("1_view").as("stage"), col("s1").as("n_users")),
+          struct(lit("2_click").as("stage"), col("s2").as("n_users")),
+          struct(lit("3_purchase").as("stage"), col("s3").as("n_users")))).as("r"))
+        .select(col("r.stage"), col("r.n_users"))
+        .orderBy("stage")
+    },
+
     // Stored mergeable distinct-count sketches (DataSketches HLL): build
     // one user sketch PER DAY — a tiny sketch table maintained
     // incrementally, the distinct-count analog of [[graft.plans.MatViews]]
@@ -474,11 +503,61 @@ object Events {
     }
   )
 
+  /** Ordered step types of the windowed funnel. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Per-step window of [[queries ev_funnel_windowed]] (6 h in micros):
+    * wide enough that some users chain, tight enough that most purchases
+    * miss it — real attrition at every tier on this stream.
+    */
+  val FunnelWindowMicros: Long = 6L * 3600 * 1000000
+
   /** Conversion threshold for [[queries ev_ab_conversion]]: a user counts
     * as converted with ≥ this many purchase events (the median per-user
     * purchase count is ~13 at every SF, so the split has real variation).
     */
   val ConvPurchases = 14
+
+  /** Per-user (user_id, max_stage) reach of the windowed funnel — the
+    * linear-scan DP of [[queries ev_funnel_windowed]], factored out so the
+    * planted specs (the greedy-earliest trap, equal-timestamp ticks) can
+    * run it on hand-built streams.
+    */
+  def windowedFunnelReach(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = FunnelWindowMicros
+    val steps = FunnelSteps
+    events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val sorted = it.toArray.sortBy(_._2)
+        val l = Array.fill[Long](steps.length)(Long.MinValue)
+        var idx = 0
+        while (idx < sorted.length) {
+          val ts = sorted(idx)._2
+          val updates = Array.fill[Boolean](steps.length)(false)
+          var j = idx
+          while (j < sorted.length && sorted(j)._2 == ts) {
+            val k = steps.indexOf(sorted(j)._3)
+            val ok = k == 0 || (l(k - 1) != Long.MinValue && ts - l(k - 1) <= w)
+            if (ok) updates(k) = true
+            j += 1
+          }
+          var m = 0
+          while (m < steps.length) {
+            if (updates(m)) l(m) = ts
+            m += 1
+          }
+          idx = j
+        }
+        (uid, l.lastIndexWhere(_ != Long.MinValue) + 1)
+      }
+      .toDF("user_id", "max_stage")
+  }
 
   /** Exact two-sample KS core shared by the ev_ks_ab gate query and the
     * planted-distribution specs: per event_type, D between the rows where
@@ -819,6 +898,29 @@ object Events {
         |UNION ALL SELECT '2_click', COUNT(*) FROM c
         |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
         |ORDER BY stage""".stripMargin,
+    // The existential-chain truth the linear DP must equal: a user reaches
+    // stage k iff SOME chain of step events satisfies every pairwise
+    // window — the brute-force join over all candidate chains.
+    "ev_funnel_windowed" ->
+      s"""WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         |s1 AS (SELECT DISTINCT user_id FROM v),
+         |s2 AS (
+         |  SELECT DISTINCT c.user_id FROM c JOIN v ON c.user_id = v.user_id
+         |    AND c.ts > v.ts AND epoch_us(c.ts) - epoch_us(v.ts) <= $FunnelWindowMicros
+         |),
+         |s3 AS (
+         |  SELECT DISTINCT p.user_id FROM p
+         |  JOIN c ON p.user_id = c.user_id
+         |    AND p.ts > c.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= $FunnelWindowMicros
+         |  JOIN v ON c.user_id = v.user_id
+         |    AND c.ts > v.ts AND epoch_us(c.ts) - epoch_us(v.ts) <= $FunnelWindowMicros
+         |)
+         |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM s1
+         |UNION ALL SELECT '2_click', COUNT(*) FROM s2
+         |UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
+         |ORDER BY stage""".stripMargin,
     "ev_retention" ->
       """WITH cohort AS (
         |  SELECT user_id,

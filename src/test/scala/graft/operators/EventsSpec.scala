@@ -64,6 +64,30 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("windowed funnel: greedy-earliest trap, window cutoffs, equal-ts ticks") {
+    import spark.implicits._
+    val H = 3600L * 1000000 // 1h in micros
+    def ev(uid: Long, hoursMicros: Long, t: String) =
+      (uid, new java.sql.Timestamp(1704067200000L + hoursMicros / 1000), t)
+    val rows = Seq(
+      // u1: earliest view (0h) times out vs click@7h, but view@2h chains —
+      // greedy earliest-step chaining says stage 1; EXISTS says stage 2.
+      ev(1, 0, "view"), ev(1, 2 * H, "view"), ev(1, 7 * H, "click"),
+      // u2: click precedes every view → stage 1.
+      ev(2, 2 * H, "click"), ev(2, 3 * H, "view"),
+      // u3: full chain within windows → stage 3.
+      ev(3, 0, "view"), ev(3, H, "click"), ev(3, 5 * H, "purchase"),
+      // u4: purchase 7h after click (> 6h window) → stage 2.
+      ev(4, 0, "view"), ev(4, H, "click"), ev(4, 8 * H, "purchase"),
+      // u5: click at the SAME timestamp as its view → no strict progress,
+      // stage 1.
+      ev(5, 0, "view"), ev(5, 0, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val reach = Events.windowedFunnelReach(rows)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(reach == Map(1L -> 2, 2L -> 1, 3L -> 3, 4L -> 2, 5L -> 1), s"got $reach")
+  }
+
   test("ab conversion: 2x2 cells and chi-square equal a straight-line recompute") {
     val Array(r) = Events.queries("ev_ab_conversion")(spark, sf()).collect()
     val perUser = Relational.t(spark, sf(), "events")
