@@ -482,6 +482,20 @@ object Events {
         .limit(20)
     },
 
+    // User growth curve: per day, first-time users and the cumulative
+    // distinct-user count to date — the canonical top-line growth metric.
+    // Exactness is structural (a user's FIRST event day is a min
+    // aggregate; cumulative = Σ new), the interesting part is the
+    // cumulative WITHOUT an unpartitioned window: the day frame is
+    // calendar-bounded (the ev_ks_ab domain argument) but still ordered,
+    // so the running sum stitches a per-MONTH partitioned window onto
+    // broadcast month prefix-offsets computed by an inequality join over
+    // the metadata-sized month frame — every stage is either partitioned
+    // or O(|months|²) on a broadcast frame, nothing funnels corpus rows.
+    "ev_user_growth" -> { (s, dir) =>
+      userGrowth(Relational.t(s, dir, "events"))
+    },
+
     // Cohort retention: users grouped by their first-signup week, counted
     // as active in each later week they emit ANY event. Weeks are integer
     // day-offsets / 7 from a fixed epoch — pure integer arithmetic both
@@ -517,6 +531,33 @@ object Events {
     * purchase count is ~13 at every SF, so the split has real variation).
     */
   val ConvPurchases = 14
+
+  /** Growth-curve core of [[queries ev_user_growth]], factored so the
+    * multi-month planted spec can exercise the month-stitch (the corpus
+    * spans one month, so the gate alone exercises a single partition).
+    */
+  def userGrowth(events: DataFrame): DataFrame = {
+    val first = events
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+    val daily = Dedup.materialized(
+      first.groupBy("day").agg(count(lit(1)).as("n_new")))
+    val m = daily.groupBy(trunc(col("day"), "month").as("month"))
+      .agg(sum("n_new").as("m_tot"))
+    val mOff = m.select(col("month"))
+      .join(broadcast(m.select(col("month").as("pm"), col("m_tot"))),
+        col("pm") < col("month"), "left_outer")
+      .groupBy("month").agg(coalesce(sum("m_tot"), lit(0L)).as("m_off"))
+    val w = Window.partitionBy("month").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("month", trunc(col("day"), "month"))
+      .join(broadcast(mOff), "month")
+      .withColumn("cum_in_month", sum("n_new").over(w))
+      // day emitted as midnight TIMESTAMP (the ev_window_agg convention —
+      // DATE round-trips as a different physical type per engine).
+      .select(col("day").cast("timestamp").as("day"), col("n_new"),
+        (col("m_off") + col("cum_in_month")).as("n_cum_users"))
+      .orderBy("day")
+  }
 
   /** Per-user (user_id, max_stage) reach of the windowed funnel — the
     * linear-scan DP of [[queries ev_funnel_windowed]], factored out so the
@@ -921,6 +962,17 @@ object Events {
          |UNION ALL SELECT '2_click', COUNT(*) FROM s2
          |UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
          |ORDER BY stage""".stripMargin,
+    // Naive global running-sum twin: the hash-match proves the month-stitch
+    // IS the ordered cumulative.
+    "ev_user_growth" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+        |), d AS (
+        |  SELECT day, COUNT(*) AS n_new FROM f GROUP BY day
+        |)
+        |SELECT CAST(day AS TIMESTAMP) AS day, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS n_cum_users
+        |FROM d ORDER BY day""".stripMargin,
     "ev_retention" ->
       """WITH cohort AS (
         |  SELECT user_id,

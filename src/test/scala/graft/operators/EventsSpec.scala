@@ -64,6 +64,28 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("user growth: month-stitched cumulative equals a straight running sum across months") {
+    import spark.implicits._
+    // Users first appearing across 4 months (some repeat later — only the
+    // FIRST day counts), several days per month.
+    val rows = Seq(
+      (1L, "2024-01-03"), (2L, "2024-01-03"), (3L, "2024-01-20"),
+      (1L, "2024-02-11"), // repeat: must not count again
+      (4L, "2024-02-05"), (5L, "2024-02-05"), (6L, "2024-02-28"),
+      (7L, "2024-03-15"),
+      (8L, "2024-04-01"), (9L, "2024-04-01"), (10L, "2024-04-30"))
+      .toDF("user_id", "d")
+      .select(col("user_id"), col("d").cast("timestamp").as("ts"))
+    val got = Events.userGrowth(rows).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2)))
+    val want = Seq(
+      ("2024-01-03", 2L, 2L), ("2024-01-20", 1L, 3L),
+      ("2024-02-05", 2L, 5L), ("2024-02-28", 1L, 6L),
+      ("2024-03-15", 1L, 7L),
+      ("2024-04-01", 2L, 9L), ("2024-04-30", 1L, 10L))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
   test("windowed funnel: greedy-earliest trap, window cutoffs, equal-ts ticks") {
     import spark.implicits._
     val H = 3600L * 1000000 // 1h in micros
