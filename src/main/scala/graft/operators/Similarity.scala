@@ -103,6 +103,24 @@ object Similarity {
     // Exact 3-NN graph over EVERY vector — see [[knnGraph]].
     "ss_knn_graph" -> { (s, dir) => knnGraph(s, dir).orderBy("vec_id", "rank") },
 
+    // In-degree histogram of the stored k-NN graph — the graph-health
+    // observability artifact beside ss_index_stats: out-degree is k by
+    // construction, so the IN-degree distribution is where hubness shows
+    // (a few high-in-degree hub vectors degrade ANN recall and k-NN label
+    // quality; heavy right tail → recenter or prune). Fourth consumer of
+    // the stored edge table: one count aggregation over edges, a left join
+    // against the node list to keep in-degree-0 nodes, one |degrees|-row
+    // histogram aggregate — nothing rescans the vectors.
+    "ss_degree_hist" -> { (s, dir) =>
+      val indeg = knnGraph(s, dir)
+        .groupBy(col("nbr_id").as("vec_id")).agg(count(lit(1)).as("in_degree"))
+      Relational.t(s, dir, "embeddings").select(col("vec_id"))
+        .join(indeg, Seq("vec_id"), "left_outer")
+        .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+        .groupBy("in_degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("in_degree")
+    },
+
     // Hard-negative mining — the contrastive-training data-prep contract
     // (DPR/SimCSE-style): for each query item, the TopK most-similar items
     // with a DIFFERENT label — maximally confusable non-matches, the
@@ -817,6 +835,32 @@ object Similarity {
         |)
         |SELECT vec_id, CAST(rnk AS INT) AS rank, nbr_id, cosine
         |FROM r WHERE rnk <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // Same knn-edge CTE chain, then in-degree counts with 0-degree nodes
+    // kept via the left join.
+    "ss_degree_hist" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, len(v)+1)], (p, q) -> p + q)) AS nrm
+        |  FROM e
+        |), p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    list_reduce([a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)], (p, q) -> p + q)
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |), r AS (
+        |  SELECT vec_id, nbr_id, cosine,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id
+        |      ORDER BY cosine DESC, CAST(nbr_id AS VARCHAR) ASC) AS rnk
+        |  FROM p
+        |), indeg AS (
+        |  SELECT nbr_id AS vec_id, COUNT(*) AS ind FROM r WHERE rnk <= 3 GROUP BY nbr_id
+        |)
+        |SELECT COALESCE(ind, 0) AS in_degree, COUNT(*) AS n_nodes
+        |FROM embeddings em LEFT JOIN indeg USING (vec_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same knn-edge CTE chain as ss_knn_graph, then PrIters unrolled
     // synchronous PageRank rounds (built programmatically below): each
     // round is contributions (SUM of pr/3.0 through DECIMAL(38,18), exact

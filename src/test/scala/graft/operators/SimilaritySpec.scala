@@ -20,6 +20,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("degree histogram: mass identities against the stored knn graph") {
+    val rows = Similarity.queries("ss_degree_hist")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nVecs = Relational.t(spark, sf(), "embeddings").count()
+    assert(rows.map(_._2).sum == nVecs, "every node appears in exactly one bucket")
+    // Σ in_degree·n_nodes = total edges = 3·|V| (out-degree is 3 by construction).
+    assert(rows.map { case (d, n) => d * n }.sum == 3 * nVecs)
+  }
+
   test("ANN LSH recall@5 vs brute force is acceptable") {
     val exact = neighbors("ss_topk_bruteforce")
     val ann = neighbors("ss_ann_lsh")
