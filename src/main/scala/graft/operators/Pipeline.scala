@@ -275,6 +275,26 @@ object Pipeline {
         .orderBy("seq_id")
     },
 
+    // Deterministic global shuffle — the reproducible pseudorandom corpus
+    // permutation every training run applies before sharding (sequential
+    // doc order correlates with crawl time/source; a model must not see
+    // it). Position = global rank in (md5(seed:doc_id), doc_id) order:
+    // the same cross-engine hash family as the samplers, so the ENTIRE
+    // permutation is a pure function of (seed, ids) — re-runnable anywhere,
+    // stable under partitioning, and a new seed is a fresh epoch order.
+    // Ranks come from the range-partition numbering (hash values are
+    // uniform, so range partitions are balanced by construction — the
+    // ideal input for that machinery); no global-sort funnel.
+    "pl_global_shuffle" -> { (s, dir) =>
+      Pipeline.globalRowNumbers(s,
+        Relational.t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.HashFunctions.md5Long(ShuffleSeed, col("doc_id").cast("string")).as("h")),
+        "shuffle_pos", col("h"), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy("shuffle_pos")
+    },
+
     // Temperature-scaled corpus mixture weights — the sampling distribution a
     // multi-source training run draws from. Raw proportional sampling lets
     // the biggest source drown the mixture; uniform sampling overfits tiny
@@ -469,6 +489,11 @@ object Pipeline {
   val WSampleK = 25
   val WSampleSeed = 13
 
+  /** Epoch seed of [[queries pl_global_shuffle]] — a different seed is a
+    * fresh, equally-deterministic epoch permutation.
+    */
+  val ShuffleSeed = 29
+
   /** Tokens per training shard for [[queries pl_token_pack]]. */
   val TokenShardBudget = 2000L
 
@@ -629,6 +654,14 @@ object Pipeline {
       """SELECT doc_id, lang,
         |  ROW_NUMBER() OVER (ORDER BY doc_id) AS seq_id
         |FROM documents ORDER BY seq_id""".stripMargin,
+    // Naive global ROW_NUMBER over the same hash order — the hash-match
+    // proves the permutation is the pure (seed, id) function claimed.
+    "pl_global_shuffle" ->
+      s"""SELECT doc_id,
+         |  ROW_NUMBER() OVER (
+         |    ORDER BY CAST('0x' || substr(md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+         |    doc_id ASC) AS shuffle_pos
+         |FROM documents ORDER BY shuffle_pos""".stripMargin,
     // sqrt + one division + floor: every step is a single correctly-rounded
     // IEEE op; the normalizer sums through DECIMAL(38,18) in both engines.
     "pl_mixture_weights" ->

@@ -156,6 +156,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("global shuffle is a genuine permutation, decorrelated from id order") {
+    val rows = Pipeline.queries("pl_global_shuffle")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = rows.length
+    assert(rows.map(_._2).toSet == (1L to n).toSet, "positions must be exactly 1..n")
+    // A hash permutation must not preserve id order: count id-order
+    // adjacent pairs that stay adjacent in shuffle order (expected ~2 of
+    // 499 by chance; the identity permutation would score n−1).
+    val pos = rows.toMap
+    val ids = rows.map(_._1).sorted
+    val adjacentKept = ids.sliding(2).count {
+      case Array(a, b) => math.abs(pos(a) - pos(b)) == 1
+      case _           => false
+    }
+    assert(adjacentKept < n / 10, s"shuffle preserves id adjacency: $adjacentKept of $n")
+  }
+
   test("global row numbers are 1..N in key order, stable across partition counts") {
     val rows = Pipeline.queries("sp_row_numbers")(spark, sf()).collect()
       .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("seq_id")))
