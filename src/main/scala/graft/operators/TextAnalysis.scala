@@ -306,6 +306,47 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Collocation mining via pointwise mutual information — the phrase/
+    // terminology extractor (high-PMI adjacent pairs are multi-word units:
+    // names, idioms, domain terms; the feature vocabulary a tokenizer or
+    // indexer should treat as one symbol). PMI = ln(p(ab)/(p(a)p(b)))
+    // decomposes into FOUR logs of integer counts, each quantized to
+    // integer millionths (the engine's quantize-before-sum contract), so
+    // the score and the (pmi, pair) ranking are integer-exact; the noise
+    // floor n_pair ≥ CollocMinCount kills the rare-pair PMI artifact.
+    // Shape: bigram + unigram counts are two map-side-combined corpus
+    // aggregations; the scoring joins run on the VOCAB-sized frames with
+    // AQE free to broadcast them, and top-20 is TakeOrderedAndProject.
+    "ta_collocations" -> { (s, dir) =>
+      val qln = TextOps.qlog _
+      val d = Relational.t(s, dir, "documents")
+        .transform(Dedup.spread("doc_id"))
+        .select(TextOps.tokens(col("text")).as("ts"))
+      val bg = d.filter(size(col("ts")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val pairCnt = Dedup.materialized(
+        bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair")))
+      val uni = Dedup.materialized(
+        d.select(explode(col("ts")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n_w")))
+      val nBi = pairCnt.agg(sum("n_pair").as("n_bi"))
+      val nUni = uni.agg(sum("n_w").as("n_uni"))
+      pairCnt.filter(col("n_pair") >= CollocMinCount)
+        .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+        .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+        .select(col("w1"), col("w2"), col("n_pair"),
+          (qln(col("n_pair")) - qln(col("n_bi")) - qln(col("n_w1")) -
+            qln(col("n_w2")) + lit(2L) * qln(col("n_uni"))).as("pmi_q"))
+        .withColumn("pmi", col("pmi_q").cast("double") / lit(1000000.0))
+        .orderBy(col("pmi_q").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    },
+
     // Zipf rank-frequency fit over the corpus vocabulary — the classic
     // corpus-health diagnostic (natural text slopes ≈ −1 in log-log space;
     // template/boilerplate-heavy or synthetic corpora flatten or steepen).
@@ -348,6 +389,11 @@ object TextAnalysis {
   /** Winnowing parameters: gram size k and hash-window size w. */
   val WinnowK = 4
   val WinnowW = 8
+
+  /** Pair-count noise floor of [[queries ta_collocations]] — below this,
+    * PMI rewards rarity, not association.
+    */
+  val CollocMinCount = 5
 
   val oracles: Map[String, String] = Map(
     "ta_readability" ->
@@ -521,6 +567,36 @@ object TextAnalysis {
         |  CAST(n * CAST(round(1000000.0 * ln(n)) AS BIGINT) - s1 AS DOUBLE)
         |    / 1000000.0 / CAST(n AS DOUBLE) AS entropy_nats
         |FROM a ORDER BY doc_id""".stripMargin,
+    // Four quantized integer logs per pair; the alias wrap lets pmi derive
+    // from pmi_q without recomputation.
+    "ta_collocations" ->
+      s"""WITH d AS (
+         |  SELECT list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), bg AS (
+         |  SELECT ts[i] AS w1, ts[i+1] AS w2
+         |  FROM (SELECT ts, UNNEST(range(1, len(ts))) AS i FROM d WHERE len(ts) >= 2)
+         |), pc AS (
+         |  SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2
+         |), uc AS (
+         |  SELECT w, COUNT(*) AS n_w FROM (SELECT UNNEST(ts) AS w FROM d) GROUP BY w
+         |), nb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bi FROM pc),
+         |nu AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_uni FROM uc),
+         |q AS (
+         |  SELECT pc.w1, pc.w2, pc.n_pair,
+         |    CAST(round(1000000.0 * ln(pc.n_pair)) AS BIGINT)
+         |      - CAST(round(1000000.0 * ln(n_bi)) AS BIGINT)
+         |      - CAST(round(1000000.0 * ln(c1.n_w)) AS BIGINT)
+         |      - CAST(round(1000000.0 * ln(c2.n_w)) AS BIGINT)
+         |      + 2 * CAST(round(1000000.0 * ln(n_uni)) AS BIGINT) AS pmi_q
+         |  FROM pc
+         |  JOIN uc c1 ON pc.w1 = c1.w
+         |  JOIN uc c2 ON pc.w2 = c2.w
+         |  CROSS JOIN nb CROSS JOIN nu
+         |  WHERE pc.n_pair >= $CollocMinCount
+         |)
+         |SELECT w1, w2, n_pair, pmi_q, CAST(pmi_q AS DOUBLE) / 1000000.0 AS pmi
+         |FROM q ORDER BY pmi_q DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
     // Naive global ROW_NUMBER twin of the range-partition ranking; the OLS
     // moments sum exact-integer quantized logs through DECIMAL(38,0) and
     // the slope is the an_linreg fixed IEEE tree.

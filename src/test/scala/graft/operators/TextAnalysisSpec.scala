@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("collocations: PMI identity on collected counts; floor respected; rank order") {
+    val rows = TextAnalysis.queries("ta_collocations")(spark, sf()).collect()
+    assert(rows.length == 20)
+    val toks = Relational.t(spark, sf(), "documents")
+      .select(TextOps.tokens(col("text")).as("ts")).collect()
+      .map(_.getSeq[String](0))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nUni = toks.map(_.size.toLong).sum
+    val pairs = toks.filter(_.size >= 2)
+      .flatMap(ts => ts.zip(ts.tail)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nBi = pairs.values.sum
+    def q(v: Long): Long = Math.round(1e6 * Math.log(v.toDouble))
+    rows.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      val np = r.getLong(r.fieldIndex("n_pair"))
+      assert(np == pairs((w1, w2)) && np >= TextAnalysis.CollocMinCount)
+      val want = q(np) - q(nBi) - q(uni(w1)) - q(uni(w2)) + 2 * q(nUni)
+      assert(r.getLong(r.fieldIndex("pmi_q")) == want)
+    }
+    val pmis = rows.map(_.getLong(rows.head.fieldIndex("pmi_q")))
+    assert(pmis.toSeq == pmis.toSeq.sortBy(-_), "rows must descend by pmi")
+  }
+
   test("zipf slope equals a straight-line OLS over the collected frequency table") {
     val Array(row) = TextAnalysis.queries("ta_zipf")(spark, sf()).collect()
     val freqs = Relational.t(spark, sf(), "documents")
