@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -45,7 +46,46 @@ object Retrieval {
     */
   val Bm25K = 20
 
+  /** Snippet window width (tokens) for [[queries rt_snippet]]. */
+  val SnipW = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Search-result snippet extraction: for every document matching a
+    // [[Bm25Terms]] term, the best [[SnipW]]-token window — most DISTINCT
+    // query terms, ties to the earliest start — anchored at a hit position
+    // (anchoring is part of the contract AND the classic normalization: for
+    // any window there is a hit-anchored one covering at least as many
+    // distinct terms, obtained by sliding right to its first hit). Shape:
+    // the positional hit stream is sparse (query terms only — the
+    // rt_phrase_search pruning), the window census is a per-doc hits×hits
+    // band join (bounded by per-doc HIT count, never doc length), the
+    // per-doc argmax runs under WindowGroupLimit, and the snippet text is
+    // one slice of the stored token array.
+    "rt_snippet" -> { (s, dir) =>
+      val docs = Dedup.materialized(
+        Relational.t(s, dir, "documents")
+          .transform(Dedup.spread("doc_id"))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 1))
+      val hits = Dedup.materialized(docs
+        .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "term")))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("term"))
+        .transform(Dedup.spread("doc_id")))
+      val w = Window.partitionBy("doc_id").orderBy(col("n_terms").desc, col("start").asc)
+      hits.select(col("doc_id"), col("pos").as("start"))
+        .join(hits.select(col("doc_id"), col("pos"), col("term")), Seq("doc_id"))
+        .filter(col("pos") >= col("start") && col("pos") < col("start") + SnipW)
+        .groupBy("doc_id", "start")
+        .agg(countDistinct(col("term")).as("n_terms"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .join(docs, "doc_id")
+        .select(col("doc_id"), col("start"), col("n_terms"),
+          concat_ws(" ", slice(col("ts"), col("start").cast("int"), lit(SnipW))).as("snippet"))
+        .orderBy("doc_id")
+    },
 
     // Inverted index: term → document frequency + the sorted posting list.
     // Distinct (doc, term) pairs via per-doc distinct token arrays (dedup
@@ -210,6 +250,30 @@ object Retrieval {
   private val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // Hit-anchored window census + per-doc argmax; DuckDB's inclusive list
+    // slice takes start..start+W−1.
+    "rt_snippet" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |  WHERE len(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) >= 1
+         |), h AS (
+         |  SELECT doc_id, i AS pos, ts[i] AS term
+         |  FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts) + 1)) AS i FROM d)
+         |  WHERE ts[i] IN ($termList)
+         |), wnd AS (
+         |  SELECT s.doc_id, s.pos AS start, COUNT(DISTINCT h.term) AS n_terms
+         |  FROM h s JOIN h ON h.doc_id = s.doc_id
+         |    AND h.pos >= s.pos AND h.pos < s.pos + $SnipW
+         |  GROUP BY 1, 2
+         |), best AS (
+         |  SELECT doc_id, start, n_terms FROM wnd
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY n_terms DESC, start ASC) = 1
+         |)
+         |SELECT b.doc_id, b.start, b.n_terms,
+         |  array_to_string(d.ts[b.start : b.start + ${SnipW - 1}], ' ') AS snippet
+         |FROM best b JOIN d USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     "rt_inverted_index" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -20,6 +20,31 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == expected)
   }
 
+  test("snippet: windows hold the claimed terms; every hit-anchored window is dominated") {
+    val rows = Retrieval.queries("rt_snippet")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val textByDoc = Relational.t(spark, sf(), "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val terms = Retrieval.Bm25Terms.toSet
+    rows.foreach { r =>
+      val ts = textByDoc(r.getLong(0))
+      val start = r.getLong(r.fieldIndex("start")).toInt
+      val window = ts.slice(start - 1, start - 1 + Retrieval.SnipW)
+      assert(r.getString(r.fieldIndex("snippet")) == window.mkString(" "))
+      assert(terms.contains(ts(start - 1)), "window must anchor at a hit")
+      val got = r.getLong(r.fieldIndex("n_terms"))
+      assert(got == window.toSet.intersect(terms).size.toLong)
+      // No hit-anchored window beats it; equal-count windows don't precede it.
+      val hitStarts = ts.zipWithIndex.collect { case (t, i) if terms.contains(t) => i + 1 }
+      hitStarts.foreach { s0 =>
+        val c = ts.slice(s0 - 1, s0 - 1 + Retrieval.SnipW).toSet.intersect(terms).size.toLong
+        assert(c < got || (c == got && s0 >= start),
+          s"doc ${r.getLong(0)}: window at $s0 (count $c) beats chosen $start ($got)")
+      }
+    }
+  }
+
   test("bm25: k results, positive non-increasing scores, docs really match the query") {
     val rows = Retrieval.queries("rt_bm25")(spark, sf()).collect()
     assert(rows.nonEmpty && rows.length <= Retrieval.Bm25K)
