@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.HashFunctions.md5Long
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-assembly operators for training-data pipelines: deterministic
@@ -275,6 +276,50 @@ object Pipeline {
         .orderBy("seq_id")
     },
 
+    // Deterministic Poisson bootstrap CI — error bars for corpus statistics
+    // (here: per-source mean n_chars) the way they are computed AT SCALE:
+    // resample weights are per-(doc, resample) Poisson(1) draws, so each
+    // of the B resampled means is ONE map-side-combined aggregation over
+    // the corpus — no sampling shuffle, no per-resample pass (the Poisson
+    // bootstrap of Chamandy et al.; the B× row fan-out is a narrow
+    // explode). Determinism: the draw is the hash-ppm of (b, doc_id)
+    // looked up in the LITERAL Poisson CDF table ([[PoissonCdfPpm]] —
+    // shared textually with the oracle, zero libm), each resample mean is
+    // exact-integer sums + one IEEE division, and the 2.5/97.5 nearest
+    // ranks come from a window over the B-row-per-source means frame
+    // (B is a constant: the window input never grows with the corpus).
+    "sp_bootstrap_ci" -> { (s, dir) =>
+      val loRank = (BootB + 39) / 40
+      val hiRank = (39 * BootB + 39) / 40
+      val docs = Relational.t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val bs = s.range(0, BootB).select(col("id").cast("int").as("b"))
+      val ppm = md5Long(concat(lit("boot:"), col("b").cast("string"),
+        lit(":"), col("doc_id").cast("string"))) % lit(1000000L)
+      val wExpr = PoissonCdfPpm.zipWithIndex.foldRight(
+        lit(PoissonCdfPpm.length.toLong): Column) {
+        case ((thr, k), acc) => when(ppm < thr, lit(k.toLong)).otherwise(acc)
+      }
+      val means = docs.crossJoin(broadcast(bs))
+        .select(col("source"), col("b"), wExpr.as("w"), col("n_chars"))
+        .groupBy("source", "b")
+        .agg((sum(col("w") * col("n_chars")).cast("double") /
+          sum(col("w")).cast("double")).as("mean_b"))
+      val wRk = Window.partitionBy("source").orderBy(col("mean_b").asc, col("b").asc)
+      val ci = means.withColumn("rk", row_number().over(wRk))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_resamples"),
+          max(when(col("rk") === loRank, col("mean_b"))).as("ci_lo"),
+          max(when(col("rk") === hiRank, col("mean_b"))).as("ci_hi"))
+      val pt = docs.groupBy("source")
+        .agg((sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double")).as("mean"))
+      pt.join(ci, "source")
+        .select(col("source"), col("mean"), col("ci_lo"), col("ci_hi"),
+          col("n_resamples"))
+        .orderBy("source")
+    },
+
     // Deterministic global shuffle — the reproducible pseudorandom corpus
     // permutation every training run applies before sharding (sequential
     // doc order correlates with crawl time/source; a model must not see
@@ -494,6 +539,17 @@ object Pipeline {
     */
   val ShuffleSeed = 29
 
+  /** Resample count of [[queries sp_bootstrap_ci]]. */
+  val BootB = 200
+
+  /** Poisson(1) CDF in integer ppm — the resample-weight table of the
+    * deterministic Poisson bootstrap (weight k ⇔ hash-ppm lands in
+    * [cdf(k−1), cdf(k))). Shared as LITERALS with the oracle SQL; the last
+    * bucket absorbs the 1-ppm tail so weights cap at 9.
+    */
+  val PoissonCdfPpm: Seq[Long] =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L, 999990L, 999999L)
+
   /** Tokens per training shard for [[queries pl_token_pack]]. */
   val TokenShardBudget = 2000L
 
@@ -532,7 +588,47 @@ object Pipeline {
         org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** DuckDB CASE form of [[PoissonCdfPpm]] over a column named `ppm`. */
+  private def poissonCaseSql: String =
+    PoissonCdfPpm.zipWithIndex
+      .map { case (thr, k) => s"WHEN ppm < $thr THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonCdfPpm.length} END")
+
   val oracles: Map[String, String] = Map(
+    // Same hash → literal-CDF weight lookup; each resample mean is integer
+    // sums + one division; nearest ranks over the B-row means frame.
+    "sp_bootstrap_ci" -> {
+      val loRank = (BootB + 39) / 40
+      val hiRank = (39 * BootB + 39) / 40
+      s"""WITH bs AS (SELECT UNNEST(range(0, $BootB)) AS b),
+         |h AS (
+         |  SELECT d.source, bs.b, d.n_chars,
+         |    CAST('0x' || substr(md5('boot:' || CAST(bs.b AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS ppm
+         |  FROM documents d CROSS JOIN bs
+         |), wts AS (
+         |  SELECT source, b, n_chars, $poissonCaseSql AS w FROM h
+         |), m AS (
+         |  SELECT source, b,
+         |    CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_b
+         |  FROM wts GROUP BY 1, 2
+         |), r AS (
+         |  SELECT source, b, mean_b,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY mean_b ASC, b ASC) AS rk
+         |  FROM m
+         |), ci AS (
+         |  SELECT source, COUNT(*) AS n_resamples,
+         |    MAX(CASE WHEN rk = $loRank THEN mean_b END) AS ci_lo,
+         |    MAX(CASE WHEN rk = $hiRank THEN mean_b END) AS ci_hi
+         |  FROM r GROUP BY source
+         |), pt AS (
+         |  SELECT source,
+         |    CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+         |  FROM documents GROUP BY source
+         |)
+         |SELECT pt.source, mean, ci_lo, ci_hi, n_resamples
+         |FROM pt JOIN ci ON pt.source = ci.source
+         |ORDER BY pt.source""".stripMargin
+    },
     "sp_group_cap" ->
       s"""WITH r AS (
          |  SELECT doc_id, source,

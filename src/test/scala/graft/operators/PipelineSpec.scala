@@ -156,6 +156,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap CI brackets the point estimate with sane nearest-rank bounds") {
+    val rows = Pipeline.queries("sp_bootstrap_ci")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, lo, hi) = (r.getDouble(r.fieldIndex("mean")),
+        r.getDouble(r.fieldIndex("ci_lo")), r.getDouble(r.fieldIndex("ci_hi")))
+      assert(r.getLong(r.fieldIndex("n_resamples")) == Pipeline.BootB)
+      assert(lo <= hi)
+      // The 95% interval of resampled means should bracket the sample mean
+      // (Poisson-bootstrap means center on it) and be non-degenerate.
+      assert(lo <= m && m <= hi, s"CI [$lo, $hi] misses point estimate $m")
+      assert(hi > lo, "interval must have width on a non-constant statistic")
+    }
+  }
+
   test("global shuffle is a genuine permutation, decorrelated from id order") {
     val rows = Pipeline.queries("pl_global_shuffle")(spark, sf()).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
