@@ -496,6 +496,28 @@ object Events {
       userGrowth(Relational.t(s, dir, "events"))
     },
 
+    // Engagement stickiness: per day, DAU, trailing-7-day active users
+    // (WAU), and their ratio — the canonical habit metric. The trailing
+    // distinct count never rescans the event stream: each (user, day)
+    // activity fact CONTRIBUTES itself forward to the 7 windows that see
+    // it (a constant-width explode — the inversion that turns a sliding
+    // distinct into a plain hash aggregation with map-side combine), then
+    // one distinct + count per window day. Integers + one final division.
+    "ev_stickiness" -> { (s, dir) =>
+      val act = Dedup.materialized(Relational.t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
+      val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = act
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day").cast("timestamp").as("day"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+        .orderBy("day")
+    },
+
     // Cohort retention: users grouped by their first-signup week, counted
     // as active in each later week they emit ANY event. Weeks are integer
     // day-offsets / 7 from a fixed epoch — pure integer arithmetic both
@@ -962,6 +984,23 @@ object Events {
          |UNION ALL SELECT '2_click', COUNT(*) FROM s2
          |UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
          |ORDER BY stage""".stripMargin,
+    // Forward-contribution twin: each activity fact feeds the 7 windows
+    // that observe it; inner join restricts to observed days.
+    "ev_stickiness" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), dau AS (
+        |  SELECT day, COUNT(*) AS dau FROM a GROUP BY day
+        |), wx AS (
+        |  SELECT DISTINCT user_id, day + CAST(i AS INT) AS day
+        |  FROM a, (SELECT UNNEST(range(0, 7)) AS i)
+        |), wau AS (
+        |  SELECT day, COUNT(*) AS wau FROM wx GROUP BY day
+        |)
+        |SELECT CAST(dau.day AS TIMESTAMP) AS day, dau, wau,
+        |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY day""".stripMargin,
     // Naive global running-sum twin: the hash-match proves the month-stitch
     // IS the ordered cumulative.
     "ev_user_growth" ->

@@ -64,6 +64,25 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("stickiness: wau equals a direct trailing-window distinct; ratio bounded") {
+    val rows = Events.queries("ev_stickiness")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val act = Relational.t(spark, sf(), "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSet
+    rows.foreach { r =>
+      val day = r.getTimestamp(0).toLocalDateTime.toLocalDate
+      val dau = act.count(_._2 == day).toLong
+      val wau = act.filter { case (_, d) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._1).size.toLong
+      assert(r.getLong(r.fieldIndex("dau")) == dau)
+      assert(r.getLong(r.fieldIndex("wau")) == wau)
+      val st = r.getDouble(r.fieldIndex("stickiness"))
+      assert(st > 0.0 && st <= 1.0 && st == dau.toDouble / wau)
+    }
+  }
+
   test("user growth: month-stitched cumulative equals a straight running sum across months") {
     import spark.implicits._
     // Users first appearing across 4 months (some repeat later — only the
