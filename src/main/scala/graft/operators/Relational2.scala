@@ -534,6 +534,29 @@ object Relational2 {
           |ORDER BY c_custkey""".stripMargin)
     },
 
+    // Value-based RANGE window frames: per customer, each order's trailing
+    // 30-day order count and exact DECIMAL spend — the rolling-lookback
+    // feature a churn model reads. RANGE (unlike ROWS) frames are
+    // TIE-INSENSITIVE by definition: all peers of the current day are in
+    // or out together, so no tie-break column is needed for cross-engine
+    // determinism — the complementary contract to ev_rolling_features'
+    // ROWS frames. The order key is integer days since epoch (date
+    // arithmetic both engines share bit-for-bit); one shuffle on
+    // o_custkey feeds the window.
+    "q48_range_frame" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = org.apache.spark.sql.types.DecimalType(18, 2)
+      val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+          col("o_totalprice").cast(d).as("p"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_30d"),
+          sum(col("p")).over(w).cast("double").as("spend_30d"))
+        .orderBy("o_orderkey")
+    },
+
     // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
     // hash shuffle → sorted streaming reduce-UDF), driver-verified against
     // the same oracle as the declarative q19: the engine's two execution
@@ -574,6 +597,21 @@ object Relational2 {
         |  GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 2
         |) l
         |ORDER BY r_name, n_cust DESC, n_name""".stripMargin,
+    // Identical integer-day RANGE frame; DECIMAL sum cast at the boundary.
+    "q48_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    date_diff('day', DATE '1992-01-01', o_orderdate) AS day,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_custkey,
+        |  COUNT(*) OVER w AS n_30d,
+        |  CAST(SUM(p) OVER w AS DOUBLE) AS spend_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q47_notin_nullaware" ->
       """SELECT c_custkey, c_name
         |FROM customer

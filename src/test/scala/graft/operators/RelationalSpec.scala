@@ -47,6 +47,25 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), "expected hash aggregation")
   }
 
+  test("q48 RANGE frame treats same-day peer orders identically (tie-insensitivity)") {
+    import org.apache.spark.sql.functions._
+    val out = Relational2.queries("q48_range_frame")(spark, sf())
+    val orders = Relational.t(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val joined = out.join(orders, Seq("o_orderkey", "o_custkey")).collect()
+      .map(r => ((r.getLong(r.fieldIndex("o_custkey")), r.get(r.fieldIndex("o_orderdate"))),
+        (r.getLong(r.fieldIndex("n_30d")), r.getDouble(r.fieldIndex("spend_30d")))))
+    val byPeer = joined.groupBy(_._1).values
+    val peers = byPeer.filter(_.length > 1)
+    assert(peers.nonEmpty, "corpus should contain same-customer same-day orders")
+    peers.foreach { grp =>
+      assert(grp.map(_._2).distinct.length == 1,
+        s"peer rows of ${grp.head._1} differ: ${grp.map(_._2).toSeq}")
+    }
+    // And the frame really looks back: some order must count earlier ones.
+    assert(joined.exists(_._2._1 > 1))
+  }
+
   test("approx_count_distinct estimates within the documented error bound") {
     val a = Relational2.queries("q24_approx_distinct")(spark, sf()).head()
     val e = Relational2.queries("q24_exact_distinct")(spark, sf()).head()
