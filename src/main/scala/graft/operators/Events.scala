@@ -188,6 +188,47 @@ object Events {
         .orderBy("week")
     },
 
+    // CUSUM changepoint detection (Page 1954) over the hourly series —
+    // the drift detector beside ev_anomaly's point-outlier flag: the
+    // one-sided cumulative sum s_t = max(0, s_{t−1} + (x_t − μ − k))
+    // accumulates small sustained shifts a 2σ point test never sees; the
+    // peak locates the drift. All arithmetic is SCALED BY n (the hour
+    // count) into integers — s_t ← max(0, s_{t−1} + n·x_t − Σx − n·k) —
+    // so the trajectory, peak value, and peak hour are exact (the
+    // ev_anomaly stability argument applied to a RECURSION; the oracle
+    // replays it as a recursive CTE). The recursion is inherently ordered,
+    // so it runs as one linear scan per event type over the
+    // CALENDAR-BOUNDED hourly frame (O(1) state; the per-type frame never
+    // grows with event volume, only with wall-clock time).
+    "ev_cusum" -> { (s, dir) =>
+      import s.implicits._
+      val hourly = EventStreams.windowedAgg(Relational.t(s, dir, "events"))
+        .select(col("window_start"), col("event_type"), col("n_events"))
+      val st = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_w"), sum("n_events").as("tot"))
+      hourly.join(broadcast(st), "event_type")
+        .select(col("event_type"), unix_micros(col("window_start")).as("h"),
+          (col("n_w") * col("n_events") - col("tot") -
+            col("n_w") * lit(CusumSlack)).as("dev"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (t, it) =>
+          val rows = it.toArray.sortBy(_._2)
+          var acc = 0L
+          var peak = 0L
+          var peakH = rows.head._2
+          rows.foreach { case (_, h, dev) =>
+            acc = math.max(0L, acc + dev)
+            if (acc > peak) { peak = acc; peakH = h }
+          }
+          (t, rows.length.toLong, peak, peakH)
+        }
+        .toDF("event_type", "n_hours", "peak_cusum", "peak_h")
+        .select(col("event_type"), col("n_hours"), col("peak_cusum"),
+          timestamp_micros(col("peak_h")).as("peak_hour"))
+        .orderBy("event_type")
+    },
+
     // Rate-anomaly detection: hourly event-type counts whose deviation from
     // that type's mean exceeds 2 sample standard deviations. The flag
     // condition is evaluated in EXACT integer arithmetic —
@@ -539,6 +580,11 @@ object Events {
     }
   )
 
+  /** CUSUM allowance k (events/hour) of [[queries ev_cusum]] — drift below
+    * the slack is absorbed, sustained drift above it accumulates.
+    */
+  val CusumSlack = 2L
+
   /** Ordered step types of the windowed funnel. */
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
@@ -812,6 +858,34 @@ object Events {
          |    / CAST(n_a * n_b AS DOUBLE) AS ks_stat
          |FROM c JOIN t ON c.event_type = t.event_type
          |GROUP BY c.event_type, n_a, n_b
+         |ORDER BY c.event_type""".stripMargin,
+    // The recursion replayed as a recursive CTE in the same scaled
+    // integers; argmax with the earliest-hour tie-break.
+    "ev_cusum" ->
+      s"""WITH RECURSIVE h0 AS (
+         |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS x
+         |  FROM events GROUP BY 1, 2
+         |), st AS (
+         |  SELECT event_type, COUNT(*) AS n_w, SUM(x) AS tot FROM h0 GROUP BY 1
+         |), hr AS (
+         |  SELECT h0.event_type, hour,
+         |    CAST(n_w * x - tot - n_w * $CusumSlack AS BIGINT) AS dev,
+         |    ROW_NUMBER() OVER (PARTITION BY h0.event_type ORDER BY hour) AS rn
+         |  FROM h0 JOIN st USING (event_type)
+         |), c AS (
+         |  SELECT event_type, rn, hour, GREATEST(CAST(0 AS BIGINT), dev) AS s
+         |  FROM hr WHERE rn = 1
+         |  UNION ALL
+         |  SELECT hr.event_type, hr.rn, hr.hour,
+         |    GREATEST(CAST(0 AS BIGINT), c.s + hr.dev)
+         |  FROM c JOIN hr ON hr.event_type = c.event_type AND hr.rn = c.rn + 1
+         |), nh AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours FROM hr GROUP BY 1
+         |)
+         |SELECT c.event_type, n_hours, s AS peak_cusum, hour AS peak_hour
+         |FROM c JOIN nh ON c.event_type = nh.event_type
+         |QUALIFY ROW_NUMBER() OVER (
+         |  PARTITION BY c.event_type ORDER BY s DESC, hour ASC) = 1
          |ORDER BY c.event_type""".stripMargin,
     "ev_winsorize" ->
       """WITH e AS (

@@ -64,6 +64,29 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("cusum: peak equals a straight-line replay of the scaled recursion") {
+    val rows = Events.queries("ev_cusum")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val hourly = graft.streaming.EventStreams
+      .windowedAgg(Relational.t(spark, sf(), "events"))
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getString(1), r.getTimestamp(0), r.getLong(2)))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val series = hourly.filter(_._1 == t).sortBy(_._2.getTime)
+      val n = series.length.toLong
+      val tot = series.map(_._3).sum
+      var acc = 0L; var peak = 0L; var peakH = series.head._2
+      series.foreach { case (_, h, x) =>
+        acc = math.max(0L, acc + n * x - tot - n * Events.CusumSlack)
+        if (acc > peak) { peak = acc; peakH = h }
+      }
+      assert(r.getLong(r.fieldIndex("n_hours")) == n)
+      assert(r.getLong(r.fieldIndex("peak_cusum")) == peak)
+      assert(r.getTimestamp(r.fieldIndex("peak_hour")) == peakH)
+    }
+  }
+
   test("stickiness: wau equals a direct trailing-window distinct; ratio bounded") {
     val rows = Events.queries("ev_stickiness")(spark, sf()).collect()
     assert(rows.nonEmpty)
