@@ -355,6 +355,20 @@ object EventStreams {
       event_id: Long, user_id: Long, prev_value: Option[Double],
       gap_us: Option[Long], roll3_sum: Double, roll3_n: Long)
 
+  final case class FunnelEvent(tsMicros: Long, user_id: Long, event_type: String)
+
+  /** Windowed-funnel DP state: `cur` = latest chain-completion time per
+    * stage after every tick ≤ `lastTs`; `pre` = the state BEFORE the
+    * `lastTs` tick, kept so a timestamp tick SPLIT ACROSS MICRO-BATCHES
+    * still updates against pre-tick state (the batch DP's strict-progress
+    * rule); `emitted` = highest stage already emitted for this user.
+    * Long.MinValue = unset. O(|steps|) per user.
+    */
+  final case class FunnelBuf(lastTs: Long, pre: Seq[Long], cur: Seq[Long], emitted: Int)
+
+  /** A user newly reaching a funnel stage (each (user, stage) emits once). */
+  final case class FunnelStageRec(user_id: Long, stage: Int)
+
   /** Streaming twin of the batch transition matrix (`ev_transitions`): the
     * (prev → next) pair stream, one row per consecutive event pair per
     * user. Per-user state is ONLY the last-seen event — a three-field
@@ -427,6 +441,55 @@ object EventStreams {
             frame.map(_.cents).sum / 100.0,
             frame.length.toLong)
         }
+      }
+  }
+
+  /** Streaming twin of the time-bounded funnel
+    * (`ev_funnel_windowed` / [[graft.operators.Events.windowedFunnelReach]]):
+    * emits a [[FunnelStageRec]] the moment a user first reaches each stage —
+    * the live conversion dashboard feed. Same linear DP, same O(|steps|)
+    * state; the [[FunnelBuf]] pre-tick snapshot preserves the batch DP's
+    * equal-timestamp atomicity even when one timestamp's events straddle a
+    * micro-batch boundary, so streamed max-stage == batch reach exactly
+    * (EventStreamsSpec, 2-file time-split load). Assumes per-user
+    * non-decreasing event time across batches — the time-split landing
+    * contract; production disorder is bounded by the watermark.
+    */
+  def funnelStream(events: DataFrame): Dataset[FunnelStageRec] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val steps = graft.operators.Events.FunnelSteps
+    val w = graft.operators.Events.FunnelWindowMicros
+    val none = Long.MinValue
+    events
+      .withWatermark("ts", "10 minutes")
+      .filter(col("event_type").isin(steps: _*))
+      .select(unix_micros(col("ts")).as("tsMicros"), col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelStageRec](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+      ) { (uid, it, state) =>
+        val empty = Seq.fill(steps.length)(none)
+        var buf = state.getOption.getOrElse(FunnelBuf(none, empty, empty, 0))
+        val incoming = it.toSeq.sortBy(_.tsMicros)
+        incoming.groupBy(_.tsMicros).toSeq.sortBy(_._1).foreach { case (ts, tick) =>
+          // A re-opened tick keeps updating against its pre-tick snapshot;
+          // a new tick snapshots the current state first.
+          val pre = if (ts == buf.lastTs) buf.pre else buf.cur
+          val cur = buf.cur.toArray
+          tick.foreach { e =>
+            val k = steps.indexOf(e.event_type)
+            val ok = k == 0 || (pre(k - 1) != none && ts - pre(k - 1) <= w)
+            if (ok) cur(k) = ts
+          }
+          buf = FunnelBuf(ts, pre, cur.toSeq, buf.emitted)
+        }
+        val reached = buf.cur.lastIndexWhere(_ != none) + 1
+        val out = ((buf.emitted + 1) to reached).map(FunnelStageRec(uid, _))
+        buf = buf.copy(emitted = math.max(buf.emitted, reached))
+        state.update(buf)
+        out.iterator
       }
   }
 

@@ -204,6 +204,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed funnel reaches the batch stages across a 2-file split") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.operators.Relational.t(spark, sf(), "events")
+    val cut = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    val d = java.nio.file.Files.createTempDirectory("events-funnel")
+    ev.filter(unix_micros(col("ts")) <= cut).coalesce(1).write.parquet(d.resolve("p1").toString)
+    ev.filter(unix_micros(col("ts")) > cut).coalesce(1).write.parquet(d.resolve("p2").toString)
+    def land(part: String, name: String): Unit = {
+      val leaf = java.nio.file.Files.list(d.resolve(part)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(leaf, d.resolve(name))
+    }
+    land("p1", "a.parquet")
+    val q = EventStreams.funnelStream(EventStreams.readEventStream(spark, d.toString))
+      .writeStream.outputMode("append").format("memory").queryName("funnel_test").start()
+    try {
+      q.processAllAvailable()
+      land("p2", "b.parquet")
+      q.processAllAvailable()
+      val emitted = spark.table("funnel_test").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      // Each (user, stage) emits exactly once.
+      assert(emitted.distinct.length == emitted.length)
+      val streamedMax = emitted.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val batch = graft.operators.Events
+        .windowedFunnelReach(ev).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamedMax == batch.filter(_._2 >= 1),
+        s"streamed reach differs from batch")
+      // Stages emit densely: a user reaching k emitted 1..k.
+      emitted.groupBy(_._1).foreach { case (u, rs) =>
+        assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq, s"gaps for user $u")
+      }
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch twin") {
     val customer = graft.sources.Tables.t(spark, sf(), "customer")
     val stream = EventStreams.readEventStream(spark, eventsDir)
