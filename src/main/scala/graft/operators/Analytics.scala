@@ -167,6 +167,33 @@ object Analytics {
         .limit(15)
     },
 
+    // Pareto concentration (the 80/20 report): how many top customers
+    // cover 80% of revenue. The ordered cumulative runs on the
+    // range-partition PREFIX-SUM primitive ([[Pipeline.globalPrefixSums]]
+    // — per-partition totals broadcast as offsets, one O(rows) pass, no
+    // single-partition window), revenue rides as exact integer CENTS, and
+    // the coverage test 5·(cum − own) < 4·total is cross-multiplied
+    // integer arithmetic — membership of the crossing customer can never
+    // flip on a float knife-edge. The naive global window-cumsum oracle
+    // proves the primitive computes THE running sum.
+    "an_pareto" -> { (s, dir) =>
+      val d = org.apache.spark.sql.types.DecimalType(18, 2)
+      val sp = Relational.t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(d) * 100).cast("long").as("cents"))
+      val cum = Pipeline.globalPrefixSums(s, sp, "cum", "cents",
+        negate(col("cents")), col("o_custkey"))
+      val t = sp.agg(sum("cents").as("total"), count(lit(1)).as("n"))
+      cum.crossJoin(broadcast(t))
+        .agg(
+          max(col("n")).as("n_customers"),
+          sum(when(lit(5) * (col("cum") - col("cents")) < lit(4) * col("total"), 1L)
+            .otherwise(0L)).as("n_top80"))
+        .select(col("n_customers"), col("n_top80"),
+          (col("n_top80").cast("double") / col("n_customers").cast("double"))
+            .as("pct_customers"))
+    },
+
     // Benford first-digit screen over order totals — the fraud/synthetic-
     // data smell test: naturally-occurring multiplicative amounts follow
     // P(d) = log10(1+1/d); ledger-like or generated values usually don't.
@@ -274,6 +301,25 @@ object Analytics {
     "an_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Naive global window cumsum over (spend DESC, custkey); identical
+    // integer coverage test.
+    "an_pareto" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), c AS (
+        |  SELECT o_custkey, cents,
+        |    CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC) AS BIGINT) AS cum
+        |  FROM sp
+        |), t AS (
+        |  SELECT CAST(SUM(cents) AS BIGINT) AS total, COUNT(*) AS n FROM sp
+        |)
+        |SELECT n AS n_customers,
+        |  CAST(SUM(CASE WHEN 5 * (cum - cents) < 4 * total THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+        |  CAST(SUM(CASE WHEN 5 * (cum - cents) < 4 * total THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(n AS DOUBLE) AS pct_customers
+        |FROM c, t GROUP BY n""".stripMargin,
     // The expectation table is the same nine integer literals; digit from
     // the exact DECIMAL rendering; deviations in pure integers.
     "an_benford" ->

@@ -594,6 +594,41 @@ object Pipeline {
       .map { case (thr, k) => s"WHEN ppm < $thr THEN $k" }
       .mkString("CASE ", " ", s" ELSE ${PoissonCdfPpm.length} END")
 
+  /** Exact global running sums of the LONG column `valueCol` in `keys`
+    * order — the prefix-scan sibling of [[globalRowNumbers]]: range-
+    * partition by the keys (contiguous key intervals per partition), sort
+    * within partitions, ONE counting job collects per-partition totals
+    * whose scan becomes the broadcast offset vector, then one pass adds
+    * offset + running local sum. O(rows) with no single-partition window
+    * funnel; exactness requires an integer value column (callers scale
+    * decimals to cents first). The input is materialized once because the
+    * totals job and the output pass both consume it.
+    */
+  private[operators] def globalPrefixSums(
+      s: SparkSession, df: DataFrame, sumCol: String, valueCol: String,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val sorted = Dedup.materialized(df
+      .repartitionByRange(s.sparkContext.defaultParallelism, keys: _*)
+      .sortWithinPartitions(keys: _*))
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val totals = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.foldLeft(0L)((a, r) => a + r.getLong(idx))))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offs = s.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val schema = sorted.schema.add(org.apache.spark.sql.types.StructField(
+      sumCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val out = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offs.value(i)
+      it.map { r =>
+        acc += r.getLong(idx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    s.createDataFrame(out, schema)
+  }
+
   val oracles: Map[String, String] = Map(
     // Same hash → literal-CDF weight lookup; each resample mean is integer
     // sums + one division; nearest ranks over the B-row means frame.

@@ -85,6 +85,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(allDevs.count(_ > floor) < 15)
   }
 
+  test("pareto: n_top80 equals a sequential greedy cover of 80% revenue") {
+    val Array(r) = Analytics.queries("an_pareto")(spark, sf()).collect()
+    val cents = Relational.t(spark, sf(), "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val total = cents.map(_._2).sum
+    val sorted = cents.sortBy { case (k, c) => (-c, k) }
+    var cum = 0L; var k = 0
+    while (5 * cum < 4 * total) { cum += sorted(k)._2; k += 1 }
+    assert(r.getLong(r.fieldIndex("n_customers")) == cents.length.toLong)
+    assert(r.getLong(r.fieldIndex("n_top80")) == k.toLong)
+    assert(k > 0 && k < cents.length, "concentration must be non-degenerate")
+  }
+
   test("benford: digits partition the orders; deviation identity holds exactly") {
     val rows = Analytics.queries("an_benford")(spark, sf()).collect()
     val total = Relational.t(spark, sf(), "orders").count()

@@ -188,6 +188,19 @@ class PipelineSpec extends SparkSpec {
     assert(adjacentKept < n / 10, s"shuffle preserves id adjacency: $adjacentKept of $n")
   }
 
+  test("global prefix sums equal a sequential scan, stable across partition counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 5000).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val want = rows.sortBy(_._1).scanLeft(0L)(_ + _._2).tail
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("k", "v").repartition(parts)
+      val got = Pipeline.globalPrefixSums(spark, df, "cum", "v", col("k"))
+        .orderBy("k").collect().map(_.getLong(2))
+      assert(got.toSeq == want, s"prefix sums diverge at $parts partitions")
+    }
+  }
+
   test("global row numbers are 1..N in key order, stable across partition counts") {
     val rows = Pipeline.queries("sp_row_numbers")(spark, sf()).collect()
       .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("seq_id")))
