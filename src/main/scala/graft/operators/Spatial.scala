@@ -46,6 +46,9 @@ object Spatial {
     */
   val Radius = 1000L
 
+  /** Core-point density threshold of [[queries geo_core_points]]. */
+  val MinPts = 3L
+
   private val xSeed = 41
   private val ySeed = 42
 
@@ -114,6 +117,21 @@ object Spatial {
         .orderBy("a", "b")
     },
 
+    // DBSCAN's first phase — the core-point census: points with at least
+    // MinPts OTHER points within Radius (the density test every
+    // density-based clusterer starts from; border/noise classification and
+    // the cluster merge are unions over this frame). Same grid-decomposed
+    // neighborhood join — candidate volume bounded by physical density per
+    // cell — reduced by one counting aggregate; the quadratic oracle
+    // proves the census exact. Integer coordinates, integer counts.
+    "geo_core_points" -> { (s, dir) =>
+      neighborhoodPairs(s, dir, col("a") =!= col("b"))
+        .groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("n_neighbors"))
+        .filter(col("n_neighbors") >= MinPts)
+        .orderBy("id")
+    },
+
     // Nearest neighbor within Radius for each point that has one: the
     // directed neighborhood pairs reduced by min-distance (tie-broken by
     // lowest neighbor id — min over the exact (d2, b) pair encoded as
@@ -160,6 +178,14 @@ object Spatial {
          |FROM pts p JOIN pts q ON p.id < q.id
          |WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= ${Radius * Radius}
          |ORDER BY a, b""".stripMargin,
+    // Quadratic neighbor census — proves the grid-pruned count exact.
+    "geo_core_points" ->
+      s"""WITH $pointsSql
+         |SELECT p.id, COUNT(*) AS n_neighbors
+         |FROM pts p JOIN pts q ON p.id <> q.id
+         |WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= ${Radius * Radius}
+         |GROUP BY p.id HAVING COUNT(*) >= $MinPts
+         |ORDER BY p.id""".stripMargin,
     "geo_nn" ->
       s"""WITH $pointsSql, pairs AS (
          |  SELECT p.id AS a,

@@ -46,6 +46,19 @@ class SpatialSpec extends SparkSpec {
     }
   }
 
+  test("core points: neighbor counts consistent with the radius-join pair set") {
+    val cores = Spatial.queries("geo_core_points")(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Undirected pairs → per-point degree.
+    val deg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    Spatial.queries("geo_radius_join")(spark, sf()).collect().foreach { r =>
+      deg(r.getLong(0)) += 1; deg(r.getLong(1)) += 1
+    }
+    val expected = deg.toMap.filter(_._2 >= Spatial.MinPts)
+    assert(cores == expected, s"census differs: got $cores want $expected")
+    cores.values.foreach(n => assert(n >= Spatial.MinPts))
+  }
+
   test("cell stats: occupancy sums to points living in multi-point cells") {
     val rows = Spatial.queries("geo_cell_stats")(spark, sf()).collect()
     rows.foreach { r =>
