@@ -242,8 +242,12 @@ object TextAnalysis {
     },
 
     // Engine-internal fast fingerprint via the native Fnv64 Catalyst expression
-    // (whole-stage codegen; no SQL-engine equivalent → rows-only driver check;
-    // golden-vector correctness is asserted in ScalaTest).
+    // (whole-stage codegen). FULLY oracle-gated (round 7): FNV-1a is pure
+    // 64-bit modular arithmetic, so the DuckDB twin replays the per-byte
+    // recurrence h = (h ⊕ b)·0x100000001b3 mod 2⁶⁴ through HUGEINT over the
+    // UTF-8 byte sequence (hex(encode(...)) pairs) — the hash match proves
+    // the codegen'd expression implements its spec bit-for-bit; golden
+    // vectors remain in ScalaTest as the fast spec tier.
     "ta_fingerprint_fnv" -> { (s, dir) =>
       Relational.t(s, dir, "documents")
         .select(col("doc_id"), HashFunctions.fnv64(normText(col("text"))).as("fp_fnv64"))
@@ -533,7 +537,30 @@ object TextAnalysis {
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
         |  CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS fp64
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // ta_fingerprint_fnv: intentionally no oracle (native expression; rows-only).
+    // FNV-1a 64 replayed in DuckDB: UTF-8 bytes via hex(encode(·)) pairs, the
+    // per-byte (h ⊕ b)·prime mod 2⁶⁴ recurrence through HUGEINT (the ⊕ only
+    // touches the low 8 bits, so it is h − h%256 + xor(h%256, b)), and the
+    // final wrap to a signed BIGINT matching the engine's Long.
+    "ta_fingerprint_fnv" ->
+      """WITH nt AS (
+        |  SELECT doc_id,
+        |    hex(encode(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS hx
+        |  FROM documents
+        |), fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        [CAST(CAST('0x' || substr(hx, 2*i-1, 2) AS INT) AS HUGEINT)
+        |         FOR i IN range(1, len(hx)//2 + 1)]),
+        |      (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                 * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+        |    ) AS hu
+        |  FROM nt
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |       THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS BIGINT) AS fp_fnv64
+        |FROM fp ORDER BY doc_id""".stripMargin,
     "ta_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
