@@ -286,11 +286,16 @@ object Similarity {
     "ss_ann_ivf" -> { (s, dir) => ivfTopk(s, dir) },
 
     // Product-quantization ANN (ADC scan + exact re-rank): same output
-    // shape; rows-only driver check, recall measured in SimilaritySpec.
+    // shape; FULLY oracle-gated (round 7) — the DuckDB twin unrolls the 8
+    // per-subspace Lloyd's codebooks the way ss_ann_ivf unrolls its coarse
+    // quantizer ([[pqChainCte]]); recall measured in SimilaritySpec.
     "ss_ann_pq" -> { (s, dir) => pqTopk(s, dir) },
 
     // IVF-PQ composition (cells prune rows, codes prune bytes): same output
-    // shape; rows-only driver check, recall measured in SimilaritySpec.
+    // shape; FULLY oracle-gated (round 7) — the twin composes the SHARED
+    // trained-cells CTE (ss_ann_ivf's coarse quantizer) with the PQ codebook
+    // chain, mirroring the engine's shared stored index; recall in
+    // SimilaritySpec.
     "ss_ann_ivfpq" -> { (s, dir) => ivfPqTopk(s, dir) },
 
     // Norm + int8 quantization codes per vector — the storage/SIMD form a
@@ -687,14 +692,19 @@ object Similarity {
 
   /** Shared ADC tail: sum partial dots per (query, neighbor), keep the top
     * PqRerank by approximate cosine (EXACT norms ride with the codes), then
-    * re-score the nominated candidates against their true vectors.
+    * re-score the nominated candidates against their true vectors. The
+    * PqSub partial dots accumulate through DECIMAL(38,18) — exact,
+    * order-independent addition (the trainCentroids contract), so the ADC
+    * score — and with it the candidate set and the whole PQ result — is
+    * bit-reproducible across partitionings and engines.
     */
   private def adcRerank(e: DataFrame, joined: DataFrame): DataFrame = {
     val wadc = Window.partitionBy("query_id").orderBy(col("adc_cos").desc, col("neighbor_id").asc)
     val candidates = joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id", "qnrm", "nrm")
-      .agg(sum(col("pdot")).as("adc"), count(lit(1)).as("nsub"))
+      .agg(sum(col("pdot").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double").as("adc"), count(lit(1)).as("nsub"))
       .filter(col("nsub") === PqSub)
       .select(col("query_id"), col("neighbor_id"),
         (col("adc") / (col("qnrm") * col("nrm"))).as("adc_cos"))
@@ -1097,10 +1107,40 @@ object Similarity {
          |)
          |SELECT cell, rep1 AS vec_id, 1 AS sel_rank, cov_q AS gain_q FROM r1
          |UNION ALL SELECT cell, vec_id, 2 AS sel_rank, gain_q FROM r2
-         |ORDER BY cell, sel_rank""".stripMargin
-    // ss_ann_pq / ss_ann_ivfpq: intentionally no oracle (the ADC scan's
-    // codebook argmins are reproducible but the unrolled 8-subspace twin is
-    // disproportionate SQL); recall floors tested in SimilaritySpec.
+         |ORDER BY cell, sel_rank""".stripMargin,
+    // Full PQ twin: the 8 per-subspace codebooks are the same unrolled
+    // Lloyd's recursion as ss_ann_ivf's coarse quantizer, run over vector
+    // SLICES with the subspace id as one more grouping column
+    // ([[pqChainCte]]); then the code/partial-dot tables and the ADC tail
+    // ([[adcTailSql]]) replay the engine's scan exactly — DECIMAL-exact
+    // partial-dot sums make the ADC score order-independent in both engines.
+    "ss_ann_pq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), $pqChainCte, ${adcTailSql(
+          s"""(SELECT q.query_id, c.neighbor_id, q.qnrm, c.nrm, q.pdot
+             |   FROM codes c JOIN qparts q USING (sub, cid))""".stripMargin)}""".stripMargin,
+    // Full IVF-PQ twin: the SHARED trained-cells CTE (one coarse quantizer,
+    // three consumers now — ss_ann_ivf, dd_semantic, and this) composed
+    // with the PQ chain; the ADC scan is pruned to the query's probed
+    // cells before the partial-dot join, exactly like the engine.
+    "ss_ann_ivfpq" ->
+      s"""WITH $trainedCellsCte, $pqChainCte, cells AS (
+         |  SELECT neighbor_id, c_id AS cell FROM cc
+         |), qprobes AS (
+         |  SELECT vec_id AS query_id, c_id AS cell FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (
+         |        PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS crk
+         |    FROM e CROSS JOIN c$IvfIters c WHERE e.vec_id < $NQueries
+         |  ) WHERE crk <= $IvfProbes
+         |), ${adcTailSql(
+          s"""(SELECT q.query_id, c.neighbor_id, q.qnrm, c.nrm, q.pdot
+             |   FROM codes c
+             |   JOIN cells ce USING (neighbor_id)
+             |   JOIN qprobes p USING (cell)
+             |   JOIN qparts q ON q.query_id = p.query_id AND q.sub = c.sub AND q.cid = c.cid)""".stripMargin)}""".stripMargin
   )
 
   /** Shared DuckDB CTE prefix re-deriving the engine's stored coarse
@@ -1146,4 +1186,97 @@ object Similarity {
        |  ) WHERE crk = 1
        |)""".stripMargin
   }
+
+  /** The [[pqScore]] twin: argmin-L2 as max (sv·cv − ‖cv‖²/2), token-identical
+    * arithmetic in both engines.
+    */
+  private def pqScoreSql(sv: String, cv: String): String =
+    s"${dotSql(sv, cv)} - ${dotSql(cv, cv)} / 2"
+
+  /** DuckDB CTE chain re-deriving the engine's stored PQ index (assumes a
+    * preceding `e` CTE with double vectors): `n` (norms), `sr` (per-subspace
+    * slices ≡ [[subRows]]), hash-sample init `cb0` (seed 11, cid = rank−1 —
+    * the md5 order is subspace-independent, so every subspace samples the
+    * same vectors, exactly like the engine's per-sub window), PqIters
+    * unrolled Lloyd's rounds per subspace (`pa`/`pm`/`cb` — the
+    * [[trainedCellsCte]] recursion with `sub` as one more grouping column
+    * and the same DECIMAL-exact sum → double → ÷n mean form), ending in the
+    * stored `codes` table (argmax assignment per (vector, subspace)) and the
+    * query-side partial-dot table `qparts`. Round CTE names are disjoint
+    * from [[trainedCellsCte]]'s (`a`/`m`/`c`) so the IVF-PQ oracle can
+    * compose both chains in one WITH clause.
+    */
+  private lazy val pqChainCte: String = {
+    val rounds = (1 to PqIters).map { i =>
+      s"""pa$i AS (
+         |  SELECT sub, vec_id, sv, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sub, vec_id ORDER BY sc DESC, cid ASC) AS crk
+         |  FROM (SELECT sr.sub, sr.vec_id, sr.sv, cb.cid, ${pqScoreSql("sr.sv", "cb.cv")} AS sc
+         |        FROM sr JOIN cb${i - 1} cb USING (sub))
+         |), pm$i AS (
+         |  SELECT sub, cid, d.d AS pos,
+         |    CAST(SUM(CAST(sv[d.d + 1] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM pa$i CROSS JOIN range($PqSubDim) d(d) WHERE crk = 1
+         |  GROUP BY sub, cid, d.d
+         |), cb$i AS (
+         |  SELECT sub, cid, list(m ORDER BY pos) AS cv FROM pm$i GROUP BY sub, cid
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""n AS (
+       |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e
+       |), sr AS (
+       |  SELECT vec_id, nrm, s.s AS sub,
+       |    v[s.s * $PqSubDim + 1 : s.s * $PqSubDim + $PqSubDim] AS sv
+       |  FROM n CROSS JOIN range($PqSub) s(s)
+       |), ini AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+       |    CAST('0x' || substr(md5('11:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |    vec_id) AS irk
+       |  FROM e
+       |), cb0 AS (
+       |  SELECT sr.sub, CAST(ini.irk - 1 AS INT) AS cid, sr.sv AS cv
+       |  FROM sr JOIN ini USING (vec_id) WHERE ini.irk <= $PqK
+       |), $rounds, codes AS (
+       |  SELECT vec_id AS neighbor_id, nrm, sub, cid FROM (
+       |    SELECT vec_id, nrm, sub, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY sub, vec_id ORDER BY sc DESC, cid ASC) AS crk
+       |    FROM (SELECT sr.vec_id, sr.nrm, sr.sub, cb.cid, ${pqScoreSql("sr.sv", "cb.cv")} AS sc
+       |          FROM sr JOIN cb$PqIters cb USING (sub))
+       |  ) WHERE crk = 1
+       |), qparts AS (
+       |  SELECT sr.vec_id AS query_id, sr.nrm AS qnrm, sr.sub, cb.cid,
+       |    ${dotSql("sr.sv", "cb.cv")} AS pdot
+       |  FROM sr JOIN cb$PqIters cb USING (sub) WHERE sr.vec_id < $NQueries
+       |)""".stripMargin
+  }
+
+  /** The [[adcRerank]] twin over a `joined` relation exposing (query_id,
+    * neighbor_id, qnrm, nrm, pdot): DECIMAL-exact partial-dot sum, top
+    * PqRerank by approximate cosine, exact re-rank to the final top-k.
+    * Ends the WITH clause (includes the final SELECT).
+    */
+  private def adcTailSql(joined: String): String =
+    s"""adc AS (
+       |  SELECT query_id, neighbor_id, qnrm, nrm,
+       |    CAST(SUM(CAST(pdot AS DECIMAL(38,18))) AS DOUBLE) AS adc, COUNT(*) AS nsub
+       |  FROM $joined
+       |  WHERE query_id <> neighbor_id
+       |  GROUP BY query_id, neighbor_id, qnrm, nrm
+       |), cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id ASC) AS crk
+       |    FROM (SELECT query_id, neighbor_id, adc / (qnrm * nrm) AS adc_cos
+       |          FROM adc WHERE nsub = $PqSub)
+       |  ) WHERE crk <= $PqRerank
+       |), scored AS (
+       |  SELECT c.query_id, c.neighbor_id, ${cosSql("q.v", "x.v")} AS cos
+       |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e x ON x.vec_id = c.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
+       |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
 }
