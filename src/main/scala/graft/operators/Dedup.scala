@@ -131,9 +131,23 @@ object Dedup {
 
   /** Jaccard threshold shared by candidate generation (prefix lengths) and
     * verification (the output filter) — they must agree or prefix filtering
-    * loses its exactness guarantee.
+    * loses its exactness guarantee. Held as the exact rational 4/5: the
+    * prefix bound derives from ⌈t·n⌉ in PURE INTEGER arithmetic
+    * ([[prefixLenCol]]) so the candidate tier's losslessness proof never
+    * depends on IEEE rounding of t·n crossing an integer boundary.
     */
-  val MinJaccard = 0.8
+  val MinJaccardNum = 4
+  val MinJaccardDen = 5
+  val MinJaccard: Double = MinJaccardNum.toDouble / MinJaccardDen
+
+  /** Prefix length |sh| − ⌈(num/den)·|sh|⌉ + 1 over the `setsz` column in
+    * pure integers: ⌈(num/den)·n⌉ = (n·num + den−1) div den — the codebase's
+    * cross-multiplied-integer convention for threshold tests, applied to the
+    * prefix bound (the float form's correctness rested on ceil(t·n) never
+    * rounding across an integer, a half-ulp argument this removes).
+    */
+  private def prefixLenCol(num: Int, den: Int): Column =
+    expr(s"CAST(setsz - ((setsz * $num + ${den - 1}) DIV $den) + 1 AS INT)")
 
   /** Word-gram width for the [[queries dd_contamination]] eval-overlap
     * screen (6-grams: long enough that shared grams indicate copied spans,
@@ -173,7 +187,7 @@ object Dedup {
     // merge an aggregated subtree with its probe side), while the window
     // rides the single sng exchange. One shingling pass for the index
     // instead of two.
-    val prefixLen = (col("setsz") - ceil(col("setsz") * lit(MinJaccard)) + 1).cast("int")
+    val prefixLen = prefixLenCol(MinJaccardNum, MinJaccardDen)
     // Explicit-count repartitions under each window: the exploded shingle
     // frame is small in BYTES but heavy in sort/rank COMPUTE, so AQE's
     // size-based coalescing would run each window on one task (measured
@@ -201,8 +215,11 @@ object Dedup {
 
   /** Containment threshold for [[queries dd_containment]] — the asymmetric
     * quote/excerpt detection contract, distinct from symmetric Jaccard.
+    * Held as the exact rational 9/10 (see [[MinJaccardNum]] / [[prefixLenCol]]).
     */
-  val MinContain = 0.9
+  val MinContainNum = 9
+  val MinContainDen = 10
+  val MinContain: Double = MinContainNum.toDouble / MinContainDen
 
   /** Ordered candidate pairs (contained, container) with possible shingle
     * containment C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| ≥ [[MinContain]] — the
@@ -226,7 +243,7 @@ object Dedup {
   def containmentCandidates(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val inv = sh.select(col("doc_id"), size(col("shingles")).as("setsz"), explode(col("shingles")).as("sng"))
-    val prefixLen = (col("setsz") - ceil(col("setsz") * lit(MinContain)) + 1).cast("int")
+    val prefixLen = prefixLenCol(MinContainNum, MinContainDen)
     // Same AQE window barriers + one-shot materialization as ngramCandidates.
     val ranked = materialized(inv
       .transform(spread("sng"))

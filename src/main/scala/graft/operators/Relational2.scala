@@ -542,12 +542,14 @@ object Relational2 {
     // determinism — the complementary contract to ev_rolling_features'
     // ROWS frames. The order key is integer days since epoch (date
     // arithmetic both engines share bit-for-bit); one shuffle on
-    // o_custkey feeds the window.
+    // o_custkey feeds the window. The frame is −29..0: a RANGE bound is
+    // INCLUSIVE at both ends, so 29 PRECEDING spans exactly the 30
+    // distinct day values the column names advertise.
     "q48_range_frame" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = org.apache.spark.sql.types.DecimalType(18, 2)
       val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
-      val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+      val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-29, 0)
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
           col("o_totalprice").cast(d).as("p"))
@@ -610,7 +612,7 @@ object Relational2 {
         |  CAST(SUM(p) OVER w AS DOUBLE) AS spend_30d
         |FROM o
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
-        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
     "q47_notin_nullaware" ->
       """SELECT c_custkey, c_name

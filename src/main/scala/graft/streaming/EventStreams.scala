@@ -376,12 +376,16 @@ object EventStreams {
     * state size is O(active users), independent of history length (the
     * sessionizer buffers an open session; this buffers one event). Events
     * within a micro-batch pair in deterministic (ts, event_id) order; the
-    * stored last event bridges batch boundaries. EventStreamsSpec asserts
-    * the aggregated pair counts equal the batch lag-window matrix.
+    * stored last event bridges batch boundaries. Cross-batch disorder is
+    * handled by the FRONTIER RULE (see [[rollingFeaturesStream]]): an
+    * incoming event ordered before the stored last-seen event is dropped
+    * and counted, never paired backwards. EventStreamsSpec asserts the
+    * aggregated pair counts equal the batch lag-window matrix.
     */
   def transitionsStream(events: DataFrame): Dataset[TransitionRec] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val late = spark.sparkContext.longAccumulator("eventstreams.transitions.late_dropped")
     events
       .withWatermark("ts", "10 minutes")
       .select(col("event_id"), unix_micros(col("ts")).as("tsMicros"),
@@ -391,7 +395,11 @@ object EventStreams {
       .flatMapGroupsWithState[LastSeen, TransitionRec](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()
       ) { (uid, it, state) =>
-        val incoming = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+        val frontier = state.getOption.map(ls => (ls.tsMicros, ls.eventId))
+        val (kept, dropped) = it.toSeq.partition(e =>
+          frontier.forall(f => Ordering[(Long, Long)].gteq((e.tsMicros, e.event_id), f)))
+        late.add(dropped.size)
+        val incoming = kept.sortBy(e => (e.tsMicros, e.event_id))
         val all = state.getOption
           .map(ls => TransEvent(ls.eventId, ls.tsMicros, uid, ls.eventType)).toSeq ++ incoming
         if (all.nonEmpty) {
@@ -414,10 +422,24 @@ object EventStreams {
     * micro-batch order by (ts, event_id); the stored tail bridges batch
     * boundaries — EventStreamsSpec asserts streamed == batch across a
     * 2-file incremental load.
+    *
+    * FRONTIER RULE (cross-batch disorder): the watermark only EXPIRES
+    * state — Spark still delivers late-but-within-watermark input to
+    * flatMapGroupsWithState, unsorted, in a later micro-batch. An event
+    * ordered (ts, event_id) before the stored per-user frontier (the tail's
+    * last event) cannot be retro-inserted into frames already emitted, so
+    * it is DROPPED and counted in the `late_dropped` accumulator — features
+    * stay per-user monotone (gap_us ≥ 0 always) and every emitted row is
+    * final. EventStreamsSpec lands an out-of-order second file and asserts
+    * the streamed frame equals the batch frame over exactly the kept
+    * events. (The lossless alternative — buffer until the watermark passes
+    * — costs O(watermark-window) state per user; this operator chooses the
+    * standard emit-final/drop-late contract instead.)
     */
   def rollingFeaturesStream(events: DataFrame): Dataset[RollingFeatRec] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val late = spark.sparkContext.longAccumulator("eventstreams.rollingfeatures.late_dropped")
     events
       .withWatermark("ts", "10 minutes")
       .select(col("event_id"), unix_micros(col("ts")).as("tsMicros"), col("user_id"),
@@ -427,7 +449,12 @@ object EventStreams {
       .flatMapGroupsWithState[RollBuf, RollingFeatRec](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()
       ) { (uid, it, state) =>
-        val incoming = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+        val frontier = state.getOption.flatMap(_.hist.lastOption)
+          .map(f => (f.tsMicros, f.event_id))
+        val (kept, dropped) = it.toSeq.partition(e =>
+          frontier.forall(f => Ordering[(Long, Long)].gteq((e.tsMicros, e.event_id), f)))
+        late.add(dropped.size)
+        val incoming = kept.sortBy(e => (e.tsMicros, e.event_id))
         val prefix = state.getOption.map(_.hist).getOrElse(Seq.empty)
         val all = prefix ++ incoming
         state.update(RollBuf(all.takeRight(2)))
@@ -451,9 +478,13 @@ object EventStreams {
     * state; the [[FunnelBuf]] pre-tick snapshot preserves the batch DP's
     * equal-timestamp atomicity even when one timestamp's events straddle a
     * micro-batch boundary, so streamed max-stage == batch reach exactly
-    * (EventStreamsSpec, 2-file time-split load). Assumes per-user
-    * non-decreasing event time across batches — the time-split landing
-    * contract; production disorder is bounded by the watermark.
+    * (EventStreamsSpec, 2-file time-split load). Cross-batch disorder is
+    * handled by the FRONTIER RULE (see [[rollingFeaturesStream]]): an
+    * incoming event with ts strictly below the last processed tick is
+    * dropped and counted — a late event can never snapshot CURRENT state as
+    * its pre-tick state or regress `lastTs`, so the DP stays equivalent to
+    * the batch EXISTS semantics over the kept events (an equal-ts arrival
+    * still merges into its tick via the re-opened-tick path).
     */
   def funnelStream(events: DataFrame): Dataset[FunnelStageRec] = {
     val spark = events.sparkSession
@@ -461,6 +492,7 @@ object EventStreams {
     val steps = graft.operators.Events.FunnelSteps
     val w = graft.operators.Events.FunnelWindowMicros
     val none = Long.MinValue
+    val late = spark.sparkContext.longAccumulator("eventstreams.funnel.late_dropped")
     events
       .withWatermark("ts", "10 minutes")
       .filter(col("event_type").isin(steps: _*))
@@ -472,7 +504,10 @@ object EventStreams {
       ) { (uid, it, state) =>
         val empty = Seq.fill(steps.length)(none)
         var buf = state.getOption.getOrElse(FunnelBuf(none, empty, empty, 0))
-        val incoming = it.toSeq.sortBy(_.tsMicros)
+        val (keptIn, droppedIn) = it.toSeq.partition(e =>
+          buf.lastTs == none || e.tsMicros >= buf.lastTs)
+        late.add(droppedIn.size)
+        val incoming = keptIn.sortBy(_.tsMicros)
         incoming.groupBy(_.tsMicros).toSeq.sortBy(_._1).foreach { case (ts, tick) =>
           // A re-opened tick keeps updating against its pre-tick snapshot;
           // a new tick snapshots the current state first.

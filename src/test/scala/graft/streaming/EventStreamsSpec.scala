@@ -241,6 +241,103 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Author a two-file landing sequence where the second file carries an
+    * event BELOW one user's stored frontier but within the watermark (Spark
+    * delivers it — the watermark only expires state): batch A = user 1
+    * view@0m + click@20m, user 2 view@10m; batch B = user 1 purchase@15m
+    * (LATE: ts < user 1's 20m frontier), user 2 click@12m (in order),
+    * user 3 view@18m (new user). Watermark after A is 20m − 10m = 10m, so
+    * every B event is late-but-within-watermark.
+    */
+  private def landDisordered(): (java.nio.file.Path, Long) = {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val m = 60L * 1000000
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val d = java.nio.file.Files.createTempDirectory("ooo-stage")
+      rows.toDF("event_id", "tsu", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(col("tsu")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(d.resolve("p").toString)
+      val leaf = java.nio.file.Files.list(d.resolve("p")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(leaf, landing.resolve(name))
+    }
+    lazy val landing = java.nio.file.Files.createTempDirectory("ooo-events")
+    write("a.parquet", Seq(
+      (1L, t0 + 0 * m, 1L, "view", 10.0, "{}"),
+      (2L, t0 + 20 * m, 1L, "click", 20.0, "{}"),
+      (10L, t0 + 10 * m, 2L, "view", 5.0, "{}")))
+    (landing, t0)
+  }
+
+  private def landSecond(landing: java.nio.file.Path, t0: Long): Unit = {
+    import spark.implicits._
+    val m = 60L * 1000000
+    val d = java.nio.file.Files.createTempDirectory("ooo-stage2")
+    Seq(
+      (3L, t0 + 15 * m, 1L, "purchase", 30.0, "{}"),
+      (11L, t0 + 12 * m, 2L, "click", 6.0, "{}"),
+      (20L, t0 + 18 * m, 3L, "view", 7.0, "{}"))
+      .toDF("event_id", "tsu", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("tsu")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.parquet(d.resolve("p").toString)
+    val leaf = java.nio.file.Files.list(d.resolve("p")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(leaf, landing.resolve("b.parquet"))
+  }
+
+  test("rolling features drop events below the stored per-user frontier") {
+    import spark.implicits._
+    val (landing, t0) = landDisordered()
+    val q = EventStreams.rollingFeaturesStream(EventStreams.readEventStream(spark, landing.toString))
+      .writeStream.outputMode("append").format("memory").queryName("roll_ooo_test").start()
+    try {
+      q.processAllAvailable()
+      landSecond(landing, t0)
+      q.processAllAvailable()
+      val got = spark.table("roll_ooo_test")
+        .select("event_id", "prev_value", "gap_us", "roll3_sum", "roll3_n")
+        .as[(Long, Option[Double], Option[Long], Double, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      // The late event (id 3) is dropped — never emitted, never retro-
+      // inserted into neighbors' frames; every kept event's features are
+      // the batch semantics over the KEPT set, and no gap is negative.
+      assert(!got.contains(3L), "late event must be dropped")
+      assert(got == Map(
+        1L -> ((None, None, 10.0, 1L)),
+        2L -> ((Some(10.0), Some(20L * 60 * 1000000), 30.0, 2L)),
+        10L -> ((None, None, 5.0, 1L)),
+        11L -> ((Some(5.0), Some(2L * 60 * 1000000), 11.0, 2L)),
+        20L -> ((None, None, 7.0, 1L))))
+      got.values.foreach { case (_, gap, _, _) => assert(gap.forall(_ >= 0)) }
+    } finally q.stop()
+  }
+
+  test("windowed funnel drops a late event instead of chaining it backwards") {
+    val (landing, t0) = landDisordered()
+    val q = EventStreams.funnelStream(EventStreams.readEventStream(spark, landing.toString))
+      .writeStream.outputMode("append").format("memory").queryName("funnel_ooo_test").start()
+    try {
+      q.processAllAvailable()
+      landSecond(landing, t0)
+      q.processAllAvailable()
+      val emitted = spark.table("funnel_ooo_test").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(emitted.distinct.length == emitted.length)
+      val maxStage = emitted.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      // User 1's purchase@15m arrives AFTER its click@20m was processed: a
+      // time-travelling chain view→click@20m→purchase@15m must not count
+      // (the pre-fix DP would have snapshotted current state as the late
+      // tick's pre-state and granted stage 3). User 2's click@12m is in
+      // order ACROSS the batch split and chains; user 3 starts fresh.
+      assert(maxStage == Map(1L -> 2, 2L -> 2, 3L -> 1))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch twin") {
     val customer = graft.sources.Tables.t(spark, sf(), "customer")
     val stream = EventStreams.readEventStream(spark, eventsDir)
