@@ -91,9 +91,12 @@ object BpeTrainer {
     },
 
     // The BPE merge table: Merges rounds of count → argmax → rewrite.
-    // Engine-native iterative op (rows-only on the driver gate, like the
-    // ANN tier); BpeTrainerSpec replays a reference Scala implementation
-    // over the same word frequencies and asserts the merge tables equal.
+    // FULLY oracle-gated (round 7): the DuckDB twin unrolls the rounds as
+    // CTEs ([[bpeChainCte]]) with the leftmost-non-overlapping rewrite as a
+    // list_reduce fold — provably equivalent to the scan because a merged
+    // token `ab` can never equal `a` (symbols are non-empty), so the fold's
+    // last-element match is exactly the scan's unconsumed-position match.
+    // BpeTrainerSpec additionally replays a reference Scala implementation.
     // Trained ONCE per corpus through the stored-structure tier — the
     // encode query below reads the same stored table, like a tokenizer
     // artifact shipped to the fleet.
@@ -184,6 +187,69 @@ object BpeTrainer {
          |  FROM wf WHERE len(w) >= 2
          |)
          |SELECT pair, CAST(SUM(f) AS BIGINT) AS total
-         |FROM pe GROUP BY pair ORDER BY total DESC, pair LIMIT $PairsK""".stripMargin
+         |FROM pe GROUP BY pair ORDER BY total DESC, pair LIMIT $PairsK""".stripMargin,
+    // Full trainer twin: Merges unrolled count → argmax → rewrite rounds.
+    "ta_bpe_merges" ->
+      (s"WITH $bpeChainCte\n" +
+        (1 to Merges).map(i => s"SELECT round, a, b, cnt FROM w$i")
+          .mkString("\nUNION ALL ") +
+        "\nORDER BY round"),
+    // Encode twin: price each document under the round-Merges symbol state
+    // — |encode(w)| is len(s) at the END of the shared chain (the same
+    // vocabulary-level single-pass completeness argument as BpeApply), so
+    // the per-doc token total is one distinct-word join against sMerges.
+    "ta_bpe_encode" ->
+      s"""WITH $bpeChainCte, dw AS (
+         |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+         |    SELECT doc_id,
+         |      unnest(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) AS w
+         |    FROM documents
+         |  ) GROUP BY doc_id, w
+         |)
+         |SELECT doc_id, CAST(SUM(cnt * len(s$Merges.s)) AS BIGINT) AS n_tokens
+         |FROM dw JOIN s$Merges USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** DuckDB CTE chain re-running the trainer: word frequencies, character
+    * symbols `s0` (the word column `w` rides along so the encode oracle can
+    * join back), then Merges unrolled rounds — per round the weighted
+    * adjacent-pair count `pc`, the (cnt DESC, a ASC, b ASC) argmax `w`, and
+    * the rewrite `s`. The rewrite is a list_reduce fold over singleton-
+    * wrapped symbols (DuckDB's reduce seeds with the first element, and the
+    * accumulator must share the element type): merge when the accumulator's
+    * last symbol is `a` and the incoming symbol is `b` — equivalent to the
+    * engine's left-to-right non-overlapping scan ([[graft.functions.BpeMerge]])
+    * because a merged `ab` can never equal `a`, so a fold-merge consumes
+    * exactly the scan's positions.
+    */
+  private lazy val bpeChainCte: String = {
+    val rounds = (1 to Merges).map { i =>
+      s"""pc$i AS (
+         |  SELECT p.a AS a, p.b AS b, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest([{'a': s[i], 'b': s[i+1]} FOR i IN range(1, len(s))]) AS p, f
+         |    FROM s${i - 1} WHERE len(s) >= 2
+         |  ) GROUP BY p.a, p.b
+         |), w$i AS (
+         |  SELECT CAST($i AS INT) AS round, a, b, cnt
+         |  FROM pc$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+         |), s$i AS (
+         |  SELECT w,
+         |    list_reduce(list_transform(s, x -> [x]),
+         |      (acc, x) -> CASE WHEN acc[len(acc)] = m.a AND x[1] = m.b
+         |                  THEN list_append(acc[1:len(acc)-1], m.a || m.b)
+         |                  ELSE list_concat(acc, x) END) AS s,
+         |    f
+         |  FROM s${i - 1} CROSS JOIN w$i m
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) AS w
+       |  FROM documents
+       |), wf AS (
+       |  SELECT w, COUNT(*) AS f FROM toks GROUP BY w
+       |), s0 AS (
+       |  SELECT w, [substr(w, i, 1) FOR i IN range(1, len(w)+1)] AS s, f FROM wf
+       |), $rounds""".stripMargin
+  }
 }
