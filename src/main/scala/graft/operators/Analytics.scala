@@ -62,28 +62,38 @@ object Analytics {
     },
 
     // Exact closed-form OLS per part brand: extendedprice regressed on
-    // quantity. All sums run in DECIMAL (exact, order-independent); the
-    // final slope/intercept arithmetic is a fixed IEEE-double expression
-    // tree over deterministic decimal→double casts, identical token-for-
-    // token in the oracle — so even the catastrophic-cancellation step is
-    // bit-reproducible. One broadcast dim join + one hash aggregation;
-    // the per-group state is a 5-component moment vector (n, Σx, Σy, Σx²,
-    // Σxy), the textbook algebraic aggregate.
+    // quantity. Moments run in INTEGER CENTS (xl = 100·x, yl = 100·y —
+    // exact longs; both columns are 2-decimal data, so round(v·100) is the
+    // exact integer): the earlier DECIMAL(18,2)-product form left Spark's
+    // compact-long decimal representation (product precision 29/37 →
+    // BigDecimal per row in the hottest aggregation), which made the bench
+    // pass GC-sensitive under 32-way contention — the profiled source of
+    // r5/r6's 4–12 s cross-pass swing on an unchanged plan. Long products
+    // are allocation-free; sums ride DECIMAL(38,0) (compact-long adds,
+    // exact, order-independent, overflow-safe far past 100 TB). The 10⁴
+    // cents² scaling cancels exactly between slope numerator and
+    // denominator, so slope is ONE division of two exact integers (each
+    // correctly-rounded to double — stronger than the old token-identical-
+    // IEEE-tree contract); intercept divides by the exact 100·n.
     "an_linreg" -> { (s, dir) =>
-      val x = col("l_quantity").cast(DecimalType(18, 2))
-      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      val dec = DecimalType(38, 0)
+      val xl = round(col("l_quantity") * 100).cast("long")
+      val yl = round(col("l_extendedprice") * 100).cast("long")
       val d = (c: String) => col(c).cast("double")
       Relational.t(s, dir, "lineitem")
         .join(broadcast(Relational.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), xl.as("xl"), yl.as("yl"))
         .groupBy("p_brand")
-        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-          sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xl").cast(dec)).as("sx"), sum(col("yl").cast(dec)).as("sy"),
+          sum((col("xl") * col("xl")).cast(dec)).as("sxx"),
+          sum((col("xl") * col("yl")).cast(dec)).as("sxy"))
         .select(col("p_brand"), col("n"),
-          ((d("n") * d("sxy") - d("sx") * d("sy")) /
-            (d("n") * d("sxx") - d("sx") * d("sx"))).as("slope"),
+          ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"),
           col("sx"), col("sy"))
         .select(col("p_brand"), col("n"), col("slope"),
-          ((d("sy") - col("slope") * d("sx")) / d("n")).as("intercept"))
+          ((d("sy") - col("slope") * d("sx")) / (d("n") * lit(100.0))).as("intercept"))
         .orderBy("p_brand")
     },
 
@@ -279,24 +289,32 @@ object Analytics {
         |  WHERE p.price <= q.price AND p.sz <= q.sz
         |    AND (p.price < q.price OR p.sz < q.sz))
         |ORDER BY price""".stripMargin,
+    // Cents-moment twin: exact HUGEINT sums/products mirror the engine's
+    // DECIMAL(38,0) integers; slope = one double division of equal integers.
     "an_linreg" ->
       """WITH m AS (
         |  SELECT p_brand,
         |         COUNT(*) AS n,
-        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-        |         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
-        |         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |         CAST(SUM(xl) AS HUGEINT) AS sx,
+        |         CAST(SUM(yl) AS HUGEINT) AS sy,
+        |         CAST(SUM(xl * xl) AS HUGEINT) AS sxx,
+        |         CAST(SUM(xl * yl) AS HUGEINT) AS sxy
+        |  FROM (
+        |    SELECT p_brand,
+        |           CAST(round(l_quantity * 100) AS BIGINT) AS xl,
+        |           CAST(round(l_extendedprice * 100) AS BIGINT) AS yl
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  )
         |  GROUP BY p_brand
         |), sl AS (
         |  SELECT p_brand, n,
-        |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |         CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
         |         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
         |  FROM m
         |)
-        |SELECT p_brand, n, slope, (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept
+        |SELECT p_brand, n, slope,
+        |  (syd - slope * sxd) / (CAST(n AS DOUBLE) * 100.0) AS intercept
         |FROM sl ORDER BY p_brand""".stripMargin,
     "an_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
