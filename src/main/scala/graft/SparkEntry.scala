@@ -43,7 +43,8 @@ object SparkEntry {
       (BpeTrainer.queries, BpeTrainer.oracles),
       (Learn.queries, Learn.oracles),
       (graft.sources.Bucketing.queries, graft.sources.Bucketing.oracles),
-      (graft.sources.Versioned.queries, graft.sources.Versioned.oracles)
+      (graft.sources.Versioned.queries, graft.sources.Versioned.oracles),
+      (graft.streaming.StreamGate.queries, graft.streaming.StreamGate.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** The exactly-once streaming sink ON the driver's hash gate.
+  *
+  * Every other streaming twin is proved equal to its batch query in
+  * ScalaTest; this module routes one through the DRIVER gate: the query's
+  * input is a [[graft.sources.Versioned]] table that a Structured Streaming
+  * job committed — across multiple micro-batches AND a query restart — and
+  * its oracle is plain SQL over the original `events` parquet. A hash match
+  * therefore proves the whole chain end-to-end: file-source discovery →
+  * per-micro-batch transformation → manifest-commit exactly-once sink →
+  * checkpoint-resumed restart → time-travel read, with zero lost and zero
+  * duplicated rows. (The reference engine's append-mode retry DUPLICATES
+  * output — `mr_tasks.h:25,69`; this gate row is the strongest form of the
+  * not-replicating-that-bug contract.)
+  *
+  * Build shape: the ingest runs ONCE per (session, source dir) like the
+  * bucketed and time-travel gate tables — a landing dir is seeded with the
+  * events split into [[Splits]] files, a first AvailableNow query drains the
+  * first two (maxFilesPerTrigger=1 → one version per file), then the THIRD
+  * file lands and a SECOND query resumes from the same checkpoint — the
+  * restart path a production ingest exercises daily. Repeat invocations
+  * read the committed table (manifest resolve + scan): steady state.
+  *
+  * Scale: the streamed body is a stateless narrow projection (the
+  * DocStreams contract — per-row work, no shuffle, no state); the sink
+  * appends one parquet dir + one manifest line per micro-batch. At 100 TB
+  * this is the firehose-ingest layout: commit cost is O(batch), read cost
+  * is O(manifest + referenced files).
+  */
+object StreamGate {
+
+  /** Landing files = micro-batches = committed versions (2 before the
+    * restart, 1 after).
+    */
+  val Splits = 3
+
+  /** Schema of the `events` table (file-source streams must declare). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The per-micro-batch transformation: a stateless exact-cents projection
+    * (value → integer cents via the DECIMAL(18,2) cast — the
+    * EventStreams/rolling-features money contract).
+    */
+  private def project(batch: DataFrame): DataFrame =
+    batch.select(col("event_id"), col("user_id"), col("event_type"),
+      col("value").cast(DecimalType(18, 2)).multiply(lit(100)).cast("long").as("cents"))
+
+  private def drain(s: SparkSession, landing: String, tableDir: String, ckpt: String): Unit = {
+    val q = s.readStream
+      .schema(EventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        EventStreams.versionedSink(tableDir)(project(batch), batchId)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Build (once per session+dir) the stream-committed table and return its
+    * directory. The guard demands the full [[Splits]]-version history: a
+    * partial build (transient failure between the two queries) rebuilds
+    * from scratch rather than wedging on a half-landed table.
+    */
+  private def streamedTable(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_streamgate_${ProcessHandle.current().pid()}_$key"
+    val (landing, tableDir, ckpt) = (s"$base/landing", s"$base/table", s"$base/ckpt")
+    if (graft.sources.Versioned.latest(tableDir).forall(_ < Splits - 1)) {
+      val b = new java.io.File(base)
+      if (b.exists()) org.apache.commons.io.FileUtils.deleteDirectory(b)
+      val ev = graft.operators.Relational.t(s, dir, "events")
+      def land(k: Int): Unit =
+        ev.filter(pmod(col("event_id"), lit(Splits)) === k)
+          .coalesce(1).write.parquet(s"$landing/part$k")
+          // One FILE per split: the file source discovers files, not dirs.
+      (0 until Splits).foreach { k =>
+        val pdir = java.nio.file.Paths.get(s"$landing/part$k")
+        land(k)
+        val leaf = java.nio.file.Files.list(pdir).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        java.nio.file.Files.move(leaf, java.nio.file.Paths.get(s"$landing/f$k.parquet"))
+        org.apache.commons.io.FileUtils.deleteDirectory(pdir.toFile)
+      }
+      // Hide the last file behind a rename so query #1 sees exactly two.
+      val hidden = java.nio.file.Paths.get(s"$base/f${Splits - 1}.parquet.staged")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$landing/f${Splits - 1}.parquet"), hidden)
+      drain(s, landing, tableDir, ckpt)
+      // The late file lands; a NEW query resumes from the same checkpoint
+      // and commits exactly the new data as the next version.
+      java.nio.file.Files.move(
+        hidden, java.nio.file.Paths.get(s"$landing/f${Splits - 1}.parquet"))
+      drain(s, landing, tableDir, ckpt)
+      require(graft.sources.Versioned.latest(tableDir).contains(Splits - 1),
+        s"stream gate expected ${Splits} committed versions")
+    }
+    tableDir
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Aggregate the stream-committed table's LATEST version per event type;
+    // the oracle computes the same numbers from the original events parquet
+    // — equality proves the restart-spanning ingest lost nothing and
+    // duplicated nothing (sums and counts would both move on any slip).
+    "st_stream_commit" -> { (s, dir) =>
+      graft.sources.Versioned.read(s, streamedTable(s, dir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("total_cents"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy("event_type")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st_stream_commit" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+        |  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
