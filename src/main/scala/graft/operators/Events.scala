@@ -500,6 +500,22 @@ object Events {
         .orderBy("event_id")
     },
 
+    // Multi-touch purchase attribution (first-touch / last-touch) — the
+    // marketing-analytics contract: each purchase is credited to the
+    // earliest (first-touch) and latest (last-touch) non-purchase event of
+    // the same user within the AttribWindowMicros lookback, 'none' when the
+    // window is empty. Both assignments fall out of ONE value-RANGE window
+    // pass: min/max over CASE-guarded (tsu, event_id, event_type) structs —
+    // event_id makes the order total, and RANGE frames are tie-insensitive
+    // (an equal-timestamp touch is in the window of its co-timestamped
+    // purchase in both engines, deterministically). One user_id shuffle
+    // (the sessionization partitioning), per-purchase rows materialized
+    // once so the two model aggregates don't re-run the window, |models| ×
+    // |types| output. The oracle runs the identical windowed form.
+    "ev_attribution" -> { (s, dir) =>
+      attributionModels(Relational.t(s, dir, "events"))
+    },
+
     // Event-type transition matrix (first-order Markov counts): for each
     // user's event stream in (ts, event_id) total order — the id tiebreak
     // makes equal-timestamp ordering deterministic — count consecutive
@@ -587,6 +603,38 @@ object Events {
 
   /** Ordered step types of the windowed funnel. */
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Attribution lookback of [[queries ev_attribution]] (24 h in micros):
+    * wide enough that most purchases find a touch, tight enough that a
+    * real 'none' tier survives at every SF.
+    */
+  val AttribWindowMicros: Long = 24L * 3600 * 1000000
+
+  /** First/last-touch attribution core over a raw events frame (user_id,
+    * ts, event_id, event_type) — see [[queries ev_attribution]]; factored
+    * for the planted window-exclusion spec in EventsSpec.
+    */
+  private[graft] def attributionModels(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(-AttribWindowMicros, 0)
+    val touch = when(col("event_type") =!= "purchase",
+      struct(col("tsu"), col("event_id"), col("event_type")))
+    val fr = Dedup.materialized(
+      events
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"), col("event_type"))
+        .transform(Dedup.spreadKeys("user_id"))
+        .withColumn("lt", max(touch).over(w))
+        .withColumn("ft", min(touch).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("ft.event_type"), lit("none")).as("ft_type"),
+          coalesce(col("lt.event_type"), lit("none")).as("lt_type")))
+    fr.select(lit("first").as("model"), col("ft_type").as("touch_type"))
+      .unionByName(fr.select(lit("last").as("model"), col("lt_type").as("touch_type")))
+      .groupBy("model", "touch_type").agg(count(lit(1)).as("n_purchases"))
+      .orderBy("model", "touch_type")
+  }
 
   /** Per-step window of [[queries ev_funnel_windowed]] (6 h in micros):
     * wide enough that some users chain, tight enough that most purchases
@@ -935,6 +983,28 @@ object Events {
         |FROM spine LEFT JOIN h
         |  ON spine.event_type = h.event_type AND spine.hour = h.window_start
         |ORDER BY spine.event_type, spine.hour""".stripMargin,
+    // Attribution twin: the identical RANGE window over CASE-guarded row
+    // structs; ft/lt[3] is the struct's event_type field.
+    "ev_attribution" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type,
+         |    event_type <> 'purchase' AS is_touch
+         |  FROM events
+         |), fr AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN is_touch THEN (tsu, event_id, event_type) END) OVER w AS lt,
+         |    min(CASE WHEN is_touch THEN (tsu, event_id, event_type) END) OVER w AS ft
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+         |               RANGE BETWEEN $AttribWindowMicros PRECEDING AND CURRENT ROW)
+         |), p AS (
+         |  SELECT lt, ft FROM fr WHERE event_type = 'purchase'
+         |)
+         |SELECT model, touch_type, COUNT(*) AS n_purchases FROM (
+         |  SELECT 'first' AS model, COALESCE(ft[3], 'none') AS touch_type FROM p
+         |  UNION ALL
+         |  SELECT 'last', COALESCE(lt[3], 'none') FROM p
+         |) GROUP BY model, touch_type ORDER BY model, touch_type""".stripMargin,
     "ev_transitions" ->
       """WITH t AS (
         |  SELECT user_id, event_type,

@@ -225,6 +225,41 @@ object Learn {
         .orderBy("lang")
     },
 
+    // Cohen's kappa — chance-corrected agreement between the NB predictions
+    // and the true labels, the promotion gate an auto-labeling pipeline
+    // reads (accuracy alone rewards majority-class collapse; κ subtracts
+    // the agreement the marginals would produce by chance). Every term is
+    // an exact integer from the |labels|²-row confusion frame: agree =
+    // Σ diag, chance_q = Σ_k row_k·col_k (marginals joined on the class —
+    // a label never predicted contributes col_k = 0 through the inner
+    // join), and κ = (n·agree − chance_q) / (n² − chance_q) — the
+    // integer-ratio form whose single division is the only inexact op (the
+    // an_linreg contract; the textbook (p_o − p_e)/(1 − p_e) nests three
+    // roundings). Products ride DECIMAL(38,0) so n² is exact far past any
+    // corpus size; every frame after the doc join is |labels|-sized.
+    "cl_kappa" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val pred = argmaxLabel(nbScores(s, dir)).select("doc_id", "pred_lang")
+      val truth = Relational.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("true_lang"))
+      val cm = Dedup.materialized(pred.join(truth, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n")))
+      val tot = cm.agg(sum("n").as("n_docs"),
+        sum(when(col("true_lang") === col("pred_lang"), col("n")).otherwise(0L)).as("n_agree"))
+      val rows = cm.groupBy(col("true_lang").as("lang")).agg(sum("n").as("rn"))
+      val cols = cm.groupBy(col("pred_lang").as("lang")).agg(sum("n").as("cn"))
+      val chance = rows.join(cols, "lang")
+        .agg(coalesce(sum(col("rn").cast(dec) * col("cn").cast(dec)), lit(0).cast(dec))
+          .as("chance_q"))
+      tot.crossJoin(broadcast(chance))
+        .select(col("n_docs"), col("n_agree"), col("chance_q").cast("long").as("chance_q"),
+          ((col("n_docs").cast(dec) * col("n_agree").cast(dec) - col("chance_q"))
+            .cast("double") /
+            (col("n_docs").cast(dec) * col("n_docs").cast(dec) - col("chance_q"))
+              .cast("double")).as("kappa"))
+    },
+
     // Calibration / reliability report: heldout docs in 10 EQUI-DEPTH bins
     // of prediction margin (top score − runner-up score, an integer number
     // of log-prob quanta — the NB confidence proxy), each bin reporting
@@ -614,6 +649,30 @@ object Learn {
          |SELECT d2.lang AS true_lang, p.pred_lang, COUNT(*) AS n
          |FROM pred p JOIN documents d2 USING (doc_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Kappa twin: same scored-prediction CTE; HUGEINT keeps n² exact, the
+    // single division mirrors the engine's integer-ratio form.
+    "cl_kappa" ->
+      s"""$nbScoredSql, pred AS (
+         |  SELECT doc_id, lang AS pred_lang FROM scored
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+         |), cm AS (
+         |  SELECT d2.lang AS true_lang, p.pred_lang, COUNT(*) AS n
+         |  FROM pred p JOIN documents d2 USING (doc_id)
+         |  GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT CAST(SUM(n) AS HUGEINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) AS HUGEINT) AS n_agree
+         |  FROM cm
+         |), ch AS (
+         |  SELECT CAST(COALESCE(SUM(rn * cn), 0) AS HUGEINT) AS chance_q
+         |  FROM (SELECT true_lang AS lang, SUM(n) AS rn FROM cm GROUP BY 1) r
+         |  JOIN (SELECT pred_lang AS lang, SUM(n) AS cn FROM cm GROUP BY 1) c USING (lang)
+         |)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_agree AS BIGINT) AS n_agree,
+         |  CAST(chance_q AS BIGINT) AS chance_q,
+         |  CAST(n_docs * n_agree - chance_q AS DOUBLE) /
+         |  CAST(n_docs * n_docs - chance_q AS DOUBLE) AS kappa
+         |FROM tot CROSS JOIN ch""".stripMargin,
     // Shares the scored-prediction CTE with cl_eval; HUGEINT sums cast to
     // BIGINT, each metric a single division on integer operands.
     "cl_prf1" ->

@@ -254,6 +254,69 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Heaps'-law vocabulary growth curve — corpus health over INGEST ORDER:
+    // V(n) (distinct tokens to date) vs N(n) (token volume to date) at
+    // HeapsK checkpoints. Natural text grows V ∝ N^β (β ≈ 0.5–0.8); a
+    // flattening curve says new data stopped contributing vocabulary
+    // (crawl loops, template floods) — the marginal-value signal a data-
+    // acquisition loop reads next to the dedup rate. The interesting part
+    // is making "cumulative distinct" parallel: a token's contribution to
+    // EVERY checkpoint is determined by its FIRST-occurrence rank alone
+    // (min over one aggregation), so V(n_k) = #{tokens: first ≤ n_k} and
+    // N(n_k) = Σ_{r ≤ n_k} tok_count(r) are plain counting joins against a
+    // broadcast HeapsK-row checkpoint frame — no running state, no rescan
+    // per checkpoint, O(corpus + |vocab|·K) at any scale. Ranks come from
+    // the range-partition numbering (never a global window); checkpoint
+    // boundaries are the exact integer formula (k·D) div K.
+    "ta_heaps" -> { (s, dir) =>
+      val base = Dedup.materialized(
+        Relational.t(s, dir, "documents")
+          .transform(Dedup.spread("doc_id"))
+          .select(col("doc_id"), tokens(col("text")).as("ts")))
+      val ranked = Dedup.materialized(
+        Pipeline.globalRowNumbers(s,
+          base.select(col("doc_id"), size(col("ts")).as("n_toks")), "r", col("doc_id")))
+      val tokFirst = base.select(col("doc_id"), explode(array_distinct(col("ts"))).as("tok"))
+        .join(ranked.select("doc_id", "r"), "doc_id")
+        .groupBy("tok").agg(min("r").as("fr"))
+      val ck = ranked.agg(count(lit(1)).as("d"))
+        .select(explode(sequence(lit(1), lit(HeapsK))).as("k"), col("d"))
+        .select(col("k"), expr(s"(k * d) DIV $HeapsK").as("n_k"))
+      val v = tokFirst.crossJoin(broadcast(ck)).filter(col("fr") <= col("n_k"))
+        .groupBy("k").agg(count(lit(1)).as("vocab"))
+      val n = ranked.crossJoin(broadcast(ck)).filter(col("r") <= col("n_k"))
+        .groupBy("k").agg(sum("n_toks").as("n_tokens"))
+      ck.join(n, "k").join(v, "k")
+        .select(col("k").cast("int").as("ckpt"), col("n_k").as("n_docs"),
+          col("n_tokens"), col("vocab"))
+        .orderBy("ckpt")
+    },
+
+    // CROSS-document 3-gram novelty per document — the memorization-risk /
+    // boilerplate signal dual to ta_repetition's within-doc counts: the
+    // share of a doc's distinct shingles that occur in NO other document.
+    // Low novelty = the doc is assembled from corpus-common phrasing
+    // (template/boilerplate — a dedup-pressure indicator at the sub-Jaccard
+    // tier); high novelty = unique content (and, for eval-adjacent corpora,
+    // the complement of contamination exposure). Shape: the one shingle
+    // exchange every dedup-tier operator pays (document-frequency as a
+    // count aggregate over the exploded distinct-shingle stream), joined
+    // back per (doc, shingle) and reduced to two integers per doc; the
+    // ratio is the single IEEE division. Reuses [[Dedup.shingled]], so the
+    // shingle construction is the hash-proven dd_* twin.
+    "ta_novelty" -> { (s, dir) =>
+      val sh = Dedup.materialized(Dedup.shingled(s, dir))
+      val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sng"))
+      val df = inv.groupBy("sng").agg(count(lit(1)).as("df"))
+      inv.join(df, "sng")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles").cast("double")).as("novelty"))
+        .orderBy("doc_id")
+    },
+
     // Within-document repetition signals (Gopher-style quality filter):
     // duplicate-3-gram fraction and the dominant gram's count, per document.
     // One narrow pass via the RepetitionStats expression — the naive
@@ -393,6 +456,9 @@ object TextAnalysis {
   /** Winnowing parameters: gram size k and hash-window size w. */
   val WinnowK = 4
   val WinnowW = 8
+
+  /** Checkpoints of the [[queries ta_heaps]] vocabulary-growth curve. */
+  val HeapsK = 16
 
   /** Pair-count noise floor of [[queries ta_collocations]] — below this,
     * PMI rewards rarity, not association.
@@ -561,6 +627,54 @@ object TextAnalysis {
         |  CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
         |       THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS BIGINT) AS fp_fnv64
         |FROM fp ORDER BY doc_id""".stripMargin,
+    // Heaps twin: doc ranks by doc_id, token first-rank via one MIN, the
+    // same (k·D) div K checkpoint boundaries, counting joins.
+    "ta_heaps" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), rk AS (
+         |  SELECT doc_id, len(ts) AS n_toks, ROW_NUMBER() OVER (ORDER BY doc_id) AS r
+         |  FROM toks
+         |), tokfirst AS (
+         |  SELECT tok, MIN(r) AS fr FROM (
+         |    SELECT doc_id, unnest(list_distinct(ts)) AS tok FROM toks
+         |  ) JOIN rk USING (doc_id) GROUP BY tok
+         |), ck AS (
+         |  SELECT t.k AS k, (t.k * d) // $HeapsK AS n_k
+         |  FROM range(1, ${HeapsK + 1}) t(k) CROSS JOIN (SELECT COUNT(*) AS d FROM rk)
+         |), v AS (
+         |  SELECT k, COUNT(*) AS vocab FROM ck JOIN tokfirst ON fr <= n_k GROUP BY k
+         |), n AS (
+         |  SELECT k, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |  FROM ck JOIN rk ON r <= n_k GROUP BY k
+         |)
+         |SELECT CAST(ck.k AS INT) AS ckpt, ck.n_k AS n_docs, n.n_tokens, v.vocab
+         |FROM ck JOIN n USING (k) JOIN v USING (k) ORDER BY ckpt""".stripMargin,
+    // Novelty twin over the proven dd_* shingle CTE: df by counting the
+    // exploded distinct-shingle stream, two integer sums per doc, one
+    // division.
+    "ta_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts)-1)]) AS shingles
+        |  FROM toks WHERE len(ts) >= 3
+        |), inv AS (
+        |  SELECT doc_id, unnest(shingles) AS sng FROM sh
+        |), df AS (
+        |  SELECT sng, COUNT(*) AS df FROM inv GROUP BY sng
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_shingles,
+        |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM inv JOIN df USING (sng)
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_shingles, n_novel,
+        |  CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "ta_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts

@@ -152,6 +152,32 @@ class EventsSpec extends SparkSpec {
     assert(reach == Map(1L -> 2, 2L -> 1, 3L -> 3, 4L -> 2, 5L -> 1), s"got $reach")
   }
 
+  test("attribution: window exclusion, equal-ts touch, first/last split, none tier") {
+    import spark.implicits._
+    def ev(id: Long, uid: Long, hours: Long, t: String) =
+      (id, new java.sql.Timestamp(1704067200000L + hours * 3600000L), uid, t)
+    val rows = Seq(
+      // u1: view then click precede the purchase → first=view, last=click.
+      ev(1, 1, 0, "view"), ev(2, 1, 2, "click"), ev(3, 1, 3, "purchase"),
+      // u2: only touch is 25h before the purchase — outside the 24h
+      // lookback → none under both models.
+      ev(4, 2, 0, "view"), ev(5, 2, 25, "purchase"),
+      // u3: no touch at all → none.
+      ev(6, 3, 1, "purchase"),
+      // u4: touch at the SAME timestamp as the purchase — RANGE peers are
+      // in the frame → attributed.
+      ev(7, 4, 0, "click"), ev(8, 4, 0, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.attributionModels(rows)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("first", "view") -> 1L, ("first", "click") -> 1L, ("first", "none") -> 2L,
+      ("last", "click") -> 2L, ("last", "none") -> 2L), s"got $got")
+    // Each model credits every purchase exactly once.
+    assert(got.filter(_._1._1 == "first").values.sum == 4L)
+    assert(got.filter(_._1._1 == "last").values.sum == 4L)
+  }
+
   test("ab conversion: 2x2 cells and chi-square equal a straight-line recompute") {
     val Array(r) = Events.queries("ev_ab_conversion")(spark, sf()).collect()
     val perUser = Relational.t(spark, sf(), "events")

@@ -77,6 +77,26 @@ class LearnSpec extends SparkSpec {
     }
   }
 
+  test("kappa equals a straight-line recompute from the confusion matrix") {
+    val cm = Learn.queries("cl_eval")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = cm.values.sum
+    val agree = cm.collect { case ((t, p), c) if t == p => c }.sum
+    val rowM = cm.groupBy(_._1._1).view.mapValues(_.values.sum)
+    val colM = cm.groupBy(_._1._2).view.mapValues(_.values.sum)
+    val chance = rowM.map { case (l, rn) => rn * colM.getOrElse(l, 0L) }.sum
+    val kappa = (n.toDouble * agree - chance) / (n.toDouble * n - chance)
+    val got = Learn.queries("cl_kappa")(spark, sf()).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((n, agree, chance)))
+    // Same integer operands; the query's single division may associate n·n
+    // differently than n.toDouble*n only when n² exceeds 2^53 — not here.
+    assert(math.abs(r.getDouble(3) - kappa) < 1e-12, s"${r.getDouble(3)} vs $kappa")
+    // Predictions beat chance on the planted-separable corpus: κ ∈ (0, 1].
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("calibration bins are equi-depth with ascending disjoint margin ranges") {
     val rows = Learn.queries("cl_calibration")(spark, sf()).collect()
     assert(rows.map(_.getInt(0)).toSeq == rows.map(_.getInt(0)).toSeq.sorted)

@@ -28,6 +28,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pmis.toSeq == pmis.toSeq.sortBy(-_), "rows must descend by pmi")
   }
 
+  test("heaps curve is monotone and its last checkpoint equals the corpus totals") {
+    val rows = TextAnalysis.queries("ta_heaps")(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == TextAnalysis.HeapsK)
+    // Monotone non-decreasing in every cumulative column.
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4, s"$a !<= $b")
+    }
+    // Final checkpoint = the whole corpus: doc count, token volume, vocab.
+    val docs = Relational.t(spark, sf(), "documents")
+    val d = docs.count()
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
+    val (nTok, vocab) = (toks.count(), toks.distinct().count())
+    assert(rows.last == ((TextAnalysis.HeapsK, d, nTok, vocab)))
+  }
+
+  test("novelty: totals equal the df=1 shingle census; ratios bounded") {
+    val rows = TextAnalysis.queries("ta_novelty")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { case (_, nSh, nNov, ratio) =>
+      assert(nNov >= 0 && nNov <= nSh)
+      assert(math.abs(ratio - nNov.toDouble / nSh) == 0.0)
+    }
+    // Σ n_novel over docs == number of shingles with corpus df == 1 (each
+    // df=1 shingle is novel in exactly its one document).
+    val sh = graft.operators.Dedup.shingled(spark, sf())
+      .select(explode(col("shingles")).as("sng"))
+      .groupBy("sng").count()
+    assert(rows.map(_._3).sum == sh.filter(col("count") === 1).count())
+    // And Σ n_shingles == the total distinct-shingle volume.
+    assert(rows.map(_._2).sum == sh.agg(sum("count")).head().getLong(0))
+  }
+
   test("zipf slope equals a straight-line OLS over the collected frequency table") {
     val Array(row) = TextAnalysis.queries("ta_zipf")(spark, sf()).collect()
     val freqs = Relational.t(spark, sf(), "documents")
