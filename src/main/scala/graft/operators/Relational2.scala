@@ -559,6 +559,25 @@ object Relational2 {
         .orderBy("o_orderkey")
     },
 
+    // PK-FK join ELIMINATION on the gate: the query a BI layer generates
+    // against a star schema — it joins `orders` but consumes only lineitem
+    // columns, so under the declared RELY constraints (l_orderkey NOT NULL
+    // REFERENCES the unique o_orderkey) the join is the identity on
+    // lineitem and [[graft.plans.JoinElimination]] removes it: the
+    // optimized plan scans ONE table, no join at all (asserted in
+    // PlanAuditSpec). The DuckDB oracle RUNS the join — so the hash match
+    // simultaneously proves the rewrite sound AND the declared constraints
+    // true on the data, which is exactly the contract an unenforced
+    // lakehouse constraint needs checked.
+    "q49_join_elim" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+          Relational.dsum(col("l_quantity")).as("total_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
     // hash shuffle → sorted streaming reduce-UDF), driver-verified against
     // the same oracle as the declarative q19: the engine's two execution
@@ -621,6 +640,14 @@ object Relational2 {
         |  SELECT NULLIF(o_custkey, -1) FROM orders WHERE o_orderstatus = 'F'
         |)
         |ORDER BY c_custkey""".stripMargin,
+    // Join-elimination twin RUNS the join the engine eliminated: equality
+    // proves both the rewrite and the declared RI constraints on the data.
+    "q49_join_elim" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q44_revenue_share" ->
       """WITH byn AS (
         |  SELECT r_name, n_name,

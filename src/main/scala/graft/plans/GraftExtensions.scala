@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Aggregate navigation: reroute provably-equivalent aggregates onto a
     // registered materialized view (see [[MatViewReroute]]).
     e.injectOptimizerRule(_ => MatViewReroute)
+    // PK-FK join elimination under declared RELY constraints (see
+    // [[JoinElimination]] for the three soundness conditions).
+    e.injectOptimizerRule(_ => JoinElimination)
     e.injectFunction(
       (FunctionIdentifier("graft_fnv64"),
         info("graft_fnv64", "graft_fnv64(str) - FNV-1a 64-bit hash of str's UTF-8 bytes."),

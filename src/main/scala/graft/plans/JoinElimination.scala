@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Optimizer rewrite: PK-FK join elimination under declared (RELY)
+  * referential-integrity constraints — the classic warehouse optimizer
+  * feature (Oracle/DB2/Snowflake "informational constraints"): an inner
+  * join `fact ⋈ dim ON fact.fk = dim.pk` whose consumer references NO dim
+  * column is the identity on fact when
+  *
+  *  1. `pk` is unique in dim (the join cannot duplicate fact rows),
+  *  2. every non-null `fk` has a match (the join cannot drop fact rows),
+  *  3. `fk` is never null (an inner join drops null-FK rows; elimination
+  *     would keep them).
+  *
+  * Spark has no constraint metadata, so the engine carries its own RELY
+  * registry below: constraints are DECLARED, not enforced — exactly the
+  * lakehouse posture, where enforcement at 100 TB write rates is
+  * unaffordable but the optimizer wins (dropping a dimension-table scan +
+  * broadcast/shuffle PER QUERY) are not. The declaration's truth is itself
+  * driver-checked end-to-end: `q49_join_elim`'s oracle RUNS the join in
+  * DuckDB, so the hash gate fails if any constraint is violated on data.
+  *
+  * Fires only on an exactly-provable shape (the [[TopKRewrite]] doctrine):
+  * the join is Inner with a single `fk = pk` equality; the dim side is a
+  * BARE parent-table scan under at most attribute-only Projects (column
+  * pruning's residue — a Filter/Aggregate/Join there could change
+  * multiplicity); the consumer (Project or Aggregate directly above)
+  * references nothing from the dim side. At 100 TB this is the difference
+  * between scanning only the fact table and paying a dimension broadcast —
+  * or, pre-AQE, a shuffle — on every dashboard query a BI layer generates
+  * against a star schema (such generated SQL habitually joins every
+  * dimension regardless of use; elimination is what makes that free).
+  */
+object JoinElimination extends Rule[LogicalPlan] {
+
+  /** RELY registry: FK column name → (parent table, PK column). FK columns
+    * are additionally declared non-null. Table identity = the parquet file
+    * name of the scan (the engine's table layer, `sources/Tables.scala`).
+    */
+  val Constraints: Map[String, (String, String)] = Map(
+    "l_orderkey" -> (("orders", "o_orderkey")),
+    "l_partkey" -> (("part", "p_partkey")),
+    "l_suppkey" -> (("supplier", "s_suppkey")),
+    "o_custkey" -> (("customer", "c_custkey")),
+    "c_nationkey" -> (("nation", "n_nationkey")),
+    "s_nationkey" -> (("nation", "n_nationkey")),
+    "n_regionkey" -> (("region", "r_regionkey")))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(_, j: Join) =>
+      eliminate(p.references, j).map(keep => p.copy(child = keep)).getOrElse(p)
+    case a @ Aggregate(_, _, j: Join, _) =>
+      eliminate(a.references, j).map(keep => a.copy(child = keep)).getOrElse(a)
+  }
+
+  private def eliminate(refs: AttributeSet, j: Join): Option[LogicalPlan] = j match {
+    case Join(l, r, Inner, Some(EqualTo(x: Attribute, y: Attribute)), _) =>
+      trySide(refs, l, r, x, y).orElse(trySide(refs, r, l, x, y))
+    case _ => None
+  }
+
+  /** `keep` if `drop` is a bare registered parent scan joined pk = fk and
+    * nothing above references it.
+    */
+  private def trySide(refs: AttributeSet, keep: LogicalPlan, drop: LogicalPlan,
+      x: Attribute, y: Attribute): Option[LogicalPlan] = {
+    val (fk, pk) = if (drop.outputSet.contains(x)) (y, x) else (x, y)
+    if (drop.outputSet.contains(pk) && keep.outputSet.contains(fk)
+      && Constraints.get(fk.name).exists { case (ptab, pcol) =>
+        pk.name == pcol && parentTableOf(drop).contains(ptab)
+      }
+      && refs.intersect(drop.outputSet).isEmpty) Some(keep)
+    else None
+  }
+
+  /** The parquet table name of a bare scan, looking through attribute-only
+    * Projects; None for any shape that could change row multiplicity.
+    */
+  private def parentTableOf(p: LogicalPlan): Option[String] = p match {
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      parentTableOf(child)
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.toList match {
+            case one :: Nil if one.getName.endsWith(".parquet") =>
+              Some(one.getName.stripSuffix(".parquet"))
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+}

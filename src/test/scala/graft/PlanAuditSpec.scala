@@ -131,6 +131,35 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the TopKRows aggregate in the rewritten plan:\n$p")
   }
 
+  test("RELY join elimination drops the unused dimension join entirely") {
+    val p = plan("q49_join_elim")
+    assert(!p.contains("Join"), s"the PK-FK join must be eliminated:\n$p")
+    assert(!p.contains("orders.parquet"),
+      s"the eliminated side's scan must be gone too:\n$p")
+  }
+
+  test("join elimination does NOT fire when the dimension is referenced or filtered") {
+    import org.apache.spark.sql.functions._
+    val li = graft.operators.Relational.t(spark, sf(), "lineitem")
+    val o = graft.operators.Relational.t(spark, sf(), "orders")
+    // Dimension column consumed above the join → not the identity on fact.
+    val p1 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(p1.contains("Join"), s"referenced dim must keep its join:\n$p1")
+    // Filtered dimension can DROP fact rows → multiplicity not provable.
+    val p2 = li.join(o.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(p2.contains("Join"), s"filtered dim must keep its join:\n$p2")
+    // Unregistered key (no RELY constraint) → untouched.
+    val p3 = li.join(o, col("l_suppkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(p3.contains("Join"), s"unregistered key must keep its join:\n$p3")
+  }
+
   test("top-k is TakeOrdered, not a global sort") {
     assert(plan("q10_top_parts_by_revenue").contains("TakeOrderedAndProject"),
       "limit after sort should plan TakeOrderedAndProject")
