@@ -500,6 +500,58 @@ object Events {
         .orderBy("event_id")
     },
 
+    // Kaplan-Meier time-to-conversion curve — the survival-analysis
+    // contract (Kaplan & Meier 1958) applied to activation: duration =
+    // days from a user's first event to their first purchase; users with
+    // no purchase are right-CENSORED at the corpus horizon (the standard
+    // incomplete-observation correction a naive conversion-rate-by-day
+    // cut gets wrong). At each observed conversion duration t: n_risk =
+    // #{dur ≥ t} (censored users leave the risk set at their censor
+    // time), n_conv = conversions at exactly t, and the survival estimate
+    // rides in EXACT LOG SPACE: each factor ln(1 − d/n) = qlog(n−d) −
+    // qlog(n) as integer millionths (the cl_lm_perplexity quantization
+    // contract — a product of doubles would be order-dependent and a
+    // final exp() is libm, not cross-engine), so km_log_q is an exact
+    // integer sum and km_ln its one-division double form. S hits exactly 0
+    // when the last level converts everyone at risk (n = d): ln is
+    // undefined there, surfaced as NULL in both engines. Shape: one
+    // user-level aggregate (corpus-sized, map-side combined), then
+    // everything is |levels|-sized — levels are calendar-bounded (≤
+    // observation days, the ev_cusum argument), so the at-risk census is
+    // a broadcast inequality join of users × levels and the cumulative
+    // sum a levels² broadcast self-join, never a global window funnel.
+    "ev_survival" -> { (s, dir) =>
+      val qln = TextOps.qlog _
+      val day = expr("unix_micros(ts) DIV 86400000000")
+      val ud = Relational.t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), day.as("d"))
+        .groupBy("user_id")
+        .agg(min(col("d")).as("fd"),
+          min(when(col("event_type") === "purchase", col("d"))).as("fp"),
+          max(col("d")).as("ld"))
+      val mx = ud.agg(max(col("ld")).as("m"))
+      val life = Dedup.materialized(ud.crossJoin(broadcast(mx))
+        .select(
+          when(col("fp").isNotNull, col("fp") - col("fd"))
+            .otherwise(col("m") - col("fd")).as("dur"),
+          col("fp").isNull.as("censored")))
+      val lev = life.filter(!col("censored"))
+        .groupBy(col("dur").as("t")).agg(count(lit(1)).as("n_conv"))
+      val risk = life.join(broadcast(lev), col("dur") >= col("t"))
+        .groupBy("t", "n_conv").agg(count(lit(1)).as("n_risk"))
+      val term = Dedup.materialized(risk.select(col("t"), col("n_risk"), col("n_conv"),
+        when(col("n_risk") > col("n_conv"),
+          qln(col("n_risk") - col("n_conv")) - qln(col("n_risk"))).as("term_q")))
+      val cum = term.select(col("t").as("tb"), col("term_q").as("tq"))
+      term.join(broadcast(cum), col("tb") <= col("t"))
+        .groupBy(col("t").as("dur"), col("n_risk"), col("n_conv"))
+        .agg(when(count(lit(1)) === count(col("tq")), sum(col("tq")))
+          .as("km_log_q"))
+        .select(col("dur"), col("n_risk"), col("n_conv"), col("km_log_q"),
+          (col("km_log_q").cast("double") / lit(1000000.0)).as("km_ln"))
+        .orderBy("dur")
+    },
+
     // Multi-touch purchase attribution (first-touch / last-touch) — the
     // marketing-analytics contract: each purchase is credited to the
     // earliest (first-touch) and latest (last-touch) non-purchase event of
@@ -983,6 +1035,38 @@ object Events {
         |FROM spine LEFT JOIN h
         |  ON spine.event_type = h.event_type AND spine.hour = h.window_start
         |ORDER BY spine.event_type, spine.hour""".stripMargin,
+    // Kaplan-Meier twin: identical integer day/duration arithmetic, the
+    // same qlog quantization, NULL at the S=0 terminal level via the
+    // count-vs-count guard.
+    "ev_survival" ->
+      """WITH ud AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS fd,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) // 86400000000 END) AS fp,
+        |    max(epoch_us(ts) // 86400000000) AS ld
+        |  FROM events GROUP BY user_id
+        |), mx AS (SELECT max(ld) AS m FROM ud),
+        |life AS (
+        |  SELECT CASE WHEN fp IS NOT NULL THEN fp - fd ELSE m - fd END AS dur,
+        |    fp IS NULL AS censored
+        |  FROM ud CROSS JOIN mx
+        |), lev AS (
+        |  SELECT dur AS t, COUNT(*) AS n_conv FROM life WHERE NOT censored GROUP BY dur
+        |), risk AS (
+        |  SELECT lev.t, lev.n_conv, COUNT(*) AS n_risk
+        |  FROM life JOIN lev ON life.dur >= lev.t GROUP BY lev.t, lev.n_conv
+        |), term AS (
+        |  SELECT t, n_risk, n_conv,
+        |    CASE WHEN n_risk > n_conv THEN
+        |      CAST(round(1000000 * ln(n_risk - n_conv)) AS BIGINT) -
+        |      CAST(round(1000000 * ln(n_risk)) AS BIGINT) END AS term_q
+        |  FROM risk
+        |)
+        |SELECT a.t AS dur, a.n_risk, a.n_conv,
+        |  CASE WHEN COUNT(*) = COUNT(b.term_q) THEN CAST(SUM(b.term_q) AS BIGINT) END AS km_log_q,
+        |  CAST(CASE WHEN COUNT(*) = COUNT(b.term_q) THEN CAST(SUM(b.term_q) AS BIGINT) END
+        |       AS DOUBLE) / 1000000.0 AS km_ln
+        |FROM term a JOIN term b ON b.t <= a.t
+        |GROUP BY a.t, a.n_risk, a.n_conv ORDER BY dur""".stripMargin,
     // Attribution twin: the identical RANGE window over CASE-guarded row
     // structs; ft/lt[3] is the struct's event_type field.
     "ev_attribution" ->

@@ -97,6 +97,13 @@ object Joins {
     fact.filter(GraftSqlBridge.column(might))
   }
 
+  /** Promo calendar of [[queries j5_interval_overlap]]: one 90-minute promo
+    * window every 6 hours from the corpus's first day; the 6 h spacing
+    * doubles as the bin width of the overlap decomposition.
+    */
+  val PromoSpacingMicros: Long = 6L * 3600 * 1000000
+  val PromoLenMicros: Long = 90L * 60 * 1000000
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // As-of: each error event matched to the user's most recent click.
@@ -170,6 +177,66 @@ object Joins {
         .orderBy("lang")
     },
 
+    // INTERVAL-OVERLAP join — the temporal/genomic join class (two interval
+    // sets, pairs whose spans intersect) that neither the equi-join nor the
+    // point-in-band range join (j2) covers: user sessions × a deterministic
+    // promo-window calendar (every 6 h, 90 min long, from the corpus's
+    // first day — the synthetic-dim device the spatial tier uses). The
+    // naive plan is the |sessions|×|promos| cartesian with the overlap
+    // predicate; this decomposes it into an EQUALITY join on fixed-width
+    // time bins (the geo_radius_join grid in 1-D): each interval registers
+    // in every bin it touches, candidates meet in shared bins, one
+    // distinct + the exact overlap filter. Candidate volume is O(intervals
+    // × bins-per-interval) with the bin width at the promo spacing; the
+    // promo side is calendar-sized and broadcast. The oracle RUNS the
+    // quadratic form, so the hash match proves the bin decomposition
+    // lossless (no overlapping pair can span bins without sharing one —
+    // both intervals intersect the bin containing the overlap point).
+    // Intervals are CLOSED on both ends ([su,eu] × [ps,pe]).
+    "j5_interval_overlap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val W = PromoSpacingMicros
+      val gap = graft.streaming.EventStreams.SessionGapMicros
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Relational.t(s, dir, "events")
+      val sess = Dedup.materialized(ev
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull
+            || (unix_micros(col("ts")) - col("prev_us")) > gap, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy("user_id", "sess_id")
+        .agg(min(unix_micros(col("ts"))).as("su"), max(unix_micros(col("ts"))).as("eu")))
+      val promos = Dedup.materialized(
+        ev.agg(expr("(min(unix_micros(ts)) DIV 86400000000) * 86400000000").as("base"),
+            max(unix_micros(col("ts"))).as("mx"))
+          .select(explode(sequence(lit(0L), expr(s"(mx - base) DIV $W"))).as("p"), col("base"))
+          .select(col("p").cast("int").as("promo_id"),
+            (col("base") + col("p") * W).as("ps"))
+          .withColumn("pe", col("ps") + PromoLenMicros))
+      val sessBins = sess
+        .select(col("user_id"), col("sess_id"), col("su"), col("eu"),
+          explode(sequence(expr(s"su DIV $W"), expr(s"eu DIV $W"))).as("bin"))
+      val promoBins = promos
+        .select(col("promo_id"), col("ps"), col("pe"),
+          explode(sequence(expr(s"ps DIV $W"), expr(s"pe DIV $W"))).as("bin"))
+      val hits = sessBins.join(broadcast(promoBins), "bin")
+        .select("promo_id", "user_id", "sess_id", "su", "eu", "ps", "pe")
+        .distinct()
+        .filter(col("su") <= col("pe") && col("ps") <= col("eu"))
+      promos.select("promo_id")
+        .join(hits.groupBy("promo_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users")),
+          Seq("promo_id"), "left_outer")
+        .select(col("promo_id"),
+          coalesce(col("n_sessions"), lit(0L)).as("n_sessions"),
+          coalesce(col("n_users"), lit(0L)).as("n_users"))
+        .orderBy("promo_id")
+    },
+
     // Range join: parts bucketed into literal price bands.
     "j2_range_price_bands" -> { (s, dir) =>
       import s.implicits._
@@ -218,6 +285,47 @@ object Joins {
         |FROM documents d JOIN langs l ON d.lang = l.lang
         |WHERE l.script = 'cjk'
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // Quadratic overlap-join twin (sessions rebuilt with the ev_sessions
+    // window form): proves the bin decomposition lossless.
+    "j5_interval_overlap" ->
+      s"""WITH se AS (
+         |  SELECT user_id, sess_id, min(epoch_us(ts)) AS su, max(epoch_us(ts)) AS eu FROM (
+         |    SELECT user_id, ts,
+         |      SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                          ROWS UNBOUNDED PRECEDING) AS sess_id
+         |    FROM (
+         |      SELECT user_id, ts, event_id,
+         |        CASE WHEN prev_us IS NULL
+         |          OR epoch_us(ts) - prev_us > ${graft.streaming.EventStreams.SessionGapMicros}
+         |        THEN 1 ELSE 0 END AS new_sess
+         |      FROM (
+         |        SELECT user_id, ts, event_id,
+         |          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |        FROM events))
+         |  ) GROUP BY user_id, sess_id
+         |), b AS (
+         |  SELECT (min(epoch_us(ts)) // 86400000000) * 86400000000 AS base,
+         |    max(epoch_us(ts)) AS mx
+         |  FROM events
+         |), promos AS (
+         |  -- range() rejects lateral column bounds; over-generate a fixed
+         |  -- span (100k promos ≈ 68 years at 6 h) and filter to the corpus.
+         |  SELECT CAST(t.p AS INT) AS promo_id,
+         |    base + t.p * $PromoSpacingMicros AS ps,
+         |    base + t.p * $PromoSpacingMicros + $PromoLenMicros AS pe
+         |  FROM b, range(0, 100000) t(p)
+         |  WHERE t.p <= (mx - base) // $PromoSpacingMicros
+         |), hit AS (
+         |  SELECT promo_id, user_id, sess_id
+         |  FROM promos JOIN se ON su <= pe AND ps <= eu
+         |)
+         |SELECT p.promo_id, COALESCE(n_sessions, 0) AS n_sessions,
+         |  COALESCE(n_users, 0) AS n_users
+         |FROM promos p LEFT JOIN (
+         |  SELECT promo_id, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+         |  FROM hit GROUP BY promo_id
+         |) USING (promo_id)
+         |ORDER BY p.promo_id""".stripMargin,
     "j2_range_price_bands" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('band_900_925', 900.0, 925.0),

@@ -204,6 +204,44 @@ object Retrieval {
         .orderBy("query_id", "rnk")
     },
 
+    // Pseudo-relevance-feedback query expansion (Rocchio/RM-family): run
+    // the seed BM25 query, treat its top FbDocs results as pseudo-relevant,
+    // promote their FbTerms strongest non-query terms (feedback tf DESC,
+    // corpus df ASC as the rarity tie-break — the idf-monotone order, no
+    // libm), and rank the corpus under the EXPANDED query with the same
+    // BM25 arithmetic — the second-pass recall lever behind classic IR and
+    // retrieval-augmented curation stacks. Determinism: stage-1 top docs
+    // cut on (score DESC, doc_id) total order; term promotion on integer
+    // (fb_tf, cdf, term); stage 2 is the proven rt_bm25 expression over a
+    // term FRAME (broadcast semi-join instead of the literal isin — the
+    // expanded set is data-dependent). Scale: both stages keep the rt_bm25
+    // shape (term-pruned posting stream before any exchange, broadcast
+    // df/stats); the feedback tier touches FbDocs documents.
+    "rt_prf_expansion" -> { (s, dir) =>
+      val docs = Dedup.materialized(
+        Relational.t(s, dir, "documents")
+          .transform(Dedup.spread("doc_id"))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 1))
+      val q0 = termFrame(s, Bm25Terms)
+      val fb = Dedup.materialized(
+        bm25Ranked(docs, q0).orderBy(col("score").desc, col("doc_id").asc)
+          .limit(FbDocs).select("doc_id"))
+      val cdf = docs.select(col("doc_id"), explode(array_distinct(col("ts"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cdf"))
+      val exp = docs.join(fb.hint("broadcast"), "doc_id")
+        .select(explode(col("ts")).as("term"))
+        .filter(!col("term").isin(Bm25Terms: _*))
+        .groupBy("term").agg(count(lit(1)).as("fb_tf"))
+        .join(cdf, "term")
+        .orderBy(col("fb_tf").desc, col("cdf").asc, col("term").asc)
+        .limit(FbTerms)
+        .select("term")
+      bm25Ranked(docs, Dedup.materialized(q0.unionByName(exp)))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(Bm25K)
+    },
+
     // Exact PHRASE search over a positional index — the query class the
     // unigram inverted index cannot answer ("slow hash batch" as consecutive
     // tokens, not a bag). The classic plan is a chain of k−1 positional
@@ -239,6 +277,43 @@ object Retrieval {
 
   /** The gate phrase (consecutive tokens; present in the corpus). */
   val PhraseTerms: Seq[String] = Seq("slow", "hash", "batch")
+
+  /** PRF parameters: pseudo-relevant depth and promoted-term count. */
+  val FbDocs = 5
+  val FbTerms = 3
+
+  private def termFrame(s: SparkSession, terms: Seq[String]): DataFrame = {
+    import s.implicits._
+    terms.toDF("term")
+  }
+
+  /** BM25 scoring against a term FRAME (broadcast semi-join pruning — the
+    * data-dependent-query form of rt_bm25's literal isin; arithmetic kept
+    * token-identical to rt_bm25 and its oracle).
+    */
+  private def bm25Ranked(docs: DataFrame, terms: DataFrame): DataFrame = {
+    val dls = docs.select(col("doc_id"), size(col("ts")).cast("double").as("dl"))
+    val stats = dls.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl").cast("long")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(col("ts")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(stats))
+      .join(dls, "doc_id")
+      .select(col("doc_id"),
+        ((((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(2.2)))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+          .as("c"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("c").cast(DecimalType(38, 18))).cast("double").as("score"))
+  }
 
   /** RRF parameters: per-system list depth, fused list depth. The RRF
     * constant C = 60 (Cormack et al.'s default) appears as the literal
@@ -360,6 +435,58 @@ object Retrieval {
          |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rnk,
          |  doc_id, rrf
          |FROM fused QUALIFY rnk <= $RrfTopK ORDER BY query_id, rnk""".stripMargin,
+    // PRF twin: the rt_bm25 scoring template instantiated twice (seed and
+    // expanded term relations), with the same integer promotion order.
+    "rt_prf_expansion" -> {
+      def bm25Sql(tag: String, termsRel: String): String =
+        s"""tf$tag AS (
+           |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+           |    SELECT doc_id, UNNEST(ts) AS term FROM d WHERE len(ts) >= 1
+           |  ) JOIN $termsRel USING (term) GROUP BY doc_id, term
+           |), df$tag AS (
+           |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf$tag GROUP BY term
+           |), sc$tag AS (
+           |  SELECT doc_id, COUNT(*) AS n_terms,
+           |    CAST(SUM(CAST(
+           |      (((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2))
+           |        / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+           |    AS DECIMAL(38,18))) AS DOUBLE) AS score
+           |  FROM tf$tag JOIN df$tag USING (term) CROSS JOIN st JOIN dls USING (doc_id)
+           |  GROUP BY doc_id
+           |)""".stripMargin
+      val termValues = Bm25Terms.map(t => s"('$t')").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), dls AS (
+         |  SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM d WHERE len(ts) >= 1
+         |), st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+         |  FROM dls
+         |), q0(term) AS (VALUES $termValues),
+         |${bm25Sql("0", "q0")}, fb AS (
+         |  SELECT doc_id FROM sc0 ORDER BY score DESC, doc_id ASC LIMIT $FbDocs
+         |), cdf AS (
+         |  SELECT term, COUNT(*) AS cdf FROM (
+         |    SELECT doc_id, UNNEST(list_distinct(ts)) AS term FROM d WHERE len(ts) >= 1
+         |  ) GROUP BY term
+         |), expd AS (
+         |  SELECT term FROM (
+         |    SELECT f.term, CAST(SUM(1) AS BIGINT) AS fb_tf FROM (
+         |      SELECT doc_id, UNNEST(ts) AS term FROM d
+         |    ) f JOIN fb USING (doc_id)
+         |    WHERE f.term NOT IN ($termList)
+         |    GROUP BY f.term
+         |  ) JOIN cdf USING (term)
+         |  ORDER BY fb_tf DESC, cdf ASC, term ASC LIMIT $FbTerms
+         |), q1 AS (
+         |  SELECT term FROM q0 UNION ALL SELECT term FROM expd
+         |),
+         |${bm25Sql("1", "q1")}
+         |SELECT doc_id, n_terms, score FROM sc1
+         |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
+    },
     // Same anchor formulation (DuckDB positions are 1-based, Spark's
     // posexplode 0-based — anchors shift by a per-engine constant, which
     // cancels in the per-(doc, anchor) occurrence count).

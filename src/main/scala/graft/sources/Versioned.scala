@@ -168,6 +168,42 @@ object Versioned {
             graft.operators.Relational.dsum(col("o_totalprice")).as("total_price"))
           .select(lit(v).as("version"), col("o_orderstatus"), col("n_orders"), col("total_price"))
       agg(0).unionByName(agg(1)).orderBy("version", "o_orderstatus")
+    },
+
+    // The compact-then-vacuum retention loop ON the gate: append two
+    // versions, REPLACE with a rewritten (coalesced) full copy — the
+    // compaction commit whose manifest references only the new data — then
+    // VACUUM(keep = 1), which deletes the v0/v1 manifests and every data
+    // directory no surviving manifest references. The query reads what
+    // remains; its oracle is the plain orders aggregate, so the hash match
+    // proves vacuum deleted ONLY unreferenced bytes and the surviving
+    // snapshot is bit-identical — the reclaim-without-corruption contract
+    // every lakehouse retention job must satisfy (structural deletion
+    // effects — manifests gone, time travel failing, dirs removed — are
+    // asserted in VersionedSpec; the gate pins the data integrity half).
+    // Build-once per (session, source dir) like mt_time_travel; the
+    // post-build invariant is exactly one surviving version.
+    "mt_vacuum_read" -> { (s, dir) =>
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tdir =
+        s"${sys.props("java.io.tmpdir")}/graft_vacuumed_${ProcessHandle.current().pid()}_$key"
+      val built = latest(tdir).contains(2) &&
+        !java.nio.file.Files.exists(manifestPath(tdir, 0))
+      if (!built) {
+        val t = new java.io.File(tdir)
+        if (t.exists()) org.apache.commons.io.FileUtils.deleteDirectory(t)
+        val orders = graft.operators.Relational.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+        append(orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")), tdir)
+        append(orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")), tdir)
+        replace(read(s, tdir).coalesce(4), tdir) // the compaction rewrite
+        vacuum(tdir, keep = 1)
+      }
+      read(s, tdir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.operators.Relational.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -181,6 +217,12 @@ object Versioned {
         |SELECT 1, o_orderstatus, COUNT(*),
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM orders GROUP BY o_orderstatus
-        |ORDER BY version, o_orderstatus""".stripMargin
+        |ORDER BY version, o_orderstatus""".stripMargin,
+    // Vacuum-read twin: the plain aggregate — equality proves the
+    // append → replace → vacuum chain preserved the referenced snapshot.
+    "mt_vacuum_read" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

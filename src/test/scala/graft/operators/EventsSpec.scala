@@ -152,6 +152,26 @@ class EventsSpec extends SparkSpec {
     assert(reach == Map(1L -> 2, 2L -> 1, 3L -> 3, 4L -> 2, 5L -> 1), s"got $reach")
   }
 
+  test("survival: KM invariants — risk set shrinks, log-survival falls, terminal S=0 is NULL") {
+    val rows = Events.queries("ev_survival")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.nonEmpty)
+    // The first level's risk set is every user (all durations ≥ min level).
+    val users = Relational.t(spark, sf(), "events").select("user_id").distinct().count()
+    assert(rows.head._2 == users)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 < b._1 && a._2 > b._2, s"risk set must shrink strictly: $a -> $b")
+      (a._4, b._4) match {
+        case (Some(x), Some(y)) => assert(y < x, "log-survival must strictly fall")
+        case (None, _) => fail("S=0 before the terminal level")
+        case _ => ()
+      }
+    }
+    // km_log_q is NULL exactly where conversion empties the risk set.
+    rows.foreach { case (_, n, d, lq) => assert(lq.isEmpty == (n == d)) }
+  }
+
   test("attribution: window exclusion, equal-ts touch, first/last split, none tier") {
     import spark.implicits._
     def ev(id: Long, uid: Long, hours: Long, t: String) =

@@ -21,6 +21,30 @@ class JoinsSpec extends SparkSpec {
       "bloom prefilter must be semantically free")
   }
 
+  test("interval overlap equals a driver-side quadratic recompute over the session set") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Joins.queries("j5_interval_overlap")(spark, sf()).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Rebuild sessions + promo calendar directly and intersect brute-force.
+    val sess = graft.streaming.EventStreams
+      .sessionizeBatch(graft.operators.Relational.t(spark, sf(), "events"))
+      .select(col("user_id"), unix_micros(col("session_start")).as("su"),
+        unix_micros(col("session_end")).as("eu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ts = graft.operators.Relational.t(spark, sf(), "events")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val base = ts.getLong(0) / 86400000000L * 86400000000L
+    val W = graft.operators.Joins.PromoSpacingMicros
+    val L = graft.operators.Joins.PromoLenMicros
+    val nPromos = ((ts.getLong(1) - base) / W).toInt + 1
+    val exp = (0 until nPromos).map { p =>
+      val (ps, pe) = (base + p * W, base + p * W + L)
+      val hits = sess.filter { case (_, su, eu) => su <= pe && ps <= eu }
+      p -> ((hits.length.toLong, hits.map(_._1).distinct.length.toLong))
+    }.toMap
+    assert(got == exp)
+  }
+
   test("bloom prefilter over an empty dim side yields the (empty) join result") {
     val dir = sf()
     // No orders match: bloom_filter_agg over zero rows evaluates to a null

@@ -69,6 +69,21 @@ class RetrievalSpec extends SparkSpec {
     assert(byTerms.head >= byTerms(byTerms.length / 2) - 1)
   }
 
+  test("PRF expansion widens the query and re-ranks under it") {
+    val rows = Retrieval.queries("rt_prf_expansion")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == Retrieval.Bm25K)
+    // Scores strictly ordered under the (score DESC, doc_id ASC) cut.
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+    }
+    // The expanded query really is wider: some result matches more terms
+    // than the seed query has, and no result exceeds seed + promoted.
+    assert(rows.map(_._2).max > Retrieval.Bm25Terms.length,
+      "expansion must contribute matching terms")
+    assert(rows.map(_._2).max <= Retrieval.Bm25Terms.length + Retrieval.FbTerms)
+  }
+
   test("hybrid RRF scores are exact reciprocal-rank sums from the two lists") {
     val rows = Retrieval.queries("rt_hybrid_rrf")(spark, sf("sf0.01")).collect()
     assert(rows.length == Similarity.NQueries * Retrieval.RrfTopK)

@@ -11,6 +11,23 @@ class VersionedSpec extends SparkSpec {
     d.getAbsolutePath + "/t"
   }
 
+  test("mt_vacuum_read leaves exactly one referenced version on disk") {
+    // Run the gate query (builds append+append+replace+vacuum on first
+    // touch), then inspect its PID-scoped table dir structurally.
+    val rows = Versioned.queries("mt_vacuum_read")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val key = sf().replaceAll("[^A-Za-z0-9]", "_")
+    val tdir =
+      s"${sys.props("java.io.tmpdir")}/graft_vacuumed_${ProcessHandle.current().pid()}_$key"
+    // Only the replace commit's manifest survives; its data dir is the only
+    // version dir left (v0/v1 data became unreferenced and were deleted).
+    val names = new java.io.File(tdir).list().toSeq
+    assert(names.count(_.endsWith(".manifest")) == 1, s"manifests left: $names")
+    assert(names.filter(_.matches("v\\d+")) == Seq("v2"), s"data dirs left: $names")
+    // Time travel to a vacuumed version correctly fails.
+    intercept[Exception](Versioned.readVersion(spark, tdir, 0).collect())
+  }
+
   test("snapshot isolation: a committed version is immutable under later appends") {
     import spark.implicits._
     val dir = freshDir()
