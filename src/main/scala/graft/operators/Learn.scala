@@ -417,6 +417,52 @@ object Learn {
         .orderBy("doc_id")
     },
 
+    // Per-language bigram-LM GENERATIVE classifier — the second document
+    // classifier beside NB, with a genuinely different inductive bias
+    // (class-conditional sequence likelihood vs bag-of-words posterior):
+    // train one Laplace-smoothed bigram LM per language on the train split
+    // and classify each heldout doc by argmax of
+    // prior + Σ tf·log P(w2|w1, lang) — langid-by-LM, the production
+    // fastText/KenLM-style identifier shape. Determinism is the NB/LM
+    // contract (every log quantized to integer millionths before the sum;
+    // scores exact integer sums; (score DESC, lang ASC) argmax). Shape:
+    // one train bigram aggregation keyed by (lang, w1, w2), model frames
+    // vocabulary-sized with the lmScoreDocs no-hint broadcast argument,
+    // one heldout bigram aggregation, |langs|× score cells per doc. The
+    // doc × lang shell keeps bigram-free docs classifiable by prior alone.
+    "cl_lm_classify" -> { (s, dir) =>
+      argmaxLabel(lmLangScores(s, dir)).orderBy("doc_id")
+    },
+
+    // McNemar's paired comparison of the two classifiers on the SAME
+    // heldout docs — the statistically correct "is NB actually better than
+    // the LM classifier" test (two accuracies alone ignore pairing): only
+    // the discordant cells carry signal, χ² = (b − c)²/(b + c) over
+    // b = NB-right/LM-wrong and c = the reverse. All four cells are exact
+    // integer counts from one three-way doc_id join; the statistic is the
+    // single division (DECIMAL(38,0)/HUGEINT products — the cl_kappa
+    // contract), NULL when the classifiers never disagree.
+    "cl_mcnemar" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val nb = argmaxLabel(nbScores(s, dir)).select(col("doc_id"), col("pred_lang").as("nb_pred"))
+      val lm = argmaxLabel(lmLangScores(s, dir)).select(col("doc_id"), col("pred_lang").as("lm_pred"))
+      val truth = Relational.t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      nb.join(lm, "doc_id").join(truth, "doc_id")
+        .select((col("nb_pred") === col("lang")).as("nb_ok"),
+          (col("lm_pred") === col("lang")).as("lm_ok"))
+        .agg(
+          sum(when(col("nb_ok") && col("lm_ok"), 1L).otherwise(0L)).as("n_both_right"),
+          sum(when(col("nb_ok") && !col("lm_ok"), 1L).otherwise(0L)).as("n_nb_only"),
+          sum(when(!col("nb_ok") && col("lm_ok"), 1L).otherwise(0L)).as("n_lm_only"),
+          sum(when(!col("nb_ok") && !col("lm_ok"), 1L).otherwise(0L)).as("n_both_wrong"))
+        .select(col("n_both_right"), col("n_nb_only"), col("n_lm_only"), col("n_both_wrong"),
+          when(col("n_nb_only") + col("n_lm_only") > 0,
+            ((col("n_nb_only") - col("n_lm_only")).cast(dec)
+              * (col("n_nb_only") - col("n_lm_only")).cast(dec)).cast("double")
+              / (col("n_nb_only") + col("n_lm_only")).cast("double"))
+            .as("mcnemar_chi2"))
+    },
+
     // DSIR importance weights (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): score every raw-pool
     // document by how much more likely its hashed-unigram features are
@@ -495,6 +541,54 @@ object Learn {
     */
   val DsirFeatures = 4096
   val DsirSeed = 13
+
+  /** Per-(heldout doc, lang) quantized generative scores under the
+    * per-language bigram LMs — the shared frame behind cl_lm_classify and
+    * cl_mcnemar (the LM-side analog of [[nbScores]]). Smoothing is Laplace
+    * over the GLOBAL train vocabulary (one v for every language — symmetric
+    * smoothing keeps cross-language scores comparable); an unseen context
+    * in some language contributes qlog(1/v)-per-occurrence, the standard
+    * backstop. The doc × lang shell (heldout ids × broadcast lang stats)
+    * keeps bigram-free docs classifiable by prior alone.
+    */
+  private def lmLangScores(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val train = d.filter(col("b") < TrainBucket)
+    val langBg = train.filter(size(col("ts")) >= 2)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2")))).as("bg"))
+      .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = Dedup.materialized(
+      langBg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("cnt")))
+    val ctx = counts.groupBy("lang", "w1").agg(sum(col("cnt")).as("ctx"))
+    val vocab = counts.select(col("w2")).union(counts.select(col("w1")))
+      .agg(countDistinct(col("w2")).as("v"))
+    val langStats = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(vocab)
+      .crossJoin(train.agg(count(lit(1)).as("total_docs")))
+      .select(col("lang"),
+        qlog(col("n_docs").cast("double") / col("total_docs")).as("prior_q"), col("v"))
+    val testBg = bigramsOf(d.filter(col("b") >= TestBucket).select(col("doc_id"), col("ts")))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    // No broadcast hint on the model sides (the lmScoreDocs argument) —
+    // AQE broadcasts while they fit, falls back to the (lang, w1) shuffle
+    // join when a corpus outgrows it.
+    val contrib = testBg
+      .crossJoin(broadcast(langStats.select(col("lang"), col("v"))))
+      .join(counts, Seq("lang", "w1", "w2"), "left")
+      .join(ctx, Seq("lang", "w1"), "left")
+      .select(col("doc_id"), col("lang"),
+        (col("tf") * qlog((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("ctx"), lit(0L)) + col("v")))).as("c"))
+      .groupBy("doc_id", "lang").agg(sum(col("c")).as("bg_q"))
+    d.filter(col("b") >= TestBucket).select(col("doc_id"))
+      .crossJoin(broadcast(langStats.select(col("lang"), col("prior_q"))))
+      .join(contrib, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        (col("prior_q") + coalesce(col("bg_q"), lit(0L))).as("score"))
+  }
 
   /** Consecutive-token bigrams of a (doc_id, ts) frame → (doc_id, w1, w2). */
   private def bigramsOf(docsTs: DataFrame): DataFrame = docsTs
@@ -673,6 +767,43 @@ object Learn {
          |  CAST(n_docs * n_agree - chance_q AS DOUBLE) /
          |  CAST(n_docs * n_docs - chance_q AS DOUBLE) AS kappa
          |FROM tot CROSS JOIN ch""".stripMargin,
+    // LM-classifier twin: the per-language LM chain, prior + bigram sums,
+    // the same (score DESC, lang ASC) argmax.
+    "cl_lm_classify" ->
+      s"""WITH d AS (
+         |  $docsSql
+         |), $lmLangScoredSql
+         |SELECT doc_id, lang AS pred_lang, score FROM lmsc
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+         |ORDER BY doc_id""".stripMargin,
+    // McNemar twin: both classifier chains in one WITH clause (the NB
+    // scored CTE + the l-prefixed LM chain), four exact cells, one division
+    // through HUGEINT products.
+    "cl_mcnemar" ->
+      s"""$nbScoredSql, $lmLangScoredSql, nbp AS (
+         |  SELECT doc_id, lang AS pred_lang FROM scored
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+         |), lmp AS (
+         |  SELECT doc_id, lang AS pred_lang FROM lmsc
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+         |), cells AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN nb_ok AND lm_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_both_right,
+         |    CAST(SUM(CASE WHEN nb_ok AND NOT lm_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_nb_only,
+         |    CAST(SUM(CASE WHEN NOT nb_ok AND lm_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_only,
+         |    CAST(SUM(CASE WHEN NOT nb_ok AND NOT lm_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_both_wrong
+         |  FROM (
+         |    SELECT n.pred_lang = d2.lang AS nb_ok, l.pred_lang = d2.lang AS lm_ok
+         |    FROM nbp n JOIN lmp l USING (doc_id) JOIN documents d2 USING (doc_id)
+         |  )
+         |)
+         |SELECT n_both_right, n_nb_only, n_lm_only, n_both_wrong,
+         |  CASE WHEN n_nb_only + n_lm_only > 0 THEN
+         |    CAST(CAST(n_nb_only - n_lm_only AS HUGEINT)
+         |         * CAST(n_nb_only - n_lm_only AS HUGEINT) AS DOUBLE)
+         |    / CAST(n_nb_only + n_lm_only AS DOUBLE)
+         |  END AS mcnemar_chi2
+         |FROM cells""".stripMargin,
     // Shares the scored-prediction CTE with cl_eval; HUGEINT sums cast to
     // BIGINT, each metric a single division on integer operands.
     "cl_prf1" ->
@@ -852,6 +983,52 @@ object Learn {
        |       - CAST(round(1000000.0 * ln((rc.cr + 1.0) / (tot.n_r + $DsirFeatures))) AS BIGINT))) AS BIGINT) AS w_q
        |  FROM tf LEFT JOIN tc USING (feat) JOIN rc USING (feat) CROSS JOIN tot
        |  GROUP BY tf.doc_id
+       |)""".stripMargin
+
+  /** Per-language LM scoring CTE chain (appended after a `d` docs CTE)
+    * ending in `lmsc(doc_id, lang, score)` — the DuckDB twin of
+    * [[lmLangScores]], shared by the cl_lm_classify and cl_mcnemar oracles.
+    * CTE names are `l`-prefixed so the chain composes with [[nbScoredSql]]
+    * in one WITH clause.
+    */
+  private def lmLangScoredSql: String =
+    s"""lbg AS (
+       |  SELECT doc_id, lang, b, ts[i] AS w1, ts[i+1] AS w2
+       |  FROM d, UNNEST(range(1, len(ts))) AS u(i)
+       |  WHERE len(ts) >= 2
+       |), lbgc AS (
+       |  SELECT lang, w1, w2, COUNT(*) AS cnt FROM lbg WHERE b < $TrainBucket
+       |  GROUP BY lang, w1, w2
+       |), lctx AS (
+       |  SELECT lang, w1, SUM(cnt) AS ctx FROM lbgc GROUP BY lang, w1
+       |), lvoc AS (
+       |  SELECT COUNT(DISTINCT w) AS v FROM (
+       |    SELECT w2 AS w FROM lbgc UNION ALL SELECT w1 FROM lbgc)
+       |), lls AS (
+       |  SELECT p.lang,
+       |    CAST(round(1000000.0 * ln(CAST(p.n_docs AS DOUBLE) / t.total_docs)) AS BIGINT)
+       |      AS prior_q,
+       |    v.v
+       |  FROM (SELECT lang, COUNT(*) AS n_docs FROM d WHERE b < $TrainBucket GROUP BY lang) p
+       |  CROSS JOIN (SELECT COUNT(*) AS total_docs FROM d WHERE b < $TrainBucket) t
+       |  CROSS JOIN lvoc v
+       |), ltf AS (
+       |  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM lbg WHERE b >= $TestBucket
+       |  GROUP BY doc_id, w1, w2
+       |), lcon AS (
+       |  SELECT ltf.doc_id, lls.lang,
+       |    CAST(SUM(ltf.tf * CAST(round(1000000.0 * ln(
+       |      (COALESCE(c.cnt, 0) + 1.0) / (COALESCE(x.ctx, 0) + lls.v))) AS BIGINT)) AS BIGINT)
+       |      AS bg_q
+       |  FROM ltf CROSS JOIN lls
+       |  LEFT JOIN lbgc c ON c.lang = lls.lang AND c.w1 = ltf.w1 AND c.w2 = ltf.w2
+       |  LEFT JOIN lctx x ON x.lang = lls.lang AND x.w1 = ltf.w1
+       |  GROUP BY ltf.doc_id, lls.lang
+       |), lmsc AS (
+       |  SELECT sh.doc_id, lls.lang, lls.prior_q + COALESCE(lcon.bg_q, 0) AS score
+       |  FROM (SELECT doc_id FROM d WHERE b >= $TestBucket) sh
+       |  CROSS JOIN lls
+       |  LEFT JOIN lcon ON lcon.doc_id = sh.doc_id AND lcon.lang = lls.lang
        |)""".stripMargin
 
   /** Shared bigram-LM scoring prefix (train counts → heldout per-doc

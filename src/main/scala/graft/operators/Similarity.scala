@@ -298,6 +298,26 @@ object Similarity {
     // SimilaritySpec.
     "ss_ann_ivfpq" -> { (s, dir) => ivfPqTopk(s, dir) },
 
+    // ANN recall@k ON the gate — the index-quality observability number an
+    // ANN deployment actually monitors, computed IN the engine instead of
+    // only in ScalaTest: per query, how many of the LSH top-k survive in
+    // the exact brute-force top-k. Both inputs are deterministic gated
+    // queries, so their intersection is oracle-checkable — the recall
+    // REPORT itself gets the hash-proof treatment (the ss_index_stats
+    // philosophy applied to retrieval quality). Cost: the two component
+    // pipelines (stored-index reads) + a k×queries-row join.
+    "ss_ann_recall" -> { (s, dir) =>
+      val bf = queries("ss_topk_bruteforce")(s, dir).select("query_id", "neighbor_id")
+      val lsh = queries("ss_ann_lsh")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      bf.join(lsh, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(TopK.toDouble)).as("recall"))
+        .orderBy("query_id")
+    },
+
     // Norm + int8 quantization codes per vector — the storage/SIMD form a
     // vector store keeps (4× smaller than float32). One narrow codegen'd
     // pass, no shuffle; deterministic via floor(x+0.5) round-half-up and the
@@ -789,9 +809,11 @@ object Similarity {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
-  val oracles: Map[String, String] = Map(
-    "ss_topk_bruteforce" ->
-      s"""WITH e AS (
+  /** The brute-force and LSH oracle statements as vals so the recall
+    * oracle can nest them as CTE bodies (one definition, two consumers).
+    */
+  private lazy val bruteforceSql: String =
+    s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
          |), scored AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -805,7 +827,49 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
-         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
+  private lazy val annLshSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), pl AS (
+       |  SELECT pp.p AS p,
+       |    list(((CAST('0x' || substr(md5('p:' || pp.p || ':' || dd.d), 1, 15) AS BIGINT)
+       |           % 2000) - 1000) / 1000.0 ORDER BY dd.d) AS pv
+       |  FROM range(${Tables * PlanesPerTable}) pp(p) CROSS JOIN range($Dims) dd(d)
+       |  GROUP BY pp.p
+       |), sg AS (
+       |  SELECT e.vec_id, pl.p // $PlanesPerTable AS tbl, pl.p % $PlanesPerTable AS bit,
+       |    CASE WHEN ${dotSql("e.v", "pl.pv")} >= 0 THEN 1 ELSE 0 END AS s
+       |  FROM e CROSS JOIN pl
+       |), bk AS (
+       |  SELECT vec_id, tbl, SUM(s * (1 << bit)) AS bucket FROM sg GROUP BY vec_id, tbl
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM bk q JOIN bk b ON q.tbl = b.tbl AND q.bucket = b.bucket
+       |  WHERE q.vec_id < $NQueries AND q.vec_id <> b.vec_id
+       |), scored AS (
+       |  SELECT c.query_id, c.neighbor_id, ${cosSql("q.v", "n.v")} AS cos
+       |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
+       |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ss_topk_bruteforce" -> bruteforceSql,
+    // Recall-report twin: both component statements nested as CTE bodies
+    // (DuckDB supports a WITH inside a CTE), intersection counted per query.
+    "ss_ann_recall" ->
+      s"""WITH bf AS ($bruteforceSql), lsh AS ($annLshSql)
+         |SELECT bf.query_id, COUNT(lsh.neighbor_id) AS n_hits,
+         |  CAST(COUNT(lsh.neighbor_id) AS DOUBLE) / $TopK AS recall
+         |FROM bf LEFT JOIN lsh
+         |  ON lsh.query_id = bf.query_id AND lsh.neighbor_id = bf.neighbor_id
+         |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin,
     // Hard-negative twin: the brute-force scan with the label-inequality
     // predicate in the join.
     "ss_hard_negatives" ->
@@ -996,35 +1060,7 @@ object Similarity {
     // cosine re-rank. A hash match proves the engine LSH implements its
     // spec bit-for-bit — the approximation is in the DESIGN (bucketing),
     // not the execution, so it is as oracle-checkable as any exact query.
-    "ss_ann_lsh" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-         |), pl AS (
-         |  SELECT pp.p AS p,
-         |    list(((CAST('0x' || substr(md5('p:' || pp.p || ':' || dd.d), 1, 15) AS BIGINT)
-         |           % 2000) - 1000) / 1000.0 ORDER BY dd.d) AS pv
-         |  FROM range(${Tables * PlanesPerTable}) pp(p) CROSS JOIN range($Dims) dd(d)
-         |  GROUP BY pp.p
-         |), sg AS (
-         |  SELECT e.vec_id, pl.p // $PlanesPerTable AS tbl, pl.p % $PlanesPerTable AS bit,
-         |    CASE WHEN ${dotSql("e.v", "pl.pv")} >= 0 THEN 1 ELSE 0 END AS s
-         |  FROM e CROSS JOIN pl
-         |), bk AS (
-         |  SELECT vec_id, tbl, SUM(s * (1 << bit)) AS bucket FROM sg GROUP BY vec_id, tbl
-         |), cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
-         |  FROM bk q JOIN bk b ON q.tbl = b.tbl AND q.bucket = b.bucket
-         |  WHERE q.vec_id < $NQueries AND q.vec_id <> b.vec_id
-         |), scored AS (
-         |  SELECT c.query_id, c.neighbor_id, ${cosSql("q.v", "n.v")} AS cos
-         |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id
-         |), ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
-         |  FROM scored
-         |)
-         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
-         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "ss_ann_lsh" -> annLshSql,
     // Full IVF twin: Lloyd's rounds unrolled the way ss_pagerank unrolls
     // power iteration ([[trainedCellsCte]]). Query probes its IvfProbes
     // nearest final cells; candidates come from the stored corpus-cell

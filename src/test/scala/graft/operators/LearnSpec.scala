@@ -77,6 +77,27 @@ class LearnSpec extends SparkSpec {
     }
   }
 
+  test("mcnemar cells partition the heldout set and agree with both classifiers") {
+    val r = Learn.queries("cl_mcnemar")(spark, sf()).collect().head
+    val cells = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val heldout = Learn.queries("cl_nb_predict")(spark, sf()).count()
+    assert(cells._1 + cells._2 + cells._3 + cells._4 == heldout)
+    // NB's marginal accuracy from the cells equals the confusion diagonal.
+    val nbRight = Learn.queries("cl_eval")(spark, sf()).collect()
+      .filter(row => row.getString(0) == row.getString(1)).map(_.getLong(2)).sum
+    assert(cells._1 + cells._2 == nbRight)
+    // LM marginal accuracy from the cells equals a direct recompute.
+    val truth = Relational.t(spark, sf(), "documents")
+      .select("doc_id", "lang").collect().map(row => row.getLong(0) -> row.getString(1)).toMap
+    val lmRight = Learn.queries("cl_lm_classify")(spark, sf()).collect()
+      .count(row => truth(row.getLong(0)) == row.getString(1))
+    assert(cells._1 + cells._3 == lmRight)
+    // Statistic recompute (or NULL when the classifiers never disagree).
+    val (b, c) = (cells._2, cells._3)
+    if (b + c == 0) assert(r.isNullAt(4))
+    else assert(r.getDouble(4) == (b - c).toDouble * (b - c) / (b + c))
+  }
+
   test("kappa equals a straight-line recompute from the confusion matrix") {
     val cm = Learn.queries("cl_eval")(spark, sf()).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
