@@ -233,6 +233,33 @@ object Analytics {
         .orderBy("digit")
     },
 
+    // Weekday-seasonality screen — the uniformity sibling of an_benford:
+    // event volume per day-of-week with the exact χ² against the uniform
+    // profile. Weekday comes from PURE INTEGER day arithmetic
+    // ((epoch_days + 4) mod 7, 0 = Sunday; 1970-01-01 was a Thursday) —
+    // never a calendar function, whose day-numbering conventions differ
+    // between engines (Spark dayofweek is 1-based Sunday, DuckDB 0-based).
+    // χ² = Σ(n_d − N/7)²/(N/7) collapses algebraically to
+    // (7·Σn_d² − N²)/N — an exact integer numerator over DECIMAL(38,0)
+    // with the single division at the boundary (the an_linreg form); the
+    // per-row deviation 7·n_d − N is an exact integer summing to 0. One
+    // map-side-combined 7-row aggregate at any scale.
+    "an_seasonality" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val byDay = Relational.t(s, dir, "events")
+        .select(pmod(expr("unix_micros(ts) DIV 86400000000") + 4, lit(7)).cast("int").as("weekday"))
+        .groupBy("weekday").agg(count(lit(1)).as("n_events"))
+      val tot = byDay.agg(
+        sum(col("n_events")).as("n_total"),
+        sum(col("n_events").cast(dec) * col("n_events").cast(dec)).as("sq"))
+      byDay.crossJoin(broadcast(tot))
+        .select(col("weekday"), col("n_events"),
+          (col("n_events") * 7 - col("n_total")).as("dev7"),
+          ((lit(7).cast(dec) * col("sq") - col("n_total").cast(dec) * col("n_total").cast(dec))
+            .cast("double") / col("n_total").cast("double")).as("chi2"))
+        .orderBy("weekday")
+    },
+
     // Exact distinct users per event type via segment bitmaps (see
     // [[graft.functions.BitmapDistinct]]): ids shard into fixed-width
     // segments, each (type, segment) cell ORs a flat bit vector with
@@ -319,6 +346,23 @@ object Analytics {
     "an_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Seasonality twin: identical integer weekday arithmetic, HUGEINT
+    // squares, one boundary division.
+    "an_seasonality" ->
+      """WITH byday AS (
+        |  SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS weekday,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(n_events) AS BIGINT) AS n_total,
+        |    CAST(SUM(CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT)) AS HUGEINT) AS sq
+        |  FROM byday
+        |)
+        |SELECT weekday, n_events,
+        |  CAST(n_events * 7 - n_total AS BIGINT) AS dev7,
+        |  CAST(7 * sq - CAST(n_total AS HUGEINT) * CAST(n_total AS HUGEINT) AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE) AS chi2
+        |FROM byday CROSS JOIN tot ORDER BY weekday""".stripMargin,
     // Naive global window cumsum over (spend DESC, custkey); identical
     // integer coverage test.
     "an_pareto" ->

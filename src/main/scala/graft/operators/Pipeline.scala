@@ -68,6 +68,23 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // EXACT-k uniform sample without replacement via hash priorities — the
+    // distributed form of reservoir sampling: assign every row the
+    // cross-engine md5 priority and keep the k smallest (priority sampling
+    // ≡ uniform k-subset since the hash order is exchangeable in the data).
+    // The Bernoulli hash sample above cannot promise an exact count; this
+    // promises exactly k at any scale with the same determinism. Plans as
+    // TakeOrderedAndProject: per-partition k-heaps + driver merge — the
+    // reservoir's merge step, no global sort, no RNG, no sequential state.
+    "sp_reservoir_k" -> { (s, dir) =>
+      import graft.functions.HashFunctions.md5Long
+      Relational.t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          md5Long(ReservoirSeed, col("o_orderkey").cast("string")).as("h"))
+        .orderBy(col("h").asc, col("o_orderkey").asc)
+        .limit(ReservoirK)
+    },
+
     // Stratified sampling: a per-stratum rate (here per lang — the typical
     // "rebalance the language mix" corpus op) applied through the same
     // deterministic hash bucket. Still a narrow map: the rate lookup is a
@@ -566,6 +583,10 @@ object Pipeline {
   /** Max documents kept per source by [[queries sp_group_cap]]. */
   val GroupCapK = 50
 
+  /** Exact sample size and hash seed of [[queries sp_reservoir_k]]. */
+  val ReservoirK = 100
+  val ReservoirSeed = 17
+
   /** Stable 1-based global row numbers in `keys` order, the scalable way:
     * range-partition by the keys (each partition owns a contiguous key
     * interval), sort within partitions, then `zipWithIndex` (one counting
@@ -679,6 +700,12 @@ object Pipeline {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${bucketSql("doc_id")} < 10
          |ORDER BY doc_id""".stripMargin,
+    "sp_reservoir_k" ->
+      s"""SELECT o_orderkey,
+         |  CAST('0x' || substr(md5('$ReservoirSeed:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+         |       AS BIGINT) AS h
+         |FROM orders
+         |ORDER BY h ASC, o_orderkey ASC LIMIT $ReservoirK""".stripMargin,
     "sp_stratified_sample" ->
       s"""SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
          |FROM documents

@@ -6,6 +6,18 @@ import org.apache.spark.sql.functions._
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("seasonality: deviations sum to zero; chi-square equals a direct recompute") {
+    val rows = Analytics.queries("an_seasonality")(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0 until 7))
+    val n = rows.map(_._2).sum
+    assert(rows.map(_._3).sum == 0L)
+    rows.foreach { case (_, nd, dev, _) => assert(dev == 7 * nd - n) }
+    val chi2 = (7.0 * rows.map(d => d._2.toDouble * d._2).sum - n.toDouble * n) / n
+    rows.foreach { case (_, _, _, c) => assert(math.abs(c - chi2) < 1e-6) }
+    assert(n == Relational.t(spark, sf(), "events").count())
+  }
+
   test("skyline: equals brute-force pareto frontier; mutually non-dominating") {
     val rows = Analytics.queries("an_skyline")(spark, sf()).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))

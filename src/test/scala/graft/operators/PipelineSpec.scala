@@ -53,6 +53,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("reservoir-k sample is exactly the k lowest hash priorities") {
+    val got = Pipeline.queries("sp_reservoir_k")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == Pipeline.ReservoirK)
+    // Recompute every order's priority with a reference md5 and check the
+    // sample is exactly the k-smallest (h, key) set.
+    def md5long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      var out = 0L
+      for (i <- 0 until 8) out = (out << 8) | (d(i) & 0xffL)
+      out >>> 4
+    }
+    val all = Relational.t(spark, sf(), "orders").select("o_orderkey").collect()
+      .map(_.getLong(0)).map(k => (md5long(s"${Pipeline.ReservoirSeed}:$k"), k))
+    val exp = all.sorted.take(Pipeline.ReservoirK).map { case (h, k) => (k, h) }
+    assert(got.sortBy(_._2).toSeq == exp.toSeq.sortBy(_._2))
+  }
+
   test("hash splits are disjoint, exhaustive, and roughly 80/10/10") {
     val counts = Pipeline.queries("sp_split_assign")(spark, sf())
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
