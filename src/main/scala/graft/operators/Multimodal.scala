@@ -109,6 +109,67 @@ object Multimodal {
       .toDF("doc_id", "source", "media")
   }
 
+  /** Audio fixture geometry: 8-bit unsigned PCM at 8 kHz, channel count and
+    * frame count varied by doc_id (mono/stereo, 160–200 frames) so the
+    * decode must read the REAL header for both — sample byte i (interleaved)
+    * is the closed form (doc_id·17 + i) % 256, so the DuckDB oracle
+    * recomputes the decoded statistics without any codec.
+    */
+  def audioChannels(docId: Long): Int = 1 + (docId % 2).toInt
+  def audioFrames(docId: Long): Int = 160 + (docId % 41).toInt
+  def sampleByte(docId: Long, i: Long): Int = ((docId * 17 + i) % 256).toInt
+
+  /** Encode the doc's fixture clip as real RIFF/WAVE bytes via the JDK
+    * audio codec (`javax.sound.sampled` — the audio sibling of ImageIO's
+    * BMP path; pure file codec, no audio device needed).
+    */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val ch = audioChannels(docId)
+    val frames = audioFrames(docId)
+    val data = new Array[Byte](frames * ch)
+    var i = 0
+    while (i < data.length) { data(i) = (sampleByte(docId, i) & 0xff).toByte; i += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, ch, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode kernel: parse the WAV header through the JDK codec
+    * and return (channels, n_samples, Σ amplitude, Σ amplitude², peak) over
+    * the unsigned-8-bit PCM payload — integer statistics, exact by
+    * construction (RMS/loudness are one division/sqrt at the consumer).
+    */
+  def decodeAudioStats(payload: Array[Byte]): (Int, Long, Long, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val ch = ais.getFormat.getChannels
+    val buf = ais.readAllBytes()
+    var sum = 0L; var sq = 0L; var peak = 0L
+    var i = 0
+    while (i < buf.length) {
+      val v = (buf(i) & 0xff).toLong
+      sum += v; sq += v * v; if (v > peak) peak = v
+      i += 1
+    }
+    (ch, buf.length.toLong, sum, sq, peak)
+  }
+
+  /** Audio manifest: one real-WAV media row per document (the
+    * [[imageManifest]] shape for the audio tier).
+    */
+  def audioManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Relational.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(rows => rows.map { case (id, src) => (id, src, encodeWav(id)) })
+      .toDF("doc_id", "source", "media")
+  }
+
   /** Manifest: one media row per document — binary payload + typed metadata. */
   def manifest(s: SparkSession, dir: String): DataFrame =
     Relational.t(s, dir, "documents")
@@ -218,6 +279,38 @@ object Multimodal {
         .orderBy("source")
     },
 
+    // REAL audio decode + per-source loudness statistics — the audio tier's
+    // mm_decode_features: every document's media is a genuine RIFF/WAVE
+    // clip (8-bit unsigned PCM, mono/stereo and duration varied by doc_id)
+    // encoded AND decoded through the JDK's javax.sound codec in a
+    // partition-batched map; per-source integer amplitude sums, sum of
+    // squares (the RMS numerator), and peak. The DuckDB oracle recomputes
+    // everything from the sample closed form — a hash match proves the
+    // encode→decode round trip (RIFF header, channel count, sample bytes)
+    // is bit-exact. A real MP3/FLAC ingest would swap the codec call; the
+    // Spark-side shape is identical.
+    "mm_audio_features" -> { (s, dir) =>
+      import s.implicits._
+      audioManifest(s, dir)
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, src, payload) =>
+            val (ch, n, sum, sq, peak) = decodeAudioStats(payload)
+            (id, src, ch, n, sum, sq, peak)
+          }
+        }
+        .toDF("doc_id", "source", "ch", "n_samples", "sum_amp", "sum_sq", "peak")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(when(col("ch") === 2, 1L).otherwise(0L)).as("n_stereo"),
+          sum("n_samples").as("n_samples"),
+          sum("sum_amp").as("sum_amp"),
+          sum("sum_sq").as("sum_sq"),
+          max("peak").as("peak"))
+        .orderBy("source")
+    },
+
     // Metadata resize normalization on the gate: pure struct rewrite over the
     // "png" subset; the oracle recomputes the capped dimensions from the
     // manifest's doc_id arithmetic.
@@ -291,6 +384,24 @@ object Multimodal {
          |  CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
          |  CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b
          |FROM px GROUP BY source ORDER BY source""".stripMargin,
+    // The decoded audio statistics in closed form: sample byte i of doc d
+    // is (d·17 + i) % 256 over frames·channels interleaved bytes, channels
+    // = 1 + d%2, frames = 160 + d%41. Fixed max-width range + per-doc
+    // length filter, exactly the mm_decode_features device.
+    "mm_audio_features" ->
+      s"""WITH sm AS (
+         |  SELECT d.doc_id, d.source, (d.doc_id * 17 + i.i) % 256 AS v
+         |  FROM documents d CROSS JOIN range(${201 * 2}) i(i)
+         |  WHERE i.i < (160 + d.doc_id % 41) * (1 + d.doc_id % 2)
+         |)
+         |SELECT source, COUNT(DISTINCT doc_id) AS n_media,
+         |  CAST((SELECT COUNT(*) FROM documents d2
+         |        WHERE d2.source = sm.source AND d2.doc_id % 2 = 1) AS BIGINT) AS n_stereo,
+         |  COUNT(*) AS n_samples,
+         |  CAST(SUM(v) AS BIGINT) AS sum_amp,
+         |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+         |  CAST(MAX(v) AS BIGINT) AS peak
+         |FROM sm GROUP BY source ORDER BY source""".stripMargin,
     "mm_resize_meta" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(least(64 + (doc_id % 8) * 16, 96) AS INT) AS width,

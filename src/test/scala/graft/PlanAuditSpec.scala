@@ -131,6 +131,23 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the TopKRows aggregate in the rewritten plan:\n$p")
   }
 
+  test("round-7 additions keep their scale shapes") {
+    // Exact-k reservoir: per-partition heaps + driver merge, no global sort.
+    assert(plan("sp_reservoir_k").contains("TakeOrderedAndProject"),
+      s"reservoir must plan as TakeOrdered:\n${plan("sp_reservoir_k")}")
+    // Heaps curve ranks through the distributed numbering path.
+    assert(plan("ta_heaps").contains("ExistingRDD"),
+      s"heaps lost the range-partition numbering:\n${plan("ta_heaps")}")
+    // KM survival: no window at all — the cumulative runs as the bounded
+    // levels-squared broadcast join.
+    assert(!plan("ev_survival").contains("Window ["),
+      s"survival grew a window funnel:\n${plan("ev_survival")}")
+    // Attribution's models come from ONE window pass (two aggregates read
+    // the materialized per-purchase frame, not two window scans).
+    assert(plan("ev_attribution").linesIterator.count(_.trim.startsWith("Window ")) <= 1,
+      s"attribution must window once:\n${plan("ev_attribution")}")
+  }
+
   test("RELY join elimination drops the unused dimension join entirely") {
     val p = plan("q49_join_elim")
     assert(!p.contains("Join"), s"the PK-FK join must be eliminated:\n$p")

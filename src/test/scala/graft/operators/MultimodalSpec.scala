@@ -37,6 +37,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV fixture round-trips exactly through the JDK audio codec, mono and stereo") {
+    for (docId <- 0L to 3L) { // alternating mono/stereo, varied frame counts
+      val bytes = Multimodal.encodeWav(docId)
+      assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF", "not a RIFF header")
+      assert(new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAVE file")
+      val (ch, n, sum, sq, peak) = Multimodal.decodeAudioStats(bytes)
+      assert(ch == Multimodal.audioChannels(docId))
+      assert(n == Multimodal.audioFrames(docId).toLong * ch)
+      var es = 0L; var eq = 0L; var ep = 0L
+      for (i <- 0L until n) {
+        val v = Multimodal.sampleByte(docId, i).toLong
+        es += v; eq += v * v; if (v > ep) ep = v
+      }
+      assert((sum, sq, peak) == ((es, eq, ep)),
+        s"decoded amplitude stats diverge from closed form for doc $docId")
+    }
+  }
+
   test("stub decode kernel is deterministic and L1-normalized") {
     val payload = "hello multimodal world".getBytes("UTF-8")
     val a = Multimodal.stubDecodeFeatures(payload)
