@@ -38,6 +38,33 @@ object Quality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // RELY-registry audit — the nightly job that keeps unenforced
+    // (informational) constraints honest: one row per constraint DECLARED
+    // in [[graft.plans.JoinElimination.Declared]], reporting exactly the
+    // three soundness conditions the join-elimination rewrite rests on
+    // (null FKs, orphan FKs, duplicate PKs). Both the query AND its oracle
+    // are generated from the same registry sequence, so the optimizer, the
+    // auditor, and the gate can never drift apart. Shape: per constraint,
+    // one distinct'd-PK left join counted in a single pass (the
+    // dq_expectations RI mechanics) + a PK uniqueness aggregate; all
+    // |constraints| reports are one-row frames unioned.
+    "dq_referential" -> { (s, dir) =>
+      graft.plans.JoinElimination.Declared.map { case (ft, fk, pt, pk) =>
+        val f = Relational.t(s, dir, ft).select(col(fk).as("fk"))
+        val p = Relational.t(s, dir, pt).select(col(pk).as("pk"))
+        f.join(p.distinct(), col("fk") === col("pk"), "left_outer")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+            sum(when(col("fk").isNotNull && col("pk").isNull, 1L).otherwise(0L))
+              .as("n_orphans"))
+          .crossJoin(broadcast(
+            p.agg((count(lit(1)) - countDistinct(col("pk"))).as("n_dup_pk"))))
+          .select(lit(s"$ft.$fk->$pt.$pk").as("constraint_name"),
+            col("n_rows"), col("n_null_fk"), col("n_orphans"), col("n_dup_pk"))
+      }.reduce(_.unionByName(_)).orderBy("constraint_name")
+    },
+
     "dq_expectations" -> { (s, dir) =>
       val docs = Relational.t(s, dir, "documents")
       val orders = Relational.t(s, dir, "orders")
@@ -257,6 +284,16 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    // Generated from the SAME registry sequence as the query.
+    "dq_referential" ->
+      (graft.plans.JoinElimination.Declared.map { case (ft, fk, pt, pk) =>
+        s"""SELECT '$ft.$fk->$pt.$pk' AS constraint_name,
+           |  (SELECT COUNT(*) FROM $ft) AS n_rows,
+           |  (SELECT COUNT(*) FROM $ft WHERE $fk IS NULL) AS n_null_fk,
+           |  (SELECT COUNT(*) FROM $ft
+           |   WHERE $fk IS NOT NULL AND $fk NOT IN (SELECT $pk FROM $pt)) AS n_orphans,
+           |  (SELECT COUNT(*) - COUNT(DISTINCT $pk) FROM $pt) AS n_dup_pk""".stripMargin
+      }.mkString("", "\nUNION ALL ", "\nORDER BY constraint_name")),
     "dq_expectations" ->
       """SELECT * FROM (
         |  SELECT 'documents_doc_id_unique' AS check_name,

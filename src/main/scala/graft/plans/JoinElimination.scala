@@ -38,18 +38,26 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object JoinElimination extends Rule[LogicalPlan] {
 
-  /** RELY registry: FK column name → (parent table, PK column). FK columns
-    * are additionally declared non-null. Table identity = the parquet file
-    * name of the scan (the engine's table layer, `sources/Tables.scala`).
+  /** RELY registry: (fk table, fk column, parent table, pk column). FK
+    * columns are additionally declared non-null. Table identity = the
+    * parquet file name of the scan (the engine's table layer,
+    * `sources/Tables.scala`). The SAME sequence drives the nightly audit
+    * (`dq_referential`, `operators/Quality.scala`) — one source of truth,
+    * so the optimizer can never rely on a constraint the auditor does not
+    * check.
     */
-  val Constraints: Map[String, (String, String)] = Map(
-    "l_orderkey" -> (("orders", "o_orderkey")),
-    "l_partkey" -> (("part", "p_partkey")),
-    "l_suppkey" -> (("supplier", "s_suppkey")),
-    "o_custkey" -> (("customer", "c_custkey")),
-    "c_nationkey" -> (("nation", "n_nationkey")),
-    "s_nationkey" -> (("nation", "n_nationkey")),
-    "n_regionkey" -> (("region", "r_regionkey")))
+  val Declared: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** FK column name → (parent table, PK column), the rule's lookup form. */
+  val Constraints: Map[String, (String, String)] =
+    Declared.map { case (_, fk, pt, pk) => fk -> ((pt, pk)) }.toMap
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(_, j: Join) =>
