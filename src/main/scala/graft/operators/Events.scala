@@ -591,6 +591,44 @@ object Events {
         .limit(20)
     },
 
+    // Stationary distribution of the behavioral Markov chain — where the
+    // ev_transitions matrix SETTLES: MarkovIters synchronous power-
+    // iteration rounds of π' = πP over the row-normalized observed
+    // transition counts, from the uniform start — the long-run
+    // time-in-state profile a product reads next to the raw counts (and
+    // the |types|-sized cousin of ss_pagerank's corpus-sized iteration).
+    // Per-term arithmetic is the fixed tree (π·cnt)/r with contributions
+    // summed through DECIMAL(38,18) (exact, order-independent — the
+    // pagerank contract), so four unrolled rounds land on identical
+    // doubles in both engines. Every frame after the one lag-window
+    // counting pass is |types|²-sized and broadcast. On this corpus every
+    // type occurs as both source and target (row-stochastic over the
+    // observed states); Σπ stays 1 up to per-round division ulps.
+    "ev_markov_stationary" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cm = Dedup.materialized(Relational.t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("cnt")))
+      val rows = cm.groupBy("prev_type").agg(sum("cnt").as("r"))
+      val nS = rows.agg(count(lit(1)).cast("double").as("k"))
+      val init = rows.select(col("prev_type").as("event_type"))
+        .crossJoin(broadcast(nS))
+        .select(col("event_type"), (lit(1.0) / col("k")).as("pi"))
+      val mat = cm.join(rows, "prev_type")
+      (1 to MarkovIters).foldLeft(init) { (pi, _) =>
+        mat.join(broadcast(pi.withColumnRenamed("event_type", "prev_type")), "prev_type")
+          .select(col("next_type").as("event_type"),
+            ((col("pi") * col("cnt").cast("double")) / col("r").cast("double"))
+              .cast(dec).as("c"))
+          .groupBy("event_type").agg(sum(col("c")).cast("double").as("pi"))
+      }.orderBy("event_type")
+    },
+
     // User growth curve: per day, first-time users and the cumulative
     // distinct-user count to date — the canonical top-line growth metric.
     // Exactness is structural (a user's FIRST event day is a min
@@ -655,6 +693,9 @@ object Events {
 
   /** Ordered step types of the windowed funnel. */
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Power-iteration rounds of [[queries ev_markov_stationary]]. */
+  val MarkovIters = 4
 
   /** Attribution lookback of [[queries ev_attribution]] (24 h in micros):
     * wide enough that most purchases find a touch, tight enough that a
@@ -1035,6 +1076,37 @@ object Events {
         |FROM spine LEFT JOIN h
         |  ON spine.event_type = h.event_type AND spine.hour = h.window_start
         |ORDER BY spine.event_type, spine.hour""".stripMargin,
+    // Stationary twin: the lag-window counting CTE, then MarkovIters
+    // unrolled π' = πP rounds with the identical (π·cnt)/r tree and
+    // DECIMAL(38,18)-exact contribution sums (built programmatically like
+    // the ss_pagerank oracle).
+    "ev_markov_stationary" -> {
+      val rounds = (1 to MarkovIters).map { i =>
+        s"""p$i AS (
+           |  SELECT cm.next_type AS event_type,
+           |    CAST(SUM(CAST((p.pi * CAST(cm.cnt AS DOUBLE)) / CAST(rw.r AS DOUBLE)
+           |                  AS DECIMAL(38,18))) AS DOUBLE) AS pi
+           |  FROM cm JOIN rw USING (prev_type)
+           |  JOIN p${i - 1} p ON p.event_type = cm.prev_type
+           |  GROUP BY cm.next_type
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH t AS (
+         |  SELECT user_id, event_type,
+         |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         |  FROM events
+         |), cm AS (
+         |  SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+         |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+         |), rw AS (
+         |  SELECT prev_type, SUM(cnt) AS r FROM cm GROUP BY prev_type
+         |), kk AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM rw
+         |), p0 AS (
+         |  SELECT prev_type AS event_type, 1.0 / k AS pi FROM rw CROSS JOIN kk
+         |), $rounds
+         |SELECT event_type, pi FROM p$MarkovIters ORDER BY event_type""".stripMargin
+    },
     // Kaplan-Meier twin: identical integer day/duration arithmetic, the
     // same qlog quantization, NULL at the S=0 terminal level via the
     // count-vs-count guard.

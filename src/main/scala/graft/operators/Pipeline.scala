@@ -68,6 +68,43 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Data-constrained EPOCH ALLOCATION (the Muennighoff et al. 2023
+    // regime: when unique data is scarcer than the compute budget, sources
+    // REPEAT — but bounded, because marginal value decays with epochs):
+    // give every source the same base epoch count (budget div corpus,
+    // capped at MaxEpochs), then spend the leftover as one extra epoch for
+    // the largest sources whose CUMULATIVE size fits — a greedy prefix in
+    // (n_tokens DESC, source ASC) order, so the whole allocation is
+    // closed-form integer arithmetic (the pl_mixture_weights sibling, with
+    // epochs instead of sampling weights). The prefix cumsum runs as the
+    // |sources|² broadcast self-join (never a single-partition window);
+    // everything after the one per-source token aggregate is
+    // metadata-sized. Invariant (spec): Σ tokens_used ≤ budget and no
+    // source exceeds MaxEpochs.
+    "pl_epoch_alloc" -> { (s, dir) =>
+      val st = Dedup.materialized(
+        Relational.t(s, dir, "documents")
+          .transform(Dedup.spread("doc_id"))
+          .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("source").agg(sum("nt").as("n_tokens")))
+      val base = st.agg(sum("n_tokens").as("total"))
+        .select(least(expr(s"$EpochBudget DIV total"), lit(MaxEpochs.toLong)).as("be"),
+          col("total"))
+        .select(col("be"), (lit(EpochBudget) - col("be") * col("total")).as("leftover"))
+      val other = st.select(col("source").as("s2"), col("n_tokens").as("n2"))
+      val extra = when(col("be") < MaxEpochs && col("cum") <= col("leftover"), 1L)
+        .otherwise(0L)
+      st.join(broadcast(other),
+          col("n2") > col("n_tokens") ||
+            (col("n2") === col("n_tokens") && col("s2") <= col("source")))
+        .groupBy("source", "n_tokens").agg(sum("n2").as("cum"))
+        .crossJoin(broadcast(base))
+        .select(col("source"), col("n_tokens"),
+          (col("be") + extra).as("epochs"),
+          ((col("be") + extra) * col("n_tokens")).as("tokens_used"))
+        .orderBy("source")
+    },
+
     // EXACT-k uniform sample without replacement via hash priorities — the
     // distributed form of reservoir sampling: assign every row the
     // cross-engine md5 priority and keep the k smallest (priority sampling
@@ -587,6 +624,10 @@ object Pipeline {
   val ReservoirK = 100
   val ReservoirSeed = 17
 
+  /** Token budget and per-source repetition cap of [[queries pl_epoch_alloc]]. */
+  val EpochBudget = 60000L
+  val MaxEpochs = 4
+
   /** Stable 1-based global row numbers in `keys` order, the scalable way:
     * range-partition by the keys (each partition owns a contiguous key
     * interval), sort within partitions, then `zipWithIndex` (one counting
@@ -700,6 +741,31 @@ object Pipeline {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${bucketSql("doc_id")} < 10
          |ORDER BY doc_id""".stripMargin,
+    // Allocator twin: same integer waterfall, window cumsum (the oracle may
+    // window freely — it is the spec, not the plan).
+    "pl_epoch_alloc" ->
+      s"""WITH st AS (
+         |  SELECT source,
+         |    CAST(SUM(len(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')))
+         |         AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM st),
+         |base AS (
+         |  SELECT least($EpochBudget // total, $MaxEpochs) AS be,
+         |    $EpochBudget - least($EpochBudget // total, $MaxEpochs) * total AS leftover
+         |  FROM tot
+         |), ranked AS (
+         |  SELECT source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source ASC
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM st
+         |)
+         |SELECT r.source, r.n_tokens,
+         |  CAST(b.be + CASE WHEN b.be < $MaxEpochs AND r.cum <= b.leftover
+         |              THEN 1 ELSE 0 END AS BIGINT) AS epochs,
+         |  CAST((b.be + CASE WHEN b.be < $MaxEpochs AND r.cum <= b.leftover
+         |               THEN 1 ELSE 0 END) * r.n_tokens AS BIGINT) AS tokens_used
+         |FROM ranked r CROSS JOIN base b ORDER BY r.source""".stripMargin,
     "sp_reservoir_k" ->
       s"""SELECT o_orderkey,
          |  CAST('0x' || substr(md5('$ReservoirSeed:' || CAST(o_orderkey AS VARCHAR)), 1, 15)

@@ -152,6 +152,32 @@ class EventsSpec extends SparkSpec {
     assert(reach == Map(1L -> 2, 2L -> 1, 3L -> 3, 4L -> 2, 5L -> 1), s"got $reach")
   }
 
+  test("markov stationary matches a driver-side power iteration; mass conserved") {
+    val got = Events.queries("ev_markov_stationary")(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.values.forall(_ >= 0))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass drifted: ${got.values.sum}")
+    // Straight-line replay over the full transition matrix (rebuilt
+    // directly — the ev_transitions gate query is top-20-cut).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val full = Relational.t(spark, sf(), "events")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val states = full.keys.map(_._1).toSeq.distinct.sorted
+    val rowSum = states.map(s => s -> full.collect { case ((p, _), c) if p == s => c }.sum).toMap
+    var pi = states.map(s => s -> 1.0 / states.length).toMap
+    for (_ <- 1 to Events.MarkovIters)
+      pi = states.map { j =>
+        j -> states.map(i => pi(i) * full.getOrElse((i, j), 0L).toDouble / rowSum(i)).sum
+      }.toMap
+    states.foreach { s =>
+      assert(math.abs(got(s) - pi(s)) < 1e-9, s"$s: ${got(s)} vs ${pi(s)}")
+    }
+  }
+
   test("survival: KM invariants — risk set shrinks, log-survival falls, terminal S=0 is NULL") {
     val rows = Events.queries("ev_survival")(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

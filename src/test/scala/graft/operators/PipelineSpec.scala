@@ -53,6 +53,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("epoch allocation respects the budget, the cap, and the largest-prefix rule") {
+    val rows = Pipeline.queries("pl_epoch_alloc")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nt, e, used) =>
+      assert(e >= 0 && e <= Pipeline.MaxEpochs, s"epoch cap violated: $e")
+      assert(used == e * nt)
+    }
+    assert(rows.map(_._4).sum <= Pipeline.EpochBudget, "budget exceeded")
+    // The extra epoch goes to exactly the largest-first prefix whose
+    // cumulative size fits the leftover.
+    val total = rows.map(_._2).sum
+    val be = math.min(Pipeline.EpochBudget / total, Pipeline.MaxEpochs.toLong)
+    val leftover = Pipeline.EpochBudget - be * total
+    var cum = 0L
+    rows.sortBy(r => (-r._2, r._1)).foreach { case (_, nt, e, _) =>
+      cum += nt
+      val expected = be + (if (be < Pipeline.MaxEpochs && cum <= leftover) 1L else 0L)
+      assert(e == expected, s"allocation diverges from the waterfall at cum=$cum")
+    }
+  }
+
   test("reservoir-k sample is exactly the k lowest hash priorities") {
     val got = Pipeline.queries("sp_reservoir_k")(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
