@@ -233,6 +233,58 @@ object Analytics {
         .orderBy("digit")
     },
 
+    // Wald–Wolfowitz RUNS TEST over the daily event-count series — the
+    // randomness screen beside the seasonality χ²: dichotomize each day
+    // against the exact rank median (ties dropped, the classic treatment),
+    // count sign RUNS in day order, and report z = (R − μ)/σ with the
+    // textbook moments. Too few runs = trending/regime behavior, too many
+    // = oscillation; a pipeline reads it before trusting day-level A/B
+    // cuts. Exactness: the median is a rank selection (broadcast self-join
+    // over the calendar-bounded day frame — never a global window); runs
+    // come from a successor join (each kept day pairs with the NEXT kept
+    // day via an inequality-join min — adjacency without a window);
+    // counts are integers and z is one fixed IEEE tree mirrored
+    // token-for-token in the oracle (the ta_readability contract).
+    "an_runs" -> { (s, dir) =>
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val daily = Dedup.materialized(Relational.t(s, dir, "events")
+        .select(expr("unix_micros(ts) DIV 86400000000").as("dy"))
+        .groupBy("dy").agg(count(lit(1)).as("n")))
+      val nd = daily.agg(count(lit(1)).as("nd"))
+      val med = daily
+        .join(broadcast(daily.select(col("n").as("m2"), col("dy").as("y2"))),
+          col("m2") < col("n") || (col("m2") === col("n") && col("y2") <= col("dy")))
+        .groupBy("dy", "n").agg(count(lit(1)).as("r"))
+        .crossJoin(broadcast(nd))
+        .filter(col("r") === expr("(nd + 1) DIV 2"))
+        .select(col("n").as("med"))
+      val kept = Dedup.materialized(
+        daily.crossJoin(broadcast(med)).filter(col("n") =!= col("med"))
+          .select(col("dy"), (col("n") > col("med")).as("up")))
+      val adjacent = kept
+        .join(broadcast(kept.select(col("dy").as("y2"), col("up").as("up2"))),
+          col("y2") > col("dy"))
+        .groupBy("dy", "up").agg(min(col("y2")).as("nxt"))
+        .join(broadcast(kept.select(col("dy").as("nxt"), col("up").as("up_n"))), Seq("nxt"))
+      val trans = adjacent
+        .agg(sum(when(col("up") =!= col("up_n"), 1L).otherwise(0L)).as("t"))
+      kept.agg(count(lit(1)).as("n_days"),
+          sum(when(col("up"), 1L).otherwise(0L)).as("n_above"),
+          sum(when(!col("up"), 1L).otherwise(0L)).as("n_below"))
+        .crossJoin(broadcast(trans))
+        .select(col("n_days"), col("n_above"), col("n_below"),
+          (col("t") + 1).as("n_runs"),
+          ((d(col("t") + 1) -
+            (lit(1.0) + (lit(2.0) * d(col("n_above")) * d(col("n_below"))) /
+              (d(col("n_above")) + d(col("n_below"))))) /
+            sqrt((lit(2.0) * d(col("n_above")) * d(col("n_below")) *
+              (lit(2.0) * d(col("n_above")) * d(col("n_below")) -
+                d(col("n_above")) - d(col("n_below")))) /
+              ((d(col("n_above")) + d(col("n_below"))) *
+                (d(col("n_above")) + d(col("n_below"))) *
+                (d(col("n_above")) + d(col("n_below")) - lit(1.0))))).as("z"))
+    },
+
     // Weekday-seasonality screen — the uniformity sibling of an_benford:
     // event volume per day-of-week with the exact χ² against the uniform
     // profile. Weekday comes from PURE INTEGER day arithmetic
@@ -346,6 +398,41 @@ object Analytics {
     "an_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Runs-test twin: the oracle may window freely (LAG in day order gives
+    // adjacency directly); the z tree is token-identical to the engine's.
+    "an_runs" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS dy, COUNT(*) AS n
+        |  FROM events GROUP BY 1
+        |), med AS (
+        |  SELECT n AS med FROM (
+        |    SELECT n, ROW_NUMBER() OVER (ORDER BY n, dy) AS r,
+        |      COUNT(*) OVER () AS nd
+        |    FROM daily
+        |  ) WHERE r = (nd + 1) // 2
+        |), kept AS (
+        |  SELECT dy, n > med AS up FROM daily CROSS JOIN med WHERE n <> med
+        |), sq AS (
+        |  SELECT up, LAG(up) OVER (ORDER BY dy) AS up_p FROM kept
+        |), agg AS (
+        |  SELECT
+        |    (SELECT COUNT(*) FROM kept) AS n_days,
+        |    (SELECT COUNT(*) FROM kept WHERE up) AS n_above,
+        |    (SELECT COUNT(*) FROM kept WHERE NOT up) AS n_below,
+        |    CAST(SUM(CASE WHEN up_p IS NOT NULL AND up <> up_p THEN 1 ELSE 0 END) AS BIGINT) AS t
+        |  FROM sq
+        |)
+        |SELECT n_days, n_above, n_below, t + 1 AS n_runs,
+        |  (CAST(t + 1 AS DOUBLE) -
+        |    (1.0 + (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)) /
+        |      (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)))) /
+        |  sqrt((2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) *
+        |    (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) -
+        |      CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE))) /
+        |    ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) *
+        |      (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) *
+        |      (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0))) AS z
+        |FROM agg""".stripMargin,
     // Seasonality twin: identical integer weekday arithmetic, HUGEINT
     // squares, one boundary division.
     "an_seasonality" ->

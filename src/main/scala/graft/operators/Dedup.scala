@@ -800,6 +800,30 @@ object Dedup {
       verifyJaccard(cands, sh, MinJaccard).orderBy("doc_a", "doc_b")
     },
 
+    // MinHash ESTIMATOR-QUALITY audit on the gate (the dedup sibling of
+    // ss_ann_recall's index-quality report): for every verified near-dup
+    // pair, the signature-estimated Jaccard (matching components / K)
+    // beside the exact value and the absolute error — the number that
+    // tells an operator whether K signature components suffice at the
+    // working threshold. Matching-component counts are exact integers;
+    // est and err are single IEEE ops over them, so the whole report
+    // hash-matches a DuckDB twin that recomputes the Kirsch-Mitzenmacher
+    // signatures from scratch. Cost: the verified pair set (bounded) × one
+    // K-wide array comparison per pair.
+    "dd_minhash_quality" -> { (s, dir) =>
+      val sh = materialized(shingled(s, dir))
+      val sigs = materialized(minhashSigs(sh))
+      queries("dd_minhash_pairs")(s, dir)
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          expr("size(filter(arrays_zip(sa, sb), p -> p.sa = p.sb))").as("n_match"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("n_match"),
+          (col("n_match").cast("double") / lit(K)).as("est"),
+          abs(col("n_match").cast("double") / lit(K) - col("jaccard")).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // SimHash fingerprints (60-bit) per document.
     "dd_simhash" -> { (s, dir) =>
       simhashes(shingled(s, dir)).orderBy("doc_id")
@@ -1162,6 +1186,48 @@ object Dedup {
     // Jaccard ≥ 0.8 on the corpus, and candidates are exact-verified, so the
     // LSH output equals the exact pair set.
     "dd_minhash_pairs" -> exactPairsSql,
+    // Estimator-quality twin: Kirsch-Mitzenmacher signatures recomputed
+    // from scratch (2 md5-derived hashes per shingle, K affine mins) over
+    // the exact ≥-threshold pair set; matching components counted per pair.
+    "dd_minhash_quality" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts)-1)]) AS shingles
+         |  FROM toks WHERE len(ts) >= 3
+         |), inv AS (
+         |  SELECT doc_id, unnest(shingles) AS sng FROM sh
+         |), hs AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5('1:' || sng), 1, 15) AS BIGINT) % $MinhashP AS h1,
+         |    CAST('0x' || substr(md5('2:' || sng), 1, 15) AS BIGINT) % $MinhashP AS h2
+         |  FROM inv
+         |), sg AS (
+         |  SELECT doc_id, i.i AS i, MIN((h1 + i.i * h2) % $MinhashP) AS m
+         |  FROM hs CROSS JOIN range($K) i(i) GROUP BY doc_id, i.i
+         |), common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM inv x JOIN inv y ON x.sng = y.sng AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |), pr AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(common AS DOUBLE) / (len(a.shingles) + len(b.shingles) - common) AS jaccard
+         |  FROM common JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (len(a.shingles) + len(b.shingles) - common) >= 0.8
+         |), mt AS (
+         |  SELECT p.doc_a, p.doc_b, p.jaccard,
+         |    CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS INT) AS n_match
+         |  FROM pr p
+         |  JOIN sg sa ON sa.doc_id = p.doc_a
+         |  JOIN sg sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+         |  GROUP BY p.doc_a, p.doc_b, p.jaccard
+         |)
+         |SELECT doc_a, doc_b, jaccard, n_match,
+         |  CAST(n_match AS DOUBLE) / $K AS est,
+         |  abs(CAST(n_match AS DOUBLE) / $K - jaccard) AS abs_err
+         |FROM mt ORDER BY doc_a, doc_b""".stripMargin,
     "dd_simhash" -> (simhashSql + "\nORDER BY doc_id"),
     "dd_simhash_pairs" ->
       s"""WITH sim AS ($simhashSql), banded AS (
