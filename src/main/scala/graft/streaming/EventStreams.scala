@@ -471,6 +471,72 @@ object EventStreams {
       }
   }
 
+  final case class AttribEvent(tsMicros: Long, event_id: Long, user_id: Long, event_type: String)
+
+  /** Per-user attribution state: recent touches still inside the lookback
+    * of any FUTURE purchase (ts ≥ frontier − window), plus the processed
+    * frontier. O(window × per-user rate), the dropDuplicatesWithinWatermark
+    * state-bound class.
+    */
+  final case class AttribBuf(lastTs: Long, touches: Seq[(Long, Long, String)])
+
+  /** One attributed purchase: first- and last-touch types ('none' when the
+    * lookback is empty) — the live marketing-attribution feed.
+    */
+  final case class AttribRec(event_id: Long, user_id: Long, ft_type: String, lt_type: String)
+
+  /** Streaming twin of the batch attribution models (`ev_attribution`):
+    * emits each purchase's first/last-touch assignment the moment the
+    * purchase arrives. Events process in (ts, event_id) order per user,
+    * TICK-AT-A-TIME like [[funnelStream]]: all of a timestamp's touches
+    * enter the buffer before that timestamp's purchases attribute, which
+    * reproduces the batch RANGE frame's peer semantics (an equal-ts touch
+    * counts regardless of event-id order). The buffer prunes below
+    * tick − window, so state is O(window × rate) per user. FRONTIER RULE:
+    * events with ts strictly below the stored frontier are dropped and
+    * counted ([[rollingFeaturesStream]]); an equal-ts arrival in a LATER
+    * micro-batch still enters the buffer but cannot retro-update purchases
+    * already emitted — exactness holds whenever a timestamp's events land
+    * in one batch (the time-split landing contract; spec-asserted across a
+    * clean 2-file split).
+    */
+  def attributionStream(events: DataFrame): Dataset[AttribRec] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = graft.operators.Events.AttribWindowMicros
+    val late = spark.sparkContext.longAccumulator("eventstreams.attribution.late_dropped")
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(unix_micros(col("ts")).as("tsMicros"), col("event_id"),
+        col("user_id"), col("event_type"))
+      .as[AttribEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribBuf, AttribRec](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+      ) { (uid, it, state) =>
+        var buf = state.getOption.getOrElse(AttribBuf(Long.MinValue, Seq.empty))
+        val (kept, dropped) = it.toSeq.partition(_.tsMicros >= buf.lastTs)
+        late.add(dropped.size)
+        val out = Seq.newBuilder[AttribRec]
+        kept.sortBy(e => (e.tsMicros, e.event_id))
+          .groupBy(_.tsMicros).toSeq.sortBy(_._1)
+          .foreach { case (ts, tick) =>
+            val touches = buf.touches.filter(_._1 >= ts - w) ++
+              tick.filter(_.event_type != "purchase")
+                .map(e => (e.tsMicros, e.event_id, e.event_type))
+            tick.filter(_.event_type == "purchase").foreach { p =>
+              val inWin = touches.filter(t => t._1 >= p.tsMicros - w)
+              val ft = if (inWin.isEmpty) "none" else inWin.min._3
+              val lt = if (inWin.isEmpty) "none" else inWin.max._3
+              out += AttribRec(p.event_id, uid, ft, lt)
+            }
+            buf = AttribBuf(ts, touches)
+          }
+        state.update(buf)
+        out.result().iterator
+      }
+  }
+
   /** Streaming twin of the time-bounded funnel
     * (`ev_funnel_windowed` / [[graft.operators.Events.windowedFunnelReach]]):
     * emits a [[FunnelStageRec]] the moment a user first reaches each stage —

@@ -204,6 +204,54 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution equals the batch RANGE window across a 2-file split") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.operators.Relational.t(spark, sf(), "events")
+    val cut = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)")).head().getLong(0)
+    val d = java.nio.file.Files.createTempDirectory("events-attr")
+    ev.filter(unix_micros(col("ts")) <= cut).coalesce(1).write.parquet(d.resolve("p1").toString)
+    ev.filter(unix_micros(col("ts")) > cut).coalesce(1).write.parquet(d.resolve("p2").toString)
+    def land(part: String, name: String): Unit = {
+      val leaf = java.nio.file.Files.list(d.resolve(part)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(leaf, d.resolve(name))
+    }
+    land("p1", "a.parquet")
+    val q = EventStreams.attributionStream(EventStreams.readEventStream(spark, d.toString))
+      .writeStream.outputMode("append").format("memory").queryName("attr_test").start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table("attr_test").count()
+      assert(afterFirst > 0)
+      land("p2", "b.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("attr_test").collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+      // Batch truth: the ev_attribution window form per purchase.
+      val W = graft.operators.Events.AttribWindowMicros
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tsu").rangeBetween(-W, 0)
+      val touch = when(col("event_type") =!= "purchase",
+        struct(col("tsu"), col("event_id"), col("event_type")))
+      val batch = ev
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"), col("event_type"))
+        .withColumn("lt", max(touch).over(w))
+        .withColumn("ft", min(touch).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          coalesce(col("ft.event_type"), lit("none")).as("ft"),
+          coalesce(col("lt.event_type"), lit("none")).as("lt"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+      assert(afterFirst < batch.size, "both files must contribute purchases")
+      assert(streamed.size == batch.size)
+      streamed.foreach { case (id, fl) =>
+        assert(fl == batch(id), s"purchase $id: streamed $fl != batch ${batch(id)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming windowed funnel reaches the batch stages across a 2-file split") {
     import org.apache.spark.sql.functions._
     val ev = graft.operators.Relational.t(spark, sf(), "events")
