@@ -578,6 +578,25 @@ object Relational2 {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // The PURE-SQL deployment surface on the gate: the engine's native
+    // expressions (md5Long, ShingleSet, Fnv64) registered through
+    // SparkSessionExtensions and invoked from a plain spark.sql string —
+    // exactly what a SQL-only user of the library writes. The oracle
+    // re-derives every function from its public cross-engine definition
+    // (md5 hex prefix, the shingle CTE, the HUGEINT FNV replay over the
+    // RAW text), so the hash match proves the SQL registration dispatches
+    // to the same kernels the DataFrame API uses. Signed %997 folding keeps
+    // the aggregates bounded; both engines take the dividend's sign.
+    "q50_sql_functions" -> { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("q50_docs")
+      s.sql(
+        """SELECT lang, COUNT(*) AS n_docs,
+          |  SUM(graft_md5long(text) % 997) AS md5_mod_sum,
+          |  SUM(size(graft_shingles(text, 3))) AS n_shingles,
+          |  SUM(graft_fnv64(text) % 997) AS fnv_mod_sum
+          |FROM q50_docs GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
     // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
     // hash shuffle → sorted streaming reduce-UDF), driver-verified against
     // the same oracle as the declarative q19: the engine's two execution
@@ -640,6 +659,38 @@ object Relational2 {
         |  SELECT NULLIF(o_custkey, -1) FROM orders WHERE o_orderstatus = 'F'
         |)
         |ORDER BY c_custkey""".stripMargin,
+    // SQL-surface twin: every graft_ function re-derived from its public
+    // definition (raw text — no normalization — for md5/FNV here).
+    "q50_sql_functions" ->
+      """WITH fnv AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        [CAST(CAST('0x' || substr(hx, 2*i-1, 2) AS INT) AS HUGEINT)
+        |         FOR i IN range(1, len(hx)//2 + 1)]),
+        |      (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                 * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+        |    ) AS hu
+        |  FROM (SELECT doc_id, lang, hex(encode(text)) AS hx FROM documents)
+        |), fp AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |         THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS BIGINT) AS fnv
+        |  FROM fnv
+        |), per_doc AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST('0x' || substr(md5(d.text), 1, 15) AS BIGINT) AS m,
+        |    len(list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts)-1)])) AS nsh
+        |  FROM (SELECT doc_id, lang, text,
+        |          list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+        |        FROM documents) d
+        |)
+        |SELECT p.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(p.m % 997) AS BIGINT) AS md5_mod_sum,
+        |  CAST(SUM(p.nsh) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(f.fnv % 997) AS BIGINT) AS fnv_mod_sum
+        |FROM per_doc p JOIN fp f USING (doc_id)
+        |GROUP BY p.lang ORDER BY p.lang""".stripMargin,
     // Join-elimination twin RUNS the join the engine eliminated: equality
     // proves both the rewrite and the declared RI constraints on the data.
     "q49_join_elim" ->
