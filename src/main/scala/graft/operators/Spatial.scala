@@ -132,6 +132,49 @@ object Spatial {
         .orderBy("id")
     },
 
+    // COMPLETE DBSCAN (Ester et al. 1996) — core census → core-graph
+    // connected components → border assignment, the full density
+    // clustering the geo_core_points phase starts: clusters are the CC of
+    // the core-core radius graph labeled by min core id (reusing the
+    // dedup tier's pointer-doubling [[Dedup.connectedComponents]] — an
+    // isolated core is its own cluster), and every non-core point within
+    // Radius of a core joins its LOWEST reachable core's cluster (the
+    // deterministic resolution of DBSCAN's border-tie ambiguity; points
+    // reaching no core are noise and absent). All joins stay on the grid
+    // decomposition — candidate volume bounded by physical density — and
+    // the core graph is density-bounded tiny. The oracle runs the
+    // quadratic pair form with a recursive-CTE closure (the dd_clusters
+    // proof shape), so the hash match proves grid pruning + iterative CC +
+    // border resolution jointly exact. Output: per cluster, core and
+    // border populations.
+    "geo_dbscan" -> { (s, dir) =>
+      val cores = Dedup.materialized(
+        neighborhoodPairs(s, dir, col("a") =!= col("b"))
+          .groupBy(col("a").as("id"))
+          .agg(count(lit(1)).as("n_neighbors"))
+          .filter(col("n_neighbors") >= MinPts)
+          .select(col("id")))
+      val corePairs = neighborhoodPairs(s, dir, col("a") < col("b"))
+        .join(cores.select(col("id").as("a")).hint("broadcast"), "a")
+        .join(cores.select(col("id").as("b")).hint("broadcast"), "b")
+        .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      val cc = Dedup.connectedComponents(corePairs)
+        .select(col("doc_id").as("id"), col("cluster_id"))
+      val coreClusters = Dedup.materialized(
+        cores.join(cc, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id")))
+      val borders = neighborhoodPairs(s, dir, col("a") =!= col("b"))
+        .select(col("a"), col("b"))
+        .join(coreClusters.select(col("id").as("b"), col("cluster_id")).hint("broadcast"), "b")
+        .join(cores.select(col("id").as("a")), Seq("a"), "left_anti")
+        .groupBy(col("a")).agg(min(col("cluster_id")).as("cluster_id"))
+      coreClusters.select(col("cluster_id"), lit(1L).as("c"), lit(0L).as("bd"))
+        .unionByName(borders.select(col("cluster_id"), lit(0L).as("c"), lit(1L).as("bd")))
+        .groupBy("cluster_id")
+        .agg(sum(col("c")).as("n_core"), sum(col("bd")).as("n_border"))
+        .orderBy("cluster_id")
+    },
+
     // Nearest neighbor within Radius for each point that has one: the
     // directed neighborhood pairs reduced by min-distance (tie-broken by
     // lowest neighbor id — min over the exact (d2, b) pair encoded as
@@ -186,6 +229,35 @@ object Spatial {
          |WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= ${Radius * Radius}
          |GROUP BY p.id HAVING COUNT(*) >= $MinPts
          |ORDER BY p.id""".stripMargin,
+    // Quadratic pairs + recursive-CTE closure + naive border resolution —
+    // the dd_clusters proof shape applied to density clustering.
+    "geo_dbscan" ->
+      s"""WITH RECURSIVE $pointsSql, pr AS (
+         |  SELECT p.id AS ida, q.id AS idb
+         |  FROM pts p JOIN pts q ON p.id <> q.id
+         |  WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= ${Radius * Radius}
+         |), cores AS (
+         |  SELECT ida AS id FROM pr GROUP BY ida HAVING COUNT(*) >= $MinPts
+         |), ce AS (
+         |  SELECT pr.ida AS u, pr.idb AS v FROM pr
+         |  JOIN cores c1 ON pr.ida = c1.id JOIN cores c2 ON pr.idb = c2.id
+         |), reach(u, v) AS (
+         |  SELECT id, id FROM cores
+         |  UNION
+         |  SELECT e.u, r.v FROM ce e JOIN reach r ON r.u = e.v
+         |), lab AS (
+         |  SELECT u AS id, MIN(v) AS cluster_id FROM reach GROUP BY u
+         |), bord AS (
+         |  SELECT pr.ida AS id, MIN(l.cluster_id) AS cluster_id
+         |  FROM pr JOIN lab l ON pr.idb = l.id
+         |  WHERE pr.ida NOT IN (SELECT id FROM cores)
+         |  GROUP BY pr.ida
+         |)
+         |SELECT cluster_id, CAST(SUM(c) AS BIGINT) AS n_core, CAST(SUM(bd) AS BIGINT) AS n_border
+         |FROM (
+         |  SELECT cluster_id, 1 AS c, 0 AS bd FROM lab
+         |  UNION ALL SELECT cluster_id, 0, 1 FROM bord
+         |) GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "geo_nn" ->
       s"""WITH $pointsSql, pairs AS (
          |  SELECT p.id AS a,

@@ -59,6 +59,34 @@ class SpatialSpec extends SparkSpec {
     cores.values.foreach(n => assert(n >= Spatial.MinPts))
   }
 
+  test("dbscan: clusters equal a driver-side union-find over the pair set") {
+    val got = Spatial.queries("geo_dbscan")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = Spatial.queries("geo_radius_join")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    pairs.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    val cores = deg.filter(_._2 >= Spatial.MinPts).keySet.toSet
+    // Union-find over core-core edges.
+    val parent = scala.collection.mutable.Map(cores.map(c => c -> c).toSeq: _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      if (cores(a) && cores(b)) parent(find(a)) = find(b)
+    }
+    val coreCluster = cores.map(c => c -> cores.filter(d => find(d) == find(c)).min).toMap
+    val borderCluster = pairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a).collect { case (p, c) if !cores(p) && cores(c) => p -> coreCluster(c) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val exp = (coreCluster.values.map(c => c -> ((1L, 0L))) ++
+      borderCluster.values.map(c => c -> ((0L, 1L))))
+      .groupBy(_._1).map { case (c, xs) =>
+        (c, xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+      }.toSeq.sortBy(_._1)
+    assert(got.toSeq == exp, s"got ${got.toSeq} want $exp")
+    // Border points are never cores; every cluster id IS a core id.
+    got.foreach { case (cid, nc, _) => assert(cores(cid) && nc >= 1) }
+  }
+
   test("cell stats: occupancy sums to points living in multi-point cells") {
     val rows = Spatial.queries("geo_cell_stats")(spark, sf()).collect()
     rows.foreach { r =>
