@@ -19,11 +19,29 @@ object Stored {
   private val stored = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def materialize(name: String, dir: String, s: SparkSession)(df: => DataFrame): DataFrame = {
-    val path = stored.computeIfAbsent(s"$name:$dir", { _ =>
-      val p = graft.operators.Connectors.tmp(name)
-      df.write.mode("overwrite").parquet(p)
-      p
-    })
+    val key = s"$name:$dir"
+    // NOT computeIfAbsent around the build: build thunks legitimately NEST
+    // (ivf_cells trains ivf_centroids inside its own thunk), and
+    // ConcurrentHashMap forbids recursive updates — the nested insert can
+    // land mid-resize and throw IllegalStateException("Recursive update"),
+    // bin-layout-dependent and therefore intermittent. Object-monitor
+    // synchronization is REENTRANT, so nested builds on one thread are
+    // fine; concurrent builders of different structures serialize, which is
+    // irrelevant at build frequency (once per structure per session).
+    val path = stored.get(key) match {
+      case null =>
+        this.synchronized {
+          stored.get(key) match {
+            case null =>
+              val p = graft.operators.Connectors.tmp(name)
+              df.write.mode("overwrite").parquet(p)
+              stored.put(key, p)
+              p
+            case hit => hit
+          }
+        }
+      case hit => hit
+    }
     s.read.parquet(path)
   }
 }
