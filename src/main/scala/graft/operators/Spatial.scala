@@ -158,7 +158,12 @@ object Spatial {
         .join(cores.select(col("id").as("a")).hint("broadcast"), "a")
         .join(cores.select(col("id").as("b")).hint("broadcast"), "b")
         .select(col("a").as("doc_a"), col("b").as("doc_b"))
-      val cc = Dedup.connectedComponents(corePairs)
+      // Stars, not label propagation: the core graph is a supercritical
+      // percolation cluster whose giant component spans the grid (12k+
+      // cores at sf0.1) — edge-REWRITING contraction (O(log² n) rounds,
+      // each shrinking the edge set) converges there where min-label
+      // propagation's per-round cost over a static edge set does not pay.
+      val cc = Dedup.connectedComponentsStars(corePairs)
         .select(col("doc_id").as("id"), col("cluster_id"))
       val coreClusters = Dedup.materialized(
         cores.join(cc, Seq("id"), "left_outer")
