@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -55,9 +55,14 @@ object JoinElimination extends Rule[LogicalPlan] {
     ("supplier", "s_nationkey", "nation", "n_nationkey"),
     ("nation", "n_regionkey", "region", "r_regionkey"))
 
-  /** FK column name → (parent table, PK column), the rule's lookup form. */
-  val Constraints: Map[String, (String, String)] =
-    Declared.map { case (_, fk, pt, pk) => fk -> ((pt, pk)) }.toMap
+  /** FK column name → (FK table, parent table, PK column), the rule's
+    * lookup form. The FK table matters as much as the parent: the declared
+    * constraint holds for values OF THAT TABLE'S COLUMN, so the rule must
+    * prove the kept side's FK attribute actually carries them (lineage
+    * check below), not merely shares the name.
+    */
+  val Constraints: Map[String, (String, String, String)] =
+    Declared.map { case (ft, fk, pt, pk) => fk -> ((ft, pt, pk)) }.toMap
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(_, j: Join) =>
@@ -72,15 +77,20 @@ object JoinElimination extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** `keep` if `drop` is a bare registered parent scan joined pk = fk and
-    * nothing above references it.
+  /** `keep` if `drop` is a bare registered parent scan joined pk = fk,
+    * nothing above references it, AND the kept side's FK attribute provably
+    * carries values of the DECLARED child table's column (lineage check —
+    * a same-named alias on an unrelated table, or an FK null-extended by an
+    * upstream outer join, must decline: the real inner join would change
+    * those rows and elimination would silently keep them).
     */
   private def trySide(refs: AttributeSet, keep: LogicalPlan, drop: LogicalPlan,
       x: Attribute, y: Attribute): Option[LogicalPlan] = {
     val (fk, pk) = if (drop.outputSet.contains(x)) (y, x) else (x, y)
     if (drop.outputSet.contains(pk) && keep.outputSet.contains(fk)
-      && Constraints.get(fk.name).exists { case (ptab, pcol) =>
-        pk.name == pcol && parentTableOf(drop).contains(ptab)
+      && Constraints.get(fk.name).exists { case (ftab, ptab, pcol) =>
+        pk.name == pcol && parentTableOf(drop).contains(ptab) &&
+          childTableOf(keep, fk).contains(ftab)
       }
       && refs.intersect(drop.outputSet).isEmpty) Some(keep)
     else None
@@ -92,14 +102,52 @@ object JoinElimination extends Rule[LogicalPlan] {
   private def parentTableOf(p: LogicalPlan): Option[String] = p match {
     case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
       parentTableOf(child)
-    case lr: LogicalRelation =>
-      lr.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.rootPaths.toList match {
-            case one :: Nil if one.getName.endsWith(".parquet") =>
-              Some(one.getName.stripSuffix(".parquet"))
-            case _ => None
-          }
+    case lr: LogicalRelation => scanTableOf(lr)
+    case _ => None
+  }
+
+  /** The parquet table the attribute `a`'s VALUES come from, tracing only
+    * through operators that preserve them row-wise: attribute/alias-of-
+    * attribute Projects, Filters, and the non-null-extended side of a join
+    * (inner/cross both sides; left-outer/semi/anti left only; right-outer
+    * right only). Anything else — a full outer join, the nullable side of
+    * an outer join, a computed alias, a generator, a union — returns None
+    * and the rule declines: those shapes can introduce NULLs or values the
+    * declared constraint never covered. Unlike [[parentTableOf]] this does
+    * NOT care about multiplicity (duplicating or dropping kept rows keeps
+    * every surviving fk a genuine child-table value, which is all
+    * soundness needs on the kept side).
+    */
+  private def childTableOf(p: LogicalPlan, a: Attribute): Option[String] = p match {
+    case Project(ps, child) =>
+      ps.find(_.toAttribute.exprId == a.exprId).flatMap {
+        case ar: AttributeReference => childTableOf(child, ar)
+        case Alias(ar: AttributeReference, _) => childTableOf(child, ar)
+        case _ => None
+      }
+    case Filter(_, child) => childTableOf(child, a)
+    case SubqueryAlias(_, child) => childTableOf(child, a)
+    case Join(l, r, jt, _, _) =>
+      val fromLeft = l.outputSet.contains(a)
+      val valuePreserved = jt match {
+        case Inner | Cross => true
+        case LeftOuter | LeftSemi | LeftAnti => fromLeft
+        case RightOuter => !fromLeft
+        case _ => false
+      }
+      if (valuePreserved) childTableOf(if (fromLeft) l else r, a) else None
+    case lr: LogicalRelation if lr.outputSet.contains(a) => scanTableOf(lr)
+    case _ => None
+  }
+
+  /** The single-file parquet table name behind a scan (the engine's table
+    * layer, `sources/Tables.scala`); None for any other relation.
+    */
+  private def scanTableOf(lr: LogicalRelation): Option[String] = lr.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.toList match {
+        case one :: Nil if one.getName.endsWith(".parquet") =>
+          Some(one.getName.stripSuffix(".parquet"))
         case _ => None
       }
     case _ => None

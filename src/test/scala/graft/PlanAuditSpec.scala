@@ -177,6 +177,68 @@ class PlanAuditSpec extends SparkSpec {
     assert(p3.contains("Join"), s"unregistered key must keep its join:\n$p3")
   }
 
+  test("join elimination does NOT fire when the FK lineage is not the declared child table") {
+    import org.apache.spark.sql.functions._
+    val li = graft.operators.Relational.t(spark, sf(), "lineitem")
+    val o = graft.operators.Relational.t(spark, sf(), "orders")
+    val part = graft.operators.Relational.t(spark, sf(), "part")
+    // Outer-join-derived FK: lineitem as the NULL-EXTENDED side of a left
+    // outer join means l_orderkey can arrive NULL even though the base
+    // column never is — the inner join with orders drops those rows;
+    // elimination would keep them. The full optimizer happens to repair
+    // THIS shape (EliminateOuterJoin infers l_orderkey IS NOT NULL from
+    // the inner equality and converts the outer join first, making
+    // elimination sound again), so the rule is applied DIRECTLY to the
+    // hand-built null-extended plan: the lineage check alone must decline.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.EqualTo
+      import org.apache.spark.sql.catalyst.plans.{Inner => CInner, LeftOuter => CLeftOuter}
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, JoinHint, Project => LProject}
+      val partPlan = part.select("p_partkey", "p_type").queryExecution.optimizedPlan
+      val liPlan = li.select("l_partkey", "l_orderkey").queryExecution.optimizedPlan
+      val oPlan = o.select("o_orderkey").queryExecution.optimizedPlan
+      def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      val outer = LJoin(partPlan, liPlan, CLeftOuter,
+        Some(EqualTo(a(partPlan, "p_partkey"), a(liPlan, "l_partkey"))), JoinHint.NONE)
+      val inner = LJoin(outer, oPlan, CInner,
+        Some(EqualTo(a(outer, "l_orderkey"), a(oPlan, "o_orderkey"))), JoinHint.NONE)
+      val top = LProject(Seq(a(partPlan, "p_type")), inner)
+      val after = graft.plans.JoinElimination(top)
+      assert(after.collect { case j: LJoin => j }.size == 2,
+        s"outer-join-derived (nullable) FK must keep the orders join:\n$after")
+      // Control: the SAME hand-built shape with the outer join made Inner
+      // (l_orderkey value-preserved) must eliminate — proving the decline
+      // above is the lineage check, not an accident of the plan shape.
+      val innerBase = LJoin(partPlan, liPlan, CInner,
+        Some(EqualTo(a(partPlan, "p_partkey"), a(liPlan, "l_partkey"))), JoinHint.NONE)
+      val inner2 = LJoin(innerBase, oPlan, CInner,
+        Some(EqualTo(a(innerBase, "l_orderkey"), a(oPlan, "o_orderkey"))), JoinHint.NONE)
+      val after2 = graft.plans.JoinElimination(LProject(Seq(a(partPlan, "p_type")), inner2))
+      assert(after2.collect { case j: LJoin => j }.size == 1,
+        s"inner-join lineage must still eliminate the orders join:\n$after2")
+    }
+    // Same-NAMED column aliased from an unrelated table: the name matches
+    // the registry but the values are events.user_id, for which no
+    // constraint was ever declared → must decline.
+    val ev = graft.operators.Relational.t(spark, sf(), "events")
+      .select(col("user_id").as("l_orderkey"))
+    val p2 = ev.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(p2.contains("Join"),
+      s"alias from an undeclared table must keep its join:\n$p2")
+    // Lineage THROUGH value-preserving shapes still fires: a filter and an
+    // attribute-only project on the fact side do not change the values the
+    // constraint covers, so the unused dimension still drops.
+    val p4 = li.filter(col("l_quantity") > 10).select("l_orderkey", "l_returnflag")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(!p4.contains("orders.parquet"),
+      s"filtered+projected fact keeps provable lineage — join must still eliminate:\n$p4")
+  }
+
   test("top-k is TakeOrdered, not a global sort") {
     assert(plan("q10_top_parts_by_revenue").contains("TakeOrderedAndProject"),
       "limit after sort should plan TakeOrderedAndProject")
