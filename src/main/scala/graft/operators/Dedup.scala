@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.HashFunctions.md5Long
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators over `documents` / `embeddings` — the core
   * LLM-training-data-pipeline surface: exact, MinHash+LSH, SimHash, n-gram
@@ -498,21 +499,32 @@ object Dedup {
     * Fixpoint (edge set unchanged by a full round) ⇔ every edge links a
     * vertex directly to its component minimum. Each round's output is
     * eagerly checkpointed (constant-size plans, same rationale as
-    * [[connectedComponents]]); convergence is one except + one count per
-    * round (ss ⊆ prev ∧ |ss| = |prev| ⇒ equal — at deployment scale swap
-    * the except for a count+checksum compare).
+    * [[connectedComponents]]); convergence detection is ONE aggregate job
+    * per round — (count, Σ xxhash64(u,v)), an order-independent set
+    * signature — with the full `except` anti-join run only ONCE, on the
+    * round whose signature matched, as the exact certificate. A signature
+    * collision (≈2⁻⁶⁴ per round) cannot produce a wrong answer: the
+    * certifying except catches it and the loop continues.
     *
     * Output: (doc_id, cluster_id = component minimum), every vertex of the
     * pair graph present — byte-identical to [[connectedComponents]] (both
     * run against the same recursive-CTE oracle on the driver gate).
     */
   def connectedComponentsStars(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
+    // Σ through DECIMAL(38,0): a long sum of 2⁶³-scale hashes overflows
+    // (ANSI addExact throws); 38 digits absorb any realistic edge count.
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
     var edges = pairs
       .select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
+    var edgesSig = signature(edges)
     var converged = false
     var round = 0
     while (!converged) {
@@ -535,9 +547,11 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
+      val ssSig = signature(ss)
+      converged = ssSig == edgesSig && ss.except(edges).isEmpty
       freeCheckpoint(edges)
       edges = ss
+      edgesSig = ssSig
     }
     val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))

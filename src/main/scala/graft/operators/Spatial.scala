@@ -148,15 +148,28 @@ object Spatial {
     // border resolution jointly exact. Output: per cluster, core and
     // border populations.
     "geo_dbscan" -> { (s, dir) =>
-      val cores = Dedup.materialized(
+      // The grid candidate join is the expensive step, and three passes
+      // need its output (core census, core-core edges, border pairs) —
+      // materialize the DIRECTED id-pair frame once and derive all three.
+      // Ids only: the downstream passes never look at coordinates, so the
+      // materialized frame is two longs per qualifying pair.
+      val nbr = Dedup.materialized(
         neighborhoodPairs(s, dir, col("a") =!= col("b"))
-          .groupBy(col("a").as("id"))
+          .select(col("a"), col("b")))
+      val cores = Dedup.materialized(
+        nbr.groupBy(col("a").as("id"))
           .agg(count(lit(1)).as("n_neighbors"))
           .filter(col("n_neighbors") >= MinPts)
           .select(col("id")))
-      val corePairs = neighborhoodPairs(s, dir, col("a") < col("b"))
-        .join(cores.select(col("id").as("a")).hint("broadcast"), "a")
-        .join(cores.select(col("id").as("b")).hint("broadcast"), "b")
+      // cores / coreClusters grow O(points) — in a dense region nearly
+      // every point is a core — so these joins are deliberately UNHINTED:
+      // all frames are already equality-keyed on the id, AQE broadcasts
+      // them while they are small and falls back to a shuffle join when a
+      // 100× corpus makes them big; a forced broadcast here would bypass
+      // every size guard and OOM the driver at scale.
+      val corePairs = nbr.filter(col("a") < col("b"))
+        .join(cores.select(col("id").as("a")), "a")
+        .join(cores.select(col("id").as("b")), "b")
         .select(col("a").as("doc_a"), col("b").as("doc_b"))
       // Stars, not label propagation: the core graph is a supercritical
       // percolation cluster whose giant component spans the grid (12k+
@@ -168,9 +181,8 @@ object Spatial {
       val coreClusters = Dedup.materialized(
         cores.join(cc, Seq("id"), "left_outer")
           .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id")))
-      val borders = neighborhoodPairs(s, dir, col("a") =!= col("b"))
-        .select(col("a"), col("b"))
-        .join(coreClusters.select(col("id").as("b"), col("cluster_id")).hint("broadcast"), "b")
+      val borders = nbr
+        .join(coreClusters.select(col("id").as("b"), col("cluster_id")), "b")
         .join(cores.select(col("id").as("a")), Seq("a"), "left_anti")
         .groupBy(col("a")).agg(min(col("cluster_id")).as("cluster_id"))
       coreClusters.select(col("cluster_id"), lit(1L).as("c"), lit(0L).as("bd"))
