@@ -171,20 +171,32 @@ object Events {
     // — then answer weekly distinct users by UNIONING the daily sketches,
     // never rescanning the event stream. At 100 TB this turns "distinct
     // users over any date range" from a full-scan distinct into a merge of
-    // O(days) KB-sized sketches. Estimates are approximate ⇒ rows-only on
-    // the driver gate; EventStreamsSpec bounds the error against the exact
-    // distinct and proves the estimate is identical to the one computed
-    // directly from the raw week (sketch merge loses nothing vs
-    // sketch-from-scratch).
+    // O(days) KB-sized sketches. ON the hash gate via the sketch-contract
+    // shape (q24): the engine joins the weekly merged-sketch estimate
+    // against the exact weekly distinct and emits (exact, within_bound);
+    // the oracle computes the exact with literal TRUE, so a hash match
+    // proves the merged sketch landed within the documented 5% bound
+    // (default lgK=12 on a few hundred distincts ⇒ rsd ≈1.6%). The join is
+    // |weeks|-sized on both sides — calendar-bounded, metadata-narrow.
     "ev_hll_rollup" -> { (s, dir) =>
       val ev = Relational.t(s, dir, "events")
+      val week = (c: org.apache.spark.sql.Column) =>
+        floor(datediff(c, lit("2024-01-01").cast("date")) / 7).cast("int")
       val daily = ev
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .groupBy("day")
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      daily
-        .groupBy(floor(datediff(col("day"), lit("2024-01-01").cast("date")) / 7).cast("int").as("week"))
+      val approx = daily
+        .groupBy(week(col("day")).as("week"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      val exact = ev
+        .select(week(to_date(col("ts"))).as("week"), col("user_id"))
+        .groupBy("week")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(approx, Seq("week"))
+        .select(col("week"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("within_bound"))
         .orderBy("week")
     },
 
@@ -882,6 +894,14 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    // Sketch-contract gate (the q24 shape): exact weekly distincts with a
+    // literal TRUE; the engine's within_bound proves the merged daily
+    // sketches landed inside the 5% bound.
+    "ev_hll_rollup" ->
+      """SELECT CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT) AS week,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY week ORDER BY week""".stripMargin,
     "ev_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

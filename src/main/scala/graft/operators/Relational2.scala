@@ -120,18 +120,29 @@ object Relational2 {
         .orderBy("l_linestatus")
     },
 
-    // Approximate distinct (HLL++): no cross-engine oracle (sketch
-    // implementations differ); the driver records rows-only, and the spec
-    // asserts the estimate lands within the documented error bound vs the
-    // oracle-checked exact twin below. Keeping the HLL columns alone also
-    // keeps the plan a single partial-aggregate pass — mixing them with
-    // exact countDistinct forced an Expand ×2 multi-distinct plan.
+    // Approximate distinct (HLL++) ON the hash gate: sketch internals have
+    // no cross-engine twin, but the sketch's CONTRACT does — the engine
+    // computes estimate AND exact in one plan and emits (exact,
+    // within_bound); the oracle computes the exact value with a literal
+    // TRUE, so a hash match proves the estimate met its documented error
+    // bound (default rsd 5%, 3× slack for small cardinalities — the
+    // RelationalSpec bound, now driver-checked). The sketch and exact
+    // aggregates run as two separate one-row frames cross-joined (mixing
+    // approx with exact countDistinct in one agg forced an Expand ×2
+    // multi-distinct plan).
     "q24_approx_distinct" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders")
-        )
+      val li = t(s, dir, "lineitem")
+      val approx = li.agg(
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
+      val exact = li.agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      exact.crossJoin(broadcast(approx)) // one-row sketch frame
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * lit(0.15) &&
+            abs(col("ao") - col("exact_orders")) <= col("exact_orders") * lit(0.15))
+            .as("within_bound"))
     },
 
     // Exact twin of q24: oracle-checked countDistinct over the same columns.
@@ -143,21 +154,32 @@ object Relational2 {
         )
     },
 
-    // Approximate percentiles (the KLL-style quantile-sketch tier, partial-
-    // aggregable like HLL): rows-only on the driver gate (sketch internals
-    // have no cross-engine twin); Relational2Spec bounds the estimates
-    // against the exact oracle-checked q23 — accuracy 1000 caps rank error
-    // at n/1000, which on this integer-valued column means the estimate is
-    // one of the true quantile's neighboring values.
+    // Approximate percentiles (the KLL/GK quantile-sketch tier, partial-
+    // aggregable like HLL) ON the hash gate via the q24 contract shape:
+    // sketch and exact percentiles computed in ONE aggregate pass, output
+    // is (exact quantiles, within_bound) where the bound is the
+    // RelationalSpec one — accuracy 1000 caps rank error at n/1000, which
+    // on this integer-valued column keeps every estimate within one value
+    // of the true quantile. The oracle computes the exact quantiles with a
+    // literal TRUE, so the hash match drives the sketch's error contract
+    // through the gate.
     "q36_approx_quantiles" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_linestatus")
         .agg(
-          expr("approx_percentile(l_quantity, 0.25, 1000)").as("ap25_qty"),
-          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50_qty"),
-          expr("approx_percentile(l_quantity, 0.75, 1000)").as("ap75_qty"),
+          expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.75)").as("p75_qty"),
+          expr("approx_percentile(l_quantity, 0.25, 1000)").as("ap25"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(l_quantity, 0.75, 1000)").as("ap75"),
           count(lit(1)).as("n_items")
         )
+        .select(col("l_linestatus"), col("p25_qty"), col("p50_qty"), col("p75_qty"),
+          col("n_items"),
+          (abs(col("ap25") - col("p25_qty")) <= lit(1.0) &&
+            abs(col("ap50") - col("p50_qty")) <= lit(1.0) &&
+            abs(col("ap75") - col("p75_qty")) <= lit(1.0)).as("within_bound"))
         .orderBy("l_linestatus")
     },
 
@@ -869,7 +891,22 @@ object Relational2 {
         |  quantile_cont(l_quantity, 0.75) AS p75_qty,
         |  COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
-    // q24_approx_distinct: rows-only by design (sketches differ per engine).
+    // Sketch-contract gates: the oracle computes the EXACT values and a
+    // literal TRUE; the engine emits exact + its in-plan bound check, so
+    // the hash match proves the estimate honored its error contract.
+    "q24_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS within_bound
+        |FROM lineitem""".stripMargin,
+    "q36_approx_quantiles" ->
+      """SELECT l_linestatus,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.75) AS p75_qty,
+        |  COUNT(*) AS n_items,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q24_exact_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
         |  COUNT(DISTINCT l_orderkey) AS exact_orders

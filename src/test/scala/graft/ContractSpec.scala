@@ -15,18 +15,14 @@ class ContractSpec extends AnyFunSuite {
     * with no SQL-expressible oracle); each has a ScalaTest bound instead.
     * Growing this set is a deliberate act — add the name here AND a spec.
     */
-  private val rowsOnlyByDesign = Set(
-    // Round 6 graduated ss_ann_lsh / ss_ann_ivf / mm_decode_features;
-    // round 7 graduated ss_ann_pq / ss_ann_ivfpq (unrolled per-subspace
-    // codebook twins), ta_bpe_merges / ta_bpe_encode (unrolled merge-round
-    // CTEs with a fold rewrite), and ta_fingerprint_fnv (HUGEINT modular
-    // replay). What remains is the SKETCH class, rows-only by design:
-    // cross-engine equality of approximate binary state is not a
-    // meaningful contract — bounds live in ScalaTest.
-    "ev_hll_rollup",        // stored HLL sketch rollup (engine-native binary state)
-    "q24_approx_distinct",  // HLL approximate distinct
-    "q36_approx_quantiles"  // KLL/GK approximate quantiles
-  )
+  private val rowsOnlyByDesign = Set.empty[String]
+  // Round 6 graduated ss_ann_lsh / ss_ann_ivf / mm_decode_features; round 7
+  // graduated ss_ann_pq / ss_ann_ivfpq, ta_bpe_merges / ta_bpe_encode, and
+  // ta_fingerprint_fnv; round 8 graduated the last class — the SKETCHES
+  // (ev_hll_rollup, q24_approx_distinct, q36_approx_quantiles) — via the
+  // contract shape: the engine emits (exact, within_bound) with the bound
+  // checked in-plan, the oracle computes the exact values with literal
+  // TRUE. Every declared query now carries a full hash oracle.
 
   test("every oracle key names a declared query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
