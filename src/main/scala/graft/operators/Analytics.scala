@@ -266,15 +266,21 @@ object Analytics {
           col("y2") > col("dy"))
         .groupBy("dy", "up").agg(min(col("y2")).as("nxt"))
         .join(broadcast(kept.select(col("dy").as("nxt"), col("up").as("up_n"))), Seq("nxt"))
+      // Degenerate-series guards, mirrored in the oracle: aggregates over
+      // an EMPTY adjacent/kept frame coalesce to 0 (a near-constant series
+      // keeps zero or one day), n_runs is 0 when nothing was kept, and z
+      // is NULL unless its variance is strictly positive — 2ab > a+b is
+      // exactly σ² > 0, so the IEEE tree never divides by zero.
       val trans = adjacent
-        .agg(sum(when(col("up") =!= col("up_n"), 1L).otherwise(0L)).as("t"))
+        .agg(coalesce(sum(when(col("up") =!= col("up_n"), 1L).otherwise(0L)), lit(0L)).as("t"))
       kept.agg(count(lit(1)).as("n_days"),
-          sum(when(col("up"), 1L).otherwise(0L)).as("n_above"),
-          sum(when(!col("up"), 1L).otherwise(0L)).as("n_below"))
+          coalesce(sum(when(col("up"), 1L).otherwise(0L)), lit(0L)).as("n_above"),
+          coalesce(sum(when(!col("up"), 1L).otherwise(0L)), lit(0L)).as("n_below"))
         .crossJoin(broadcast(trans))
         .select(col("n_days"), col("n_above"), col("n_below"),
-          (col("t") + 1).as("n_runs"),
-          ((d(col("t") + 1) -
+          when(col("n_days") === 0, 0L).otherwise(col("t") + 1).as("n_runs"),
+          when(col("n_above") * col("n_below") * 2 > col("n_above") + col("n_below"),
+          (d(col("t") + 1) -
             (lit(1.0) + (lit(2.0) * d(col("n_above")) * d(col("n_below"))) /
               (d(col("n_above")) + d(col("n_below"))))) /
             sqrt((lit(2.0) * d(col("n_above")) * d(col("n_below")) *
@@ -419,10 +425,12 @@ object Analytics {
         |    (SELECT COUNT(*) FROM kept) AS n_days,
         |    (SELECT COUNT(*) FROM kept WHERE up) AS n_above,
         |    (SELECT COUNT(*) FROM kept WHERE NOT up) AS n_below,
-        |    CAST(SUM(CASE WHEN up_p IS NOT NULL AND up <> up_p THEN 1 ELSE 0 END) AS BIGINT) AS t
+        |    COALESCE(CAST(SUM(CASE WHEN up_p IS NOT NULL AND up <> up_p THEN 1 ELSE 0 END) AS BIGINT), 0) AS t
         |  FROM sq
         |)
-        |SELECT n_days, n_above, n_below, t + 1 AS n_runs,
+        |SELECT n_days, n_above, n_below,
+        |  CASE WHEN n_days = 0 THEN 0 ELSE t + 1 END AS n_runs,
+        |  CASE WHEN n_above * n_below * 2 > n_above + n_below THEN
         |  (CAST(t + 1 AS DOUBLE) -
         |    (1.0 + (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)) /
         |      (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)))) /
@@ -431,7 +439,8 @@ object Analytics {
         |      CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE))) /
         |    ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) *
         |      (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) *
-        |      (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0))) AS z
+        |      (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0)))
+        |  ELSE NULL END AS z
         |FROM agg""".stripMargin,
     // Seasonality twin: identical integer weekday arithmetic, HUGEINT
     // squares, one boundary division.

@@ -286,12 +286,17 @@ object Quality {
   val oracles: Map[String, String] = Map(
     // Generated from the SAME registry sequence as the query.
     "dq_referential" ->
+      // NOT EXISTS, never NOT IN: a NULL parent PK would make NOT IN yield
+      // zero rows (n_orphans=0) while the engine's left-join count reports
+      // the real orphans — the audit and its oracle would disagree exactly
+      // in the corruption scenario the audit exists to surface.
       (graft.plans.JoinElimination.Declared.map { case (ft, fk, pt, pk) =>
         s"""SELECT '$ft.$fk->$pt.$pk' AS constraint_name,
            |  (SELECT COUNT(*) FROM $ft) AS n_rows,
            |  (SELECT COUNT(*) FROM $ft WHERE $fk IS NULL) AS n_null_fk,
            |  (SELECT COUNT(*) FROM $ft
-           |   WHERE $fk IS NOT NULL AND $fk NOT IN (SELECT $pk FROM $pt)) AS n_orphans,
+           |   WHERE $fk IS NOT NULL
+           |   AND NOT EXISTS (SELECT 1 FROM $pt WHERE $pk = $fk)) AS n_orphans,
            |  (SELECT COUNT(*) - COUNT(DISTINCT $pk) FROM $pt) AS n_dup_pk""".stripMargin
       }.mkString("", "\nUNION ALL ", "\nORDER BY constraint_name")),
     "dq_expectations" ->

@@ -92,9 +92,13 @@ object StreamGate {
       (0 until Splits).foreach { k =>
         val pdir = java.nio.file.Paths.get(s"$landing/part$k")
         land(k)
-        val leaf = java.nio.file.Files.list(pdir).toArray
-          .map(_.asInstanceOf[java.nio.file.Path])
-          .find(_.toString.endsWith(".parquet")).get
+        // Files.list holds an open directory handle — close it or one
+        // handle leaks per landing split.
+        val st = java.nio.file.Files.list(pdir)
+        val leaf =
+          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.toString.endsWith(".parquet")).get
+          finally st.close()
         java.nio.file.Files.move(leaf, java.nio.file.Paths.get(s"$landing/f$k.parquet"))
         org.apache.commons.io.FileUtils.deleteDirectory(pdir.toFile)
       }

@@ -18,6 +18,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(n == Relational.t(spark, sf(), "events").count())
   }
 
+  test("an_runs survives near-constant daily series (degenerate guards)") {
+    import spark.implicits._
+    def eventsDir(counts: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("an_runs_degen").toString
+      counts.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map(i => java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:$i%02d:00"))
+      }.toDF("ts").write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // Exactly ONE non-median day kept: the adjacent frame is empty, so t
+    // must coalesce to 0 (one run), and z's variance is 0 → NULL.
+    val one = Analytics.queries("an_runs")(spark, eventsDir(Seq(2, 2, 3, 2, 2))).head()
+    assert((one.getLong(0), one.getLong(1), one.getLong(2), one.getLong(3)) == ((1L, 1L, 0L, 1L)))
+    assert(one.isNullAt(4), "z must be NULL when the runs variance is zero")
+    // Fully constant series: nothing kept — zero days, zero runs, NULL z.
+    val const = Analytics.queries("an_runs")(spark, eventsDir(Seq(2, 2, 2, 2, 2))).head()
+    assert((const.getLong(0), const.getLong(3)) == ((0L, 0L)))
+    assert(const.isNullAt(4))
+  }
+
   test("skyline: equals brute-force pareto frontier; mutually non-dominating") {
     val rows = Analytics.queries("an_skyline")(spark, sf()).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
