@@ -81,7 +81,7 @@ object Analytics {
       val yl = round(col("l_extendedprice") * 100).cast("long")
       val d = (c: String) => col(c).cast("double")
       Relational.t(s, dir, "lineitem")
-        .join(broadcast(Relational.t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Relational.t(s, dir, "part")), col("l_partkey") === col("p_partkey")) // bounded: part dimension (star-join build side)
         .select(col("p_brand"), xl.as("xl"), yl.as("yl"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"),
@@ -114,7 +114,7 @@ object Analytics {
         .select(col("o_orderkey"), col("o_totalprice").cast(d).as("x"))
       val ranked = Pipeline.globalRowNumbers(s, vals, "rk", col("x"), col("o_orderkey"))
       val nRow = vals.agg(count(lit(1)).as("n"))
-      ranked.crossJoin(broadcast(nRow))
+      ranked.crossJoin(broadcast(nRow)) // bounded: one row
         .select(expr(s"((rk - 1) * $HistK) div n").as("bucket"), col("x"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"),
@@ -166,9 +166,9 @@ object Analytics {
       val nT = cells.agg(sum("o").as("n"))
       val d = (c: org.apache.spark.sql.Column) => c.cast("double")
       cells
-        .join(broadcast(rT), "lang")
-        .join(broadcast(cT), "source")
-        .crossJoin(broadcast(nT))
+        .join(broadcast(rT), "lang") // bounded: |langs| rows
+        .join(broadcast(cT), "source") // bounded: |sources| rows
+        .crossJoin(broadcast(nT)) // bounded: one row
         .withColumn("dev", col("n") * col("o") - col("rt") * col("ct"))
         .select(col("lang"), col("source"), col("o"), col("dev"),
           (d(col("dev")) * d(col("dev")) / (d(col("n")) * d(col("rt")) * d(col("ct"))))
@@ -194,7 +194,7 @@ object Analytics {
       val cum = Pipeline.globalPrefixSums(s, sp, "cum", "cents",
         negate(col("cents")), col("o_custkey"))
       val t = sp.agg(sum("cents").as("total"), count(lit(1)).as("n"))
-      cum.crossJoin(broadcast(t))
+      cum.crossJoin(broadcast(t)) // bounded: one row
         .agg(
           max(col("n")).as("n_customers"),
           sum(when(lit(5) * (col("cum") - col("cents")) < lit(4) * col("total"), 1L)
@@ -225,7 +225,7 @@ object Analytics {
         when(col("digit") === d, lit(ppm)).otherwise(acc)
       }
       digits.groupBy("digit").agg(count(lit(1)).as("n_orders"))
-        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(n)) // bounded: one row
         .select(col("digit"), col("n_orders"),
           expPpm.as("exp_ppm"),
           (col("n_orders") * lit(1000000L) - expPpm * col("n_total")).as("dev_ppm_n"),
@@ -252,20 +252,20 @@ object Analytics {
         .groupBy("dy").agg(count(lit(1)).as("n")))
       val nd = daily.agg(count(lit(1)).as("nd"))
       val med = daily
-        .join(broadcast(daily.select(col("n").as("m2"), col("dy").as("y2"))),
+        .join(broadcast(daily.select(col("n").as("m2"), col("dy").as("y2"))), // bounded: calendar-days frame
           col("m2") < col("n") || (col("m2") === col("n") && col("y2") <= col("dy")))
         .groupBy("dy", "n").agg(count(lit(1)).as("r"))
-        .crossJoin(broadcast(nd))
+        .crossJoin(broadcast(nd)) // bounded: one row
         .filter(col("r") === expr("(nd + 1) DIV 2"))
         .select(col("n").as("med"))
       val kept = Dedup.materialized(
-        daily.crossJoin(broadcast(med)).filter(col("n") =!= col("med"))
+        daily.crossJoin(broadcast(med)).filter(col("n") =!= col("med")) // bounded: one row
           .select(col("dy"), (col("n") > col("med")).as("up")))
       val adjacent = kept
-        .join(broadcast(kept.select(col("dy").as("y2"), col("up").as("up2"))),
+        .join(broadcast(kept.select(col("dy").as("y2"), col("up").as("up2"))), // bounded: calendar-days frame
           col("y2") > col("dy"))
         .groupBy("dy", "up").agg(min(col("y2")).as("nxt"))
-        .join(broadcast(kept.select(col("dy").as("nxt"), col("up").as("up_n"))), Seq("nxt"))
+        .join(broadcast(kept.select(col("dy").as("nxt"), col("up").as("up_n"))), Seq("nxt")) // bounded: calendar-days frame
       // Degenerate-series guards, mirrored in the oracle: aggregates over
       // an EMPTY adjacent/kept frame coalesce to 0 (a near-constant series
       // keeps zero or one day), n_runs is 0 when nothing was kept, and z
@@ -276,7 +276,7 @@ object Analytics {
       kept.agg(count(lit(1)).as("n_days"),
           coalesce(sum(when(col("up"), 1L).otherwise(0L)), lit(0L)).as("n_above"),
           coalesce(sum(when(!col("up"), 1L).otherwise(0L)), lit(0L)).as("n_below"))
-        .crossJoin(broadcast(trans))
+        .crossJoin(broadcast(trans)) // bounded: one row
         .select(col("n_days"), col("n_above"), col("n_below"),
           when(col("n_days") === 0, 0L).otherwise(col("t") + 1).as("n_runs"),
           when(col("n_above") * col("n_below") * 2 > col("n_above") + col("n_below"),
@@ -310,7 +310,7 @@ object Analytics {
       val tot = byDay.agg(
         sum(col("n_events")).as("n_total"),
         sum(col("n_events").cast(dec) * col("n_events").cast(dec)).as("sq"))
-      byDay.crossJoin(broadcast(tot))
+      byDay.crossJoin(broadcast(tot)) // bounded: one row
         .select(col("weekday"), col("n_events"),
           (col("n_events") * 7 - col("n_total")).as("dev7"),
           ((lit(7).cast(dec) * col("sq") - col("n_total").cast(dec) * col("n_total").cast(dec))

@@ -124,10 +124,10 @@ object BpeTrainer {
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt")))
       val wordLens = docWords.select("w").distinct()
-        .crossJoin(broadcast(mergeArr))
+        .crossJoin(broadcast(mergeArr)) // bounded: one row (merge table)
         .select(col("w"),
           size(graft.functions.BpeApply(charSyms(col("w")), col("ms"))).as("len"))
-      docWords.join(wordLens.hint("broadcast"), "w")
+      docWords.join(wordLens.hint("broadcast"), "w") // bounded: vocabulary-sized (distinct words)
         .groupBy("doc_id")
         .agg(sum(col("cnt") * col("len")).as("n_tokens"))
         .orderBy("doc_id")
@@ -157,7 +157,7 @@ object BpeTrainer {
       if (winner.isEmpty) { exhausted = true }
       else {
         syms = Dedup.materialized(
-          syms.crossJoin(broadcast(winner.select(col("a").as("ma"), col("b").as("mb"))))
+          syms.crossJoin(broadcast(winner.select(col("a").as("ma"), col("b").as("mb")))) // bounded: one row
             .select(BpeMerge(col("s"), col("ma"), col("mb")).as("s"), col("f")))
         rounds += winner.select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
         r += 1

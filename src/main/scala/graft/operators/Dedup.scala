@@ -728,7 +728,7 @@ object Dedup {
         .select(explode(col("grams")).as("gram")).distinct()
       g.filter(Pipeline.bucket(col("doc_id")) < 90)
         .select(col("doc_id"), explode(col("grams")).as("gram"))
-        .join(broadcast(eval), "gram")
+        .join(broadcast(eval), "gram") // bounded: eval-set grams
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_eval_grams"))
         .orderBy("doc_id")

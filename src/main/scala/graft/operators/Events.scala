@@ -218,7 +218,7 @@ object Events {
         .select(col("window_start"), col("event_type"), col("n_events"))
       val st = hourly.groupBy("event_type")
         .agg(count(lit(1)).as("n_w"), sum("n_events").as("tot"))
-      hourly.join(broadcast(st), "event_type")
+      hourly.join(broadcast(st), "event_type") // bounded: |event types| rows
         .select(col("event_type"), unix_micros(col("window_start")).as("h"),
           (col("n_w") * col("n_events") - col("tot") -
             col("n_w") * lit(CusumSlack)).as("dev"))
@@ -270,7 +270,7 @@ object Events {
       val sm = col("s").cast(d38)
       val s2m = col("s2").cast(d38)
       val dev = x * nw - sm
-      hourly.join(broadcast(stats), "event_type")
+      hourly.join(broadcast(stats), "event_type") // bounded: |event types| rows
         .filter(col("n_w") > 1 &&
           dev * dev * (nw - lit(1).cast(d38)) >
             lit(4).cast(d38) * nw * (nw * s2m - sm * sm))
@@ -308,10 +308,10 @@ object Events {
             sum(when(expr("rn = ((n+2) div 2)"), col(valueCol)).otherwise(lit(0).cast(d))))
             .as(s"${valueCol}_mid2"))
       val med = middleSum(e, "v").withColumnRenamed("v_mid2", "med2")
-      val dev = e.join(broadcast(med.select("event_type", "med2")), "event_type")
+      val dev = e.join(broadcast(med.select("event_type", "med2")), "event_type") // bounded: |event types| rows
         .select(col("event_type"), abs(col("v") * 2 - col("med2")).as("dev2"))
       val mad = middleSum(dev, "dev2").withColumnRenamed("dev2_mid2", "mad4").drop("n")
-      val outliers = dev.join(broadcast(mad), "event_type")
+      val outliers = dev.join(broadcast(mad), "event_type") // bounded: |event types| rows
         .filter(col("dev2") * 2 > col("mad4") * 3)
         .groupBy("event_type").agg(count(lit(1)).as("n_out"))
       med.join(mad, "event_type")
@@ -344,7 +344,7 @@ object Events {
           sum(when(expr("rn = ((n + 19) div 20)"), col("v"))).as("p05"),
           sum(when(expr("rn = ((19 * n + 19) div 20)"), col("v"))).as("p95"))
       val clipped = least(greatest(col("v"), col("p05")), col("p95"))
-      e.join(broadcast(qs), "event_type")
+      e.join(broadcast(qs), "event_type") // bounded: |event types| rows
         .groupBy("event_type")
         .agg(max("n").as("n"),
           max(col("p05")).cast("double").as("p05"),
@@ -433,7 +433,7 @@ object Events {
         .agg(max(to_date(col("ts"))).as("last_day"),
           count(lit(1)).as("frequency"),
           sum(col("value").cast(d)).as("monetary"))
-        .crossJoin(broadcast(asOf))
+        .crossJoin(broadcast(asOf)) // bounded: one row
         .select(col("user_id"),
           datediff(col("as_of"), col("last_day")).cast("long").as("recency_days"),
           col("frequency"), col("monetary")))
@@ -443,7 +443,7 @@ object Events {
       def score(key: Column, out: String): DataFrame =
         Pipeline.globalRowNumbers(s, base.select(col("user_id"), key.as("k")),
             "rk", col("k"), col("user_id"))
-          .crossJoin(broadcast(n))
+          .crossJoin(broadcast(n)) // bounded: one row
           .select(col("user_id"),
             (expr("((rk - 1) * 5) div n_users") + 1).cast("int").as(out))
       base
@@ -474,7 +474,7 @@ object Events {
         .select(col("window_start"), col("event_type"), col("n_events"))
       val bounds = hourly.agg(min("window_start").as("lo"), max("window_start").as("hi"))
       val types = hourly.select("event_type").distinct()
-      val spine = types.crossJoin(broadcast(bounds))
+      val spine = types.crossJoin(broadcast(bounds)) // bounded: one row
         .select(col("event_type"),
           explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
       val w = Window.partitionBy("event_type").orderBy("hour")
@@ -542,20 +542,20 @@ object Events {
           min(when(col("event_type") === "purchase", col("d"))).as("fp"),
           max(col("d")).as("ld"))
       val mx = ud.agg(max(col("ld")).as("m"))
-      val life = Dedup.materialized(ud.crossJoin(broadcast(mx))
+      val life = Dedup.materialized(ud.crossJoin(broadcast(mx)) // bounded: one row
         .select(
           when(col("fp").isNotNull, col("fp") - col("fd"))
             .otherwise(col("m") - col("fd")).as("dur"),
           col("fp").isNull.as("censored")))
       val lev = life.filter(!col("censored"))
         .groupBy(col("dur").as("t")).agg(count(lit(1)).as("n_conv"))
-      val risk = life.join(broadcast(lev), col("dur") >= col("t"))
+      val risk = life.join(broadcast(lev), col("dur") >= col("t")) // bounded: |levels| rows (calendar-bounded)
         .groupBy("t", "n_conv").agg(count(lit(1)).as("n_risk"))
       val term = Dedup.materialized(risk.select(col("t"), col("n_risk"), col("n_conv"),
         when(col("n_risk") > col("n_conv"),
           qln(col("n_risk") - col("n_conv")) - qln(col("n_risk"))).as("term_q")))
       val cum = term.select(col("t").as("tb"), col("term_q").as("tq"))
-      term.join(broadcast(cum), col("tb") <= col("t"))
+      term.join(broadcast(cum), col("tb") <= col("t")) // bounded: |levels| rows (calendar-bounded)
         .groupBy(col("t").as("dur"), col("n_risk"), col("n_conv"))
         .agg(when(count(lit(1)) === count(col("tq")), sum(col("tq")))
           .as("km_log_q"))
@@ -629,11 +629,11 @@ object Events {
       val rows = cm.groupBy("prev_type").agg(sum("cnt").as("r"))
       val nS = rows.agg(count(lit(1)).cast("double").as("k"))
       val init = rows.select(col("prev_type").as("event_type"))
-        .crossJoin(broadcast(nS))
+        .crossJoin(broadcast(nS)) // bounded: one row
         .select(col("event_type"), (lit(1.0) / col("k")).as("pi"))
       val mat = cm.join(rows, "prev_type")
       (1 to MarkovIters).foldLeft(init) { (pi, _) =>
-        mat.join(broadcast(pi.withColumnRenamed("event_type", "prev_type")), "prev_type")
+        mat.join(broadcast(pi.withColumnRenamed("event_type", "prev_type")), "prev_type") // bounded: |event types| rows
           .select(col("next_type").as("event_type"),
             ((col("pi") * col("cnt").cast("double")) / col("r").cast("double"))
               .cast(dec).as("c"))
@@ -765,13 +765,13 @@ object Events {
     val m = daily.groupBy(trunc(col("day"), "month").as("month"))
       .agg(sum("n_new").as("m_tot"))
     val mOff = m.select(col("month"))
-      .join(broadcast(m.select(col("month").as("pm"), col("m_tot"))),
+      .join(broadcast(m.select(col("month").as("pm"), col("m_tot"))), // bounded: calendar-months frame
         col("pm") < col("month"), "left_outer")
       .groupBy("month").agg(coalesce(sum("m_tot"), lit(0L)).as("m_off"))
     val w = Window.partitionBy("month").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily.withColumn("month", trunc(col("day"), "month"))
-      .join(broadcast(mOff), "month")
+      .join(broadcast(mOff), "month") // bounded: calendar-months frame
       .withColumn("cum_in_month", sum("n_new").over(w))
       // day emitted as midnight TIMESTAMP (the ev_window_agg convention —
       // DATE round-trips as a different physical type per engine).
@@ -839,7 +839,7 @@ object Events {
     val tot = g.groupBy("event_type").agg(sum("da").as("n_a"), sum("db").as("n_b"))
     g.withColumn("ca", sum("da").over(w))
       .withColumn("cb", sum("db").over(w))
-      .join(broadcast(tot), "event_type")
+      .join(broadcast(tot), "event_type") // bounded: |event types| rows
       .groupBy(col("event_type"), col("n_a"), col("n_b"))
       .agg(max(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))).as("ks_num"))
       .select(col("event_type"), col("n_a"), col("n_b"),
@@ -888,7 +888,7 @@ object Events {
       s, df, "grn", col("event_type"), col(valueCol)))
     val base = numbered.groupBy("event_type")
       .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
-    numbered.join(broadcast(base), "event_type")
+    numbered.join(broadcast(base), "event_type") // bounded: |event types| rows
       .withColumn("rn", col("grn") - col("g0") + 1)
       .drop("grn", "g0")
   }

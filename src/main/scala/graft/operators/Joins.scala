@@ -169,7 +169,7 @@ object Joins {
         .toDF("lang", "script").coalesce(1)
         .write.mode("overwrite").parquet(dimPath)
       val dim = s.read.parquet(dimPath).filter(col("script") === "cjk")
-      fact.join(broadcast(dim), "lang")
+      fact.join(broadcast(dim), "lang") // bounded: |langs| dimension
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -222,7 +222,7 @@ object Joins {
       val promoBins = promos
         .select(col("promo_id"), col("ps"), col("pe"),
           explode(sequence(expr(s"ps DIV $W"), expr(s"pe DIV $W"))).as("bin"))
-      val hits = sessBins.join(broadcast(promoBins), "bin")
+      val hits = sessBins.join(broadcast(promoBins), "bin") // bounded: |promos| x bins (constant promo set)
         .select("promo_id", "user_id", "sess_id", "su", "eu", "ps", "pe")
         .distinct()
         .filter(col("su") <= col("pe") && col("ps") <= col("eu"))
@@ -247,7 +247,7 @@ object Joins {
         ("band_975_1000", 975.0, 1000.0)
       ).toDF("band", "lo", "hi")
       Relational.t(s, dir, "part")
-        .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi")) // bounded: constant literal band table
         .groupBy("band")
         .agg(
           count(lit(1)).as("n_parts"),

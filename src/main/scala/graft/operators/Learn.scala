@@ -123,8 +123,8 @@ object Learn {
       .select(col("doc_id"), explode(col("ts")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-      .crossJoin(broadcast(labelStats))
-      .join(broadcast(counts), Seq("lang", "token"), "left")
+      .crossJoin(broadcast(labelStats)) // bounded: |langs| rows
+      .join(broadcast(counts), Seq("lang", "token"), "left") // bounded: vocabulary-sized model frame
       .select(
         col("doc_id"), col("lang"),
         (col("tf") * qlog((coalesce(col("cnt"), lit(0L)) + lit(1.0)) / (col("tot") + col("v")))).as("c"),
@@ -258,7 +258,7 @@ object Learn {
       val chance = rows.join(cols, "lang")
         .agg(coalesce(sum(col("rn").cast(dec) * col("cn").cast(dec)), lit(0).cast(dec))
           .as("chance_q"))
-      tot.crossJoin(broadcast(chance))
+      tot.crossJoin(broadcast(chance)) // bounded: one row
         .select(col("n_docs"), col("n_agree"), col("chance_q").cast("long").as("chance_q"),
           ((col("n_docs").cast(dec) * col("n_agree").cast(dec) - col("chance_q"))
             .cast("double") /
@@ -291,7 +291,7 @@ object Learn {
           (col("pred_lang") === col("lang")).cast("long").as("correct"))
       val n = scored.agg(count(lit(1)).as("n_total"))
       Pipeline.globalRowNumbers(s, scored, "rk", col("margin_q"), col("doc_id"))
-        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(n)) // bounded: one row
         .withColumn("bin", expr("((rk - 1) * 10) div n_total").cast("int"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_docs"),
@@ -414,7 +414,7 @@ object Learn {
         s, scored, "grn", col("lang"), col("mean_nll_q"), col("doc_id"))
       val base = numbered.groupBy("lang")
         .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
-      numbered.join(broadcast(base), "lang")
+      numbered.join(broadcast(base), "lang") // bounded: |langs| rows
         .withColumn("rn", col("grn") - col("g0") + 1)
         .select(col("doc_id"), col("lang"), col("mean_nll_q"),
           when(col("rn") <= expr("(n + 2) div 3"), lit("head"))
@@ -527,9 +527,9 @@ object Learn {
     val totals = targetCounts.agg(sum(col("ct")).as("n_t"))
       .crossJoin(rawCounts.agg(sum(col("cr")).as("n_r")))
     rawFeats.groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
-      .join(broadcast(targetCounts), Seq("feat"), "left")
-      .join(broadcast(rawCounts), Seq("feat"))
-      .crossJoin(broadcast(totals))
+      .join(broadcast(targetCounts), Seq("feat"), "left") // bounded: feature-vocabulary frame
+      .join(broadcast(rawCounts), Seq("feat")) // bounded: feature-vocabulary frame
+      .crossJoin(broadcast(totals)) // bounded: one row
       .select(col("doc_id"), col("tf"),
         (col("tf") *
           (qlog((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("n_t") + lit(DsirFeatures))) -
@@ -582,7 +582,7 @@ object Learn {
     // AQE broadcasts while they fit, falls back to the (lang, w1) shuffle
     // join when a corpus outgrows it.
     val contrib = testBg
-      .crossJoin(broadcast(langStats.select(col("lang"), col("v"))))
+      .crossJoin(broadcast(langStats.select(col("lang"), col("v")))) // bounded: |langs| rows
       .join(counts, Seq("lang", "w1", "w2"), "left")
       .join(ctx, Seq("lang", "w1"), "left")
       .select(col("doc_id"), col("lang"),
@@ -590,7 +590,7 @@ object Learn {
           (coalesce(col("ctx"), lit(0L)) + col("v")))).as("c"))
       .groupBy("doc_id", "lang").agg(sum(col("c")).as("bg_q"))
     d.filter(col("b") >= TestBucket).select(col("doc_id"))
-      .crossJoin(broadcast(langStats.select(col("lang"), col("prior_q"))))
+      .crossJoin(broadcast(langStats.select(col("lang"), col("prior_q")))) // bounded: |langs| rows
       .join(contrib, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"),
         (col("prior_q") + coalesce(col("bg_q"), lit(0L))).as("score"))
@@ -664,7 +664,7 @@ object Learn {
       // vocab is one row: always broadcast.
       .join(bgCounts, Seq("w1", "w2"), "left")
       .join(ctxCounts, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(vocab)) // bounded: vocabulary-sized model frame
       .select(col("doc_id"), col("tf"),
         (col("tf") * -qlog((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
           (coalesce(col("ctx"), lit(0L)) + col("v")))).as("nll_q"))

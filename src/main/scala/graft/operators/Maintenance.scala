@@ -211,7 +211,7 @@ object Maintenance {
     val xn = norm(col(c1), col("__x0"), col("__x1"))
     val yn = norm(col(c2), col("__y0"), col("__y1"))
     val z = mortonZ(xn, yn)
-    df.crossJoin(broadcast(bounds))
+    df.crossJoin(broadcast(bounds)) // bounded: one row (global min/max)
       .withColumn("__z", z)
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")

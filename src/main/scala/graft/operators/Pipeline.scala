@@ -94,11 +94,11 @@ object Pipeline {
       val other = st.select(col("source").as("s2"), col("n_tokens").as("n2"))
       val extra = when(col("be") < MaxEpochs && col("cum") <= col("leftover"), 1L)
         .otherwise(0L)
-      st.join(broadcast(other),
+      st.join(broadcast(other), // bounded: |sources| rows
           col("n2") > col("n_tokens") ||
             (col("n2") === col("n_tokens") && col("s2") <= col("source")))
         .groupBy("source", "n_tokens").agg(sum("n2").as("cum"))
-        .crossJoin(broadcast(base))
+        .crossJoin(broadcast(base)) // bounded: one row
         .select(col("source"), col("n_tokens"),
           (col("be") + extra).as("epochs"),
           ((col("be") + extra) * col("n_tokens")).as("tokens_used"))
@@ -354,7 +354,7 @@ object Pipeline {
         lit(PoissonCdfPpm.length.toLong): Column) {
         case ((thr, k), acc) => when(ppm < thr, lit(k.toLong)).otherwise(acc)
       }
-      val means = docs.crossJoin(broadcast(bs))
+      val means = docs.crossJoin(broadcast(bs)) // bounded: BootB constant replicate ids
         .select(col("source"), col("b"), wExpr.as("w"), col("n_chars"))
         .groupBy("source", "b")
         .agg((sum(col("w") * col("n_chars")).cast("double") /
@@ -417,7 +417,7 @@ object Pipeline {
         sum(sqrt(col("n_tokens")).cast(org.apache.spark.sql.types.DecimalType(38, 18)))
           .cast("double").as("sw"))
       val weight = sqrt(col("n_tokens")) / col("sw")
-      perSource.crossJoin(broadcast(total))
+      perSource.crossJoin(broadcast(total)) // bounded: one row
         .select(col("source"), col("n_docs"), col("n_tokens"),
           weight.as("weight"),
           floor(weight * lit(MixTokenBudget)).cast("long").as("alloc_tokens"))
@@ -476,7 +476,7 @@ object Pipeline {
       val counts = ranked.groupBy("source").agg(count(lit(1)).as("n"))
         .agg(sort_array(collect_list(struct(col("source"), col("n")))).as("srcs"))
       ranked
-        .crossJoin(broadcast(counts))
+        .crossJoin(broadcast(counts)) // bounded: one row (|sources| list)
         .select(
           (aggregate(col("srcs"), lit(0L),
               (acc, x) => acc + least(col("src_rank") - 1, x.getField("n")))
@@ -678,7 +678,7 @@ object Pipeline {
         Iterator((i, it.foldLeft(0L)((a, r) => a + r.getLong(idx))))
       }
       .collect().sortBy(_._1).map(_._2)
-    val offs = s.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val offs = s.sparkContext.broadcast(totals.scanLeft(0L)(_ + _)) // bounded: O(partitions) offsets
     val schema = sorted.schema.add(org.apache.spark.sql.types.StructField(
       sumCol, org.apache.spark.sql.types.LongType, nullable = false))
     val out = sorted.rdd.mapPartitionsWithIndex { (i, it) =>

@@ -58,7 +58,7 @@ object Quality {
             sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
             sum(when(col("fk").isNotNull && col("pk").isNull, 1L).otherwise(0L))
               .as("n_orphans"))
-          .crossJoin(broadcast(
+          .crossJoin(broadcast( // bounded: one row
             p.agg((count(lit(1)) - countDistinct(col("pk"))).as("n_dup_pk"))))
           .select(lit(s"$ft.$fk->$pt.$pk").as("constraint_name"),
             col("n_rows"), col("n_null_fk"), col("n_orphans"), col("n_dup_pk"))
@@ -186,13 +186,13 @@ object Quality {
         Pipeline.bucket(col("c_custkey")) < ErasurePct)
       val orders = audit("orders",
         Relational.t(s, dir, "orders")
-          .join(broadcast(requests), col("o_custkey") === col("k"), "left"),
+          .join(broadcast(requests), col("o_custkey") === col("k"), "left"), // bounded: |erasure requests| rows
         col("k").isNotNull)
       val li = audit("lineitem",
         Relational.t(s, dir, "lineitem")
           .join(Relational.t(s, dir, "orders").select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(requests), col("o_custkey") === col("k"), "left"),
+          .join(broadcast(requests), col("o_custkey") === col("k"), "left"), // bounded: |erasure requests| rows
         col("k").isNotNull)
       cust.union(orders).union(li).orderBy("table_name")
     },
@@ -273,7 +273,7 @@ object Quality {
       val totals = cells.agg(sum("o_old").as("n_old"), sum("o_new").as("n_new"))
       val d = (c: Column) => c.cast("double")
       cells
-        .crossJoin(broadcast(totals))
+        .crossJoin(broadcast(totals)) // bounded: one row
         .withColumn("dev", col("n_new") * col("o_old") - col("n_old") * col("o_new"))
         .select(col("bucket"), col("o_old"), col("o_new"), col("dev"),
           (d(col("dev")) * d(col("dev")) * d(col("n_old") + col("n_new")) /

@@ -105,8 +105,8 @@ object Relational {
       val r = t(s, dir, "region")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey")) // bounded: nation dimension (25 rows)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey")) // bounded: region dimension (5 rows)
         .groupBy("r_name", "n_name")
         .agg(
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
@@ -120,7 +120,7 @@ object Relational {
     "q4_brand_volume" -> { (s, dir) =>
       parallelizeNarrowScan(
         t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"), col("l_extendedprice")))
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey")) // bounded: part dimension (star-join build side)
         .groupBy("p_brand")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -146,7 +146,7 @@ object Relational {
       val o = t(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
       val n = t(s, dir, "nation")
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey")) // bounded: nation dimension (25 rows)
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
         .orderBy("n_name")
@@ -208,7 +208,7 @@ object Relational {
     "q10_top_parts_by_revenue" -> { (s, dir) =>
       parallelizeNarrowScan(
         t(s, dir, "lineitem").select(col("l_partkey"), col("l_extendedprice"), col("l_discount")))
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey")) // bounded: part dimension (star-join build side)
         .groupBy("p_partkey", "p_name")
         .agg(
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
@@ -275,8 +275,8 @@ object Relational {
       val c = t(s, dir, "customer")
       val sup = t(s, dir, "supplier")
       val n = t(s, dir, "nation")
-      val custN = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey")).select("n_name").distinct()
-      val supN = sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey")).select("n_name").distinct()
+      val custN = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey")).select("n_name").distinct() // bounded: nation dimension (25 rows)
+      val supN = sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey")).select("n_name").distinct() // bounded: nation dimension (25 rows)
       custN.intersect(supN).withColumn("tag", lit("both"))
         .union(custN.except(supN).withColumn("tag", lit("cust_only")))
         .union(supN.except(custN).withColumn("tag", lit("supp_only")))
@@ -340,7 +340,7 @@ object Relational {
     "q18_above_avg_orders" -> { (s, dir) =>
       val o = t(s, dir, "orders")
       val avgPrice = o.agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("a"))
-      o.join(broadcast(avgPrice))
+      o.join(broadcast(avgPrice)) // bounded: one row
         .filter(col("o_totalprice") > col("a"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))

@@ -138,7 +138,7 @@ object Relational2 {
       val exact = li.agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
-      exact.crossJoin(broadcast(approx)) // one-row sketch frame
+      exact.crossJoin(broadcast(approx)) // bounded: one row (sketch frame)
         .select(col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * lit(0.15) &&
             abs(col("ao") - col("exact_orders")) <= col("exact_orders") * lit(0.15))
@@ -292,7 +292,7 @@ object Relational2 {
       parallelizeNarrowScan(
         t(s, dir, "lineitem").select(col("l_partkey"), col("l_extendedprice"), col("l_discount")))
         .join(
-          broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))), // bounded: part dimension (star-join build side)
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
         .agg(
@@ -370,8 +370,8 @@ object Relational2 {
       val byNation = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey")) // bounded: nation dimension (25 rows)
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey")) // bounded: region dimension (5 rows)
         .groupBy("r_name", "n_name")
         .agg(sum(dec(col("l_extendedprice"))).as("rev_dec"))
       byNation
@@ -463,9 +463,9 @@ object Relational2 {
     // over a wider join). Dims broadcast, facts sort-merge — Catalyst + AQE
     // pick per-side strategies from real sizes at runtime.
     "q41_regional_revenue" -> { (s, dir) =>
-      val nation = broadcast(
+      val nation = broadcast( // bounded: nation dimension (25 rows)
         t(s, dir, "nation")
-          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")), // bounded: region dimension (5 rows)
             col("n_regionkey") === col("r_regionkey"))
           .select(col("n_nationkey"), col("n_name")))
       val ord = t(s, dir, "orders")

@@ -128,8 +128,8 @@ object Retrieval {
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).cast("double").as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      tf.join(broadcast(df), "term")
-        .join(broadcast(stats))
+      tf.join(broadcast(df), "term") // bounded: |query terms| df rows
+        .join(broadcast(stats)) // bounded: one row
         .join(dls, "doc_id")
         .select(col("doc_id"),
           ((((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -179,12 +179,12 @@ object Retrieval {
         .select(col("doc_id").as("query_id"), col("shingles").as("qs"))
       val qg = qsh.select(col("query_id"), explode(col("qs")).as("sng"))
       val cands = sh.select(col("doc_id"), explode(col("shingles")).as("sng"))
-        .join(broadcast(qg), "sng")
+        .join(broadcast(qg), "sng") // bounded: query-gram set
         .filter(col("doc_id") =!= col("query_id"))
         .select("query_id", "doc_id").distinct()
       val wL = Window.partitionBy("query_id").orderBy(col("jac").desc, col("doc_id").asc)
       val lex = cands
-        .join(broadcast(qsh), "query_id")
+        .join(broadcast(qsh), "query_id") // bounded: |queries| rows
         .join(sh, "doc_id")
         .select(col("query_id"), col("doc_id"),
           (size(array_intersect(col("qs"), col("shingles"))).cast("double") /
@@ -229,7 +229,7 @@ object Retrieval {
           .limit(FbDocs).select("doc_id"))
       val cdf = docs.select(col("doc_id"), explode(array_distinct(col("ts"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cdf"))
-      val exp = docs.join(fb.hint("broadcast"), "doc_id")
+      val exp = docs.join(fb.hint("broadcast"), "doc_id") // bounded: FbDocs rows by construction
         .select(explode(col("ts")).as("term"))
         .filter(!col("term").isin(Bm25Terms: _*))
         .groupBy("term").agg(count(lit(1)).as("fb_tf"))
@@ -297,12 +297,12 @@ object Retrieval {
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl").cast("long")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = docs.select(col("doc_id"), explode(col("ts")).as("term"))
-      .join(broadcast(terms), "term")
+      .join(broadcast(terms), "term") // bounded: |query terms| rows
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    tf.join(broadcast(df), "term")
-      .join(broadcast(stats))
+    tf.join(broadcast(df), "term") // bounded: |query terms| df rows
+      .join(broadcast(stats)) // bounded: one row
       .join(dls, "doc_id")
       .select(col("doc_id"),
         ((((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

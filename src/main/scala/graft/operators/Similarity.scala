@@ -193,7 +193,7 @@ object Similarity {
       // knnGraph is a stored parquet index ([[materialize]]): each round's
       // scan of the edge table is a cheap re-read, no checkpoint needed.
       val edges = knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      val init = nodes.join(broadcast(nN))
+      val init = nodes.join(broadcast(nN)) // bounded: one row
         .select(col("vec_id"), (lit(1.0) / col("n_nodes")).as("pr"))
       (1 to PrIters).foldLeft(init) { (pr, _) =>
         val contrib = edges
@@ -202,7 +202,7 @@ object Similarity {
             (col("pr") / lit(3.0)).cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("c"))
           .groupBy("dst")
           .agg(sum(col("c")).cast("double").as("s"))
-        nodes.join(broadcast(nN))
+        nodes.join(broadcast(nN)) // bounded: one row
           .join(contrib, col("vec_id") === col("dst"), "left")
           .select(col("vec_id"),
             (lit(0.15) / col("n_nodes") + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
@@ -270,7 +270,7 @@ object Similarity {
       val nv = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
       cands
-        .join(broadcast(qv), "query_id")
+        .join(broadcast(qv), "query_id") // bounded: |queries| vectors
         .join(nv, "neighbor_id")
         .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
         .withColumn("rk", row_number().over(w))
@@ -376,7 +376,7 @@ object Similarity {
       val e = vecs(s, dir)
       val cent = materialize("ivf_centroids", dir, s)(trainCentroids(e))
       e.join(ivfCells(s, dir), "vec_id")
-        .join(broadcast(cent.select(col("c_id").as("cell"), col("cv"))), Seq("cell"))
+        .join(broadcast(cent.select(col("c_id").as("cell"), col("cv"))), Seq("cell")) // bounded: |cells| centroids
         .select(col("cell"),
           round(cosine(col("v"), col("cv")) * lit(1000000.0)).cast("long").as("cq"))
         .groupBy("cell")
@@ -416,7 +416,7 @@ object Similarity {
         .select(col("cell"), col("j"), col("sim_q").as("cur_q"))
       val w2 = Window.partitionBy("cell").orderBy(col("gain_q").desc, col("i").asc)
       val r2 = pairs.join(cur, Seq("cell", "j"))
-        .join(broadcast(r1.select(col("cell"), col("rep1"))), Seq("cell"))
+        .join(broadcast(r1.select(col("cell"), col("rep1"))), Seq("cell")) // bounded: |cells| rows
         .filter(col("i") =!= col("rep1"))
         .select(col("cell"), col("i"),
           greatest(col("sim_q") - col("cur_q"), lit(0L)).as("g"))
@@ -485,7 +485,7 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     (1 to IvfIters).foldLeft(init) { (cent, _) =>
       val wc = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-      val assigned = e.crossJoin(broadcast(cent))
+      val assigned = e.crossJoin(broadcast(cent)) // bounded: |cells| centroids
         .select(col("vec_id"), col("v"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
         .withColumn("crk", row_number().over(wc))
         .filter(col("crk") === 1)
@@ -527,7 +527,7 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("v"), col("cell").as("c_id"))
     val wc = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
     val queryCells = e.filter(col("vec_id") < NQueries)
-      .crossJoin(broadcast(cent))
+      .crossJoin(broadcast(cent)) // bounded: |cells| centroids
       .select(col("vec_id"), col("v"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
       .withColumn("crk", row_number().over(wc))
       .filter(col("crk") <= IvfProbes)
@@ -597,7 +597,7 @@ object Similarity {
       .filter(col("irk") <= PqK)
       .select(col("sub"), (col("irk") - 1).cast("int").as("cid"), col("sv").as("cv"))
     (1 to PqIters).foldLeft(init) { (cb, _) =>
-      sr.join(broadcast(cb), Seq("sub"))
+      sr.join(broadcast(cb), Seq("sub")) // bounded: K-entry codebook per subspace
         .select(col("sub"), col("vec_id"), col("sv"), col("cid"),
           pqScore(col("sv"), col("cv")).as("sc"))
         .groupBy("sub", "vec_id")
@@ -681,7 +681,7 @@ object Similarity {
     // part of the stored index: built once, every ADC scan reads the code
     // table (that IS the 64× compression payoff).
     val codes = materialize("pq_codes", dir, s) {
-      subRows(vecs(s, dir)).join(broadcast(cb), Seq("sub"))
+      subRows(vecs(s, dir)).join(broadcast(cb), Seq("sub")) // bounded: K-entry codebook per subspace
         .select(col("vec_id"), col("nrm"), col("sub"), col("cid"),
           pqScore(col("sv"), col("cv")).as("sc"))
         .groupBy(col("vec_id").as("neighbor_id"), col("nrm"), col("sub"))
@@ -689,7 +689,7 @@ object Similarity {
     }
     val qparts = subRows(vecs(s, dir).filter(col("vec_id") < NQueries))
       .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"), col("sub"), col("sv"))
-      .join(broadcast(cb), Seq("sub"))
+      .join(broadcast(cb), Seq("sub")) // bounded: K-entry codebook per subspace
       .select(col("query_id"), col("qnrm"), col("sub"), col("cid"),
         Dedup.dotSeq(col("sv"), col("cv")).as("pdot"))
     (codes, qparts)
@@ -704,7 +704,7 @@ object Similarity {
     materialize("ivf_cells", dir, s) {
       val e = vecs(s, dir)
       val cent = materialize("ivf_centroids", dir, s)(trainCentroids(e))
-      e.crossJoin(broadcast(cent))
+      e.crossJoin(broadcast(cent)) // bounded: |cells| centroids
         .select(col("vec_id"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
         .groupBy("vec_id")
         .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
@@ -733,7 +733,7 @@ object Similarity {
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(candidates.join(broadcast(q), Seq("query_id")))
+    broadcast(candidates.join(broadcast(q), Seq("query_id"))) // bounded: per-query cell-pruned candidates
       .join(e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
@@ -764,7 +764,7 @@ object Similarity {
     */
   private def pqTopk(s: SparkSession, dir: String): DataFrame = {
     val (codes, qparts) = pqIndex(s, dir)
-    adcRerank(vecs(s, dir), codes.join(broadcast(qparts), Seq("sub", "cid")))
+    adcRerank(vecs(s, dir), codes.join(broadcast(qparts), Seq("sub", "cid"))) // bounded: |queries| x subspaces rows
   }
 
   /** IVF-PQ: the two pruning structures composed (the FAISS production
@@ -788,15 +788,15 @@ object Similarity {
     val cent = materialize("ivf_centroids", dir, s)(trainCentroids(e))
     val wq = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
     val qprobes = e.filter(col("vec_id") < NQueries)
-      .crossJoin(broadcast(cent))
+      .crossJoin(broadcast(cent)) // bounded: |cells| centroids
       .select(col("vec_id"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
       .withColumn("crk", row_number().over(wq)).filter(col("crk") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("c_id").as("cell"))
     val (codes, qparts) = pqIndex(s, dir)
     val joined = codes
       .join(ivfCells(s, dir).withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
-      .join(broadcast(qprobes), Seq("cell"))
-      .join(broadcast(qparts), Seq("query_id", "sub", "cid"))
+      .join(broadcast(qprobes), Seq("cell")) // bounded: |queries| x probes rows
+      .join(broadcast(qparts), Seq("query_id", "sub", "cid")) // bounded: |queries| x subspaces rows
     adcRerank(e, joined)
   }
 

@@ -157,8 +157,8 @@ object TextAnalysis {
       val w = Window.partitionBy("doc_id").orderBy(col("salience").desc, col("term").asc)
       // df is vocabulary-sized (small, skewed on stopword terms): broadcast
       // it so tf is NOT reshuffled on the skewed term key — one Exchange less.
-      tf.join(broadcast(df), "term")
-        .join(broadcast(n))
+      tf.join(broadcast(df), "term") // bounded: vocabulary-sized df frame
+        .join(broadcast(n)) // bounded: one row
         .select(
           col("doc_id"),
           col("term"),
@@ -282,9 +282,9 @@ object TextAnalysis {
       val ck = ranked.agg(count(lit(1)).as("d"))
         .select(explode(sequence(lit(1), lit(HeapsK))).as("k"), col("d"))
         .select(col("k"), expr(s"(k * d) DIV $HeapsK").as("n_k"))
-      val v = tokFirst.crossJoin(broadcast(ck)).filter(col("fr") <= col("n_k"))
+      val v = tokFirst.crossJoin(broadcast(ck)).filter(col("fr") <= col("n_k")) // bounded: one row
         .groupBy("k").agg(count(lit(1)).as("vocab"))
-      val n = ranked.crossJoin(broadcast(ck)).filter(col("r") <= col("n_k"))
+      val n = ranked.crossJoin(broadcast(ck)).filter(col("r") <= col("n_k")) // bounded: one row
         .groupBy("k").agg(sum("n_toks").as("n_tokens"))
       ck.join(n, "k").join(v, "k")
         .select(col("k").cast("int").as("ckpt"), col("n_k").as("n_docs"),
@@ -405,7 +405,7 @@ object TextAnalysis {
       pairCnt.filter(col("n_pair") >= CollocMinCount)
         .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
         .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
-        .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+        .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni)) // bounded: one row each
         .select(col("w1"), col("w2"), col("n_pair"),
           (qln(col("n_pair")) - qln(col("n_bi")) - qln(col("n_w1")) -
             qln(col("n_w2")) + lit(2L) * qln(col("n_uni"))).as("pmi_q"))

@@ -91,7 +91,7 @@ object EventStreams {
   def enriched(events: DataFrame, customer: DataFrame): DataFrame =
     events
       .join(
-        broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))), // bounded: customer dim (stream-static build side)
         col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment", "event_type")
       .agg(

@@ -239,6 +239,25 @@ class PlanAuditSpec extends SparkSpec {
       s"filtered+projected fact keeps provable lineage — join must still eliminate:\n$p4")
   }
 
+  test("every forced broadcast carries an explicit boundedness annotation") {
+    // A broadcast()/hint("broadcast") bypasses AQE's size guards, so every
+    // site must state WHY the frame cannot grow with the corpus — the
+    // repo-wide discipline that caught geo_dbscan's O(n) forced broadcast.
+    // Convention: the line carries a trailing `// bounded: <argument>`.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (l, i) if (l.contains("broadcast(") || l.contains("hint(\"broadcast\")"))
+            && !l.contains("bounded:") => s"$p:${i + 1}: ${l.trim}"
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      s"forced broadcasts without a boundedness annotation:\n${offenders.mkString("\n")}")
+  }
+
   test("top-k is TakeOrdered, not a global sort") {
     assert(plan("q10_top_parts_by_revenue").contains("TakeOrderedAndProject"),
       "limit after sort should plan TakeOrderedAndProject")
