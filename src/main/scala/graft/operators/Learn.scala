@@ -611,7 +611,7 @@ object Learn {
     * ([[graft.streaming.DocStreams.lmScoreDocStream]]) closes over them as
     * static sides, like the NB model frames.
     */
-  private[graft] def lmModel(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def lmModel(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
     // Aggregate BEFORE materializing: the raw bigram stream is O(corpus
     // tokens) rows — checkpointing it (the round-5 shape) writes the whole
     // corpus to the block manager before any reduction, which cannot exist
@@ -630,9 +630,14 @@ object Learn {
     (bgCounts,
       graft.sources.Stored.materialize("lm_ctx_counts", dir, s)(
         bgCounts.groupBy("w1").agg(sum(col("cnt")).as("ctx"))),
-      graft.sources.Stored.materialize("lm_vocab", dir, s)(
-        bgCounts.select(col("w2")).union(bgCounts.select(col("w1")))
-          .agg(countDistinct(col("w2")).as("v"))))
+      // The vocabulary SIZE is a one-value model stat: store it once and
+      // fold it into scoring plans as a literal — the one-row frame +
+      // broadcast join it replaced cost two plan stages per scoring query.
+      graft.sources.Stored.scalarLong("lm_vocab_v", dir)(
+        graft.sources.Stored.materialize("lm_vocab", dir, s)(
+          bgCounts.select(col("w2")).union(bgCounts.select(col("w1")))
+            .agg(countDistinct(col("w2")).as("v")))
+          .head().getLong(0)))
   }
 
   /** Mean quantized negative log-probability per transition for a
@@ -647,11 +652,12 @@ object Learn {
     * wants to surface.
     */
   private[graft] def lmScoreDocs(docsTs: DataFrame, bgCounts: DataFrame,
-      ctxCounts: DataFrame, vocab: DataFrame): DataFrame = {
-    // The output is keyed per doc_id. A micro-batch with a re-delivered
-    // duplicate row would otherwise double-count every transition AND emit
-    // the row once per copy — dedupe the input before anything counts.
-    val docs = docsTs.dropDuplicates("doc_id")
+      ctxCounts: DataFrame, vocabV: Long): DataFrame = {
+    // Input must be unique per doc_id: the batch gate queries feed bucketed
+    // doc splits (unique by construction), and the streaming entry
+    // [[lmScoreRaw]] dedupes its micro-batch before calling here — keeping
+    // the per-pass exchange out of the batch path.
+    val docs = docsTs
     val scored = bigramsOf(docs)
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
       // No broadcast hint on the model sides: distinct-bigram counts grow
@@ -661,13 +667,12 @@ object Learn {
       // design promises. The checkpointed model frames have accurate
       // runtime sizes, so AQE picks broadcast when they fit (it does at
       // every test SF) and a plain equality shuffle join when they don't.
-      // vocab is one row: always broadcast.
+      // The vocab size is a stored scalar folded in as a literal.
       .join(bgCounts, Seq("w1", "w2"), "left")
       .join(ctxCounts, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab)) // bounded: vocabulary-sized model frame
       .select(col("doc_id"), col("tf"),
         (col("tf") * -qlog((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
-          (coalesce(col("ctx"), lit(0L)) + col("v")))).as("nll_q"))
+          (coalesce(col("ctx"), lit(0L)) + lit(vocabV)))).as("nll_q"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_transitions"), sum(col("nll_q")).as("nll_q_sum"))
     docs.select(col("doc_id"))
@@ -682,13 +687,18 @@ object Learn {
   }
 
   /** Tokenize raw (doc_id, text, ...) rows to the (doc_id, ts) scoring
-    * input — the entry the streaming scorer uses per micro-batch.
+    * input — the entry the streaming scorer uses per micro-batch. A
+    * re-delivered duplicate row would double-count every transition AND
+    * emit the row once per copy, so the micro-batch dedupes HERE (the batch
+    * gate queries feed bucketed splits that are unique by construction and
+    * skip this exchange).
     */
   private[graft] def lmScoreRaw(raw: DataFrame, bgCounts: DataFrame,
-      ctxCounts: DataFrame, vocab: DataFrame): DataFrame =
+      ctxCounts: DataFrame, vocabV: Long): DataFrame =
     lmScoreDocs(
-      raw.select(col("doc_id"), TextOps.tokens(col("text")).as("ts")),
-      bgCounts, ctxCounts, vocab)
+      raw.select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+        .dropDuplicates("doc_id"),
+      bgCounts, ctxCounts, vocabV)
 
   /** Shared oracle CTE chain ending at `scored` — the DuckDB twin of
     * [[nbScores]]; consumers append `SELECT ...` or further `, x AS (...)`

@@ -17,6 +17,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Stored {
   private val stored = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val scalars = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** A stored ONE-VALUE structure (a model hyperstat like the LM vocabulary
+    * size): compute once per (name, dataset dir) and cache the long on the
+    * driver, so consumers fold it into their plans as a LITERAL — removing
+    * a one-row scan + broadcast-join stage from every query that needs it.
+    * Same locking doctrine as [[materialize]] (reentrant monitor — the
+    * value thunk may itself call materialize).
+    */
+  def scalarLong(name: String, dir: String)(v: => Long): Long = {
+    val key = s"$name:$dir"
+    scalars.get(key) match {
+      case null =>
+        this.synchronized {
+          scalars.get(key) match {
+            case null => val x = v; scalars.put(key, x); x
+            case hit => hit.longValue()
+          }
+        }
+      case hit => hit.longValue()
+    }
+  }
 
   def materialize(name: String, dir: String, s: SparkSession)(df: => DataFrame): DataFrame = {
     val key = s"$name:$dir"

@@ -62,7 +62,7 @@ object DocStreams {
     * exactly-once versioned sink as [[classifyDocStream]].
     */
   def lmScoreDocStream(docs: DataFrame, bgCounts: DataFrame, ctxCounts: DataFrame,
-      vocab: DataFrame, tableDir: String, ckpt: String): StreamingQuery =
+      vocab: Long, tableDir: String, ckpt: String): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         EventStreams.versionedSink(tableDir)(
