@@ -33,8 +33,11 @@ import org.apache.spark.sql.functions._
   * distinct). Candidate volume is bounded by physical density per cell, not
   * by n² — the same argument as the dedup tier's band buckets
   * (`Dedup.scala`): shuffle O(9n), compare O(Σ_cell n_a·n_b). At 1000
-  * executors the cell id is the shuffle key; hot cells (urban skew) would
-  * salt on a secondary grid — same remedy as [[Skew.saltedJoin]].
+  * executors the cell id is the shuffle key; hot cells (urban skew) salt
+  * the home side on its id — [[saltedNeighborhoodPairsOf]], the
+  * [[Skew.saltedJoin]] remedy applied to this self-join and DEMONSTRATED
+  * (SpatialSpec plants a hot cell and asserts pair-set equality plus the
+  * r-way per-task spread), not just prescribed.
   */
 object Spatial {
 
@@ -75,8 +78,14 @@ object Spatial {
     * pair orientation (a < b for the undirected radius join; a ≠ b for the
     * directed nearest-neighbor scan).
     */
-  private def neighborhoodPairs(s: SparkSession, dir: String, keep: org.apache.spark.sql.Column): DataFrame = {
-    val pts = Dedup.materialized(points(s, dir))
+  private def neighborhoodPairs(s: SparkSession, dir: String, keep: org.apache.spark.sql.Column): DataFrame =
+    neighborhoodPairsOf(Dedup.materialized(points(s, dir)), keep)
+
+  /** The candidate join over an explicit (id, x, y, cx, cy) frame — the
+    * testable core behind [[neighborhoodPairs]] (SpatialSpec drives it with
+    * planted point sets).
+    */
+  private[operators] def neighborhoodPairsOf(pts: DataFrame, keep: org.apache.spark.sql.Column): DataFrame = {
     val probe = pts
       .withColumn("dx", explode(lit(Array(-1, 0, 1))))
       .withColumn("dy", explode(lit(Array(-1, 0, 1))))
@@ -86,6 +95,36 @@ object Spatial {
       col("cx"), col("cy"))
     probe.join(home,
       col("pcx") === col("cx") && col("pcy") === col("cy") &&
+        keep &&
+        dist2("ax", "ay", "bx", "by") <= lit(Radius * Radius))
+  }
+
+  /** Hot-cell (urban-skew) variant of the candidate join — the class-doc
+    * remedy made concrete: the home side splits into `r` deterministic salt
+    * shards on its id and the probe side replicates across all `r`, so the
+    * join key becomes (cell, salt) and a hot cell's candidate volume runs
+    * on `r` tasks instead of one ([[Skew.saltedJoin]]'s doctrine applied to
+    * the spatial self-join; salts from pmod of the id — retry-safe, never
+    * rand()). Pair set is IDENTICAL to [[neighborhoodPairsOf]]: each home
+    * point owns exactly one salt, so every qualifying pair matches exactly
+    * once — SpatialSpec plants a hot cell and proves both equality and the
+    * r-way per-task spread. The shuffle_hash hint pins the demonstration to
+    * a real shuffle join (broadcast would make salting a no-op).
+    */
+  private[operators] def saltedNeighborhoodPairsOf(pts: DataFrame,
+      keep: org.apache.spark.sql.Column, r: Int): DataFrame = {
+    val probe = pts
+      .withColumn("dx", explode(lit(Array(-1, 0, 1))))
+      .withColumn("dy", explode(lit(Array(-1, 0, 1))))
+      .withColumn("psalt", explode(sequence(lit(0), lit(r - 1))))
+      .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("dx")).as("pcx"), (col("cy") + col("dy")).as("pcy"),
+        col("psalt"))
+    val home = pts.select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
+      col("cx"), col("cy"), pmod(col("id"), lit(r.toLong)).cast("int").as("hsalt"))
+    probe.join(home.hint("shuffle_hash"),
+      col("pcx") === col("cx") && col("pcy") === col("cy") &&
+        col("psalt") === col("hsalt") &&
         keep &&
         dist2("ax", "ay", "bx", "by") <= lit(Radius * Radius))
   }

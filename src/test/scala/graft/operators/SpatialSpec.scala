@@ -87,6 +87,56 @@ class SpatialSpec extends SparkSpec {
     got.foreach { case (cid, nc, _) => assert(cores(cid) && nc >= 1) }
   }
 
+  test("salted neighborhood join: identical pairs, hot cell spread r ways") {
+    import spark.implicits._
+    // Planted urban skew: 240 points packed into a 200×200 corner of cell
+    // (0,0) — every pair qualifies (max distance < Radius) — plus 60
+    // scattered points, one per distant cell. Unsalted, the hot cell's
+    // whole candidate volume lands on ONE (cx, cy) shuffle key/task.
+    val hot = (0 until 240).map(i => (i.toLong, (i % 20) * 10L, (i / 20) * 10L))
+    val sparse = (0 until 60).map(i => (1000L + i, 5000L + 3000L * i, 7000L + 3000L * i))
+    val pts = (hot ++ sparse).toDF("id", "x", "y")
+      .withColumn("cx", floor(col("x") / Spatial.Radius))
+      .withColumn("cy", floor(col("y") / Spatial.Radius))
+    val keep = col("a") < col("b")
+    val r = 8
+    val plain = Spatial.neighborhoodPairsOf(pts, keep)
+      .select(col("a"), col("b")).collect().map(x => (x.getLong(0), x.getLong(1)))
+    val salted = Spatial.saltedNeighborhoodPairsOf(pts, keep, r)
+    val saltedPairs = salted.select(col("a"), col("b")).collect().map(x => (x.getLong(0), x.getLong(1)))
+    // Salting is semantically free: exactly the same pair set, no dup/loss.
+    assert(saltedPairs.length == plain.length && saltedPairs.toSet == plain.toSet)
+    assert(plain.count { case (a, b) => a < 240 && b < 240 } == 240 * 239 / 2,
+      "the planted hot cell must contribute its full quadratic pair set")
+    // The per-task bound, measured in the 100 TB regime (broadcast off —
+    // at scale neither side of the self-join fits in memory): unsalted,
+    // the (cx, cy) shuffle key puts the ENTIRE hot cell on one partition;
+    // salted, its pairs spread across the r salt shards.
+    // Coalescing off too: AQE folds a toy-sized shuffle into ONE partition,
+    // which would mask the spread being measured (at real scale partitions
+    // exceed the advisory size and stay apart).
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = (keys :+ "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+          .count().agg(max("count")).head().getLong(0)
+      val plainMax = maxPartitionRows(Spatial.neighborhoodPairsOf(pts, keep))
+      val saltedShuffle = Spatial.saltedNeighborhoodPairsOf(pts, keep, r)
+      val saltedMax = maxPartitionRows(saltedShuffle)
+      assert(plainMax >= 240 * 239 / 2, s"unsalted hot cell should own one task, got $plainMax")
+      assert(saltedMax * 2 <= plainMax,
+        s"salting must spread the hot cell: salted max $saltedMax vs unsalted $plainMax")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("cell stats: occupancy sums to points living in multi-point cells") {
     val rows = Spatial.queries("geo_cell_stats")(spark, sf()).collect()
     rows.foreach { r =>
