@@ -118,6 +118,60 @@ object StreamGate {
     tableDir
   }
 
+  /** Document-pipeline sibling of [[streamedTable]] — the SECOND gated
+    * exactly-once chain, and a strictly harder one: the per-micro-batch
+    * body is not a projection but the full incremental near-dup match
+    * ([[DocStreams.dedupDocStream]] → [[graft.operators.Dedup
+    * .incrementalMatches]]) of each arriving doc batch against the STATIC
+    * existing-corpus shingle index. The incoming (bucket ≥ 80) docs land as
+    * [[Splits]] files → one micro-batch/version each, with the restart
+    * between file 2 and 3 exactly like the events gate. Because matches for
+    * an incoming doc depend only on that doc and the static index, the
+    * committed union across batches + restart must equal the one-pass batch
+    * result — which is what the dd_incremental ORACLE computes, so this
+    * query reuses that oracle verbatim (one source of truth).
+    */
+  private def streamedDocTable(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_docgate_${ProcessHandle.current().pid()}_$key"
+    val (landing, tableDir, ckpt) = (s"$base/landing", s"$base/table", s"$base/ckpt")
+    if (graft.sources.Versioned.latest(tableDir).forall(_ < Splits - 1)) {
+      val b = new java.io.File(base)
+      if (b.exists()) org.apache.commons.io.FileUtils.deleteDirectory(b)
+      val incoming = graft.operators.Relational.t(s, dir, "documents")
+        .filter(graft.operators.Pipeline.bucket(col("doc_id")) >= 80)
+      (0 until Splits).foreach { k =>
+        val pdir = java.nio.file.Paths.get(s"$landing/part$k")
+        incoming.filter(pmod(col("doc_id"), lit(Splits.toLong)) === k)
+          .coalesce(1).write.parquet(pdir.toString)
+        val st = java.nio.file.Files.list(pdir)
+        val leaf =
+          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            .find(_.toString.endsWith(".parquet")).get
+          finally st.close()
+        java.nio.file.Files.move(leaf, java.nio.file.Paths.get(s"$landing/f$k.parquet"))
+        org.apache.commons.io.FileUtils.deleteDirectory(pdir.toFile)
+      }
+      val hidden = java.nio.file.Paths.get(s"$base/f${Splits - 1}.parquet.staged")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$landing/f${Splits - 1}.parquet"), hidden)
+      val existing = graft.operators.Dedup.materialized(
+        graft.operators.Dedup.shingled(s, dir)
+          .filter(graft.operators.Pipeline.bucket(col("doc_id")) < 80))
+      def drainDocs(): Unit =
+        DocStreams.dedupDocStream(
+          DocStreams.readDocStream(s, landing), existing, tableDir, ckpt)
+          .awaitTermination()
+      drainDocs()
+      java.nio.file.Files.move(
+        hidden, java.nio.file.Paths.get(s"$landing/f${Splits - 1}.parquet"))
+      drainDocs()
+      require(graft.sources.Versioned.latest(tableDir).contains(Splits - 1),
+        s"doc stream gate expected ${Splits} committed versions")
+    }
+    tableDir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Aggregate the stream-committed table's LATEST version per event type;
@@ -132,6 +186,17 @@ object StreamGate {
           min(col("event_id")).as("min_event_id"),
           max(col("event_id")).as("max_event_id"))
         .orderBy("event_type")
+    },
+
+    // The committed near-dup matches of the streamed doc pipeline, read
+    // from the versioned sink's latest snapshot; the oracle is the
+    // dd_incremental statement over the ORIGINAL documents parquet, so a
+    // hash match proves the micro-batched/restarted ingest produced
+    // exactly the one-pass batch matches — nothing lost, duplicated, or
+    // drifted through the streaming chain.
+    "st_doc_commit" -> { (s, dir) =>
+      graft.sources.Versioned.read(s, streamedDocTable(s, dir))
+        .orderBy("incoming_id", "existing_id")
     }
   )
 
@@ -140,6 +205,9 @@ object StreamGate {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
         |  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Verbatim reuse of the batch oracle: the streamed result must equal
+    // the one-pass batch matches, so they share ONE statement.
+    "st_doc_commit" -> graft.operators.Dedup.oracles("dd_incremental")
   )
 }
