@@ -101,6 +101,12 @@ object Joins {
     * window every 6 hours from the corpus's first day; the 6 h spacing
     * doubles as the bin width of the overlap decomposition.
     */
+  /** Documented false-positive rate bound of [[queries j6_bloom_fp_audit]] —
+    * Spark's `bloom_filter_agg` default fpp (the filter here is additionally
+    * overprovisioned via estItems, so the realized rate sits far below it).
+    */
+  val BloomFpp = 0.03
+
   val PromoSpacingMicros: Long = 6L * 3600 * 1000000
   val PromoLenMicros: Long = 90L * 60 * 1000000
 
@@ -142,6 +148,37 @@ object Joins {
             * (lit(1).cast(DecimalType(18, 2)) - Relational.dec(col("l_discount"))))
             .cast("double").as("revenue"))
         .orderBy("o_orderpriority")
+    },
+
+    // Bloom-filter FALSE-POSITIVE audit ON the hash gate — the
+    // sketch-contract shape (q24) applied to the join-pruning tier:
+    // j3 proves the bloom prefilter loses no matching row (no false
+    // negatives); this query proves the OTHER half of the bloom contract —
+    // that the rows it fails to prune stay within the configured
+    // false-positive rate. The engine counts fact rows, true matches
+    // (exact semi join), and bloom survivors in one plan and emits
+    // (n_fact, n_matched, within_bound) where within_bound checks
+    // survivors − matches ≤ fpp · (n_fact − matches); the bloom's bit
+    // pattern is engine-internal (never emitted), the oracle computes the
+    // exact counts with literal TRUE. The filter is deterministic (xxhash64
+    // family, OR-merge), so the verdict is stable across runs.
+    "j6_bloom_fp_audit" -> { (s, dir) =>
+      val dimPred = col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F"
+      val dimKeys = Relational.t(s, dir, "orders").filter(dimPred).select(col("o_orderkey"))
+      val fact = Relational.t(s, dir, "lineitem").select(col("l_orderkey"))
+      val survivors = bloomPreFilter(fact, "l_orderkey", dimKeys, estItems = 1000000L)
+        .agg(count(lit(1)).as("n_survivors"))
+      val nFact = fact.agg(count(lit(1)).as("n_fact"))
+      val nMatch = fact
+        .join(Relational.t(s, dir, "orders").filter(dimPred).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      nFact.crossJoin(broadcast(nMatch)) // bounded: one row
+        .crossJoin(broadcast(survivors)) // bounded: one row
+        .select(col("n_fact"), col("n_matched"),
+          ((col("n_survivors") - col("n_matched")).cast("double") <=
+            lit(BloomFpp) * (col("n_fact") - col("n_matched")).cast("double"))
+            .as("within_bound"))
     },
 
     // Dynamic partition pruning: the fact side is a hive-partitioned
@@ -275,6 +312,15 @@ object Joins {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Sketch-contract gate: exact counts + literal TRUE; the engine's
+    // within_bound proves the bloom survivors honored the fp rate.
+    "j6_bloom_fp_audit" ->
+      """SELECT (SELECT COUNT(*) FROM lineitem) AS n_fact,
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_orderkey IN (
+        |     SELECT o_orderkey FROM orders
+        |     WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')) AS n_matched,
+        |  TRUE AS within_bound""".stripMargin,
     // Original flat parquet + plain join — the pruned partitioned read must
     // lose nothing.
     "j4_dpp_partition_prune" ->

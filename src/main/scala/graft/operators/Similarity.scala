@@ -174,6 +174,41 @@ object Similarity {
         .orderBy("metric")
     },
 
+    // Per-node LOCAL CLUSTERING COEFFICIENT over the undirected closure of
+    // the exact 3-NN graph — the community-structure observability metric
+    // beside ss_degree_hist's hubness: c(v) = 2·tri(v)/(deg(v)·(deg(v)−1)),
+    // the fraction of v's neighbor pairs that are themselves connected.
+    // High mean coefficient = tight semantic micro-clusters (duplicate-rich
+    // or topic-collapsed regions a diversity sampler should downweight);
+    // ≈0 = tree-like embedding space. Shape: wedges are the per-vertex
+    // neighbor-pair join (Σ deg² — deg ≤ 2k on a k-NN closure, so linear in
+    // nodes), closed by one equality join against the oriented edge set;
+    // integers end-to-end with ONE boundary division per node. The same
+    // oracle-checked edge derivation as ss_knn_triangles proves census and
+    // normalization jointly exact.
+    "ss_clustering_coeff" -> { (s, dir) =>
+      val e = knnGraph(s, dir)
+      val und = Dedup.materialized(
+        e.select(least(col("vec_id"), col("nbr_id")).as("a"),
+          greatest(col("vec_id"), col("nbr_id")).as("b")).distinct())
+      val adj = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      val deg = adj.groupBy(col("a").as("vec_id")).agg(count(lit(1)).as("degree"))
+      val wedges = adj.select(col("a").as("v"), col("b").as("n1"))
+        .join(adj.select(col("a").as("v"), col("b").as("n2")), "v")
+        .filter(col("n1") < col("n2"))
+      val tri = wedges
+        .join(und.select(col("a").as("n1"), col("b").as("n2")), Seq("n1", "n2"))
+        .groupBy(col("v").as("vec_id")).agg(count(lit(1)).as("n_tri"))
+      deg.join(tri, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("coeff",
+          when(col("degree") >= 2,
+            (col("n_tri") * 2).cast("double") /
+              (col("degree") * (col("degree") - 1)).cast("double")))
+        .orderBy("vec_id")
+    },
+
     // PageRank over the exact 3-NN graph — the iterative-dataflow graph
     // centrality the diversity-sampling / seed-selection tier uses (rank a
     // corpus by graph importance, sample high-rank docs first). PrIters
@@ -1040,6 +1075,47 @@ object Similarity {
         |  FROM ed e1 JOIN ed e2 ON e1.b = e2.a JOIN ed e3
         |    ON e3.a = e1.a AND e3.b = e2.b
         |) ORDER BY metric""".stripMargin,
+    // Same knn-edge CTE chain; wedges per center vertex closed against the
+    // oriented edge set, one boundary division per node.
+    "ss_clustering_coeff" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, len(v)+1)], (p, q) -> p + q)) AS nrm
+        |  FROM e
+        |), p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    list_reduce([a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)], (p, q) -> p + q)
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |), r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id
+        |      ORDER BY cosine DESC, CAST(nbr_id AS VARCHAR) ASC) AS rnk
+        |  FROM p
+        |), ed AS (
+        |  SELECT DISTINCT LEAST(vec_id, nbr_id) AS a, GREATEST(vec_id, nbr_id) AS b
+        |  FROM r WHERE rnk <= 3
+        |), adj AS (
+        |  SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed
+        |), deg AS (
+        |  SELECT a AS vec_id, COUNT(*) AS degree FROM adj GROUP BY a
+        |), tri AS (
+        |  SELECT w.v AS vec_id, COUNT(*) AS n_tri FROM (
+        |    SELECT x.a AS v, x.b AS n1, y.b AS n2
+        |    FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+        |  ) w JOIN ed ON ed.a = w.n1 AND ed.b = w.n2
+        |  GROUP BY w.v
+        |)
+        |SELECT deg.vec_id, CAST(degree AS BIGINT) AS degree,
+        |  CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN degree >= 2
+        |    THEN CAST(COALESCE(n_tri, 0) * 2 AS DOUBLE)
+        |      / CAST(degree * (degree - 1) AS DOUBLE)
+        |    ELSE NULL END AS coeff
+        |FROM deg LEFT JOIN tri USING (vec_id) ORDER BY vec_id""".stripMargin,
     "ss_embed_quant" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

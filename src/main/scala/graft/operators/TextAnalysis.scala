@@ -373,6 +373,44 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Per-source unigram KL divergence vs the corpus distribution — the
+    // domain-shift audit the mixture/weighting tier (pl_mixture, DSIR)
+    // reads before setting source weights: KL(source ‖ corpus) =
+    // Σ_t (c/Nₛ)·ln((c/Nₛ)/(d/N)) over the source's token distribution.
+    // Decomposed into the quantize-before-sum contract: per-token term
+    // c·(qln c − qln Nₛ − qln d + qln N) is an exact integer (qln =
+    // round(1e6·ln), the ONE shared definition), the per-source sum rides
+    // DECIMAL(38,0), and nats emerge from ONE boundary division by 1e6·Nₛ.
+    // Shape: one map-side-combined (source, token) aggregation; the
+    // scoring joins run on vocabulary-sized frames against a broadcast
+    // |sources| profile. KL ≥ 0 (Gibbs) up to quantization — spec-checked
+    // with the slack bound, and the 0-divergence fixpoint (a source that
+    // IS the corpus) is exercised on a planted frame.
+    "ta_source_kl" -> { (s, dir) =>
+      val qln = TextOps.qlog _
+      val st = Dedup.materialized(
+        Relational.t(s, dir, "documents")
+          .transform(Dedup.spread("doc_id"))
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("c")))
+      val ct = st.groupBy("token").agg(sum("c").as("d"))
+      val ps = st.groupBy("source").agg(sum("c").as("ns"))
+      val tot = ps.agg(sum("ns").as("n"))
+      st.join(ct, "token")
+        .join(broadcast(ps), "source") // bounded: |sources| rows
+        .crossJoin(broadcast(tot)) // bounded: one row
+        .select(col("source"), col("ns"),
+          (col("c") * (qln(col("c")) - qln(col("ns")) - qln(col("d")) + qln(col("n"))))
+            .as("term"))
+        .groupBy("source", "ns")
+        .agg(sum(col("term").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("klq"))
+        .select(col("source"), col("ns").as("n_tokens"),
+          col("klq").cast("long").as("kl_q"),
+          (col("klq").cast("double") / (lit(1000000.0) * col("ns").cast("double")))
+            .as("kl_nats"))
+        .orderBy("source")
+    },
+
     // Collocation mining via pointwise mutual information — the phrase/
     // terminology extractor (high-PMI adjacent pairs are multi-word units:
     // names, idioms, domain terms; the feature vocabulary a tokenizer or
@@ -692,6 +730,32 @@ object TextAnalysis {
         |  len(list_distinct(g.grams)) AS distinct_grams, tc.top_count,
         |  CAST(len(g.grams) - len(list_distinct(g.grams)) AS DOUBLE) / len(g.grams) AS dup_frac
         |FROM g JOIN tc USING (doc_id) ORDER BY g.doc_id""".stripMargin,
+    // Identical quantized-log decomposition: integer per-token terms,
+    // HUGEINT sum, one boundary division.
+    "ta_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source, UNNEST(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+        |  FROM documents
+        |), st AS (
+        |  SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        |), ct AS (
+        |  SELECT token, CAST(SUM(c) AS BIGINT) AS d FROM st GROUP BY 1
+        |), ps AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n FROM st
+        |), terms AS (
+        |  SELECT st.source, ps.ns,
+        |    st.c * (CAST(round(1000000.0 * ln(st.c)) AS BIGINT)
+        |      - CAST(round(1000000.0 * ln(ps.ns)) AS BIGINT)
+        |      - CAST(round(1000000.0 * ln(ct.d)) AS BIGINT)
+        |      + CAST(round(1000000.0 * ln(tot.n)) AS BIGINT)) AS term
+        |  FROM st JOIN ct USING (token) JOIN ps USING (source) CROSS JOIN tot
+        |)
+        |SELECT source, ns AS n_tokens,
+        |  CAST(SUM(term) AS BIGINT) AS kl_q,
+        |  CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / (1000000.0 * CAST(ns AS DOUBLE)) AS kl_nats
+        |FROM terms GROUP BY source, ns ORDER BY source""".stripMargin,
     "ta_entropy" ->
       """WITH t AS (
         |  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS tok

@@ -21,6 +21,18 @@ class JoinsSpec extends SparkSpec {
       "bloom prefilter must be semantically free")
   }
 
+  test("bloom fp audit: verdict true, exact counts match an independent recompute") {
+    val r = Joins.queries("j6_bloom_fp_audit")(spark, sf()).head()
+    val fact = Relational.t(spark, sf(), "lineitem")
+    val keys = Relational.t(spark, sf(), "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val matched = fact.select("l_orderkey").collect().count(x => keys(x.getLong(0)))
+    assert(r.getLong(0) == fact.count() && r.getLong(1) == matched,
+      "exact columns must match the driver-side recompute")
+    assert(r.getBoolean(2), "bloom survivors exceeded the documented fp rate")
+  }
+
   test("interval overlap equals a driver-side quadratic recompute over the session set") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.Joins.queries("j5_interval_overlap")(spark, sf()).collect()

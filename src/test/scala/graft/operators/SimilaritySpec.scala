@@ -29,6 +29,33 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map { case (d, n) => d * n }.sum == 3 * nVecs)
   }
 
+  test("clustering coefficients: range, triangle mass identity, and a brute-force node") {
+    val rows = Similarity.queries("ss_clustering_coeff")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    val nVecs = Relational.t(spark, sf(), "embeddings").count()
+    assert(rows.length == nVecs, "every vector gets a coefficient row")
+    rows.foreach { case (v, deg, tri, c) =>
+      assert(deg >= 3, s"undirected closure of a 3-NN graph: deg($v) >= 3")
+      assert(tri <= deg * (deg - 1) / 2, s"tri($v) bounded by neighbor pairs")
+      assert(c >= 0.0 && c <= 1.0, s"coeff($v) in [0,1]")
+    }
+    // Each triangle is counted once at each of its three vertices.
+    val nTriangles = Similarity.queries("ss_knn_triangles")(spark, sf()).collect()
+      .collectFirst { case r if r.getString(0) == "n_triangles" => r.getLong(1) }.get
+    assert(rows.map(_._3).sum == 3 * nTriangles, "Σ tri(v) = 3 · triangle census")
+    // Brute-force one node: neighbors from the undirected edge set.
+    val edges = Similarity.queries("ss_knn_graph")(spark, sf()).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(2)), (r.getLong(2), r.getLong(0))))
+      .distinct
+    val byNode = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val v0 = rows.head._1
+    val nbrs = byNode(v0)
+    val triBrute = nbrs.toSeq.combinations(2).count { case Seq(x, y) => byNode(x).contains(y) }
+    assert(rows.head._2 == nbrs.size && rows.head._3 == triBrute,
+      s"node $v0: got (${rows.head._2}, ${rows.head._3}) want (${nbrs.size}, $triBrute)")
+  }
+
   test("ANN LSH recall@5 vs brute force is acceptable") {
     val exact = neighbors("ss_topk_bruteforce")
     val ann = neighbors("ss_ann_lsh")

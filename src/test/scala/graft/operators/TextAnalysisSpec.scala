@@ -28,6 +28,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pmis.toSeq == pmis.toSeq.sortBy(-_), "rows must descend by pmi")
   }
 
+  test("source KL: Gibbs nonnegativity up to quantization; zero on a one-source corpus") {
+    import spark.implicits._
+    val rows = TextAnalysis.queries("ta_source_kl")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    // KL >= 0 exactly; quantization perturbs each per-token term by at most
+    // 2 quantization units per occurrence (four rounded logs, each off by
+    // <= 0.5), so kl_q >= -2 * n_tokens is the provable floor.
+    rows.foreach { case (src, ns, klq, nats) =>
+      assert(klq >= -2 * ns, s"$src: kl_q $klq below the quantization floor")
+      assert(math.abs(nats - klq.toDouble / (1e6 * ns)) < 1e-12)
+    }
+    // A corpus that IS one source has KL exactly 0: every per-token term
+    // cancels algebraically (c = d, ns = n), before any rounding.
+    val dir = java.nio.file.Files.createTempDirectory("kl_onesource").toString
+    Seq((1L, "the cat sat", "web"), (2L, "a dog ran far", "web"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val one = TextAnalysis.queries("ta_source_kl")(spark, dir).collect()
+    assert(one.length == 1 && one.head.getLong(2) == 0L && one.head.getDouble(3) == 0.0)
+  }
+
   test("heaps curve is monotone and its last checkpoint equals the corpus totals") {
     val rows = TextAnalysis.queries("ta_heaps")(spark, sf()).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
