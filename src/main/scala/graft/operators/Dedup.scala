@@ -513,10 +513,14 @@ object Dedup {
   def connectedComponentsStars(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
     // Σ through DECIMAL(38,0): a long sum of 2⁶³-scale hashes overflows
     // (ANSI addExact throws); 38 digits absorb any realistic edge count.
-    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+    // distinct-u rides along to arm the star-forest early exit below.
+    def signature(df: DataFrame): (Long, java.math.BigDecimal, Long) = {
       val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).head()
-      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))),
+        countDistinct(col("u"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1),
+        r.getLong(2))
     }
     var edges = pairs
       .select(
@@ -539,6 +543,11 @@ object Dedup {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
+        // ONE u-exchange feeding three u-keyed consumers: hash-partitioning
+        // on u satisfies the (u,v) distinct's clustering (u ⊆ {u,v}), the
+        // small-star groupBy(u), AND the ls ⋈ ssMins join — the round's
+        // former per-consumer exchanges collapse into this single shuffle.
+        .repartition(col("u"))
         .distinct()
       val ssMins = ls.groupBy("u").agg(min("v").as("m"))
       val ss = ls.join(ssMins, "u").filter(col("v") =!= col("m"))
@@ -548,7 +557,21 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       val ssSig = signature(ss)
-      converged = ssSig == edgesSig && ss.except(edges).isEmpty
+      // Star-forest early exit: if every u has exactly one edge (count ==
+      // distinct-u) and no v reappears as a u, the edge set is a disjoint
+      // star forest — a PROVABLE fixpoint (one more round maps stars to
+      // themselves: large-star re-emits each leaf→root edge, small-star's
+      // rewrite set is empty), so the labels are final NOW. The old
+      // criterion paid one full identity round plus an except anti-join to
+      // discover the same thing; the structural certificate costs one
+      // semi-join on candidate rounds only. Signature equality + except
+      // stays as the fallback for any non-star fixpoint shape.
+      val starForest = ssSig._1 == ssSig._3 &&
+        ss.select(col("v"))
+          .join(ss.select(col("u").as("v")), Seq("v"), "left_semi").isEmpty
+      converged = starForest || (ssSig == edgesSig && ss.except(edges).isEmpty)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $round: ${ssSig._1} edges, stars=$starForest")
       freeCheckpoint(edges)
       edges = ss
       edgesSig = ssSig

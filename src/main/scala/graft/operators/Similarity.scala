@@ -31,6 +31,11 @@ object Similarity {
   val NQueries = 10
   val TopK = 5
 
+  /** Neighborhood size of [[queries ss_margin_mining]]'s density
+    * normalization (the k of the ratio-margin criterion).
+    */
+  val MarginK = 4
+
   /** Hyperplane LSH params: Tables × PlanesPerTable sign bits. Tuned for a
     * corpus with no planted clusters (neighbor cosines ~0.3-0.5): collision
     * probability per table (1-θ/π)^6 ≈ 0.05-0.15, so 12 independent tables
@@ -172,6 +177,51 @@ object Similarity {
         .select(lit("n_edges").as("metric"), col("value"))
         .unionByName(triangles.select(lit("n_triangles").as("metric"), col("value")))
         .orderBy("metric")
+    },
+
+    // Margin-based candidate mining (Artetxe & Schwenk 2019, ratio margin)
+    // — the bitext/alignment-mining contract: a raw cosine threshold
+    // over-selects in dense regions and under-selects in sparse ones, so
+    // each query×candidate score is NORMALIZED by both endpoints' local
+    // neighborhood density: margin(x,y) = cos(x,y) / ((mean_k NN cos of x
+    // + mean_k NN cos of y)/2). Exactness: per-pair cosines quantized to
+    // integer millionths (the quantize-before-sum contract), the two
+    // k-NN sums are integer aggregates over rank-selected rows, and the
+    // margin is ONE division of exact integers — 2k·cq / (skx + sky) —
+    // so the per-query argmax ranking is cross-engine deterministic.
+    // Shape: the |Q|×|C| score frame is the bounded-query brute-force
+    // scan (|Q| = NQueries broadcast); both k-NN sums reduce it with
+    // partitioned (never global) windows; at corpus scale the score
+    // frame swaps to the ANN candidate tier with the margin tail
+    // unchanged. Output: each query's best-margin candidate.
+    "ss_margin_mining" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = e.filter(col("vec_id") >= NQueries)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val cq = Dedup.materialized(
+        c.crossJoin(broadcast(q)) // bounded: |queries| rows
+          .select(col("qid"), col("cid"),
+            round(cosine(col("qv"), col("cv")) * lit(1000000.0)).cast("long").as("cq")))
+      val wq = Window.partitionBy("qid").orderBy(col("cq").desc, col("cid").asc)
+      val skx = cq.withColumn("r", row_number().over(wq)).filter(col("r") <= MarginK)
+        .groupBy("qid").agg(sum("cq").as("skx"))
+      val wc = Window.partitionBy("cid").orderBy(col("cq").desc, col("qid").asc)
+      val sky = cq.withColumn("r", row_number().over(wc)).filter(col("r") <= MarginK)
+        .groupBy("cid").agg(sum("cq").as("sky"))
+      val wm = Window.partitionBy("query_id")
+        .orderBy(col("margin").desc_nulls_last, col("cand_id").asc)
+      cq.join(broadcast(skx), "qid") // bounded: |queries| rows
+        .join(sky, "cid")
+        .select(col("qid").as("query_id"), col("cid").as("cand_id"), col("cq"),
+          when(col("skx") + col("sky") =!= 0,
+            (lit(2.0 * MarginK) * col("cq").cast("double")) /
+              (col("skx") + col("sky")).cast("double")).as("margin"))
+        .withColumn("rk", row_number().over(wm))
+        .filter(col("rk") === 1)
+        .select("query_id", "cand_id", "cq", "margin")
+        .orderBy("query_id")
     },
 
     // Per-node LOCAL CLUSTERING COEFFICIENT over the undirected closure of
@@ -1075,6 +1125,41 @@ object Similarity {
         |  FROM ed e1 JOIN ed e2 ON e1.b = e2.a JOIN ed e3
         |    ON e3.a = e1.a AND e3.b = e2.b
         |) ORDER BY metric""".stripMargin,
+    // Quantized cosine matrix, two rank-selected k-NN integer sums, one
+    // exact-integer division per pair, argmax per query.
+    "ss_margin_mining" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce([v[i] * v[i] FOR i IN range(1, len(v)+1)], (p, q) -> p + q)) AS nrm
+         |  FROM e
+         |), p AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    CAST(round((list_reduce([q.v[i] * c.v[i] FOR i IN range(1, len(q.v)+1)], (p, q) -> p + q)
+         |      / (q.nrm * c.nrm)) * 1000000.0) AS BIGINT) AS cq
+         |  FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id >= $NQueries
+         |), skx AS (
+         |  SELECT qid, CAST(SUM(cq) AS BIGINT) AS skx FROM (
+         |    SELECT qid, cq, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cq DESC, cid ASC) AS r
+         |    FROM p) WHERE r <= $MarginK GROUP BY qid
+         |), sky AS (
+         |  SELECT cid, CAST(SUM(cq) AS BIGINT) AS sky FROM (
+         |    SELECT cid, cq, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cq DESC, qid ASC) AS r
+         |    FROM p) WHERE r <= $MarginK GROUP BY cid
+         |), m AS (
+         |  SELECT p.qid AS query_id, p.cid AS cand_id, p.cq,
+         |    CASE WHEN skx.skx + sky.sky <> 0 THEN
+         |      (${2.0 * MarginK} * CAST(p.cq AS DOUBLE)) / CAST(skx.skx + sky.sky AS DOUBLE)
+         |    ELSE NULL END AS margin
+         |  FROM p JOIN skx USING (qid) JOIN sky USING (cid)
+         |), r AS (
+         |  SELECT query_id, cand_id, cq, margin,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY margin DESC NULLS LAST, cand_id ASC) AS rk
+         |  FROM m
+         |)
+         |SELECT query_id, cand_id, cq, margin FROM r WHERE rk = 1 ORDER BY query_id""".stripMargin,
     // Same knn-edge CTE chain; wedges per center vertex closed against the
     // oriented edge set, one boundary division per node.
     "ss_clustering_coeff" ->

@@ -29,6 +29,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map { case (d, n) => d * n }.sum == 3 * nVecs)
   }
 
+  test("margin mining equals a driver-side recompute of the ratio-margin argmax") {
+    val got = Similarity.queries("ss_margin_mining")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val vs = Relational.t(spark, sf(), "embeddings").collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qs = vs.keys.filter(_ < Similarity.NQueries).toSeq.sorted
+    val cs = vs.keys.filter(_ >= Similarity.NQueries).toSeq.sorted
+    val cq = (for { q <- qs; c <- cs } yield
+      (q, c, math.round(cos(vs(q), vs(c)) * 1e6))).toSeq
+    def topkSum(rows: Seq[(Long, Long)]): Long =
+      rows.sortBy { case (id, s) => (-s, id) }.take(Similarity.MarginK).map(_._2).sum
+    val skx = cq.groupBy(_._1).view.mapValues(r => topkSum(r.map(x => (x._2, x._3)))).toMap
+    val sky = cq.groupBy(_._2).view.mapValues(r => topkSum(r.map(x => (x._1, x._3)))).toMap
+    val best = cq.groupBy(_._1).view.mapValues { rows =>
+      rows.map { case (q, c, s) =>
+        (c, s, 2.0 * Similarity.MarginK * s / (skx(q) + sky(c)).toDouble)
+      }.minBy { case (c, _, m) => (-m, c) }
+    }.toMap
+    assert(got.length == qs.length, "one mined pair per query")
+    got.foreach { case (q, c, s, m) =>
+      val (bc, bs, bm) = best(q)
+      assert(c == bc && s == bs && math.abs(m - bm) < 1e-12,
+        s"query $q: got ($c, $s, $m) want ($bc, $bs, $bm)")
+      assert(m > 0, s"query $q mined a non-positive margin")
+    }
+  }
+
   test("clustering coefficients: range, triangle mass identity, and a brute-force node") {
     val rows = Similarity.queries("ss_clustering_coeff")(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
