@@ -92,6 +92,51 @@ object Multimodal {
     (img.getWidth.toLong * img.getHeight, sr, sg, sb)
   }
 
+  /** Difference-hash (dHash) of a decoded image, in two 32-bit halves.
+    *
+    * The perceptual-hash kernel behind [[queries mm_phash_neardup]]: the
+    * image collapses to an 8×9 grid of INTEGER block brightness sums
+    * (g = r+g+b per pixel; block (r, k) covers y·8÷H = r, x·9÷W = k — the
+    * same integer floor boundaries the oracle recomputes), and bit (r, k)
+    * is the horizontal gradient sign. Unequal block sizes (W is not a
+    * multiple of 9) make mean comparison a CROSS-MULTIPLIED integer test —
+    * s₁·n₂ > s₂·n₁ — so the 64 bits are exact with no float anywhere.
+    * Packed as two 32-bit halves (rows 0–3 → hi, 4–7 → lo) so every value
+    * stays positive in a signed 64-bit lane in both engines.
+    */
+  def dhash(payload: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val w = img.getWidth; val h = img.getHeight
+    val s = Array.ofDim[Long](8, 9); val n = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val r = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val g = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        val k = x * 9 / w
+        s(r)(k) += g; n(r)(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L; var lo = 0L
+    var r = 0
+    while (r < 8) {
+      var k = 0
+      while (k < 8) {
+        if (s(r)(k) * n(r)(k + 1) > s(r)(k + 1) * n(r)(k)) {
+          val j = r * 8 + k
+          if (r < 4) hi |= 1L << j else lo |= 1L << (j - 32)
+        }
+        k += 1
+      }
+      r += 1
+    }
+    (hi, lo)
+  }
+
   /** Image manifest: one real-BMP media row per document. The encode runs
     * distributed in the same partition-batched shape as decode (in
     * production the bytes arrive from the lake; the fixture synthesizes
@@ -357,6 +402,49 @@ object Multimodal {
           countDistinct(col("h")).as("n_distinct_payloads"),
           max(col("n_bytes")).as("max_bytes"))
         .orderBy("format")
+    },
+
+    // PERCEPTUAL near-dup over the real decode path — the media sibling of
+    // the text tier's SimHash: every image reduces to a 64-bit dHash
+    // ([[dhash]], exact integer gradient signs over the decoded pixels),
+    // and near-dups are pairs within hamming distance 3. Candidates come
+    // from a 4×16-bit BAND bucket join (the MinHash-LSH shape): distance
+    // ≤ 3 flips at most 3 bands, so by pigeonhole every qualifying pair
+    // shares an exact band — the banding is LOSSLESS for the threshold,
+    // and the oracle's quadratic all-pairs formulation proves it. Shuffle
+    // carries (id, two longs, band) — never pixels; verification is one
+    // xor+popcount per candidate. At 100 TB this is the only viable
+    // perceptual-dedup shape: decode once, hash once, equality-join
+    // 16-bit buckets.
+    "mm_phash_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val hashes = Dedup.materialized(
+        imageManifest(s, dir).select(col("doc_id"), col("media"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            javax.imageio.ImageIO.setUseCache(false)
+            rows.map { case (id, payload) =>
+              val (hi, lo) = dhash(payload); (id, hi, lo)
+            }
+          }.toDF("doc_id", "hi", "lo"))
+      val bands = hashes.select(col("doc_id"), col("hi"), col("lo"),
+        explode(array(
+          struct(lit(0).as("band"), shiftright(col("hi"), 16).as("bv")),
+          struct(lit(1).as("band"), col("hi").bitwiseAND(lit(65535L)).as("bv")),
+          struct(lit(2).as("band"), shiftright(col("lo"), 16).as("bv")),
+          struct(lit(3).as("band"), col("lo").bitwiseAND(lit(65535L)).as("bv")))).as("b"))
+        .select(col("doc_id"), col("hi"), col("lo"), col("b.band").as("band"), col("b.bv").as("bv"))
+      bands.select(col("doc_id").as("doc_a"), col("hi").as("ha"), col("lo").as("la"),
+          col("band"), col("bv"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("hi").as("hb"), col("lo").as("lb"),
+          col("band"), col("bv")), Seq("band", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "la", "hb", "lb").distinct()
+        .select(col("doc_a"), col("doc_b"),
+          (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+            bit_count(col("la").bitwiseXOR(col("lb")))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -420,6 +508,42 @@ object Multimodal {
         |  COUNT(*) AS n_media,
         |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
         |  CAST(MAX(length(text)) AS BIGINT) AS max_bytes
-        |FROM documents GROUP BY format ORDER BY format""".stripMargin
+        |FROM documents GROUP BY format ORDER BY format""".stripMargin,
+    // dHash from the closed-form pixel bytes (no codec), then the
+    // QUADRATIC all-pairs hamming ≤ 3 — proving the engine's decode +
+    // band-bucket candidate join jointly lossless. Integer throughout:
+    // block sums over the same y·8÷16 / x·9÷W floor boundaries, gradient
+    // bits by cross-multiplied sums, hashes in two positive 32-bit halves.
+    "mm_phash_neardup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 13 + doc_id % 4 AS w FROM documents
+         |), px AS (
+         |  SELECT d.doc_id, d.w, x.x, y.y,
+         |    (d.doc_id * 31 + (y.y * d.w + x.x) * 3 + 0) % 256
+         |  + (d.doc_id * 31 + (y.y * d.w + x.x) * 3 + 1) % 256
+         |  + (d.doc_id * 31 + (y.y * d.w + x.x) * 3 + 2) % 256 AS g
+         |  FROM d
+         |  JOIN range(0, 16) x(x) ON x.x < d.w
+         |  JOIN range(0, $ImgH) y(y) ON true
+         |), blk AS (
+         |  SELECT doc_id, y * 8 // $ImgH AS r, x * 9 // w AS k,
+         |    CAST(SUM(g) AS BIGINT) AS s, COUNT(*) AS n
+         |  FROM px GROUP BY 1, 2, 3
+         |), bits AS (
+         |  SELECT a.doc_id, a.r, a.k,
+         |    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+         |  FROM blk a JOIN blk b ON a.doc_id = b.doc_id AND a.r = b.r AND b.k = a.k + 1
+         |  WHERE a.k < 8
+         |), h AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN r < 4 THEN bit * (1 << (r * 8 + k)) ELSE 0 END) AS BIGINT) AS hi,
+         |    CAST(SUM(CASE WHEN r >= 4 THEN bit * (1 << ((r - 4) * 8 + k)) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

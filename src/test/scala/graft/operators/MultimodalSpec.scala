@@ -104,4 +104,43 @@ class MultimodalSpec extends SparkSpec {
     assert(r.agg(sum(length(col("media")))).head().getLong(0) ==
       m.agg(sum(length(col("media")))).head().getLong(0))
   }
+
+  test("dhash matches a closed-form recompute; near-dup query equals quadratic brute force") {
+    // The decoded dHash must equal the hash computed straight from the
+    // closed-form pixel bytes — proving the codec round-trip AND the block
+    // arithmetic jointly.
+    def closedDhash(id: Long): (Long, Long) = {
+      val w = Multimodal.imgW(id); val h = Multimodal.ImgH
+      val s = Array.ofDim[Long](8, 9); val n = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (y.toLong * w + x) * 3
+        val g = (0 until 3).map(c => Multimodal.pixelByte(id, base + c)).sum
+        s(y * 8 / h)(x * 9 / w) += g; n(y * 8 / h)(x * 9 / w) += 1
+      }
+      var hi = 0L; var lo = 0L
+      for (r <- 0 until 8; k <- 0 until 8)
+        if (s(r)(k) * n(r)(k + 1) > s(r)(k + 1) * n(r)(k)) {
+          val j = r * 8 + k
+          if (r < 4) hi |= 1L << j else lo |= 1L << (j - 32)
+        }
+      (hi, lo)
+    }
+    (0L until 8L).foreach { id =>
+      val decoded = Multimodal.dhash(Multimodal.encodeBmp(id, Multimodal.imgW(id), Multimodal.ImgH))
+      assert(decoded == closedDhash(id), s"doc $id: decoded dhash diverges from closed form")
+    }
+    // The banded candidate join must find EXACTLY the quadratic <=3 set.
+    val ids = Relational.t(spark, sf(), "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val hs = ids.map(id => id -> closedDhash(id)).toMap
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
+        java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.queries("mm_phash_neardup")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"banding lost or invented pairs: extra ${got -- brute}, missing ${brute -- got}")
+  }
 }
