@@ -291,6 +291,47 @@ object Analytics {
                 (d(col("n_above")) + d(col("n_below")) - lit(1.0))))).as("z"))
     },
 
+    // Mann–Whitney U (Wilcoxon rank-sum) two-sample test on order totals
+    // between the two large order-status populations — the NONPARAMETRIC
+    // location test beside the KS distance and the runs test: does one
+    // status stochastically dominate the other? Rank arithmetic is exact
+    // WITHOUT per-row ranks: collapse to the value-level frame (cents),
+    // take the exclusive prefix count below each value via the two-phase
+    // [[Pipeline.globalPrefixSums]] (no single-partition window), and use
+    // the midrank identity — a tie group's doubled rank-sum contribution
+    // is n1(v)·(2·below + t + 1), an exact integer — so 2·R₁, the tie
+    // correction Σ(t³−t), and both group sizes are exact integer
+    // aggregates riding DECIMAL(38,0). U₁ and the tie-corrected normal
+    // z = (U₁ − n₁n₂/2)/σ are ONE token-identical IEEE tree at the
+    // boundary. Scale: everything after the one value-level aggregation
+    // is O(|distinct cents|).
+    "an_mannwhitney" -> { (s, dir) =>
+      val dec = DecimalType(38, 0)
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val vals = Relational.t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("v"))
+        .groupBy("v")
+        .agg(sum(when(col("st") === "F", 1L).otherwise(0L)).as("n1v"),
+          sum(when(col("st") === "O", 1L).otherwise(0L)).as("n2v"))
+        .withColumn("tv", col("n1v") + col("n2v"))
+      val pref = Pipeline.globalPrefixSums(s, vals, "cumt", "tv", col("v"))
+      val nn = (d(col("n1")) + d(col("n2")))
+      pref.agg(
+          sum(col("n1v")).as("n1"), sum(col("n2v")).as("n2"),
+          sum((col("n1v") * (lit(2) * (col("cumt") - col("tv")) + col("tv") + 1)).cast(dec))
+            .as("r1x2"),
+          sum((col("tv") * col("tv") * col("tv") - col("tv")).cast(dec)).as("tcorr"))
+        .select(col("n1"), col("n2"),
+          (d(col("r1x2") - col("n1") * (col("n1") + 1)) / lit(2.0)).as("u1"),
+          ((d(col("r1x2") - col("n1") * (col("n1") + 1)) / lit(2.0) -
+            d(col("n1")) * d(col("n2")) / lit(2.0)) /
+            sqrt(d(col("n1")) * d(col("n2")) *
+              ((nn + lit(1.0)) - d(col("tcorr")) / (nn * (nn - lit(1.0)))) / lit(12.0)))
+            .as("z"))
+    },
+
     // Weekday-seasonality screen — the uniformity sibling of an_benford:
     // event volume per day-of-week with the exact χ² against the uniform
     // profile. Weekday comes from PURE INTEGER day arithmetic
@@ -442,6 +483,34 @@ object Analytics {
         |      (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0)))
         |  ELSE NULL END AS z
         |FROM agg""".stripMargin,
+    // Naive-window twin of the two-phase prefix scan; identical midrank
+    // identity, HUGEINT sums, one token-identical IEEE tree.
+    "an_mannwhitney" ->
+      """WITH vals AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n1v,
+        |    SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n2v
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1
+        |), pref AS (
+        |  SELECT v, n1v, n2v, n1v + n2v AS tv,
+        |    SUM(n1v + n2v) OVER (ORDER BY v) AS cumt
+        |  FROM vals
+        |), a AS (
+        |  SELECT CAST(SUM(n1v) AS BIGINT) AS n1, CAST(SUM(n2v) AS BIGINT) AS n2,
+        |    CAST(SUM(n1v * (2 * (cumt - tv) + tv + 1)) AS BIGINT) AS r1x2,
+        |    CAST(SUM(tv * tv * tv - tv) AS BIGINT) AS tcorr
+        |  FROM pref
+        |)
+        |SELECT n1, n2,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |  (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+        |    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+        |  sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+        |    (((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0)
+        |      - CAST(tcorr AS DOUBLE) /
+        |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |          * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))) / 12.0) AS z
+        |FROM a""".stripMargin,
     // Seasonality twin: identical integer weekday arithmetic, HUGEINT
     // squares, one boundary division.
     "an_seasonality" ->

@@ -18,6 +18,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(n == Relational.t(spark, sf(), "events").count())
   }
 
+  test("mann-whitney U equals a driver-side midrank recompute") {
+    val r = Analytics.queries("an_mannwhitney")(spark, sf()).head()
+    val rows = Relational.t(spark, sf(), "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderstatus"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n1 = rows.count(_._1 == "F").toLong
+    val n2 = rows.count(_._1 == "O").toLong
+    // Classic per-row midranks over the pooled sample.
+    val byValue = rows.map(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val below = {
+      val vs = byValue.keys.toSeq.sorted
+      vs.zip(vs.scanLeft(0L)((a, v) => a + byValue(v))).toMap
+    }
+    def midrank(v: Long): Double = below(v) + (byValue(v) + 1) / 2.0
+    val rank1 = rows.collect { case ("F", v) => midrank(v) }.sum
+    val u1 = rank1 - n1 * (n1 + 1) / 2.0
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(math.abs(r.getDouble(2) - u1) < 1e-6, s"U1 ${r.getDouble(2)} vs $u1")
+    // z is finite and centered sanely: |z| below any astronomical blowup.
+    assert(!r.isNullAt(3) && math.abs(r.getDouble(3)) < 50)
+  }
+
   test("an_runs survives near-constant daily series (degenerate guards)") {
     import spark.implicits._
     def eventsDir(counts: Seq[Int]): String = {
