@@ -242,6 +242,49 @@ object Retrieval {
         .limit(Bm25K)
     },
 
+    // nDCG@k ranking-quality evaluation of the BM25 ranking — the IR-eval
+    // observability artifact beside ss_ann_recall: graded relevance is the
+    // deterministic proxy rel(d) = #distinct query terms in d (the
+    // n_terms column the scorer already computes), gains 2^rel − 1, and
+    // discounts 1/log2(i+1) as INTEGER-PPM LITERALS shared textually with
+    // the oracle (the BenfordPpm doctrine — never runtime libm), so
+    // DCG@k is an exact integer. Ideal DCG needs no sort: it collapses to
+    // the corpus's (n3, n2, n1) relevance counts against the PREFIX-SUM
+    // literal table. nDCG is one boundary division of exact integers.
+    // Rank positions come from the distributed numbering path (k rows —
+    // but never an unpartitioned window).
+    "rt_ndcg" -> { (s, dir) =>
+      val docs = Dedup.materialized(
+        Relational.t(s, dir, "documents")
+          .transform(Dedup.spread("doc_id"))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 1))
+      val scored = Dedup.materialized(bm25Ranked(docs, termFrame(s, Bm25Terms)))
+      val topK = scored.orderBy(col("score").desc, col("doc_id").asc).limit(NdcgK)
+      val ranked = Pipeline.globalRowNumbers(
+        s, topK, "i", negate(col("score")), col("doc_id"))
+      val wArr = array(NdcgWPpm.map(lit): _*)
+      val gain = when(col("n_terms") === 3, 7L)
+        .when(col("n_terms") === 2, 3L).otherwise(1L)
+      val dcg = ranked
+        .agg(sum(gain * element_at(wArr, col("i").cast("int"))).as("dcg_q"))
+      val pwArr = array(NdcgPWPpm.map(lit): _*)
+      def pw(m: org.apache.spark.sql.Column) =
+        element_at(pwArr, (least(lit(NdcgK.toLong), m) + 1).cast("int"))
+      val cnts = scored.agg(
+        sum(when(col("n_terms") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("n_terms") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("n_terms") === 1, 1L).otherwise(0L)).as("n1"))
+      dcg.crossJoin(broadcast(cnts)) // bounded: one row
+        .select(lit(NdcgK).as("k"), col("dcg_q"),
+          (lit(7L) * pw(col("n3")) +
+            lit(3L) * (pw(col("n3") + col("n2")) - pw(col("n3"))) +
+            (pw(col("n3") + col("n2") + col("n1")) - pw(col("n3") + col("n2"))))
+            .as("idcg_q"))
+        .select(col("k"), col("dcg_q"), col("idcg_q"),
+          (col("dcg_q").cast("double") / col("idcg_q").cast("double")).as("ndcg"))
+    },
+
     // Exact PHRASE search over a positional index — the query class the
     // unigram inverted index cannot answer ("slow hash batch" as consecutive
     // tokens, not a bag). The classic plan is a chain of k−1 positional
@@ -281,6 +324,19 @@ object Retrieval {
   /** PRF parameters: pseudo-relevant depth and promoted-term count. */
   val FbDocs = 5
   val FbTerms = 3
+
+  /** nDCG cutoff and the discount literals: round(1e6 / log2(i+1)) for
+    * ranks 1..10, plus their prefix sums (PW(0..10)) for the sort-free
+    * ideal-DCG closed form — integer-ppm constants shared textually with
+    * the oracle (the BenfordPpm doctrine), never recomputed via libm.
+    */
+  val NdcgK = 10
+  val NdcgWPpm: Seq[Long] = Seq(
+    1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+  val NdcgPWPpm: Seq[Long] = Seq(
+    0L, 1000000L, 1630930L, 2130930L, 2561607L, 2948460L,
+    3304667L, 3638000L, 3953465L, 4254495L, 4543560L)
 
   private def termFrame(s: SparkSession, terms: Seq[String]): DataFrame = {
     import s.implicits._
@@ -324,6 +380,35 @@ object Retrieval {
 
   private val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
 
+  /** The full gated BM25 statement — shared by rt_bm25 and (nested as a
+    * CTE, the ss_ann_recall device) the nDCG evaluation twin.
+    */
+  private lazy val bm25OracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+       |  FROM documents
+       |), dls AS (
+       |  SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM d WHERE len(ts) >= 1
+       |), st AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM dls
+       |), tfq AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+       |    SELECT doc_id, UNNEST(ts) AS term FROM d WHERE len(ts) >= 1
+       |  ) WHERE term IN ($termList) GROUP BY doc_id, term
+       |), dfq AS (
+       |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY term
+       |)
+       |SELECT doc_id, COUNT(*) AS n_terms,
+       |  CAST(SUM(CAST(
+       |    (((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2))
+       |      / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+       |  AS DECIMAL(38,18))) AS DOUBLE) AS score
+       |FROM tfq JOIN dfq USING (term) CROSS JOIN st JOIN dls USING (doc_id)
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Hit-anchored window census + per-doc argmax; DuckDB's inclusive list
     // slice takes start..start+W−1.
@@ -360,31 +445,41 @@ object Retrieval {
         |SELECT term, COUNT(*) AS df,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM post GROUP BY term ORDER BY term""".stripMargin,
-    "rt_bm25" ->
-      s"""WITH d AS (
+    "rt_bm25" -> bm25OracleSql,
+    // nDCG twin: the nested gated BM25 statement ranked by ROW_NUMBER,
+    // integer-ppm discount literals, sort-free ideal DCG from the corpus
+    // relevance counts against the prefix-sum literal table.
+    "rt_ndcg" -> {
+      val wList = s"[${NdcgWPpm.mkString(", ")}]"
+      val pwList = s"[${NdcgPWPpm.mkString(", ")}]"
+      def pw(m: String) = s"$pwList[CAST(least($NdcgK, $m) AS INT) + 1]"
+      s"""WITH bm AS ($bm25OracleSql), r AS (
+         |  SELECT n_terms, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS i FROM bm
+         |), dcg AS (
+         |  SELECT CAST(SUM((CASE n_terms WHEN 3 THEN 7 WHEN 2 THEN 3 ELSE 1 END)
+         |    * $wList[CAST(i AS INT)]) AS BIGINT) AS dcg_q
+         |  FROM r WHERE i <= $NdcgK
+         |), d2 AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
          |  FROM documents
-         |), dls AS (
-         |  SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM d WHERE len(ts) >= 1
-         |), st AS (
-         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-         |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
-         |  FROM dls
-         |), tfq AS (
-         |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
-         |    SELECT doc_id, UNNEST(ts) AS term FROM d WHERE len(ts) >= 1
-         |  ) WHERE term IN ($termList) GROUP BY doc_id, term
-         |), dfq AS (
-         |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tfq GROUP BY term
+         |), nt AS (
+         |  SELECT doc_id, COUNT(DISTINCT term) AS n_terms FROM (
+         |    SELECT doc_id, UNNEST(ts) AS term FROM d2 WHERE len(ts) >= 1
+         |  ) WHERE term IN ($termList) GROUP BY doc_id
+         |), cnts AS (
+         |  SELECT CAST(SUM(CASE WHEN n_terms = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |    CAST(SUM(CASE WHEN n_terms = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN n_terms = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |  FROM nt
          |)
-         |SELECT doc_id, COUNT(*) AS n_terms,
-         |  CAST(SUM(CAST(
-         |    (((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2))
-         |      / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
-         |  AS DECIMAL(38,18))) AS DOUBLE) AS score
-         |FROM tfq JOIN dfq USING (term) CROSS JOIN st JOIN dls USING (doc_id)
-         |GROUP BY doc_id
-         |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin,
+         |SELECT $NdcgK AS k, dcg_q,
+         |  7 * ${pw("n3")} + 3 * (${pw("n3 + n2")} - ${pw("n3")})
+         |    + (${pw("n3 + n2 + n1")} - ${pw("n3 + n2")}) AS idcg_q,
+         |  CAST(dcg_q AS DOUBLE) /
+         |    CAST(7 * ${pw("n3")} + 3 * (${pw("n3 + n2")} - ${pw("n3")})
+         |      + (${pw("n3 + n2 + n1")} - ${pw("n3 + n2")}) AS DOUBLE) AS ndcg
+         |FROM dcg CROSS JOIN cnts""".stripMargin
+    },
     "rt_hybrid_rrf" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

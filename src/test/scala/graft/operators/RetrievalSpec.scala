@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 
 class RetrievalSpec extends SparkSpec {
 
+  test("ndcg equals a driver-side recompute from the gated bm25 ranking") {
+    val r = Retrieval.queries("rt_ndcg")(spark, sf()).head()
+    val ranked = Retrieval.queries("rt_bm25")(spark, sf()).collect()
+      .map(x => (x.getLong(0), x.getLong(1))) // (doc_id, n_terms) in rank order
+    def gain(nt: Long): Long = (1L << nt) - 1
+    val dcg = ranked.take(Retrieval.NdcgK).zipWithIndex
+      .map { case ((_, nt), i) => gain(nt) * Retrieval.NdcgWPpm(i) }.sum
+    assert(r.getLong(1) == dcg, s"dcg_q ${r.getLong(1)} vs $dcg")
+    // Ideal DCG dominates the realized one, and nDCG lands in (0, 1].
+    assert(r.getLong(2) >= r.getLong(1))
+    val ndcg = r.getDouble(3)
+    assert(ndcg > 0.0 && ndcg <= 1.0)
+    assert(ndcg == r.getLong(1).toDouble / r.getLong(2).toDouble)
+  }
+
   test("inverted index: df equals posting-list length; postings sorted and total matches") {
     val rows = Retrieval.queries("rt_inverted_index")(spark, sf()).collect()
     assert(rows.nonEmpty)
