@@ -253,6 +253,39 @@ object Events {
     // join back; the hourly subplan is shared by both consumers (reused
     // exchange), so events scan once. Hours with zero events of a type are
     // absent, not zero-filled — the series is the observed one.
+    // Lag-1 autocorrelation of the daily event-count series — the
+    // persistence screen beside an_runs (randomness) and an_seasonality
+    // (weekday structure): r₁ near +1 means momentum/trend, near −1
+    // oscillation; a pipeline reads it before treating days as i.i.d.
+    // samples. Exactness: the lagged pairing is a SUCCESSOR equality join
+    // on integer day numbers (dy ⋈ dy+1 — adjacency without a window;
+    // calendar gaps simply contribute no pair, identically in both
+    // engines); all five moments are integer sums riding DECIMAL(38,0),
+    // and r₁ is ONE token-identical IEEE tree guarded NULL unless both
+    // variance terms are strictly positive. O(|days|) after the one daily
+    // aggregation — calendar-bounded everywhere.
+    "ev_autocorr" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val daily = Dedup.materialized(Relational.t(s, dir, "events")
+        .select(expr("unix_micros(ts) DIV 86400000000").as("dy"))
+        .groupBy("dy").agg(count(lit(1)).as("n")))
+      val pairs = daily.select(col("dy"), col("n").as("x"))
+        .join(broadcast(daily.select((col("dy") - 1).as("dy"), col("n").as("y"))), "dy") // bounded: calendar-days frame
+      val vx = col("np").cast(dec) * col("sxx") - col("sx") * col("sx")
+      val vy = col("np").cast(dec) * col("syy") - col("sy") * col("sy")
+      pairs.agg(
+          count(lit(1)).as("np"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+        .select(col("np"),
+          when(vx > 0 && vy > 0,
+            (col("np").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(vx.cast("double") * vy.cast("double"))).as("r1"))
+    },
+
     "ev_anomaly" -> { (s, dir) =>
       val hourly = EventStreams.windowedAgg(Relational.t(s, dir, "events"))
         .select(col("window_start"), col("event_type"), col("n_events"))
@@ -908,6 +941,27 @@ object Events {
         |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
     // DuckDB promotes SUM(BIGINT) to HUGEINT, so the squared terms stay
     // exact 128-bit integers; the Spark side mirrors with DECIMAL(38,0).
+    // Successor-join twin; HUGEINT moments, guarded one-tree division.
+    "ev_autocorr" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS dy, COUNT(*) AS n
+        |  FROM events GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.n AS x, b.n AS y FROM daily a JOIN daily b ON b.dy = a.dy + 1
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM pairs
+        |)
+        |SELECT np,
+        |  CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0 THEN
+        |    CAST(np * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(np * sxx - sx * sx AS DOUBLE) * CAST(np * syy - sy * sy AS DOUBLE))
+        |  ELSE NULL END AS r1
+        |FROM m""".stripMargin,
     "ev_anomaly" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n_events

@@ -327,6 +327,27 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("autocorrelation equals a driver-side pearson over lagged daily counts") {
+    val r = Events.queries("ev_autocorr")(spark, sf()).head()
+    val daily = Relational.t(spark, sf(), "events")
+      .select(expr("unix_micros(ts) DIV 86400000000").as("dy"))
+      .groupBy("dy").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val pairs = daily.toSeq.collect {
+      case (dy, x) if daily.contains(dy + 1) => (x.toDouble, daily(dy + 1).toDouble)
+    }
+    assert(r.getLong(0) == pairs.length)
+    val n = pairs.length
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val expected = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(r.getDouble(1) - expected) < 1e-9, s"r1 ${r.getDouble(1)} vs $expected")
+    assert(math.abs(r.getDouble(1)) <= 1.0)
+  }
+
   test("hll rollup: merged daily sketches track exact weekly distincts") {
     // The query emits (week, exact_users, within_bound) — the 5% sketch
     // bound is checked in-plan; the spec asserts every verdict and
