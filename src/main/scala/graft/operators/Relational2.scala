@@ -452,6 +452,33 @@ object Relational2 {
         .orderBy("lang")
     },
 
+    // Incremental JOIN-view maintenance ([[graft.plans.JoinViews]] — the
+    // delta-join sibling of mv_incremental_refresh): the stored
+    // orders ⋈ customer view absorbs an append batch on BOTH sides via
+    // the bilinear delta rule (ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB appended; the
+    // stored A₀⋈B₀ never re-runs), and the gate query aggregates FROM THE
+    // VIEW parquet. The oracle recomputes the full join from the base
+    // tables, so the hash match proves build + three-delta refresh equals
+    // the monolithic join — nothing lost at either delta boundary, no row
+    // double-joined. Money in exact cents.
+    "mv_join_incremental" -> { (s, dir) =>
+      val cents = col("o_totalprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast("long").as("cents")
+      val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), cents)
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val a0 = orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0)
+      val da = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+      val b0 = cust.filter(pmod(col("c_custkey"), lit(2L)) === 0)
+      val db = cust.filter(pmod(col("c_custkey"), lit(2L)) =!= 0)
+      val view = Connectors.tmp("orders_cust_jv")
+      graft.plans.JoinViews.build(a0, b0, "o_custkey", "c_custkey", view)
+      graft.plans.JoinViews.refreshAppend(a0, da, b0, db, "o_custkey", "c_custkey", view)
+      s.read.parquet(view)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+        .orderBy("c_nationkey")
+    },
+
     // Six-table star-schema join (TPC-H Q5 shape): regional revenue where
     // the customer's and the supplier's nation COINCIDE — the classic
     // optimizer workout. Plan discipline for 100 TB: the region filter
@@ -750,6 +777,12 @@ object Relational2 {
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // The monolithic join the incrementally-maintained view must equal.
+    "mv_join_incremental" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q41_regional_revenue" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
