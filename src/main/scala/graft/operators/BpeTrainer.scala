@@ -112,9 +112,7 @@ object BpeTrainer {
     // word→length map on their distinct-word counts — the corpus pays one
     // (doc_id, word) aggregation, never a per-occurrence re-encode.
     "ta_bpe_encode" -> { (s, dir) =>
-      val mergeArr = trainedMerges(s, dir)
-        .agg(array_sort(collect_list(struct(col("round"), col("a"), col("b")))).as("ms"))
-        .select(transform(col("ms"), m => struct(m.getField("a").as("a"), m.getField("b").as("b"))).as("ms"))
+      val mergeArr = mergeArray(s, dir)
       // ONE corpus tokenization pass: the vocabulary derives from the same
       // (doc_id, word) aggregate the final join consumes (materialized —
       // two consumers would otherwise each re-run the scan+tokenize).
@@ -131,6 +129,37 @@ object BpeTrainer {
         .groupBy("doc_id")
         .agg(sum(col("cnt") * col("len")).as("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Tokenizer FERTILITY audit per language — the metric a tokenizer
+    // review reads before committing a vocab (Ács/XLM-R analyses): tokens
+    // per word (fertility — high values mean the vocab fragments that
+    // language, inflating sequence length and cost) and characters per
+    // token (compression). Same industrial shape as ta_bpe_encode: the
+    // merge table prices each VOCABULARY word once, and the per-language
+    // totals are one (lang, word) aggregation joined against that
+    // word→length map — exact integer sums with the two ratios as
+    // boundary divisions.
+    "ta_bpe_fertility" -> { (s, dir) =>
+      val mergeArr = mergeArray(s, dir)
+      val langWords = Dedup.materialized(
+        Relational.t(s, dir, "documents")
+          .transform(Dedup.spread("doc_id"))
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("cnt")))
+      val wordLens = langWords.select("w").distinct()
+        .crossJoin(broadcast(mergeArr)) // bounded: one row (merge table)
+        .select(col("w"), length(col("w")).cast("long").as("nch"),
+          size(graft.functions.BpeApply(charSyms(col("w")), col("ms"))).cast("long").as("len"))
+      langWords.join(wordLens.hint("broadcast"), "w") // bounded: vocabulary-sized (distinct words)
+        .groupBy("lang")
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("len")).as("n_tokens"),
+          sum(col("cnt") * col("nch")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double")).as("fertility"),
+          (col("n_chars").cast("double") / col("n_tokens").cast("double")).as("chars_per_token"))
+        .orderBy("lang")
     }
   )
 
@@ -138,6 +167,15 @@ object BpeTrainer {
   private def trainedMerges(s: SparkSession, dir: String): DataFrame =
     graft.sources.Stored.materialize("bpe_merges", dir, s)(
       trainMergesFrom(initSymbols(s, dir)))
+
+  /** The stored merge table collapsed to the one-row ordered (a, b) array
+    * [[graft.functions.BpeApply]] consumes — shared by the encode and
+    * fertility queries.
+    */
+  private def mergeArray(s: SparkSession, dir: String): DataFrame =
+    trainedMerges(s, dir)
+      .agg(array_sort(collect_list(struct(col("round"), col("a"), col("b")))).as("ms"))
+      .select(transform(col("ms"), m => struct(m.getField("a").as("a"), m.getField("b").as("b"))).as("ms"))
 
   /** The training loop over an initial (symbols, freq) table. Stops early
     * when a round finds NO adjacent pair (a fully collapsed vocabulary —
@@ -208,7 +246,25 @@ object BpeTrainer {
          |)
          |SELECT doc_id, CAST(SUM(cnt * len(s$Merges.s)) AS BIGINT) AS n_tokens
          |FROM dw JOIN s$Merges USING (w)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Fertility twin: the same chain priced per language; integer totals,
+    // two boundary divisions.
+    "ta_bpe_fertility" ->
+      s"""WITH $bpeChainCte, lw AS (
+         |  SELECT lang, w, COUNT(*) AS cnt FROM (
+         |    SELECT lang,
+         |      unnest(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) AS w
+         |    FROM documents
+         |  ) GROUP BY lang, w
+         |)
+         |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(cnt * len(s$Merges.s)) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(SUM(cnt * len(s$Merges.s)) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS fertility,
+         |  CAST(CAST(SUM(cnt * len(w)) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(SUM(cnt * len(s$Merges.s)) AS BIGINT) AS DOUBLE) AS chars_per_token
+         |FROM lw JOIN s$Merges USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** DuckDB CTE chain re-running the trainer: word frequencies, character

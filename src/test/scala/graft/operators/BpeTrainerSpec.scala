@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
 
 class BpeTrainerSpec extends SparkSpec {
 
+  test("fertility: per-lang totals reconcile with the per-doc encode totals") {
+    val fert = BpeTrainer.queries("ta_bpe_fertility")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(fert.nonEmpty)
+    // Σ per-lang token totals == Σ per-doc encode totals (same pricing).
+    val encTotal = BpeTrainer.queries("ta_bpe_encode")(spark, sf())
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(fert.map(_._3).sum == encTotal, "lang totals diverge from doc totals")
+    fert.foreach { case (lang, nw, nt, f, cpt) =>
+      assert(nt >= nw, s"$lang: a word encodes to at least one token")
+      assert(f == nt.toDouble / nw && f >= 1.0, s"$lang fertility")
+      assert(cpt >= 1.0, s"$lang: a token carries at least one character")
+    }
+  }
+
   /** One left-to-right non-overlapping rewrite (the reference rule). */
   private def rewrite(s: Vector[String], a: String, b: String): Vector[String] = {
     val out = Vector.newBuilder[String]
