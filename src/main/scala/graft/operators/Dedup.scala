@@ -582,6 +582,43 @@ object Dedup {
     labels
   }
 
+  /** Single-pass union-find over one partition-local edge list — the leaf
+    * kernel of multilevel CC coarsening ([[graft.operators.Spatial.geoComponents]]).
+    * Union by MINIMUM root (the smaller root absorbs the larger), so the
+    * final root of every local component is its minimum node id — a result
+    * independent of edge arrival order, which keeps the distributed callers
+    * deterministic under Spark's unordered group iteration. Path halving
+    * keeps finds amortized near-constant. Emits (node, root) for EVERY node
+    * seen, roots included as identity rows, so callers can rewrite residual
+    * edges with a plain left join + coalesce. Memory is O(nodes in the
+    * group) — the caller must bound group size (e.g. by supercell
+    * population); that bound is the knob that makes the multilevel scheme
+    * scale-safe.
+    */
+  private[operators] def unionFindMinRoots(edges: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp)
+        x = p
+        p = gp
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent.update(a, a)
+      if (!parent.contains(b)) parent.update(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent.update(rb, ra)
+      else if (rb < ra) parent.update(ra, rb)
+    }
+    parent.keysIterator.toArray.iterator.map(n => (n, find(n)))
+  }
+
   /** Release the block-manager storage behind a `localCheckpoint`ed frame.
     * `Dataset.unpersist` only clears CacheManager entries, and a checkpoint
     * has none — its storage is the RDD's — so without this, every round's

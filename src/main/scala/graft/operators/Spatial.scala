@@ -129,6 +129,79 @@ object Spatial {
         dist2("ax", "ay", "bx", "by") <= lit(Radius * Radius))
   }
 
+  /** Connected components of a GEOMETRIC id-pair graph by multilevel
+    * supercell coarsening — the structure-aware replacement for the generic
+    * star-contraction fixpoint in the DBSCAN cluster merge.
+    *
+    * Star contraction ([[Dedup.connectedComponentsStars]]) is the right
+    * tool when the graph has no usable embedding (text near-dup graphs);
+    * on THIS graph every node is a point whose grid cell is derivable from
+    * its id alone, and radius edges only ever connect points ≤ 1 cell
+    * apart — so almost all edges are LOCAL. Coarsening exploits that:
+    *
+    *  - Level ℓ groups edges whose endpoints share a `levels(ℓ)`-cell
+    *    supercell and runs [[Dedup.unionFindMinRoots]] per group — one
+    *    mapGroups pass collapsing each supercell's subgraph to a min-root
+    *    forest. Cross-supercell edges are rewritten through the level's
+    *    root mapping (left join + coalesce) and become the next level's
+    *    input; rewritten duplicates collapse via distinct.
+    *  - The LAST level's supercell covers the whole grid (one group), so
+    *    the residual — by then contracted to one representative per
+    *    boundary-touching component per supercell — resolves in a single
+    *    bounded task and no residual survives: no distributed fixpoint,
+    *    no per-round convergence jobs. Per-group memory is O(nodes in the
+    *    supercell); `levels` is the knob — at 100 TB insert more levels
+    *    (e.g. 10, 40, whole-grid) so every group, apex included, stays
+    *    bounded by the contracted boundary population, exactly the
+    *    multilevel contract of parallel-Kruskal-style CC.
+    *
+    * Labels compose by folding the per-level mappings over the node set
+    * (left join + coalesce per level — lazy, part of the caller's plan).
+    * Output: (doc_id, cluster_id = component MINIMUM id) for every node of
+    * `pairs` — the same contract as both generic CC algorithms, so the
+    * quadratic recursive-CTE oracle proves this whole chain exact.
+    *
+    * A contracted root is a real point id, so later levels re-derive its
+    * supercell from the hash — correctness needs no locality from that
+    * assignment (any consistent grouping yields the same components), it
+    * only sharpens how much the next level contracts.
+    */
+  private[operators] def geoComponents(pairs: DataFrame,
+      levels: Seq[Long] = Seq(10L, 128L)): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    def superKey(c: org.apache.spark.sql.Column, sc: Long): org.apache.spark.sql.Column =
+      (floor(floor((md5Long(xSeed, c) % Extent) / Radius) / sc) * 1024 +
+        floor(floor((md5Long(ySeed, c) % Extent) / Radius) / sc)).cast("long")
+    var edges: DataFrame = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val mappings = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (sc <- levels) {
+      val keyed = edges.select(col("u"), col("v"),
+        superKey(col("u"), sc).as("gu"), superKey(col("v"), sc).as("gv"))
+      val m = Dedup.materialized(
+        keyed.filter(col("gu") === col("gv"))
+          .select(col("gu"), col("u"), col("v")).as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups((_, it) => Dedup.unionFindMinRoots(it.map(t => (t._2, t._3))))
+          .toDF("node", "root"))
+      mappings += m
+      edges = keyed.filter(col("gu") =!= col("gv")).select("u", "v")
+        .join(m.select(col("node").as("u"), col("root").as("ru")), Seq("u"), "left_outer")
+        .join(m.select(col("node").as("v"), col("root").as("rv")), Seq("v"), "left_outer")
+        .select(coalesce(col("ru"), col("u")).as("u"), coalesce(col("rv"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    require(levels.last * Radius >= Extent,
+      s"last coarsening level must cover the grid (got ${levels.last} cells)")
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    mappings.zipWithIndex.foldLeft(nodes.withColumn("cur", col("doc_id"))) {
+      case (lab, (m, i)) =>
+        lab.join(m.select(col("node").as("cur"), col("root").as(s"r$i")), Seq("cur"), "left_outer")
+          .select(col("doc_id"), coalesce(col(s"r$i"), col("cur")).as("cur"))
+    }.select(col("doc_id"), col("cur").as("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Grid-cell density profile: the histogram a spatial partitioner is
@@ -210,12 +283,12 @@ object Spatial {
         .join(cores.select(col("id").as("a")), "a")
         .join(cores.select(col("id").as("b")), "b")
         .select(col("a").as("doc_a"), col("b").as("doc_b"))
-      // Stars, not label propagation: the core graph is a supercritical
-      // percolation cluster whose giant component spans the grid (12k+
-      // cores at sf0.1) — edge-REWRITING contraction (O(log² n) rounds,
-      // each shrinking the edge set) converges there where min-label
-      // propagation's per-round cost over a static edge set does not pay.
-      val cc = Dedup.connectedComponentsStars(corePairs)
+      // Multilevel supercell coarsening, not a generic CC fixpoint: the
+      // core graph is geometric (radius edges never span more than one
+      // cell), so [[geoComponents]] collapses it in a fixed number of
+      // mapGroups passes — star contraction needed 7 rounds × 3 jobs here
+      // to chase the grid-spanning giant component to its fixpoint.
+      val cc = geoComponents(corePairs)
         .select(col("doc_id").as("id"), col("cluster_id"))
       val coreClusters = Dedup.materialized(
         cores.join(cc, Seq("id"), "left_outer")
