@@ -73,19 +73,25 @@ object Learn {
   private def qlog(p: Column): Column = TextOps.qlog(p)
 
   /** Per-(heldout doc, label) quantized NB log-posterior scores — the shared
-    * scoring frame behind cl_nb_predict (argmax) and cl_auc (ranking).
+    * scoring frame behind cl_nb_predict (argmax), cl_auc (ranking),
+    * cl_eval / cl_prf1 / cl_kappa (confusion-matrix reports),
+    * cl_calibration (margins) and cl_mcnemar (paired comparison).
     *
-    * The corpus is NOT materialized: train tokens feed only `counts`, test
-    * tokens only `testTf`, and the prior aggregates prune the token column
-    * entirely — each branch is one narrow scan pass, so a cache would cost a
-    * full corpus write for zero reuse. Only the MODEL (vocab × |labels|
-    * rows, consumed three times) is materialized.
+    * The score frame itself lives in the stored-structure tier: it is the
+    * "scored predictions" table a model registry materializes once per
+    * (model, eval split) and every report reads — seven gate queries
+    * consume it, and re-running the explode→model-join→aggregate scoring
+    * pass per consumer charged the corpus scan seven times (the r8 bench's
+    * cl_* regression cluster). Size is |heldout docs| × |labels| — bounded
+    * by the eval split, not the corpus. The corpus is NOT materialized:
+    * train tokens feed only the model build, test tokens one scoring pass.
     */
-  private def nbScores(s: SparkSession, dir: String): DataFrame = {
-    val (counts, labelStats) = nbModel(s, dir)
-    scoreDocs(docs(s, dir).filter(col("b") >= TestBucket).select("doc_id", "ts"),
-      counts, labelStats)
-  }
+  private def nbScores(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stored.materialize("nb_scores", dir, s) {
+      val (counts, labelStats) = nbModel(s, dir)
+      scoreDocs(docs(s, dir).filter(col("b") >= TestBucket).select("doc_id", "ts"),
+        counts, labelStats)
+    }
 
   /** Train the NB model frames from the train bucket: the (label, token,
     * count) table (materialized — three consumers) and the one-row-per-label
@@ -511,9 +517,15 @@ object Learn {
 
   /** Per-document DSIR importance weights (doc_id, n_tokens, w_q) over the
     * raw pool — the shared scoring frame behind pl_dsir_weights and
-    * pl_dsir_select.
+    * pl_dsir_select. Stored ([[nbScores]] doctrine): importance weights are
+    * computed once per (target, pool) pair and then consumed by every
+    * downstream selection/resampling policy — re-scoring the pool per
+    * policy query doubles the corpus passes for identical output.
     */
-  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stored.materialize("dsir_weights", dir, s)(dsirWeightsBuild(s, dir))
+
+  private def dsirWeightsBuild(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashFunctions.md5Long
     val d = docs(s, dir)
     def feats(df: DataFrame): DataFrame = df
@@ -556,8 +568,17 @@ object Learn {
     * in some language contributes qlog(1/v)-per-occurrence, the standard
     * backstop. The doc × lang shell (heldout ids × broadcast lang stats)
     * keeps bigram-free docs classifiable by prior alone.
+    *
+    * Stored like [[nbScores]]: the per-(doc, lang) score frame is the model
+    * registry's scored-predictions artifact, materialized once per
+    * (session, corpus) and read by both consumers — cl_mcnemar previously
+    * re-ran BOTH full scoring chains per invocation (r8's worst bench
+    * regression, +104 %) for a 4-cell statistic.
     */
-  private def lmLangScores(s: SparkSession, dir: String): DataFrame = {
+  private def lmLangScores(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stored.materialize("lm_lang_scores", dir, s)(lmLangScoresBuild(s, dir))
+
+  private def lmLangScoresBuild(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val train = d.filter(col("b") < TrainBucket)
     val langBg = train.filter(size(col("ts")) >= 2)
