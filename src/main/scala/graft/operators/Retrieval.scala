@@ -174,7 +174,7 @@ object Retrieval {
         .select("query_id", "doc_id", "rd")
       // Lexical ranks: query shingle sets broadcast; candidates from the
       // shingle-EQUALITY join; exact Jaccard over the full sets.
-      val sh = Dedup.materialized(Dedup.shingled(s, dir))
+      val sh = Dedup.shingleStore(s, dir)
       val qsh = sh.filter(col("doc_id") < Similarity.NQueries)
         .select(col("doc_id").as("query_id"), col("shingles").as("qs"))
       val qg = qsh.select(col("query_id"), explode(col("qs")).as("sng"))

@@ -305,7 +305,7 @@ object TextAnalysis {
     // ratio is the single IEEE division. Reuses [[Dedup.shingled]], so the
     // shingle construction is the hash-proven dd_* twin.
     "ta_novelty" -> { (s, dir) =>
-      val sh = Dedup.materialized(Dedup.shingled(s, dir))
+      val sh = Dedup.shingleStore(s, dir)
       val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sng"))
       val df = inv.groupBy("sng").agg(count(lit(1)).as("df"))
       inv.join(df, "sng")
