@@ -38,11 +38,19 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime).sum
 
-    def once(name: String, fn: (SparkSession, String) => DataFrame): Option[Double] = {
+    // Each pass is timed in two phases: BUILD (query construction — where
+    // eager state materializes: Stored-structure builds, localCheckpoint
+    // tiers, CC fixpoint loops) and EXEC (the noop write of the returned
+    // plan). A regression names its phase from the artifact alone — a
+    // build-side jump is amortizable shared state, an exec-side jump is the
+    // steady-state plan itself.
+    def once(name: String, fn: (SparkSession, String) => DataFrame): Option[(Double, Double)] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        Some(((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         None
@@ -54,7 +62,9 @@ object Bench {
       .map { case (name, fn) => name -> Seq(once(name, fn), once(name, fn)).flatten }
     val gcSec = (gcMillis - gc0) / 1000.0
 
-    val results = runs.collect { case (name, ts) if ts.nonEmpty => name -> ts.min }
+    val results = runs.collect { case (name, ts) if ts.nonEmpty =>
+      name -> ts.map { case (b, e) => b + e }.min
+    }
     val failed = runs.collect { case (name, ts) if ts.isEmpty => name }
     val flaky = runs.collect { case (name, ts) if ts.size == 1 => name }
 
@@ -69,11 +79,16 @@ object Bench {
     // prior round's stdout line was head-truncated into unparseability.
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val passes = runs.collect { case (name, ts) if ts.nonEmpty =>
-      "\"" + name + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      "\"" + name + "\":" + ts.map { case (b, e) => f"${b + e}%.3f" }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // Per-pass (build, exec) pairs — the phase attribution behind pass_times.
+    val phased = runs.collect { case (name, ts) if ts.nonEmpty =>
+      "\"" + name + "\":" +
+        ts.map { case (b, e) => f"[$b%.3f,$e%.3f]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_times":$passes,"sf":"$sfDir","passes":2,"failed":${names(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_times":$passes,"pass_build_exec":$phased,"sf":"$sfDir","passes":2,"failed":${names(
           failed)},"flaky":${names(flaky)},"gc_sec":$gcSec%.1f}""")
 
     // Stdout line — must survive the driver's 2000-char log tail INTACT to be

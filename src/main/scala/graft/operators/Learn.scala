@@ -677,7 +677,10 @@ object Learn {
     // Input must be unique per doc_id: the batch gate queries feed bucketed
     // doc splits (unique by construction), and the streaming entry
     // [[lmScoreRaw]] dedupes its micro-batch before calling here — keeping
-    // the per-pass exchange out of the batch path.
+    // the per-pass exchange out of the batch path. A violated contract
+    // corrupts silently (duplicate rows, double-counted transitions) —
+    // LearnSpec's "lmScoreDocs uniqueness contract" test pins the failure
+    // shape and the guarding entry point.
     val docs = docsTs
     val scored = bigramsOf(docs)
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))

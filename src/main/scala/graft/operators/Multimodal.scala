@@ -104,8 +104,16 @@ object Multimodal {
     * Packed as two 32-bit halves (rows 0–3 → hi, 4–7 → lo) so every value
     * stays positive in a signed 64-bit lane in both engines.
     */
-  def dhash(payload: Array[Byte]): (Long, Long) = {
+  def dhash(payload: Array[Byte]): (Long, Long) = dhashOpt(payload).get
+
+  /** [[dhash]] with the decode failure surfaced: ImageIO.read returns null
+    * (not an exception) for an unrecognized/corrupt payload, and production
+    * media corpora are expected to contain such rows — the near-dup kernel
+    * must skip them, not NPE the stage.
+    */
+  def dhashOpt(payload: Array[Byte]): Option[(Long, Long)] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) return None
     val w = img.getWidth; val h = img.getHeight
     val s = Array.ofDim[Long](8, 9); val n = Array.ofDim[Long](8, 9)
     var y = 0
@@ -134,7 +142,7 @@ object Multimodal {
       }
       r += 1
     }
-    (hi, lo)
+    Some((hi, lo))
   }
 
   /** Image manifest: one real-BMP media row per document. The encode runs
@@ -423,8 +431,11 @@ object Multimodal {
           .as[(Long, Array[Byte])]
           .mapPartitions { rows =>
             javax.imageio.ImageIO.setUseCache(false)
-            rows.map { case (id, payload) =>
-              val (hi, lo) = dhash(payload); (id, hi, lo)
+            // flatMap over the Option: an undecodable payload (null from
+            // ImageIO.read) is SKIPPED — corrupt media cannot participate
+            // in near-dup pairs, and one bad row must not NPE the stage.
+            rows.flatMap { case (id, payload) =>
+              dhashOpt(payload).map { case (hi, lo) => (id, hi, lo) }
             }
           }.toDF("doc_id", "hi", "lo"))
       val bands = hashes.select(col("doc_id"), col("hi"), col("lo"),

@@ -166,8 +166,36 @@ object Spatial {
     * assignment (any consistent grouping yields the same components), it
     * only sharpens how much the next level contracts.
     */
+  /** The coarsening ladder for [[geoComponents]], DERIVED from the grid
+    * geometry instead of hard-coded: supercell edges grow geometrically
+    * from `base` by `fanout` until one supercell covers the whole grid
+    * (`cellsPerAxis` = ceil(Extent/Radius) cells), the covering apex level
+    * included. `base` bounds the first level's per-group population
+    * (≈ corpus density × base² cells — the only level that sees raw
+    * nodes); `fanout` keeps the ladder short while each level's groups
+    * only ever see the CONTRACTED boundary components of the previous
+    * level (O(perimeter), which shrinks relative to group area as the
+    * ladder climbs). If the grid constants change, the ladder re-derives —
+    * no silent under-coverage; the covering `require` in geoComponents
+    * stays as the backstop for explicitly-passed ladders.
+    */
+  private[operators] def coarseningLevels(
+      cellsPerAxis: Long = (Extent + Radius - 1) / Radius,
+      base: Long = 10L,
+      fanout: Long = 12L): Seq[Long] = {
+    val climb = Iterator.iterate(base)(_ * fanout).takeWhile(_ < cellsPerAxis).toSeq
+    climb :+ math.max(cellsPerAxis, climb.lastOption.fold(cellsPerAxis)(_ * fanout))
+  }
+
   private[operators] def geoComponents(pairs: DataFrame,
-      levels: Seq[Long] = Seq(10L, 128L)): DataFrame = {
+      levels: Seq[Long] = coarseningLevels()): DataFrame = {
+    // Covering precondition FIRST — before any per-level job runs: the last
+    // level's supercell must span the grid, else cross-supercell residual
+    // edges would be silently dropped at the final level. (The default
+    // ladder satisfies this by construction; the require is the backstop
+    // for explicitly-passed ladders.)
+    require(levels.last * Radius >= Extent,
+      s"last coarsening level must cover the grid (got ${levels.last} cells)")
     val s = pairs.sparkSession
     import s.implicits._
     def superKey(c: org.apache.spark.sql.Column, sc: Long): org.apache.spark.sql.Column =
@@ -191,8 +219,6 @@ object Spatial {
         .select(coalesce(col("ru"), col("u")).as("u"), coalesce(col("rv"), col("v")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
     }
-    require(levels.last * Radius >= Extent,
-      s"last coarsening level must cover the grid (got ${levels.last} cells)")
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     mappings.zipWithIndex.foldLeft(nodes.withColumn("cur", col("doc_id"))) {

@@ -37,8 +37,17 @@ object JoinViews {
   /** Fold an append batch (ΔA, ΔB — either may be empty) into the stored
     * view: appends ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB. The three joins touch the
     * pre-append base snapshots A₀/B₀ and the deltas only — the stored view
-    * itself is never read or rewritten, so concurrent readers see either
-    * the old or the new version of an append-only file listing.
+    * itself is never read or rewritten.
+    *
+    * Isolation caveat: a plain parquet directory append has NO atomic
+    * commit point — a reader listing the directory mid-write can observe a
+    * partial set of delta files, and a RETRY after a partially failed
+    * append double-counts delta rows (the call is not idempotent). The
+    * refresh protocol therefore assumes single-writer, no concurrent
+    * readers during refresh; for snapshot-isolated readers and idempotent
+    * retries, route the view through the manifest-committed
+    * [[graft.sources.Versioned]] layout instead (readers resolve a
+    * manifest, so a version is visible only after its one-file commit).
     */
   def refreshAppend(a0: DataFrame, da: DataFrame, b0: DataFrame, db: DataFrame,
       ak: String, bk: String, viewPath: String): Unit = {

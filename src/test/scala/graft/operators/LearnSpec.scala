@@ -273,4 +273,26 @@ class LearnSpec extends SparkSpec {
       if (mid.nonEmpty && tail.nonEmpty) assert(mid.max <= tail.min)
     }
   }
+
+  test("lmScoreDocs uniqueness contract: duplicate doc_ids double-count; lmScoreRaw dedupes") {
+    import spark.implicits._
+    // The documented sharp edge (Learn.lmScoreDocs): the scorer trusts its
+    // callers to feed ONE row per doc_id — a violated contract corrupts
+    // silently (duplicate output rows, double-counted transitions), so this
+    // spec pins both the failure shape and the entry point that guards it.
+    val bg = Seq(("a", "b", 5L)).toDF("w1", "w2", "cnt")
+    val ctx = Seq(("a", 5L)).toDF("w1", "ctx")
+    val one = Seq((1L, Seq("a", "b", "a", "b"))).toDF("doc_id", "ts")
+    val clean = Learn.lmScoreDocs(one, bg, ctx, 10L).collect()
+    assert(clean.length == 1 && clean.head.getLong(1) == 3L) // a->b, b->a, a->b
+    val dirty = Learn.lmScoreDocs(one.union(one), bg, ctx, 10L).collect()
+    assert(dirty.length == 2, "duplicate input must surface as duplicate output rows")
+    assert(dirty.forall(_.getLong(1) == 2 * clean.head.getLong(1)),
+      "duplicate input double-counts every transition")
+    // The streaming entry point (re-delivered micro-batch rows are EXPECTED
+    // there) dedupes before scoring — same duplicated payload, clean result.
+    val raw = Seq((1L, "a b a b"), (1L, "a b a b")).toDF("doc_id", "text")
+    val viaRaw = Learn.lmScoreRaw(raw, bg, ctx, 10L).collect()
+    assert(viaRaw.length == 1 && viaRaw.head.getLong(1) == clean.head.getLong(1))
+  }
 }

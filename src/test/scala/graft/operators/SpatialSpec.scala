@@ -150,4 +150,79 @@ class SpatialSpec extends SparkSpec {
       assert(r.getLong(r.fieldIndex("max_y")) < (cy + 1) * Spatial.Radius)
     }
   }
+
+  // --- multilevel geometric CC seam ------------------------------------
+
+  /** Driver-side twin of geoComponents' superKey: the level-`sc` supercell
+    * of node id `c` (same md5-derived coordinates as Spatial.points).
+    */
+  private def superCell(c: Long, sc: Long): Long = {
+    def h(seed: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$c".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var out = 0L; var i = 0
+      while (i < 8) { out = (out << 8) | (d(i) & 0xffL); i += 1 }
+      out >>> 4
+    }
+    (h(41) % Spatial.Extent / Spatial.Radius / sc) * 1024 +
+      (h(42) % Spatial.Extent / Spatial.Radius / sc)
+  }
+
+  test("geoComponents: chains spanning many supercells resolve identically across ladders") {
+    import spark.implicits._
+    // Planted edge sets that stress the SEAM of the multilevel scheme:
+    // sequential-id paths whose endpoints hash to scattered grid cells, so
+    // chains cross supercell boundaries at every fine level and only merge
+    // at coarser tiers — plus two isolated two-node components.
+    val paths = Seq(0L to 99L, 200L to 259L, 400L to 409L)
+    val edges = paths.flatMap(p => p.zip(p.tail)) ++ Seq((1000L, 1001L), (2000L, 2001L))
+    // The planted structure genuinely exercises the seam: every path spans
+    // >= 3 DISTINCT supercells at both fine levels of the 3-tier ladder
+    // (asserted, not assumed — a hash-seed change that collapsed the spread
+    // would silently weaken this test).
+    for (sc <- Seq(2L, 10L); p <- paths)
+      assert(p.map(superCell(_, sc)).distinct.size >= 3,
+        s"planted path does not span 3 supercells at level $sc")
+    val pairs = edges.toDF("doc_a", "doc_b")
+    // Ground truth: driver union-find (union by min root).
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+    assert(want.values.toSet == Set(0L, 200L, 400L, 1000L, 2000L))
+    // Every ladder — the 3-tier seam shape, the derived default, and the
+    // degenerate one-group apex-only ladder — must label identically.
+    for (ladder <- Seq(Seq(2L, 10L, 128L), Spatial.coarseningLevels(), Seq(128L))) {
+      val got = Spatial.geoComponents(pairs, ladder).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"ladder $ladder diverges from driver union-find")
+    }
+  }
+
+  test("geoComponents: a non-covering ladder is rejected before any level runs") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Spatial.geoComponents(Seq((1L, 2L)).toDF("doc_a", "doc_b"), Seq(2L, 10L))
+    }
+    assert(e.getMessage.contains("cover the grid"))
+  }
+
+  test("coarseningLevels: derived ladder covers any grid and starts bounded") {
+    for (cells <- Seq(1L, 5L, 10L, 100L, 1000L, 1000000L)) {
+      val ladder = Spatial.coarseningLevels(cellsPerAxis = cells)
+      assert(ladder.last >= cells, s"ladder $ladder does not cover $cells cells")
+      assert(ladder == ladder.sorted && ladder.distinct == ladder,
+        s"ladder $ladder not strictly increasing")
+      assert(ladder.head <= math.max(10L, cells))
+    }
+    // The engine default covers the engine grid.
+    assert(Spatial.coarseningLevels().last * Spatial.Radius >= Spatial.Extent)
+  }
 }
