@@ -89,11 +89,16 @@ object Dedup {
     * persisted beside the corpus, not recomputed per analysis). The re-read
     * is re-spread: the stored files are byte-small, so Spark would hand the
     * whole table to one input partition and serialize the downstream
-    * per-document array work.
+    * per-document array work. PINNED ([[graft.sources.Stored.pinned]]):
+    * all consumers share ONE RAM-resident checkpointed copy per session —
+    * the bench's build/exec attribution showed each live-tier query
+    * re-paying the parquet decode + repartition + checkpoint of this same
+    * frame at construction.
     */
   def shingleStore(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Stored.materialize("dd_shingles", dir, s)(shingled(s, dir))
-      .transform(spread("doc_id"))
+    graft.sources.Stored.pinned("dd_shingles", dir, s)(
+      graft.sources.Stored.materialize("dd_shingles", dir, s)(shingled(s, dir))
+        .transform(spread("doc_id")))
 
   /** The verified ≥[[MinJaccard]] near-dup PAIR TABLE as a stored structure —
     * candidate generation ([[ngramCandidates]]) plus exact-Jaccard
@@ -106,10 +111,11 @@ object Dedup {
     * tier is exactly this table filtered to both-endpoints-in-tier.
     */
   private[graft] def verifiedPairStore(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Stored.materialize("dd_pairs_verified", dir, s) {
-      val sh = shingleStore(s, dir)
-      verifyJaccard(ngramCandidates(sh), sh, MinJaccard)
-    }.transform(spreadKeys("doc_a", "doc_b"))
+    graft.sources.Stored.pinned("dd_pairs_verified", dir, s)(
+      graft.sources.Stored.materialize("dd_pairs_verified", dir, s) {
+        val sh = shingleStore(s, dir)
+        verifyJaccard(ngramCandidates(sh), sh, MinJaccard)
+      }.transform(spreadKeys("doc_a", "doc_b")))
 
   /** Stored cross-set verified matches (incoming ≥80 bucket vs existing
     * corpus) — the incremental-ingest match table. The best-match ER query
@@ -118,27 +124,30 @@ object Dedup {
     * the cross-set tier LIVE as its honest measurement.
     */
   private[graft] def crossMatchStore(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Stored.materialize("dd_cross_matches", dir, s) {
-      val sh = shingleStore(s, dir)
-      incrementalMatches(
-        sh.filter(Pipeline.bucket(col("doc_id")) < 80),
-        sh.filter(Pipeline.bucket(col("doc_id")) >= 80))
-    }.transform(spreadKeys("incoming_id"))
+    graft.sources.Stored.pinned("dd_cross_matches", dir, s)(
+      graft.sources.Stored.materialize("dd_cross_matches", dir, s) {
+        val sh = shingleStore(s, dir)
+        incrementalMatches(
+          sh.filter(Pipeline.bucket(col("doc_id")) < 80),
+          sh.filter(Pipeline.bucket(col("doc_id")) >= 80))
+      }.transform(spreadKeys("incoming_id")))
 
   /** Stored MinHash signature table (doc_id, sig[K]) — computed at ingest
     * and persisted in a production LSH index; the banded self-join's two
     * aliases and the estimator-quality audit read it.
     */
   private[graft] def minhashStore(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Stored.materialize("dd_minhash_sigs", dir, s)(
-      minhashSigs(shingleStore(s, dir)))
-      .transform(spread("doc_id"))
+    graft.sources.Stored.pinned("dd_minhash_sigs", dir, s)(
+      graft.sources.Stored.materialize("dd_minhash_sigs", dir, s)(
+        minhashSigs(shingleStore(s, dir)))
+        .transform(spread("doc_id")))
 
   /** Stored SimHash fingerprint table (doc_id, simhash) — same doctrine. */
   private[graft] def simhashStore(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Stored.materialize("dd_simhash_fp", dir, s)(
-      simhashes(shingleStore(s, dir)))
-      .transform(spread("doc_id"))
+    graft.sources.Stored.pinned("dd_simhash_fp", dir, s)(
+      graft.sources.Stored.materialize("dd_simhash_fp", dir, s)(
+        simhashes(shingleStore(s, dir)))
+        .transform(spread("doc_id")))
 
   /** Eagerly materialize a frame that several INDEPENDENT subplans consume
     * (the shingle/signature frames in the pair queries: candidate
@@ -815,10 +824,9 @@ object Dedup {
       // LIVE tier (candidate generation + verification), reading only the
       // stored shingle table — the bench's honest end-to-end measurement of
       // the pair tier; derived queries read [[verifiedPairStore]] instead.
-      // The store read is checkpointed per query: three subplans consume it
-      // (candidates + both verification sides), and one RAM-resident copy
-      // beats three parquet decode passes.
-      val sh = materialized(shingleStore(s, dir))
+      // The store frame is session-pinned (one RAM-resident checkpoint
+      // serving all three subplans here AND every other consumer).
+      val sh = shingleStore(s, dir)
       verifyJaccard(ngramCandidates(sh), sh, MinJaccard).orderBy("doc_a", "doc_b")
     },
 
@@ -866,8 +874,8 @@ object Dedup {
     // (one-sided prefix filtering, provably lossless — containmentCandidates);
     // verification recomputes exact containment from the full shingle sets.
     "dd_containment" -> { (s, dir) =>
-      // Checkpointed store read — three consumers (see dd_ngram_pairs).
-      val sh = materialized(shingleStore(s, dir))
+      // Session-pinned store frame — three consumers (see dd_ngram_pairs).
+      val sh = shingleStore(s, dir)
       val a = sh.select(col("doc_id").as("contained_id"), col("shingles").as("sh_a"))
       val b = sh.select(col("doc_id").as("container_id"), col("shingles").as("sh_b"))
       containmentCandidates(sh)
@@ -887,9 +895,9 @@ object Dedup {
     "dd_incremental" -> { (s, dir) =>
       // LIVE cross-set tier over the stored shingle table (the honest
       // measurement — see dd_ngram_pairs); er_best_match reads the stored
-      // match table instead. Checkpointed: four consumers (both cross-filter
-      // sides + both verification sides).
-      val sh = materialized(shingleStore(s, dir))
+      // match table instead. Session-pinned: four consumers (both
+      // cross-filter sides + both verification sides) share the one copy.
+      val sh = shingleStore(s, dir)
       incrementalMatches(
         sh.filter(Pipeline.bucket(col("doc_id")) < 80),
         sh.filter(Pipeline.bucket(col("doc_id")) >= 80))

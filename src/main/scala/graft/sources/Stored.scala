@@ -40,6 +40,37 @@ object Stored {
     }
   }
 
+  /** A stored structure ALSO pinned in executor memory: one eagerly
+    * localCheckpointed frame per (SparkContext, name, dir), shared by every
+    * consumer in the session. The bench's build/exec attribution showed
+    * each consuming query paying ~1.4 s re-reading AND re-checkpointing the
+    * same stored parquet at construction; a production engine keeps hot
+    * model artifacts in the block manager once, not once per query. Only
+    * for boundedly-small frames (signature/model tables — the blocks stay
+    * resident for the context's lifetime); keyed by applicationId so a new
+    * context re-pins instead of reading another context's dead blocks.
+    * Entries of stopped contexts are dropped on the next lookup.
+    */
+  def pinned(name: String, dir: String, s: SparkSession)(df: => DataFrame): DataFrame = {
+    val key = s"${s.sparkContext.applicationId}:$name:$dir"
+    frames.keySet().removeIf(k =>
+      !k.startsWith(s.sparkContext.applicationId + ":")) // dead contexts
+    frames.get(key) match {
+      case null =>
+        this.synchronized {
+          frames.get(key) match {
+            case null =>
+              val f = df.localCheckpoint(true)
+              frames.put(key, f)
+              f
+            case hit => hit
+          }
+        }
+      case hit => hit
+    }
+  }
+  private val frames = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def materialize(name: String, dir: String, s: SparkSession)(df: => DataFrame): DataFrame = {
     val key = s"$name:$dir"
     // NOT computeIfAbsent around the build: build thunks legitimately NEST
