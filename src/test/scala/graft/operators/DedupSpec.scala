@@ -396,4 +396,26 @@ class DedupSpec extends SparkSpec {
     assert(links.toSeq == Seq((probes(0), index(0), 1.0)),
       s"expected one link (probe ${probes(0)} -> index ${index(0)}), got ${links.mkString(", ")}; half=$half")
   }
+
+  test("alternating-star CC handles a giant skewed star within a constant round budget") {
+    import spark.implicits._
+    // The adversarial shape for the round's u-keyed exchange: a hub whose
+    // id is LARGER than every leaf, so large-star emits the hub's whole
+    // neighborhood keyed by the hub (one hot u). The round's hot task is
+    // inherent and bytes-bounded (measured in StarSkewExperiment: max
+    // single-task shuffle read identical with and without the explicit
+    // repartition(u)); this spec pins that the shape CONVERGES fast - a
+    // star is one contraction away from the star-forest fixpoint the
+    // early-exit certificate detects - with exact labels, alongside a
+    // second component proving no label bleed through the hot round.
+    val hub = 1000000L
+    val leaves = 5000L
+    val edges = (0L until leaves).map(i => (hub, i)) ++ Seq((2000000L, 2000001L))
+    val labels = Dedup.connectedComponentsStars(edges.toDF("doc_a", "doc_b"), maxRounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == leaves + 3)
+    assert(labels(hub) == 0L)
+    assert((0L until leaves).forall(labels(_) == 0L))
+    assert(labels(2000000L) == 2000000L && labels(2000001L) == 2000000L)
+  }
 }
