@@ -200,6 +200,51 @@ object Events {
         .orderBy("week")
     },
 
+    // Single mean-shift LOCATION (AMOC — the binary-segmentation step
+    // behind every multiple-changepoint recursion): for each event type's
+    // daily revenue series, the split day maximizing the centered-CUSUM
+    // statistic |S_t − (t/n)·S_n| — reported SCALED BY n as the exact
+    // integer D_t = n·S_t − t·S_n (the ev_cusum/ev_anomaly doctrine: the
+    // argmax must never sit on a float knife-edge, so the trajectory is
+    // integer and the two segment means are the only — final, token-
+    // identical — IEEE divisions). Complements ev_cusum: that detects and
+    // locates sustained POSITIVE drift online with a tuned allowance; this
+    // is the offline retrospective "WHERE did the level change" estimator
+    // (maximum-likelihood under constant variance). Shape: one map-side-
+    // combined daily aggregation, then windows over the |types|-partitioned
+    // CALENDAR-BOUNDED frame (30 rows per type — bounded by wall-clock,
+    // never event volume) and a WindowGroupLimit argmax with a
+    // deterministic (|D| DESC, day ASC) tie-break.
+    "ev_changepoint" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = org.apache.spark.sql.types.DecimalType(18, 2)
+      val daily = Relational.t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("value").cast(d).multiply(lit(100)).cast("long").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(sum(col("cents")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("event_type")
+      daily
+        .withColumn("t", row_number().over(w))
+        .withColumn("s_t", sum(col("cents")).over(run))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("s_n", sum(col("cents")).over(all))
+        .filter(col("t") < col("n"))
+        .withColumn("absd", abs(col("n") * col("s_t") - col("t") * col("s_n")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("absd").desc, col("day").asc)))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n").cast("long").as("n_days"),
+          col("day").as("split_day"), col("absd").as("dmax_scaled"),
+          (col("s_t").cast("double") / (col("t") * 100)).as("mean_before"),
+          ((col("s_n") - col("s_t")).cast("double") / ((col("n") - col("t")) * 100))
+            .as("mean_after"))
+        .orderBy("event_type")
+    },
+
     // CUSUM changepoint detection (Page 1954) over the hourly series —
     // the drift detector beside ev_anomaly's point-outlier flag: the
     // one-sided cumulative sum s_t = max(0, s_{t−1} + (x_t − μ − k))
@@ -1076,6 +1121,35 @@ object Events {
          |ORDER BY c.event_type""".stripMargin,
     // The recursion replayed as a recursive CTE in the same scaled
     // integers; argmax with the earliest-hour tie-break.
+    "ev_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY event_type, day
+        |), pre AS (
+        |  SELECT event_type, day, cents,
+        |    ROW_NUMBER() OVER w AS t,
+        |    SUM(cents) OVER w AS s_t,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(cents) OVER (PARTITION BY event_type) AS s_n
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), d AS (
+        |  SELECT event_type, day, t, n, s_t, s_n,
+        |    abs(n * s_t - t * s_n) AS absd
+        |  FROM pre WHERE t < n
+        |), best AS (
+        |  SELECT event_type, day, t, n, s_t, s_n, absd,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY absd DESC, day ASC) AS rk
+        |  FROM d
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS split_day,
+        |  CAST(absd AS BIGINT) AS dmax_scaled,
+        |  CAST(s_t AS DOUBLE) / (t * 100) AS mean_before,
+        |  CAST(s_n - s_t AS DOUBLE) / ((n - t) * 100) AS mean_after
+        |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "ev_cusum" ->
       s"""WITH RECURSIVE h0 AS (
          |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS x

@@ -87,11 +87,18 @@ object Learn {
     * train tokens feed only the model build, test tokens one scoring pass.
     */
   private def nbScores(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Stored.materialize("nb_scores", dir, s) {
-      val (counts, labelStats) = nbModel(s, dir)
-      scoreDocs(docs(s, dir).filter(col("b") >= TestBucket).select("doc_id", "ts"),
-        counts, labelStats)
-    }
+    graft.sources.Stored.materialize("nb_scores", dir, s)(nbScoresBuild(s, dir))
+
+  /** The scoring PASS behind [[nbScores]] — package-visible so the plan
+    * audit can assert the broadcast/partial-agg shape of the pass itself
+    * (the consuming queries read the stored frame, where those operators
+    * no longer appear).
+    */
+  private[graft] def nbScoresBuild(s: SparkSession, dir: String): DataFrame = {
+    val (counts, labelStats) = nbModel(s, dir)
+    scoreDocs(docs(s, dir).filter(col("b") >= TestBucket).select("doc_id", "ts"),
+      counts, labelStats)
+  }
 
   /** Train the NB model frames from the train bucket: the (label, token,
     * count) table (materialized — three consumers) and the one-row-per-label
@@ -525,7 +532,7 @@ object Learn {
   private def dsirWeights(s: SparkSession, dir: String): DataFrame =
     graft.sources.Stored.materialize("dsir_weights", dir, s)(dsirWeightsBuild(s, dir))
 
-  private def dsirWeightsBuild(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dsirWeightsBuild(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashFunctions.md5Long
     val d = docs(s, dir)
     def feats(df: DataFrame): DataFrame = df

@@ -63,11 +63,7 @@ object Retrieval {
     // per-doc argmax runs under WindowGroupLimit, and the snippet text is
     // one slice of the stored token array.
     "rt_snippet" -> { (s, dir) =>
-      val docs = Dedup.materialized(
-        Relational.t(s, dir, "documents")
-          .transform(Dedup.spread("doc_id"))
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-          .filter(size(col("ts")) >= 1))
+      val docs = tokenStore(s, dir)
       val hits = Dedup.materialized(docs
         .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "term")))
         .filter(col("term").isin(Bm25Terms: _*))
@@ -96,9 +92,8 @@ object Retrieval {
     // classic skew cell — production would cap or tier those lists; here
     // the corpus vocabulary is small and every list is exact.
     "rt_inverted_index" -> { (s, dir) =>
-      Relational.t(s, dir, "documents")
-        .transform(Dedup.spread("doc_id"))
-        .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      tokenStore(s, dir)
+        .select(col("doc_id"), explode(array_distinct(col("ts"))).as("term"))
         .groupBy("term")
         .agg(
           count(lit(1)).as("df"),
@@ -112,13 +107,8 @@ object Retrieval {
     // Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
     "rt_bm25" -> { (s, dir) =>
       // Three consumers of the tokenized corpus (tf, corpus stats, dl join)
-      // would each re-run the scan+tokenize subtree — materialize it once,
-      // the dd_incremental multi-consumer pattern.
-      val docs = Dedup.materialized(
-        Relational.t(s, dir, "documents")
-          .transform(Dedup.spread("doc_id"))
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-          .filter(size(col("ts")) >= 1))
+      // share the session-pinned token store.
+      val docs = tokenStore(s, dir)
       val dls = docs.select(col("doc_id"), size(col("ts")).cast("double").as("dl"))
       val stats = dls.agg(
         count(lit(1)).cast("double").as("n_docs"),
@@ -218,11 +208,7 @@ object Retrieval {
     // shape (term-pruned posting stream before any exchange, broadcast
     // df/stats); the feedback tier touches FbDocs documents.
     "rt_prf_expansion" -> { (s, dir) =>
-      val docs = Dedup.materialized(
-        Relational.t(s, dir, "documents")
-          .transform(Dedup.spread("doc_id"))
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-          .filter(size(col("ts")) >= 1))
+      val docs = tokenStore(s, dir)
       val q0 = termFrame(s, Bm25Terms)
       val fb = Dedup.materialized(
         bm25Ranked(docs, q0).orderBy(col("score").desc, col("doc_id").asc)
@@ -254,11 +240,7 @@ object Retrieval {
     // Rank positions come from the distributed numbering path (k rows —
     // but never an unpartitioned window).
     "rt_ndcg" -> { (s, dir) =>
-      val docs = Dedup.materialized(
-        Relational.t(s, dir, "documents")
-          .transform(Dedup.spread("doc_id"))
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-          .filter(size(col("ts")) >= 1))
+      val docs = tokenStore(s, dir)
       val scored = Dedup.materialized(bm25Ranked(docs, termFrame(s, Bm25Terms)))
       val topK = scored.orderBy(col("score").desc, col("doc_id").asc).limit(NdcgK)
       val ranked = Pipeline.globalRowNumbers(
@@ -305,9 +287,8 @@ object Retrieval {
       val slotMap = map(slotsByTerm.toSeq.flatMap { case (t, is) =>
         Seq(lit(t), array(is.map(i => lit(i)): _*))
       }: _*)
-      Relational.t(s, dir, "documents")
-        .transform(Dedup.spread("doc_id"))
-        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      tokenStore(s, dir)
+        .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "token")))
         .filter(col("token").isin(PhraseTerms.distinct: _*))
         .select(col("doc_id"), col("pos"), explode(element_at(slotMap, col("token"))).as("slot"))
         .groupBy(col("doc_id"), (col("pos") - col("slot")).as("anchor"))
@@ -342,6 +323,25 @@ object Retrieval {
     import s.implicits._
     terms.toDF("term")
   }
+
+  /** The tokenized corpus (doc_id, ts) as a session-pinned stored structure
+    * ([[graft.sources.Stored.pinned]]) — the retrieval tier's ingest
+    * artifact: production tokenizes once at index build, not per query.
+    * Six rt_* queries previously re-ran scan→lower→split per invocation
+    * (PRF's two BM25 passes re-ran it twice inside one query); now they
+    * share one RAM-resident copy, and the stored parquet is the persisted
+    * index-side table. Docs with zero tokens carry no postings, no length,
+    * and no score in any consumer, so the ≥ 1 filter is semantics-free
+    * for all of them (and matches the oracle's `len(ts) >= 1`).
+    */
+  private[graft] def tokenStore(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stored.pinned("rt_tokens", dir, s)(
+      graft.sources.Stored.materialize("rt_tokens", dir, s)(
+        Relational.t(s, dir, "documents")
+          .transform(Dedup.spread("doc_id"))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 1))
+        .transform(Dedup.spread("doc_id")))
 
   /** BM25 scoring against a term FRAME (broadcast semi-join pruning — the
     * data-dependent-query form of rt_bm25's literal isin; arithmetic kept

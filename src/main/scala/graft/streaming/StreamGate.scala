@@ -49,6 +49,23 @@ object StreamGate {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Land `df` as EXACTLY ONE parquet file at `dest` (the file source
+    * discovers files, not directories): write a single-part dir, hoist the
+    * leaf file out, drop the dir. `Files.list` holds an open directory
+    * handle — closed in finally or one handle leaks per landed split.
+    */
+  private def landSingleFile(df: DataFrame, tmpDir: String, dest: String): Unit = {
+    val pdir = java.nio.file.Paths.get(tmpDir)
+    df.coalesce(1).write.parquet(tmpDir)
+    val st = java.nio.file.Files.list(pdir)
+    val leaf =
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      finally st.close()
+    java.nio.file.Files.move(leaf, java.nio.file.Paths.get(dest))
+    org.apache.commons.io.FileUtils.deleteDirectory(pdir.toFile)
+  }
+
   /** The per-micro-batch transformation: a stateless exact-cents projection
     * (value → integer cents via the DECIMAL(18,2) cast — the
     * EventStreams/rolling-features money contract).
@@ -85,22 +102,10 @@ object StreamGate {
       val b = new java.io.File(base)
       if (b.exists()) org.apache.commons.io.FileUtils.deleteDirectory(b)
       val ev = graft.operators.Relational.t(s, dir, "events")
-      def land(k: Int): Unit =
-        ev.filter(pmod(col("event_id"), lit(Splits)) === k)
-          .coalesce(1).write.parquet(s"$landing/part$k")
-          // One FILE per split: the file source discovers files, not dirs.
       (0 until Splits).foreach { k =>
-        val pdir = java.nio.file.Paths.get(s"$landing/part$k")
-        land(k)
-        // Files.list holds an open directory handle — close it or one
-        // handle leaks per landing split.
-        val st = java.nio.file.Files.list(pdir)
-        val leaf =
-          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-            .find(_.toString.endsWith(".parquet")).get
-          finally st.close()
-        java.nio.file.Files.move(leaf, java.nio.file.Paths.get(s"$landing/f$k.parquet"))
-        org.apache.commons.io.FileUtils.deleteDirectory(pdir.toFile)
+        landSingleFile(
+          ev.filter(pmod(col("event_id"), lit(Splits)) === k),
+          s"$landing/part$k", s"$landing/f$k.parquet")
       }
       // Hide the last file behind a rename so query #1 sees exactly two.
       val hidden = java.nio.file.Paths.get(s"$base/f${Splits - 1}.parquet.staged")
@@ -141,16 +146,9 @@ object StreamGate {
       val incoming = graft.operators.Relational.t(s, dir, "documents")
         .filter(graft.operators.Pipeline.bucket(col("doc_id")) >= 80)
       (0 until Splits).foreach { k =>
-        val pdir = java.nio.file.Paths.get(s"$landing/part$k")
-        incoming.filter(pmod(col("doc_id"), lit(Splits.toLong)) === k)
-          .coalesce(1).write.parquet(pdir.toString)
-        val st = java.nio.file.Files.list(pdir)
-        val leaf =
-          try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-            .find(_.toString.endsWith(".parquet")).get
-          finally st.close()
-        java.nio.file.Files.move(leaf, java.nio.file.Paths.get(s"$landing/f$k.parquet"))
-        org.apache.commons.io.FileUtils.deleteDirectory(pdir.toFile)
+        landSingleFile(
+          incoming.filter(pmod(col("doc_id"), lit(Splits.toLong)) === k),
+          s"$landing/part$k", s"$landing/f$k.parquet")
       }
       val hidden = java.nio.file.Paths.get(s"$base/f${Splits - 1}.parquet.staged")
       java.nio.file.Files.move(
@@ -168,6 +166,85 @@ object StreamGate {
       drainDocs()
       require(graft.sources.Versioned.latest(tableDir).contains(Splits - 1),
         s"doc stream gate expected ${Splits} committed versions")
+    }
+    tableDir
+  }
+
+  /** Session-gate versions: two before the restart, two after (the last
+    * time cut + the sentinel flush file).
+    */
+  val SessSplits = 4
+
+  /** STATEFUL sibling of [[streamedTable]] — the third gated exactly-once
+    * chain, and the hardest: the streamed body is flatMapGroupsWithState
+    * sessionization ([[EventStreams.sessionizeStream]]), so the restart
+    * must restore per-user OPERATOR STATE (each open session) from the
+    * checkpoint's state store, not just source offsets. Micro-batches are
+    * GLOBAL TIME CUTS of the events table — a modulo split would deliver
+    * time-disordered batches, which a stateful operator handles by the
+    * frontier rule (drop-and-count); time-ordered landing files are the
+    * file source's production contract, and sessions STRADDLING a cut are
+    * exactly the state the restart must carry: a session open in version 1
+    * closes correctly in version 2, across the restart.
+    *
+    * Final sessions flush via a SENTINEL file — one far-future event per
+    * user (> gap beyond the corpus maximum), the standard end-of-stream
+    * flush: it closes every user's last real session; the sentinel's own
+    * session stays open and never emits. The committed table is therefore
+    * EXACTLY the batch sessionization of the real events, and the gate
+    * reuses ev_sessions' oracle verbatim (one source of truth — the
+    * st_doc_commit device).
+    */
+  private def streamedSessionTable(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_sessgate_${ProcessHandle.current().pid()}_$key"
+    val (landing, tableDir, ckpt) = (s"$base/landing", s"$base/table", s"$base/ckpt")
+    if (graft.sources.Versioned.latest(tableDir).forall(_ < SessSplits - 1)) {
+      val b = new java.io.File(base)
+      if (b.exists()) org.apache.commons.io.FileUtils.deleteDirectory(b)
+      val ev = graft.operators.Relational.t(s, dir, "events")
+      def us = unix_micros(col("ts"))
+      val r = ev.agg(min(us), max(us)).head()
+      val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
+      val c1 = minUs + (maxUs - minUs) / 3
+      val c2 = minUs + 2 * (maxUs - minUs) / 3
+      landSingleFile(ev.filter(us < c1), s"$landing/part0", s"$landing/f0.parquet")
+      landSingleFile(ev.filter(us >= c1 && us < c2), s"$landing/part1", s"$landing/f1.parquet")
+      // The last cut and the sentinel stage OUTSIDE the landing dir until
+      // after the restart.
+      landSingleFile(ev.filter(us >= c2), s"$base/part2", s"$base/f2.staged")
+      landSingleFile(
+        ev.select(col("user_id")).distinct()
+          .select(
+            (-col("user_id")).as("event_id"),
+            timestamp_micros(
+              lit(maxUs + EventStreams.SessionGapMicros + 3600L * 1000000)).as("ts"),
+            col("user_id"),
+            lit("__flush").as("event_type"),
+            lit(0.0).as("value"),
+            lit(null).cast("string").as("props")),
+        s"$base/part3", s"$base/f3.staged")
+      def drainSessions(): Unit = {
+        val q = EventStreams.sessionizeStream(
+          s.readStream.schema(EventSchema).option("maxFilesPerTrigger", 1).parquet(landing))
+          .toDF()
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            EventStreams.versionedSink(tableDir)(batch, batchId)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainSessions()
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$base/f2.staged"),
+        java.nio.file.Paths.get(s"$landing/f2.parquet"))
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$base/f3.staged"),
+        java.nio.file.Paths.get(s"$landing/f3.parquet"))
+      drainSessions()
+      require(graft.sources.Versioned.latest(tableDir).contains(SessSplits - 1),
+        s"session stream gate expected $SessSplits committed versions")
     }
     tableDir
   }
@@ -197,6 +274,19 @@ object StreamGate {
     "st_doc_commit" -> { (s, dir) =>
       graft.sources.Versioned.read(s, streamedDocTable(s, dir))
         .orderBy("incoming_id", "existing_id")
+    },
+
+    // The committed sessions of the STATEFUL streamed chain: every session
+    // the sessionizer emitted across four micro-batches and a mid-stream
+    // restart, read from the versioned sink's latest snapshot. The oracle
+    // is ev_sessions' statement over the ORIGINAL events parquet — a hash
+    // match proves per-user operator state (the open sessions) survived the
+    // checkpoint restart intact: a lost open session drops rows, a replayed
+    // one duplicates or renumbers them, and a cut-straddling session would
+    // split in two. Nothing of the kind may appear for the hash to hold.
+    "st_session_commit" -> { (s, dir) =>
+      graft.sources.Versioned.read(s, streamedSessionTable(s, dir))
+        .orderBy("user_id", "sess_id")
     }
   )
 
@@ -208,6 +298,9 @@ object StreamGate {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Verbatim reuse of the batch oracle: the streamed result must equal
     // the one-pass batch matches, so they share ONE statement.
-    "st_doc_commit" -> graft.operators.Dedup.oracles("dd_incremental")
+    "st_doc_commit" -> graft.operators.Dedup.oracles("dd_incremental"),
+    // Verbatim reuse again: the restart-spanning stateful sessionization
+    // must equal the one-pass batch sessionization.
+    "st_session_commit" -> graft.operators.Events.oracles("ev_sessions")
   )
 }

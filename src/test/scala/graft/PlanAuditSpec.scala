@@ -422,16 +422,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("NB prediction joins the BROADCAST model against the test token stream") {
-    // The model (vocab × |labels|) and label stats must broadcast so the
-    // corpus-sized test token stream never shuffles on the skewed token key;
-    // the per-document argmax must be a map-side-bounded WindowGroupLimit.
-    val p = plan("cl_nb_predict")
-    assert(p.contains("BroadcastHashJoin [lang") || p.contains("BroadcastHashJoin [token"),
-      s"model join must broadcast:\n$p")
-    assert(p.contains("WindowGroupLimit"), s"argmax lost its group limit:\n$p")
-    val trainAggPartial = p.linesIterator.exists(l =>
+    // The scoring PASS runs once into the stored score frame; its plan must
+    // broadcast the model (vocab × |labels|) and label stats so the
+    // corpus-sized test token stream never shuffles on the skewed token
+    // key, with the training count map-side partial.
+    val b = graft.operators.Learn.nbScoresBuild(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(b.contains("BroadcastHashJoin [lang") || b.contains("BroadcastHashJoin [token"),
+      s"model join must broadcast:\n$b")
+    val trainAggPartial = b.linesIterator.exists(l =>
       l.contains("HashAggregate") && l.contains("partial_count"))
-    assert(trainAggPartial, s"training count lost its map-side partial phase:\n$p")
+    assert(trainAggPartial, s"training count lost its map-side partial phase:\n$b")
+    // The consuming query reads the STORED frame (no rescoring) and its
+    // per-document argmax is a map-side-bounded WindowGroupLimit.
+    val p = plan("cl_nb_predict")
+    assert(p.contains("nb_scores"), s"prediction must read the stored score frame:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"argmax lost its group limit:\n$p")
   }
 
   test("LM perplexity scoring joins the BROADCAST bigram model with partial-agg counts") {
@@ -537,13 +543,18 @@ class PlanAuditSpec extends SparkSpec {
 
   test("DSIR scoring broadcasts both bounded feature LMs") {
     // The hashed feature space caps both model tables at DsirFeatures rows;
-    // the corpus-side tf stream must join them by broadcast (plus the
+    // the scoring PASS (run once into the stored weight frame) must join
+    // the corpus-side tf stream against them by broadcast (plus the
     // one-row totals cross-join), never shuffle corpus rows on `feat`
     // toward a merge join.
+    val b = graft.operators.Learn.dsirWeightsBuild(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(b.contains("BroadcastHashJoin"), s"feature LM join lost broadcast:\n$b")
+    assert(!b.contains("SortMergeJoin"),
+      s"corpus tf stream shuffled into a merge join on the bounded side:\n$b")
+    // The consuming query reads the STORED weights, not a rescoring pass.
     val p = plan("pl_dsir_weights")
-    assert(p.contains("BroadcastHashJoin"), s"feature LM join lost broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"corpus tf stream shuffled into a merge join on the bounded side:\n$p")
+    assert(p.contains("dsir_weights"), s"weights must come from the stored frame:\n$p")
   }
 
   test("semantic dedup reads the stored cell index and joins on cell equality") {

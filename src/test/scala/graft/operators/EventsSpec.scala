@@ -415,4 +415,33 @@ class EventsSpec extends SparkSpec {
     assert(flagged == expected)
     assert(flagged.nonEmpty, "corpus should contain at least one >2-sigma hour")
   }
+
+  test("changepoint locates a planted mean shift exactly; constant series tie-break is the first day") {
+    import spark.implicits._
+    // Type "a": 20 days at 10.00 then 10 days at 50.00 - the centered-CUSUM
+    // |n*S_t - t*S_n| is maximized exactly at the last pre-shift day.
+    // Type "b": constant - every D_t is 0, so the deterministic
+    // (|D| DESC, day ASC) tie-break must pick the FIRST day and both
+    // segment means must equal the level.
+    def ev(id: Long, day: Long, typ: String, v: Double) =
+      (id, new java.sql.Timestamp(day * 86400000L), 1L, typ, v, null: String)
+    val rows =
+      (0L until 30L).map(d => ev(d, d, "a", if (d < 20) 10.0 else 50.0)) ++
+        (0L until 30L).map(d => ev(100 + d, d, "b", 7.0))
+    val dir = java.nio.file.Files.createTempDirectory("cp").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Events.queries("ev_changepoint")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toList
+    assert(got.map(_._1) == List("a", "b"))
+    val a = got.head
+    assert(a._2 == 30L && a._3 == 19L, s"shift must split after day 19: $a")
+    assert(a._5 == 10.0 && a._6 == 50.0, s"segment means must be exact: $a")
+    // D_t at the true split, scaled by n: |30*(20*1000) - 20*(20*1000+10*5000)| cents.
+    assert(a._4 == math.abs(30L * 20000 - 20L * 70000), s"unexpected D: $a")
+    val b = got(1)
+    assert(b._3 == 0L && b._4 == 0L && b._5 == 7.0 && b._6 == 7.0,
+      s"constant series must tie-break to day 0 with equal means: $b")
+  }
 }
