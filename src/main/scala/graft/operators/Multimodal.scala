@@ -211,6 +211,41 @@ object Multimodal {
     (ch, buf.length.toLong, sum, sq, peak)
   }
 
+  /** Silence band and minimum run length for [[queries mm_wav_silence]]:
+    * an unsigned-8-bit sample is "quiet" when it lies within ±40 of the
+    * 128 midline, and a silence SEGMENT is a maximal quiet run of ≥ 3
+    * samples. Shared literals with the oracle (which recomputes runs from
+    * the sample closed form via gaps-and-islands).
+    */
+  val SilenceLo = 88
+  val SilenceHi = 168
+  val MinSilenceRun = 3
+
+  /** REAL decode + one-pass silence-run scan: (n_silence_runs,
+    * longest_run, n_quiet) over the interleaved unsigned-8-bit PCM stream —
+    * O(1) state per clip, the voice-activity-detection primitive behind
+    * silence trimming/segmentation in audio curation. Integer-exact by
+    * construction.
+    */
+  def silenceRuns(payload: Array[Byte]): (Long, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val buf = ais.readAllBytes()
+    var i = 0; var run = 0L; var nRuns = 0L; var longest = 0L; var quiet = 0L
+    while (i < buf.length) {
+      val v = buf(i) & 0xff
+      if (v >= SilenceLo && v <= SilenceHi) {
+        run += 1; quiet += 1; if (run > longest) longest = run
+      } else {
+        if (run >= MinSilenceRun) nRuns += 1
+        run = 0
+      }
+      i += 1
+    }
+    if (run >= MinSilenceRun) nRuns += 1
+    (nRuns, longest, quiet)
+  }
+
   /** Audio manifest: one real-WAV media row per document (the
     * [[imageManifest]] shape for the audio tier).
     */
@@ -364,6 +399,31 @@ object Multimodal {
         .orderBy("source")
     },
 
+    // Silence-run SEGMENTATION over the real WAV decode path — the
+    // voice-activity-detection primitive behind silence trimming in audio
+    // curation (per clip: how many ≥MinSilenceRun quiet segments, the
+    // longest, and total quiet samples). The per-clip scan is one O(1)-state
+    // pass over the decoded PCM stream in the same partition-batched kernel
+    // as mm_audio_features; the oracle regenerates the samples from the
+    // closed form and finds the SAME runs via gaps-and-islands — a hash
+    // match proves decode + run segmentation exact on every clip. Docs
+    // whose samples never enter the band report zeros (left-join oracle),
+    // so no row silently disappears.
+    "mm_wav_silence" -> { (s, dir) =>
+      import s.implicits._
+      audioManifest(s, dir)
+        .select(col("doc_id"), col("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, payload) =>
+            val (nRuns, longest, quiet) = silenceRuns(payload)
+            (id, nRuns, longest, quiet)
+          }
+        }
+        .toDF("doc_id", "n_silence_runs", "longest_run", "n_quiet")
+        .orderBy("doc_id")
+    },
+
     // Metadata resize normalization on the gate: pure struct rewrite over the
     // "png" subset; the oracle recomputes the capped dimensions from the
     // manifest's doc_id arithmetic.
@@ -501,6 +561,33 @@ object Multimodal {
          |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
          |  CAST(MAX(v) AS BIGINT) AS peak
          |FROM sm GROUP BY source ORDER BY source""".stripMargin,
+    // Gaps-and-islands over the regenerated sample stream: island id =
+    // i − row_number within the quiet subset; runs are island sizes; the
+    // left join keeps never-quiet docs at zeros.
+    "mm_wav_silence" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, (160 + doc_id % 41) * (1 + doc_id % 2) AS n FROM documents
+         |), s AS (
+         |  SELECT d.doc_id, i.i, (d.doc_id * 17 + i.i) % 256 AS v
+         |  FROM d CROSS JOIN range(${201 * 2}) i(i) WHERE i.i < d.n
+         |), q AS (
+         |  SELECT doc_id, i,
+         |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+         |  FROM s WHERE v BETWEEN $SilenceLo AND $SilenceHi
+         |), runs AS (
+         |  SELECT doc_id, COUNT(*) AS run_len FROM q GROUP BY doc_id, isl
+         |), agg AS (
+         |  SELECT doc_id,
+         |    COUNT(*) FILTER (WHERE run_len >= $MinSilenceRun) AS nr,
+         |    MAX(run_len) AS lr,
+         |    SUM(run_len) AS nq
+         |  FROM runs GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(nr, 0) AS BIGINT) AS n_silence_runs,
+         |  CAST(COALESCE(lr, 0) AS BIGINT) AS longest_run,
+         |  CAST(COALESCE(nq, 0) AS BIGINT) AS n_quiet
+         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "mm_resize_meta" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(least(64 + (doc_id % 8) * 16, 96) AS INT) AS width,

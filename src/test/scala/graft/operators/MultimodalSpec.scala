@@ -143,4 +143,24 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute, s"banding lost or invented pairs: extra ${got -- brute}, missing ${brute -- got}")
   }
+
+  test("silence-run kernel matches a closed-form recompute, including a run ending at EOF") {
+    // Drive the REAL decode path for several fixture geometries (mono and
+    // stereo, all four frame-count residues) and compare against a direct
+    // scan of the closed-form samples; the kernel's end-of-stream flush is
+    // exercised by whichever clips end inside the quiet band.
+    for (id <- 0L until 8L) {
+      val n = Multimodal.audioFrames(id) * Multimodal.audioChannels(id)
+      val vs = (0L until n.toLong).map(i => Multimodal.sampleByte(id, i))
+      var run = 0L; var nRuns = 0L; var longest = 0L; var quiet = 0L
+      vs.foreach { v =>
+        if (v >= Multimodal.SilenceLo && v <= Multimodal.SilenceHi) {
+          run += 1; quiet += 1; longest = math.max(longest, run)
+        } else { if (run >= Multimodal.MinSilenceRun) nRuns += 1; run = 0 }
+      }
+      if (run >= Multimodal.MinSilenceRun) nRuns += 1
+      val got = Multimodal.silenceRuns(Multimodal.encodeWav(id))
+      assert(got == ((nRuns, longest, quiet)), s"doc $id: $got != ${(nRuns, longest, quiet)}")
+    }
+  }
 }
