@@ -134,6 +134,31 @@ object Quality {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // l-DIVERSITY audit (Machanavajjhala et al. 2007) — k-anonymity's
+    // successor check: a group can be large (k-anonymous) yet leak the
+    // sensitive attribute if every member shares one value. Per
+    // quasi-identifier group (nation, segment) over the customers' order
+    // stream: group size, the number of DISTINCT sensitive values
+    // (order priority — distinct-l), and the most frequent sensitive
+    // value's count (the numerator of recursive (c,l)-diversity; kept as
+    // an exact integer beside n rather than a float share). Shape: two
+    // cascaded hash aggregations — (QI, sensitive) counts map-side-combine
+    // BEFORE any exchange, so the sensitive column never shuffles raw rows,
+    // and the second pass is |QI-groups × l| — metadata-sized at any scale.
+    "dq_l_diversity" -> { (s, dir) =>
+      Relational.t(s, dir, "customer")
+        .join(Relational.t(s, dir, "orders"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("ns"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+          sum(col("ns")).as("n"),
+          count(lit(1)).as("l_distinct"),
+          max(col("ns")).as("max_sensitive_n"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // Pseudonymization that provably preserves referential integrity: the
     // direct identifiers (c_custkey on the dim side, user_id on the fact
     // side) are replaced by a deterministic salted md5 surrogate computed
@@ -369,6 +394,18 @@ object Quality {
       s"""SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
          |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < $KAnonymity
          |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "dq_l_diversity" ->
+      """WITH sv AS (
+        |  SELECT c_nationkey, c_mktsegment, o_orderpriority, COUNT(*) AS ns
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(SUM(ns) AS BIGINT) AS n,
+        |  COUNT(*) AS l_distinct,
+        |  CAST(MAX(ns) AS BIGINT) AS max_sensitive_n
+        |FROM sv GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "dq_profile" ->
       """WITH base AS (SELECT COUNT(*) AS n FROM lineitem)
         |SELECT * FROM (

@@ -226,6 +226,43 @@ object TextAnalysis {
         .limit(8)
     },
 
+    // Misra–Gries heavy hitters with the error bound ON the gate — the
+    // engine-built mergeable-summary sibling of ta_heavy_hitters'
+    // approx_top_k: each task reduces its token stream to ≤ K counters
+    // ([[graft.functions.MisraGries]]), only K-counter summaries cross the
+    // exchange, and the PODS'12 merge keeps the deterministic guarantee
+    // est ≤ true ≤ est + N/(K+1) under ANY merge tree. Estimates are
+    // merge-order-dependent, so the sketch-contract shape applies: the
+    // engine computes sketch AND exact counts in one plan and emits, per
+    // exact top-8 token, (word, exact_n, within_bound) with the bound
+    // check in scaled integers ((exact−est)·(K+1) ≤ N — no division); the
+    // oracle computes the exact top-8 with literal TRUE, so a hash match
+    // proves the sketch honored its bound on every heavy hitter.
+    "ta_mg_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val words = Relational.t(s, dir, "documents")
+        .transform(Dedup.spread("doc_id"))
+        .select(explode(split(col("text"), "[ ,.\"']+")).as("word"))
+        .filter(col("word") =!= "")
+      // Typed select (the TypedColumn carries the Aggregator's input
+      // encoder; the untyped API rejects it), then back to named columns.
+      val mg = words.as[String]
+        .select(graft.functions.MisraGries.agg.toColumn)
+        .toDF("sketch")
+        .select(explode(col("sketch")).as(Seq("word", "est")))
+      val exact = Dedup.materialized(
+        words.groupBy("word").agg(count(lit(1)).as("exact_n")))
+      val total = exact.agg(sum(col("exact_n")).as("n_total"))
+      exact.orderBy(col("exact_n").desc, col("word").asc).limit(8)
+        .join(mg, Seq("word"), "left")
+        .crossJoin(broadcast(total)) // bounded: one row
+        .select(col("word"), col("exact_n"),
+          (coalesce(col("est"), lit(0L)) <= col("exact_n") &&
+            (col("exact_n") - coalesce(col("est"), lit(0L))) *
+              (graft.functions.MisraGries.K + 1) <= col("n_total")).as("within_bound"))
+        .orderBy(col("exact_n").desc, col("word").asc)
+    },
+
     // Winnowing fingerprints (MOSS local fingerprinting): 4-gram md5 hashes,
     // minimum per sliding window of 8 — position-local signatures at
     // ~2/(w+1) the cost of the full gram set, with the guarantee that any
@@ -531,6 +568,15 @@ object TextAnalysis {
         |    SELECT UNNEST(string_split_regex(text, '[ ,."'']+')) AS word FROM documents
         |  ) WHERE word <> '' GROUP BY word
         |) ORDER BY cnt DESC, word ASC LIMIT 8""".stripMargin,
+    // Sketch-contract gate: exact top-8 with a literal TRUE; the engine's
+    // within_bound proves the merged Misra-Gries summary stayed inside
+    // its N/(K+1) deterministic bound on every heavy hitter.
+    "ta_mg_heavy_hitters" ->
+      """SELECT word, exact_n, TRUE AS within_bound FROM (
+        |  SELECT word, COUNT(*) AS exact_n FROM (
+        |    SELECT UNNEST(string_split_regex(text, '[ ,."'']+')) AS word FROM documents
+        |  ) WHERE word <> '' GROUP BY word
+        |) ORDER BY exact_n DESC, word ASC LIMIT 8""".stripMargin,
     // Slice arithmetic (1-based inclusive): 4-grams are ts[i:i+3] for
     // i in 1..len-3; length-8 hash windows are hs[i:i+7] for i in 1..m-7.
     "ta_winnow" ->
