@@ -646,6 +646,26 @@ object Relational2 {
           |FROM q50_docs GROUP BY lang ORDER BY lang""".stripMargin)
     },
 
+    // Eager aggregation ON the gate: a count/sum aggregate over an inner
+    // equi-join, written the naive way a user writes it — the
+    // [[graft.plans.EagerAggregation]] optimizer rule decomposes it so
+    // BOTH inputs collapse to their key-level cardinalities before the
+    // join (customer pre-aggregates per (segment, custkey), orders to a
+    // per-custkey count; the join never sees an order row). The oracle is
+    // the plain join-then-aggregate statement, so the hash match proves
+    // the rewrite exact; PlanAuditSpec asserts both join children are
+    // aggregates. The sum column rides from the GROUPED side
+    // (Σ c_nationkey over join rows = nationkey × order count per
+    // customer), exercising the cl·cr multiply non-trivially.
+    "q51_eager_agg" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("c_nationkey")).as("nationkey_weighted"))
+        .orderBy("c_mktsegment")
+    },
+
     // The reference's opaque-UDF execution path (scan → flatMap map-UDF →
     // hash shuffle → sorted streaming reduce-UDF), driver-verified against
     // the same oracle as the declarative q19: the engine's two execution
@@ -708,6 +728,13 @@ object Relational2 {
         |  SELECT NULLIF(o_custkey, -1) FROM orders WHERE o_orderstatus = 'F'
         |)
         |ORDER BY c_custkey""".stripMargin,
+    // Plain join-then-aggregate: the definitional form the eager-aggregation
+    // rewrite must reproduce bit-for-bit.
+    "q51_eager_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(c_nationkey) AS BIGINT) AS nationkey_weighted
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // SQL-surface twin: every graft_ function re-derived from its public
     // definition (raw text — no normalization — for md5/FNV here).
     "q50_sql_functions" ->

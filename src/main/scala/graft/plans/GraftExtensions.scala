@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PK-FK join elimination under declared RELY constraints (see
     // [[JoinElimination]] for the three soundness conditions).
     e.injectOptimizerRule(_ => JoinElimination)
+    // Eager aggregation: decomposable count/sum pushed below an inner
+    // equi-join (see [[EagerAggregation]] for the provable-shape guards).
+    e.injectOptimizerRule(_ => EagerAggregation)
     e.injectFunction(
       (FunctionIdentifier("graft_fnv64"),
         info("graft_fnv64", "graft_fnv64(str) - FNV-1a 64-bit hash of str's UTF-8 bytes."),

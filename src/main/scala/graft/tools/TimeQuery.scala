@@ -1,7 +1,6 @@
 package graft.tools
 
 import graft.SparkEntry
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time one named query (optionally print its physical plan).
   * Usage: TimeQuery <name> <sfDir> [explain]
@@ -11,12 +10,11 @@ object TimeQuery {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // The ENGINE session, not a bare builder: a hand-rolled session here
+    // silently dropped GraftExtensions, so explained plans were missing
+    // every injected optimizer rule (TopKRewrite, JoinElimination,
+    // EagerAggregation) that the gate and bench sessions run with.
+    val spark = graft.EngineSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {

@@ -557,6 +557,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("dsir_weights"), s"weights must come from the stored frame:\n$p")
   }
 
+  test("eager aggregation pre-aggregates both join inputs for the gate query") {
+    // q51's count/sum decomposes, so BOTH join children must collapse to
+    // key-level aggregates before the join (the fact table never enters
+    // the join) — the graft_cl/graft_cr partials are the rule's signature.
+    val p = plan("q51_eager_agg")
+    assert(p.contains("graft_cl") && p.contains("graft_cr"),
+      s"eager aggregation did not fire:\n$p")
+    // Negative guard: a DECIMAL revenue sum must stay un-rewritten
+    // (re-associating decimal partials widens precision — the bit-exactness
+    // contract), so the classic join-then-aggregate remains.
+    val q3 = plan("q3_revenue_by_nation")
+    assert(!q3.contains("graft_cl"), s"decimal sum must not be rewritten:\n$q3")
+  }
+
   test("semantic dedup reads the stored cell index and joins on cell equality") {
     // Training ran once into the stored-structure tier; the query plan must
     // consume the parquet cell assignment and pair members by an EQUALITY
