@@ -33,7 +33,8 @@ object EngineSession {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // The engine's own Catalyst surface: graft_* SQL functions and the
-      // window-top-k → heap-aggregate optimizer rewrite (plans/GraftExtensions).
+      // four injected optimizer rules — TopKRewrite, MatViewReroute,
+      // JoinElimination, EagerAggregation (plans/GraftExtensions).
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
