@@ -345,8 +345,32 @@ object Spatial {
         .select(col("a"), (col("k") % enc).as("nn"),
           expr(s"k div ${Extent * Extent}").as("d2"))
         .orderBy("a")
+    },
+
+    // Fixed-radius k-NEAREST NEIGHBORS (k = KnnK) — the spatial k-NN-graph
+    // constructor (geo_nn generalized past rank 1): per point, the k
+    // closest OTHER points within Radius in (d², id) order. Candidates
+    // come from the same lossless 3×3 neighborhood join (never all-pairs);
+    // the per-point top-k is a WindowGroupLimit — each map task pre-shrinks
+    // every point's candidate list to k rows before the exchange, so the
+    // shuffle carries ≤ k·|points| rows whatever the local density. The
+    // quadratic oracle proves grid + rank jointly exact. Integer ranks
+    // widened to BIGINT (ROW_NUMBER's type in the oracle engine).
+    "geo_knn" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("a").orderBy(col("d2").asc, col("b").asc)
+      neighborhoodPairs(s, dir, col("a") =!= col("b"))
+        .select(col("a"), col("b"), dist2("ax", "ay", "bx", "by").as("d2"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= KnnK)
+        .select(col("a").as("id"), col("rk").cast("long").as("rk"),
+          col("b").as("nn"), col("d2"))
+        .orderBy("id", "rk")
     }
   )
+
+  /** Neighbor-list depth of [[queries geo_knn]]. */
+  val KnnK = 3
 
   private def coordSql(seed: Int, key: String) =
     s"CAST('0x' || substr(md5('$seed:' || CAST($key AS VARCHAR)), 1, 15) AS BIGINT) % $Extent"
@@ -413,6 +437,21 @@ object Spatial {
          |  SELECT cluster_id, 1 AS c, 0 AS bd FROM lab
          |  UNION ALL SELECT cluster_id, 0, 1 FROM bord
          |) GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // Quadratic truth for the grid-decomposed k-NN: all-pairs within
+    // Radius, ranked per point by (d2, id).
+    "geo_knn" ->
+      s"""WITH $pointsSql, pairs AS (
+         |  SELECT p.id AS a, q.id AS b,
+         |         (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS d2
+         |  FROM pts p JOIN pts q ON p.id <> q.id
+         |  WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= ${Radius * Radius}
+         |), ranked AS (
+         |  SELECT a, b, d2,
+         |         ROW_NUMBER() OVER (PARTITION BY a ORDER BY d2 ASC, b ASC) AS rk
+         |  FROM pairs
+         |)
+         |SELECT a AS id, rk, b AS nn, d2 FROM ranked
+         |WHERE rk <= $KnnK ORDER BY id, rk""".stripMargin,
     "geo_nn" ->
       s"""WITH $pointsSql, pairs AS (
          |  SELECT p.id AS a,

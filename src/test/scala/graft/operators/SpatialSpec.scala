@@ -151,6 +151,28 @@ class SpatialSpec extends SparkSpec {
     }
   }
 
+  test("k-NN lists: rank-1 equals geo_nn, distances ascend, pairs subset the radius join") {
+    val knn = Spatial.queries("geo_knn")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(knn.nonEmpty)
+    // Rank 1 must be exactly the 1-NN query (same (d2, id) tie-break).
+    val rank1 = knn.filter(_._2 == 1L).map(t => (t._1, t._3, t._4)).toSet
+    val nn = Spatial.queries("geo_nn")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rank1 == nn, "rank-1 neighbors must equal the 1-NN query")
+    // Per point: ranks contiguous from 1, distances non-decreasing.
+    knn.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"ranks broken for $id")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq, s"d2 not ascending for $id")
+      assert(sorted.length <= Spatial.KnnK)
+    }
+    // Every k-NN pair is a radius-join pair.
+    val radius = Spatial.queries("geo_radius_join")(spark, sf()).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    assert(knn.forall(t => radius((t._1, t._3))), "k-NN emitted a pair outside the radius")
+  }
+
   // --- multilevel geometric CC seam ------------------------------------
 
   /** Driver-side twin of geoComponents' superKey: the level-`sc` supercell
