@@ -988,6 +988,32 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Near-duplication rate BY SOURCE — the dedup-observability report a
+    // corpus curator reads before deciding which sources to aggressively
+    // dedupe: per source, how many docs participate in any verified
+    // ≥MinJaccard near-dup pair, and the rate. A pure VIEW over the stored
+    // pair table ([[verifiedPairStore]] — the layering that makes dedup
+    // reporting free once the tier is built) joined to the |docs|-sized
+    // (doc_id, source) projection; the one division is the final IEEE op.
+    // The oracle recomputes the pair set from scratch (the full quadratic
+    // statement nested as a CTE — the st_doc_commit reuse device), so the
+    // hash match re-proves the stored tier against first principles.
+    "dd_rate_by_source" -> { (s, dir) =>
+      val pairs = verifiedPairStore(s, dir)
+      val dupDocs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val docs = Relational.t(s, dir, "documents").select("doc_id", "source")
+      val dup = dupDocs.join(docs, "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("nd"))
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(dup, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("nd"), lit(0L)).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_rate"))
+        .orderBy("source")
+    },
+
     // SimHash fingerprints (60-bit) per document — the LIVE fingerprint
     // computation (this query IS the fingerprint operator's measurement).
     "dd_simhash" -> { (s, dir) =>
@@ -1239,6 +1265,25 @@ object Dedup {
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_pairs" -> exactPairsSql,
+    // The full pair statement nested as a CTE (oracle-reuse device), then
+    // the per-source participation rollup with a left join keeping
+    // dup-free sources at zero.
+    "dd_rate_by_source" ->
+      s"""WITH pr AS ($exactPairsSql
+         |), dup AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM pr UNION ALL SELECT doc_b FROM pr
+         |  )
+         |), per_source AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+         |), dupsrc AS (
+         |  SELECT d.source, COUNT(*) AS nd
+         |  FROM dup JOIN documents d USING (doc_id) GROUP BY d.source
+         |)
+         |SELECT source, n_docs, CAST(COALESCE(nd, 0) AS BIGINT) AS n_dup_docs,
+         |  CAST(COALESCE(nd, 0) AS DOUBLE) / n_docs AS dup_rate
+         |FROM per_source LEFT JOIN dupsrc USING (source)
+         |ORDER BY source""".stripMargin,
     // Quadratic all-(ordered)-pairs form: the hash-match proves the one-sided
     // prefix-filter candidate tier lossless for the asymmetric relation.
     "dd_containment" ->

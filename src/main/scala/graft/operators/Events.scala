@@ -773,6 +773,34 @@ object Events {
         .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // Cohort LIFETIME-VALUE curve — ev_retention's money sibling (the
+    // unit-economics artifact: per signup cohort, revenue by week of age,
+    // read as the cumulative-LTV numerator). Same signup-week cohort and
+    // integer week arithmetic as ev_retention; revenue rides as EXACT
+    // integer cents (the DECIMAL(18,2)·100 money contract) so every cell
+    // is an exact integer — no division anywhere. Shape: the activity
+    // stream is one narrow projection (week, cents-if-purchase), the
+    // cohort frame is |users|-sized, and the cell aggregation map-side
+    // combines; nothing rescans per cohort.
+    "ev_cohort_ltv" -> { (s, dir) =>
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val ev = Relational.t(s, dir, "events")
+      def week(ts: Column): Column =
+        floor(datediff(to_date(ts), lit("2024-01-01").cast("date")) / 7).cast("int")
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(week(col("ts"))).as("cohort_week"))
+      val acts = ev.select(col("user_id"), week(col("ts")).as("week"),
+        when(col("event_type") === "purchase",
+          col("value").cast(d18).multiply(lit(100)).cast("long"))
+          .otherwise(lit(0L)).as("cents"))
+      cohort.join(acts, Seq("user_id"))
+        .filter(col("week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          sum(col("cents")).as("purchase_cents"))
+        .orderBy("cohort_week", "week_offset")
     }
   )
 
@@ -1473,6 +1501,25 @@ object Events {
         |SELECT cohort_week, week - cohort_week AS week_offset,
         |  COUNT(DISTINCT a.user_id) AS n_active
         |FROM cohort c JOIN active a ON c.user_id = a.user_id
+        |WHERE week >= cohort_week
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "ev_cohort_ltv" ->
+      """WITH cohort AS (
+        |  SELECT user_id,
+        |    MIN(CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), acts AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS INT) AS week,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END AS cents
+        |  FROM events
+        |)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_active,
+        |  CAST(SUM(cents) AS BIGINT) AS purchase_cents
+        |FROM cohort c JOIN acts a ON c.user_id = a.user_id
         |WHERE week >= cohort_week
         |GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin
