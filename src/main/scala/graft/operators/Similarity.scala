@@ -403,6 +403,29 @@ object Similarity {
         .orderBy("query_id")
     },
 
+    // Recall-vs-nprobe SWEEP — the IVF tuning curve an ANN deployment
+    // reads to pick its probe depth (the recall/latency trade is THE
+    // operational knob of an inverted-file index): total exact-top-k hits
+    // and recall at each probe depth in [[IvfSweepProbes]], every depth
+    // served from the SAME stored coarse quantizer (probing is a query-time
+    // parameter — nothing retrains). Counts are exact integers; each recall
+    // is one final division by the fixed |queries|·k denominator. The
+    // oracle replays the full IVF statement per depth (nested-statement
+    // CTEs — the ss_ann_recall device, swept), so the hash match proves
+    // the whole curve, not one operating point.
+    "ss_ivf_probe_sweep" -> { (s, dir) =>
+      val bf = queries("ss_topk_bruteforce")(s, dir).select("query_id", "neighbor_id")
+      IvfSweepProbes.map { p =>
+        bf.join(
+            ivfTopkAt(s, dir, p)
+              .select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+            Seq("query_id", "neighbor_id"), "left_outer")
+          .agg(count(col("hit")).as("n_hits"))
+          .select(lit(p).as("nprobe"), col("n_hits"),
+            (col("n_hits").cast("double") / lit((NQueries * TopK).toDouble)).as("recall"))
+      }.reduce(_.unionByName(_)).orderBy("nprobe")
+    },
+
     // Norm + int8 quantization codes per vector — the storage/SIMD form a
     // vector store keeps (4× smaller than float32). One narrow codegen'd
     // pass, no shuffle; deterministic via floor(x+0.5) round-half-up and the
@@ -539,6 +562,11 @@ object Similarity {
   val IvfProbes = 4
   val IvfIters = 3
 
+  /** Probe depths of [[queries ss_ivf_probe_sweep]] (includes [[IvfProbes]],
+    * so one sweep row reproduces the production setting).
+    */
+  val IvfSweepProbes: Seq[Int] = Seq(1, 2, 4)
+
   /** Train the coarse quantizer with Lloyd's k-means — all dataflow, no
     * driver-side actions:
     *
@@ -602,7 +630,13 @@ object Similarity {
     * corpus and reused across queries AND across the sibling IVF-PQ path
     * ([[materialize]]); training has zero driver-side actions.
     */
-  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfTopkAt(s, dir, IvfProbes)
+
+  /** [[ivfTopk]] at an explicit probe depth — the sweep's parameter
+    * ([[queries ss_ivf_probe_sweep]]).
+    */
+  private def ivfTopkAt(s: SparkSession, dir: String, probes: Int): DataFrame = {
     val e = vecs(s, dir)
     val cent = materialize("ivf_centroids", dir, s)(trainCentroids(e))
     // The corpus-side cell assignment comes from the STORED index
@@ -615,7 +649,7 @@ object Similarity {
       .crossJoin(broadcast(cent)) // bounded: |cells| centroids
       .select(col("vec_id"), col("v"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
       .withColumn("crk", row_number().over(wc))
-      .filter(col("crk") <= IvfProbes)
+      .filter(col("crk") <= probes)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     // No distinct needed: a neighbor lives in exactly one cell (crk = 1), so
@@ -897,6 +931,30 @@ object Similarity {
   /** The brute-force and LSH oracle statements as vals so the recall
     * oracle can nest them as CTE bodies (one definition, two consumers).
     */
+  /** The full gated IVF statement at probe depth `probes` — ss_ann_ivf is
+    * this at [[IvfProbes]]; the sweep nests one per depth.
+    */
+  private def ivfSqlAt(probes: Int): String =
+    s"""WITH $trainedCellsCte, qc AS (
+       |  SELECT vec_id AS query_id, v AS qv, c_id
+       |  FROM (
+       |    SELECT e.vec_id, e.v, c.c_id,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS crk
+       |    FROM e CROSS JOIN c$IvfIters c WHERE e.vec_id < $NQueries
+       |  ) WHERE crk <= $probes
+       |), scored AS (
+       |  SELECT qc.query_id, cc.neighbor_id, ${cosSql("qc.qv", "cc.nv")} AS cos
+       |  FROM qc JOIN cc USING (c_id) WHERE qc.query_id <> cc.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
+       |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
   private lazy val bruteforceSql: String =
     s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
@@ -1226,26 +1284,25 @@ object Similarity {
     // power iteration ([[trainedCellsCte]]). Query probes its IvfProbes
     // nearest final cells; candidates come from the stored corpus-cell
     // assignment; exact cosine re-rank.
-    "ss_ann_ivf" ->
-      s"""WITH $trainedCellsCte, qc AS (
-         |  SELECT vec_id AS query_id, v AS qv, c_id
-         |  FROM (
-         |    SELECT e.vec_id, e.v, c.c_id,
-         |      ROW_NUMBER() OVER (
-         |        PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS crk
-         |    FROM e CROSS JOIN c$IvfIters c WHERE e.vec_id < $NQueries
-         |  ) WHERE crk <= $IvfProbes
-         |), scored AS (
-         |  SELECT qc.query_id, cc.neighbor_id, ${cosSql("qc.qv", "cc.nv")} AS cos
-         |  FROM qc JOIN cc USING (c_id) WHERE qc.query_id <> cc.neighbor_id
-         |), ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
-         |  FROM scored
-         |)
-         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
-         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "ss_ann_ivf" -> ivfSqlAt(IvfProbes),
+    // One full IVF statement per probe depth as a nested CTE (the
+    // ss_ann_recall device, swept), each joined against the shared
+    // brute-force truth.
+    "ss_ivf_probe_sweep" -> locally {
+      val per = IvfSweepProbes.map { p =>
+        s"""iv$p AS (${ivfSqlAt(p)}), r$p AS (
+           |  SELECT $p AS nprobe, COUNT(i.neighbor_id) AS n_hits
+           |  FROM bf LEFT JOIN iv$p i
+           |    ON bf.query_id = i.query_id AND bf.neighbor_id = i.neighbor_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bf AS ($bruteforceSql),
+         |$per
+         |SELECT nprobe, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_hits AS DOUBLE) / ${NQueries * TopK} AS recall
+         |FROM (${IvfSweepProbes.map(p => s"SELECT * FROM r$p").mkString(" UNION ALL ")})
+         |ORDER BY nprobe""".stripMargin
+    },
     // SemDeDup twin: the SAME trained-cells CTE as ss_ann_ivf (one coarse
     // quantizer, two consumers — mirroring the engine's shared stored
     // index), then the identical intra-cell pair scan, threshold, and
