@@ -988,6 +988,22 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Near-dup CLUSTER-SIZE histogram — the other dedup-observability
+    // report (dd_rate_by_source counts participants; this shows how they
+    // CLUMP — a heavy tail of giant clusters means boilerplate families,
+    // many pairs means scattered plagiarism; the shape drives keep-one vs
+    // keep-none policy). A rollup over the gated full-corpus closure: per
+    // cluster size, how many clusters and docs. The oracle nests the
+    // recursive-CTE transitive closure verbatim, so the histogram is
+    // hash-proved against first-principles connectivity.
+    "dd_cluster_sizes" -> { (s, dir) =>
+      queries("dd_clusters_ls")(s, dir)
+        .groupBy(col("cluster_size").as("size"))
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("size")
+    },
+
     // Near-duplication rate BY SOURCE — the dedup-observability report a
     // corpus curator reads before deciding which sources to aggressively
     // dedupe: per source, how many docs participate in any verified
@@ -1265,6 +1281,13 @@ object Dedup {
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_pairs" -> exactPairsSql,
+    // The recursive-CTE closure nested verbatim, rolled up by cluster size.
+    "dd_cluster_sizes" ->
+      s"""WITH cl AS ($ccClosureSql)
+         |SELECT cluster_size AS size,
+         |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  COUNT(*) AS n_docs
+         |FROM cl GROUP BY cluster_size ORDER BY size""".stripMargin,
     // The full pair statement nested as a CTE (oracle-reuse device), then
     // the per-source participation rollup with a left join keeping
     // dup-free sources at zero.
