@@ -85,9 +85,17 @@ object Learn {
     * cl_* regression cluster). Size is |heldout docs| × |labels| — bounded
     * by the eval split, not the corpus. The corpus is NOT materialized:
     * train tokens feed only the model build, test tokens one scoring pass.
+    *
+    * PINNED ([[graft.sources.Stored.pinned]], the dd_* store doctrine):
+    * seven consumers share ONE RAM-resident checkpointed copy per session
+    * instead of each re-paying the parquet decode + repartition at
+    * construction; the spread below the per-doc argmax window satisfies its
+    * required distribution so no second exchange is planned.
     */
   private def nbScores(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Stored.materialize("nb_scores", dir, s)(nbScoresBuild(s, dir))
+    graft.sources.Stored.pinned("nb_scores", dir, s)(
+      graft.sources.Stored.materialize("nb_scores", dir, s)(nbScoresBuild(s, dir))
+        .transform(Dedup.spread("doc_id")))
 
   /** The scoring PASS behind [[nbScores]] — package-visible so the plan
     * audit can assert the broadcast/partial-agg shape of the pass itself
@@ -394,11 +402,7 @@ object Learn {
     // shuffle-join-on-w1 by actual model size (the cl_nb_predict fallback
     // argument); per-doc sums are one hash aggregation.
     "cl_lm_perplexity" -> { (s, dir) =>
-      val (bgCounts, ctxCounts, vocab) = lmModel(s, dir)
-      lmScoreDocs(
-        docs(s, dir).filter(col("b") >= TestBucket).select(col("doc_id"), col("ts")),
-        bgCounts, ctxCounts, vocab)
-        .orderBy("doc_id")
+      lmHeldoutScored(s, dir).orderBy("doc_id")
     },
 
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
@@ -416,10 +420,7 @@ object Learn {
     // lang's first global number (a |langs|-row broadcast), and the bucket
     // label is a narrow integer comparison.
     "cl_ppl_buckets" -> { (s, dir) =>
-      val (bgCounts, ctxCounts, vocab) = lmModel(s, dir)
-      val scored = lmScoreDocs(
-        docs(s, dir).filter(col("b") >= TestBucket).select(col("doc_id"), col("ts")),
-        bgCounts, ctxCounts, vocab)
+      val scored = lmHeldoutScored(s, dir)
         .filter(col("n_transitions") > 0)
         .select(col("doc_id"), col("mean_nll_q"))
         .join(Relational.t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
@@ -580,10 +581,40 @@ object Learn {
     * registry's scored-predictions artifact, materialized once per
     * (session, corpus) and read by both consumers — cl_mcnemar previously
     * re-ran BOTH full scoring chains per invocation (r8's worst bench
-    * regression, +104 %) for a 4-cell statistic.
+    * regression, +104 %) for a 4-cell statistic. Pinned like [[nbScores]].
     */
   private def lmLangScores(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Stored.materialize("lm_lang_scores", dir, s)(lmLangScoresBuild(s, dir))
+    graft.sources.Stored.pinned("lm_lang_scores", dir, s)(
+      graft.sources.Stored.materialize("lm_lang_scores", dir, s)(lmLangScoresBuild(s, dir))
+        .transform(Dedup.spread("doc_id")))
+
+  /** The heldout split scored ONCE by the corpus bigram LM — the shared
+    * frame behind cl_lm_perplexity (read + orderBy) and cl_ppl_buckets
+    * (read + per-language numbering). Stored like [[nbScores]]: the scored
+    * eval split is a model registry's perplexity artifact, materialized per
+    * (session, corpus); both consumers previously re-ran the full
+    * explode→model-join→aggregate scoring chain over the heldout corpus
+    * (the r9 bench's slowest two queries, 3.6 s/3.9 s for what is one
+    * scoring pass + two cheap reports). Size is |heldout docs| rows.
+    * Pinned like [[nbScores]] — two consumers share one RAM copy.
+    */
+  private def lmHeldoutScored(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stored.pinned("lm_heldout_scored", dir, s)(
+      graft.sources.Stored.materialize("lm_heldout_scored", dir, s)(
+        lmHeldoutScoredBuild(s, dir))
+        .transform(Dedup.spread("doc_id")))
+
+  /** The scoring PASS behind [[lmHeldoutScored]] — package-visible so the
+    * plan audit can assert the broadcast/partial-agg shape of the pass
+    * itself (the consuming queries read the stored frame, where those
+    * operators no longer appear — the [[nbScoresBuild]] pattern).
+    */
+  private[graft] def lmHeldoutScoredBuild(s: SparkSession, dir: String): DataFrame = {
+    val (bgCounts, ctxCounts, vocab) = lmModel(s, dir)
+    lmScoreDocs(
+      docs(s, dir).filter(col("b") >= TestBucket).select(col("doc_id"), col("ts")),
+      bgCounts, ctxCounts, vocab)
+  }
 
   private def lmLangScoresBuild(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)

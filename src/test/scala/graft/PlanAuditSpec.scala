@@ -433,19 +433,30 @@ class PlanAuditSpec extends SparkSpec {
     val trainAggPartial = b.linesIterator.exists(l =>
       l.contains("HashAggregate") && l.contains("partial_count"))
     assert(trainAggPartial, s"training count lost its map-side partial phase:\n$b")
-    // The consuming query reads the STORED frame (no rescoring) and its
-    // per-document argmax is a map-side-bounded WindowGroupLimit.
+    // The consuming query reads the session-PINNED stored frame (no
+    // rescoring — the localCheckpoint surfaces as an ExistingRDD scan, not
+    // a parquet scan) and its per-document argmax is a map-side-bounded
+    // WindowGroupLimit.
     val p = plan("cl_nb_predict")
-    assert(p.contains("nb_scores"), s"prediction must read the stored score frame:\n$p")
+    assert(p.contains("ExistingRDD"), s"prediction must read the pinned score frame:\n$p")
+    assert(!p.contains("Scan parquet"), s"prediction must not rescan the corpus:\n$p")
     assert(p.contains("WindowGroupLimit"), s"argmax lost its group limit:\n$p")
   }
 
   test("LM perplexity scoring joins the BROADCAST bigram model with partial-agg counts") {
+    // The scoring PASS (audited on the build frame, the nbScoresBuild
+    // pattern) must broadcast the bigram model against the heldout
+    // transition stream with map-side partial counting.
+    val b = graft.operators.Learn.lmHeldoutScoredBuild(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(b.contains("BroadcastHashJoin"), s"model join must broadcast:\n$b")
+    assert(b.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial_count")),
+      s"bigram counting lost its map-side partial phase:\n$b")
+    assert(!b.contains("CartesianProduct"), s"unexpected cartesian:\n$b")
+    // The consuming query reads the pinned stored frame — no rescoring.
     val p = plan("cl_lm_perplexity")
-    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
-    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial_count")),
-      s"bigram counting lost its map-side partial phase:\n$p")
-    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("ExistingRDD"), s"perplexity must read the pinned scored frame:\n$p")
+    assert(!p.contains("Scan parquet"), s"perplexity must not rescan the corpus:\n$p")
   }
 
   test("AUC ranks without a single-partition global sort") {
