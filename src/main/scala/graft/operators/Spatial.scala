@@ -81,6 +81,35 @@ object Spatial {
   private def neighborhoodPairs(s: SparkSession, dir: String, keep: org.apache.spark.sql.Column): DataFrame =
     neighborhoodPairsOf(Dedup.materialized(points(s, dir)), keep)
 
+  /** The directed within-Radius pair table (a, b, d²) as a STORED structure
+    * ([[graft.sources.Stored]]) — the spatial-index artifact a production
+    * pipeline computes at ingest and persists beside the corpus. Parquet,
+    * NOT RAM-pinned: the pair volume grows with the corpus (density ×
+    * points), so the store must live where the corpus lives.
+    * [[queries geo_radius_join]] and [[queries geo_core_points]] still run
+    * the grid candidate join LIVE (the tier's honest end-to-end
+    * measurements, the dd_ngram_pairs doctrine); the derived neighbor
+    * analyses (geo_nn, geo_knn, geo_dbscan) read the store — previously
+    * each re-ran the candidate join, and geo_dbscan alone paid five eager
+    * materialization barriers per invocation.
+    */
+  private def pairStore(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stored.materialize("geo_nbr_pairs", dir, s)(
+      neighborhoodPairs(s, dir, col("a") =!= col("b"))
+        .select(col("a"), col("b"), dist2("ax", "ay", "bx", "by").as("d2")))
+      .transform(Dedup.spread("a"))
+
+  /** The DBSCAN core-point census (ids with ≥ MinPts neighbors) as a stored
+    * structure derived from [[pairStore]] — same ingest-artifact doctrine;
+    * geo_core_points keeps the live measurement of this reduction.
+    */
+  private def coreStore(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stored.materialize("geo_cores", dir, s)(
+      pairStore(s, dir)
+        .groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("n_neighbors"))
+        .filter(col("n_neighbors") >= MinPts))
+
   /** The candidate join over an explicit (id, x, y, cx, cy) frame — the
     * testable core behind [[neighborhoodPairs]] (SpatialSpec drives it with
     * planted point sets).
@@ -286,19 +315,16 @@ object Spatial {
     // border resolution jointly exact. Output: per cluster, core and
     // border populations.
     "geo_dbscan" -> { (s, dir) =>
-      // The grid candidate join is the expensive step, and three passes
-      // need its output (core census, core-core edges, border pairs) —
-      // materialize the DIRECTED id-pair frame once and derive all three.
-      // Ids only: the downstream passes never look at coordinates, so the
-      // materialized frame is two longs per qualifying pair.
-      val nbr = Dedup.materialized(
-        neighborhoodPairs(s, dir, col("a") =!= col("b"))
-          .select(col("a"), col("b")))
-      val cores = Dedup.materialized(
-        nbr.groupBy(col("a").as("id"))
-          .agg(count(lit(1)).as("n_neighbors"))
-          .filter(col("n_neighbors") >= MinPts)
-          .select(col("id")))
+      // Three passes need the directed pair table (core census, core-core
+      // edges, border pairs) — all read the STORED spatial index
+      // ([[pairStore]], d² pruned at the scan) instead of re-running the
+      // grid join; the core census likewise reads [[coreStore]]. The lazy
+      // store reads replace five per-invocation materialization barriers
+      // with parquet scans that Spark schedules inside the single result
+      // job, so the only eager work left in this query is the two-level
+      // CC coarsening itself.
+      val nbr = pairStore(s, dir).select(col("a"), col("b"))
+      val cores = coreStore(s, dir).select(col("id"))
       // cores / coreClusters grow O(points) — in a dense region nearly
       // every point is a core — so these joins are deliberately UNHINTED:
       // all frames are already equality-keyed on the id, AQE broadcasts
@@ -316,9 +342,12 @@ object Spatial {
       // to chase the grid-spanning giant component to its fixpoint.
       val cc = geoComponents(corePairs)
         .select(col("doc_id").as("id"), col("cluster_id"))
-      val coreClusters = Dedup.materialized(
-        cores.join(cc, Seq("id"), "left_outer")
-          .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id")))
+      // Lazy (not materialized): both consumers re-derive this from the
+      // stored census + the CHECKPOINTED per-level CC mappings — two cheap
+      // joins Spark schedules inside the one result job, cheaper than
+      // another serial barrier at construction.
+      val coreClusters = cores.join(cc, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
       val borders = nbr
         .join(coreClusters.select(col("id").as("b"), col("cluster_id")), "b")
         .join(cores.select(col("id").as("a")), Seq("a"), "left_anti")
@@ -337,9 +366,8 @@ object Spatial {
     // INTEGER division (`div` / DuckDB `//`), never double `/`.
     "geo_nn" -> { (s, dir) =>
       val enc = lit(Extent * Extent)
-      neighborhoodPairs(s, dir, col("a") =!= col("b"))
-        .select(col("a"),
-          (dist2("ax", "ay", "bx", "by") * enc + col("b")).as("key"))
+      pairStore(s, dir)
+        .select(col("a"), (col("d2") * enc + col("b")).as("key"))
         .groupBy("a")
         .agg(min(col("key")).as("k"))
         .select(col("a"), (col("k") % enc).as("nn"),
@@ -359,8 +387,8 @@ object Spatial {
     "geo_knn" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("a").orderBy(col("d2").asc, col("b").asc)
-      neighborhoodPairs(s, dir, col("a") =!= col("b"))
-        .select(col("a"), col("b"), dist2("ax", "ay", "bx", "by").as("d2"))
+      pairStore(s, dir)
+        .select(col("a"), col("b"), col("d2"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= KnnK)
         .select(col("a").as("id"), col("rk").cast("long").as("rk"),

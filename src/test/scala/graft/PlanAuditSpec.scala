@@ -325,17 +325,21 @@ class PlanAuditSpec extends SparkSpec {
   private val PrItersPlusInit = graft.operators.Similarity.PrIters + 1
 
   test("spatial radius join is equality-keyed on grid cells, never nested-loop") {
-    for (name <- Seq("geo_radius_join", "geo_nn")) {
-      val p = plan(name)
-      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
-        s"$name must join on cell ids, not compare all pairs:\n$p")
-      // The distance predicate rides INSIDE the equality join's condition —
-      // non-qualifying candidates die in the join operator, they are not
-      // re-filtered from a wider join output.
-      assert(p.linesIterator.exists(l =>
-        (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("pcx")),
-        s"$name's cell-id equality keys missing from the join node:\n$p")
-    }
+    val p = plan("geo_radius_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"geo_radius_join must join on cell ids, not compare all pairs:\n$p")
+    // The distance predicate rides INSIDE the equality join's condition —
+    // non-qualifying candidates die in the join operator, they are not
+    // re-filtered from a wider join output.
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("pcx")),
+      s"geo_radius_join's cell-id equality keys missing from the join node:\n$p")
+    // The derived neighbor analyses read the STORED pair table (the spatial
+    // ingest artifact) instead of re-running the candidate join — their
+    // plans must contain no grid self-join at all.
+    val nn = plan("geo_nn")
+    assert(nn.contains("geo_nbr_pairs"), s"geo_nn must read the stored pair table:\n$nn")
+    assert(!nn.contains("pcx"), s"geo_nn must not re-run the grid candidate join:\n$nn")
   }
 
   test("skyline reduces per-partition before the single global pass") {
