@@ -414,12 +414,24 @@ object Similarity {
     // CTEs — the ss_ann_recall device, swept), so the hash match proves
     // the whole curve, not one operating point.
     "ss_ivf_probe_sweep" -> { (s, dir) =>
-      val bf = queries("ss_topk_bruteforce")(s, dir).select("query_id", "neighbor_id")
+      // Multi-consumer materialization (the module doctrine): the
+      // brute-force reference frame and ONE max-depth scored candidate
+      // frame are each computed once; every depth's report is a crk-filter
+      // + re-rank over the same materialized rows (shallower probe sets
+      // are exact subsets — see [[ivfScoredCandidates]]) instead of three
+      // full brute-force evaluations and three corpus scans in one
+      // unioned plan.
+      val bf = Dedup.materialized(
+        queries("ss_topk_bruteforce")(s, dir).select("query_id", "neighbor_id"))
+      val scored = Dedup.materialized(
+        ivfScoredCandidates(s, dir, IvfSweepProbes.max))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
       IvfSweepProbes.map { p =>
-        bf.join(
-            ivfTopkAt(s, dir, p)
-              .select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
-            Seq("query_id", "neighbor_id"), "left_outer")
+        val hits = scored.filter(col("crk") <= p)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= TopK)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        bf.join(hits, Seq("query_id", "neighbor_id"), "left_outer")
           .agg(count(col("hit")).as("n_hits"))
           .select(lit(p).as("nprobe"), col("n_hits"),
             (col("n_hits").cast("double") / lit((NQueries * TopK).toDouble)).as("recall"))
@@ -637,6 +649,22 @@ object Similarity {
     * ([[queries ss_ivf_probe_sweep]]).
     */
   private def ivfTopkAt(s: SparkSession, dir: String, probes: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    ivfScoredCandidates(s, dir, probes)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "rk", "neighbor_id", "cos")
+      .orderBy("query_id", "rk")
+  }
+
+  /** The probed-candidate scoring behind [[ivfTopkAt]] and the probe-depth
+    * sweep: every (query, neighbor) cosine for neighbors in the query's
+    * `probes` closest cells, with the query-cell rank `crk` retained so a
+    * deeper scan subsumes every shallower one — filtering `crk <= p` on the
+    * max-depth frame reproduces depth p exactly (a neighbor lives in
+    * exactly one cell, so shrinking the probed cell set only removes rows).
+    */
+  private def ivfScoredCandidates(s: SparkSession, dir: String, probes: Int): DataFrame = {
     val e = vecs(s, dir)
     val cent = materialize("ivf_centroids", dir, s)(trainCentroids(e))
     // The corpus-side cell assignment comes from the STORED index
@@ -650,19 +678,15 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
       .withColumn("crk", row_number().over(wc))
       .filter(col("crk") <= probes)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      .select(col("vec_id").as("query_id"), col("crk"), col("v").as("qv"), col("c_id"))
     // No distinct needed: a neighbor lives in exactly one cell (crk = 1), so
     // each (query, neighbor) pair arises from at most one probed c_id — a
     // distinct here would only re-shuffle the scored rows.
     queryCells
       .join(corpusCells, Seq("c_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
-      .select("query_id", "rk", "neighbor_id", "cos")
-      .orderBy("query_id", "rk")
+      .select(col("query_id"), col("crk"), col("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
   }
 
   /** Product-quantization parameters: subspaces × per-subspace codebook

@@ -53,23 +53,29 @@ object Stored {
     */
   def pinned(name: String, dir: String, s: SparkSession)(df: => DataFrame): DataFrame = {
     val key = s"${s.sparkContext.applicationId}:$name:$dir"
-    frames.keySet().removeIf(k =>
-      !k.startsWith(s.sparkContext.applicationId + ":")) // dead contexts
+    // Evict only entries whose OWNING context has stopped (each entry keeps
+    // its context ref so liveness is checked directly) — keying eviction on
+    // the current applicationId would let two live contexts in one JVM
+    // thrash each other's pins. A stopped context's checkpoint blocks died
+    // with its block manager, so dropping the map entry is the whole
+    // cleanup — there is nothing left to unpersist.
+    frames.values().removeIf(_._1.isStopped)
     frames.get(key) match {
       case null =>
         this.synchronized {
           frames.get(key) match {
             case null =>
               val f = df.localCheckpoint(true)
-              frames.put(key, f)
+              frames.put(key, (s.sparkContext, f))
               f
-            case hit => hit
+            case (_, hit) => hit
           }
         }
-      case hit => hit
+      case (_, hit) => hit
     }
   }
-  private val frames = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.SparkContext, DataFrame)]()
 
   def materialize(name: String, dir: String, s: SparkSession)(df: => DataFrame): DataFrame = {
     val key = s"$name:$dir"

@@ -205,6 +205,11 @@ object StreamGate {
       val ev = graft.operators.Relational.t(s, dir, "events")
       def us = unix_micros(col("ts"))
       val r = ev.agg(min(us), max(us)).head()
+      // An empty events table has NULL min/max — fail with a clear message
+      // instead of an opaque NPE from getLong (the other gate builders'
+      // empty-source posture).
+      require(!r.isNullAt(0),
+        s"streamedSessionTable: events table at $dir is empty — nothing to split or sessionize")
       val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
       val c1 = minUs + (maxUs - minUs) / 3
       val c2 = minUs + 2 * (maxUs - minUs) / 3
