@@ -77,6 +77,15 @@ object Stored {
   private val frames =
     new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.SparkContext, DataFrame)]()
 
+  /** Live pinned-entry count AFTER eviction — test hook for the eviction
+    * policy (StoredSpec proves stopped-context entries are dropped and live
+    * ones survive).
+    */
+  private[sources] def livePinCount: Int = {
+    frames.values().removeIf(_._1.isStopped)
+    frames.size()
+  }
+
   def materialize(name: String, dir: String, s: SparkSession)(df: => DataFrame): DataFrame = {
     val key = s"$name:$dir"
     // NOT computeIfAbsent around the build: build thunks legitimately NEST
