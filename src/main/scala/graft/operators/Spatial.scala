@@ -97,7 +97,6 @@ object Spatial {
     graft.sources.Stored.materialize("geo_nbr_pairs", dir, s)(
       neighborhoodPairs(s, dir, col("a") =!= col("b"))
         .select(col("a"), col("b"), dist2("ax", "ay", "bx", "by").as("d2")))
-      .transform(Dedup.spread("a"))
 
   /** The DBSCAN core-point census (ids with ≥ MinPts neighbors) as a stored
     * structure derived from [[pairStore]] — same ingest-artifact doctrine;
@@ -232,15 +231,21 @@ object Spatial {
         floor(floor((md5Long(ySeed, c) % Extent) / Radius) / sc)).cast("long")
     var edges: DataFrame = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
     val mappings = scala.collection.mutable.Buffer.empty[DataFrame]
-    for (sc <- levels) {
+    for ((sc, i) <- levels.zipWithIndex) {
       val keyed = edges.select(col("u"), col("v"),
         superKey(col("u"), sc).as("gu"), superKey(col("v"), sc).as("gv"))
-      val m = Dedup.materialized(
-        keyed.filter(col("gu") === col("gv"))
-          .select(col("gu"), col("u"), col("v")).as[(Long, Long, Long)]
-          .groupByKey(_._1)
-          .flatMapGroups((_, it) => Dedup.unionFindMinRoots(it.map(t => (t._2, t._3))))
-          .toDF("node", "root"))
+      val grouped = keyed.filter(col("gu") === col("gv"))
+        .select(col("gu"), col("u"), col("v")).as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups((_, it) => Dedup.unionFindMinRoots(it.map(t => (t._2, t._3))))
+        .toDF("node", "root")
+      // A non-final level's mapping has THREE consumers (both residual-edge
+      // joins + the final label fold) — checkpoint it so the contraction is
+      // computed once and the per-level lineage stays constant-size. The
+      // FINAL level's mapping feeds only the label fold: leave it lazy and
+      // save the barrier (its residual frame is constructed but never
+      // consumed, so nothing re-executes it).
+      val m = if (i == levels.size - 1) grouped else Dedup.materialized(grouped)
       mappings += m
       edges = keyed.filter(col("gu") =!= col("gv")).select("u", "v")
         .join(m.select(col("node").as("u"), col("root").as("ru")), Seq("u"), "left_outer")
@@ -318,11 +323,11 @@ object Spatial {
       // Three passes need the directed pair table (core census, core-core
       // edges, border pairs) — all read the STORED spatial index
       // ([[pairStore]], d² pruned at the scan) instead of re-running the
-      // grid join; the core census likewise reads [[coreStore]]. The lazy
-      // store reads replace five per-invocation materialization barriers
-      // with parquet scans that Spark schedules inside the single result
-      // job, so the only eager work left in this query is the two-level
-      // CC coarsening itself.
+      // grid join; the core census likewise reads [[coreStore]]. Both are
+      // LAZY parquet scans (no compute above the read), so redundant
+      // consumers cost repeated small scans, never repeated joins — the
+      // only frame worth a RAM barrier is [[corePairs]] below, the shared
+      // root of every CC level and the node set.
       val nbr = pairStore(s, dir).select(col("a"), col("b"))
       val cores = coreStore(s, dir).select(col("id"))
       // cores / coreClusters grow O(points) — in a dense region nearly
@@ -331,10 +336,11 @@ object Spatial {
       // them while they are small and falls back to a shuffle join when a
       // 100× corpus makes them big; a forced broadcast here would bypass
       // every size guard and OOM the driver at scale.
-      val corePairs = nbr.filter(col("a") < col("b"))
-        .join(cores.select(col("id").as("a")), "a")
-        .join(cores.select(col("id").as("b")), "b")
-        .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      val corePairs = Dedup.materialized(
+        nbr.filter(col("a") < col("b"))
+          .join(cores.select(col("id").as("a")), "a")
+          .join(cores.select(col("id").as("b")), "b")
+          .select(col("a").as("doc_a"), col("b").as("doc_b")))
       // Multilevel supercell coarsening, not a generic CC fixpoint: the
       // core graph is geometric (radius edges never span more than one
       // cell), so [[geoComponents]] collapses it in a fixed number of
@@ -342,10 +348,9 @@ object Spatial {
       // to chase the grid-spanning giant component to its fixpoint.
       val cc = geoComponents(corePairs)
         .select(col("doc_id").as("id"), col("cluster_id"))
-      // Lazy (not materialized): both consumers re-derive this from the
-      // stored census + the CHECKPOINTED per-level CC mappings — two cheap
-      // joins Spark schedules inside the one result job, cheaper than
-      // another serial barrier at construction.
+      // Lazy: both consumers re-derive this from the stored census + the
+      // CHECKPOINTED per-level CC mappings — two cheap joins inside the one
+      // result job, cheaper than another serial barrier at construction.
       val coreClusters = cores.join(cc, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
       val borders = nbr
