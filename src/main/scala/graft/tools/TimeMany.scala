@@ -16,7 +16,19 @@ object TimeMany {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.EngineSession.local(cpus)
-    names.foreach { name =>
+    // Optional per-stage attribution (TimeQuery's listener, under the
+    // bench's accumulated-state conditions): "stages" as a trailing arg.
+    if (names.contains("stages")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+          if (dur >= 0.1)
+            println(f"[stage] ${si.stageId}%4d ${si.numTasks}%4d tasks ${dur}%7.2f s  ${si.details.linesIterator.take(1).mkString}")
+        }
+      })
+    }
+    names.filterNot(_ == "stages").foreach { name =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
