@@ -368,30 +368,53 @@ object Events {
     // units (mad4 = sum of the two middle dev2), so the outlier test
     // |v − med| > 3·MAD becomes 2·dev2 > 3·mad4 — division-free decimal
     // comparison, the ev_anomaly stability argument applied to rank
-    // statistics. Shape: two grouped rank selections + broadcast joins of
-    // the |event types|-row stats. The ranks come from [[groupRanks]]
-    // (range-partition + per-partition offsets), NOT a
-    // Window.partitionBy(event_type) — with a handful of event types the
-    // window's parallelism is |types| no matter how many executors exist
-    // (profiled as back-to-back 1.5 s single-task sort stages at sf0.1),
-    // while the range form spreads each type's sort across the cluster.
+    // statistics. Shape: ONE corpus aggregation to the (event_type, value)
+    // HISTOGRAM — values are exact cents, so the grouped frame is bounded
+    // by the value DOMAIN, not the corpus (the ev_ks value-grid argument:
+    // ≤ |types|·|price grid| rows at any corpus size) — then every rank
+    // selection (both medians, the MAD, the outlier census) is cumulative
+    // arithmetic over the tiny histogram: the value at rank r is the one
+    // grid row with cum − cnt < r ≤ cum (the (cum−cnt, cum] intervals
+    // partition (0, n], so exactly one row fires per rank — identical to
+    // rank selection over the expanded multiset). The deviation histogram
+    // derives from the value histogram directly, so the corpus is touched
+    // once where the rank formulation re-sorted it twice.
     "ev_mad_outliers" -> { (s, dir) =>
       val d = org.apache.spark.sql.types.DecimalType(18, 2)
-      val e = Relational.t(s, dir, "events")
-        .select(col("event_type"), col("value").cast(d).as("v"))
-      def middleSum(df: DataFrame, valueCol: String): DataFrame =
-        groupRanks(s, df, valueCol).groupBy("event_type").agg(
-          max("n").as("n"),
-          (sum(when(expr("rn = ((n+1) div 2)"), col(valueCol)).otherwise(lit(0).cast(d))) +
-            sum(when(expr("rn = ((n+2) div 2)"), col(valueCol)).otherwise(lit(0).cast(d))))
-            .as(s"${valueCol}_mid2"))
-      val med = middleSum(e, "v").withColumnRenamed("v_mid2", "med2")
-      val dev = e.join(broadcast(med.select("event_type", "med2")), "event_type") // bounded: |event types| rows
-        .select(col("event_type"), abs(col("v") * 2 - col("med2")).as("dev2"))
-      val mad = middleSum(dev, "dev2").withColumnRenamed("dev2_mid2", "mad4").drop("n")
-      val outliers = dev.join(broadcast(mad), "event_type") // bounded: |event types| rows
+      // Materialized: the histogram feeds the median selection AND the
+      // deviation histogram (which feeds the MAD selection and the outlier
+      // census) — one shuffle aggregation over the corpus, ever.
+      val hist = Dedup.materialized(
+        Relational.t(s, dir, "events")
+          .select(col("event_type"), col("value").cast(d).as("v"))
+          .groupBy("event_type", "v").agg(count(lit(1)).as("cnt")))
+      // Sum of the two middle-rank values ((n+1) div 2, (n+2) div 2 — equal
+      // when n is odd, so the same grid row legitimately fires both sums).
+      // Window.partitionBy(event_type) over the DOMAIN-BOUNDED histogram is
+      // safe at any corpus size — over RAW rows the same window would cap
+      // parallelism at |types| and sort corpus-sized partitions.
+      def mid2(h0: DataFrame, vCol: String, out: String): DataFrame = {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(vCol)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        def hit(r: Column) = col("cum") - col("cnt") < r && r <= col("cum")
+        h0.withColumn("cum", sum(col("cnt")).over(wOrd))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .groupBy("event_type").agg(max(col("n")).as("n"),
+            (sum(when(hit(expr("(n+1) div 2")), col(vCol)).otherwise(lit(0).cast(d))) +
+              sum(when(hit(expr("(n+2) div 2")), col(vCol)).otherwise(lit(0).cast(d))))
+              .as(out))
+      }
+      val med = mid2(hist, "v", "med2")
+      val devh = hist
+        .join(broadcast(med.select("event_type", "med2")), "event_type") // bounded: |event types| rows
+        .select(col("event_type"), abs(col("v") * 2 - col("med2")).as("dev2"), col("cnt"))
+        .groupBy("event_type", "dev2").agg(sum(col("cnt")).as("cnt"))
+      val mad = mid2(devh, "dev2", "mad4").drop("n")
+      val outliers = devh.join(broadcast(mad), "event_type") // bounded: |event types| rows
         .filter(col("dev2") * 2 > col("mad4") * 3)
-        .groupBy("event_type").agg(count(lit(1)).as("n_out"))
+        .groupBy("event_type").agg(sum(col("cnt")).as("n_out"))
       med.join(mad, "event_type")
         .join(outliers, Seq("event_type"), "left")
         .select(col("event_type"), col("n"),
@@ -408,28 +431,40 @@ object Events {
     // in EXACT integer arithmetic, never ceil(0.05·n) in floating point,
     // whose representation error can flip the rank at integer boundaries).
     // Output per type: the clip bounds, raw vs clipped exact sums, and how
-    // many values were clipped. One grouped rank window + one broadcast
-    // stats join — the ev_mad_outliers shape at different ranks.
+    // many values were clipped. One corpus aggregation to the value-grid
+    // histogram + one broadcast stats join — the ev_mad_outliers shape at
+    // different ranks.
     "ev_winsorize" -> { (s, dir) =>
       val d = org.apache.spark.sql.types.DecimalType(18, 2)
-      val e = Relational.t(s, dir, "events")
-        .select(col("event_type"), col("value").cast(d).as("v"))
-      // Rank selection via groupRanks for the same |types|-bounded-window
-      // parallelism reason as ev_mad_outliers.
-      val qs = groupRanks(s, e, "v")
+      // Same domain-bounded (event_type, value) histogram as
+      // ev_mad_outliers: quantile ranks select grid values by cumulative
+      // count, and the raw/clipped sums weight each grid value by cnt —
+      // the corpus is aggregated once, every statistic reads the histogram.
+      val hist = Dedup.materialized(
+        Relational.t(s, dir, "events")
+          .select(col("event_type"), col("value").cast(d).as("v"))
+          .groupBy("event_type", "v").agg(count(lit(1)).as("cnt")))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("v")
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      def hit(r: Column) = col("cum") - col("cnt") < r && r <= col("cum")
+      val qs = hist
+        .withColumn("cum", sum(col("cnt")).over(wOrd))
+        .withColumn("n", sum(col("cnt")).over(wAll))
         .groupBy("event_type")
         .agg(max("n").as("n"),
-          sum(when(expr("rn = ((n + 19) div 20)"), col("v"))).as("p05"),
-          sum(when(expr("rn = ((19 * n + 19) div 20)"), col("v"))).as("p95"))
+          sum(when(hit(expr("(n + 19) div 20")), col("v"))).as("p05"),
+          sum(when(hit(expr("(19 * n + 19) div 20")), col("v"))).as("p95"))
       val clipped = least(greatest(col("v"), col("p05")), col("p95"))
-      e.join(broadcast(qs), "event_type") // bounded: |event types| rows
+      hist.join(broadcast(qs), "event_type") // bounded: |event types| rows
         .groupBy("event_type")
         .agg(max("n").as("n"),
           max(col("p05")).cast("double").as("p05"),
           max(col("p95")).cast("double").as("p95"),
-          sum(col("v")).cast("double").as("sum_raw"),
-          sum(clipped).cast("double").as("sum_clipped"),
-          sum(when(col("v") < col("p05") || col("v") > col("p95"), 1L).otherwise(0L)).as("n_clipped"))
+          sum(col("v") * col("cnt")).cast("double").as("sum_raw"),
+          sum(clipped * col("cnt")).cast("double").as("sum_clipped"),
+          sum(when(col("v") < col("p05") || col("v") > col("p95"), col("cnt")).otherwise(0L)).as("n_clipped"))
         .orderBy("event_type")
     },
 
@@ -441,9 +476,9 @@ object Events {
     // D = max over v of |F_A(v) − F_B(v)| computed in pure integers:
     // max |ca(≤v)·n_b − cb(≤v)·n_a| over the VALUE-GRID frame (values are
     // exact cents, so the grouped (type, v) frame is bounded by the value
-    // DOMAIN — ≤ |types|·|price grid| rows at any corpus size, which is why
-    // the cumulative window here is safe where ev_winsorize's per-row rank
-    // window was not: the window input never grows with the event count).
+    // DOMAIN — ≤ |types|·|price grid| rows at any corpus size, so the
+    // cumulative window input never grows with the event count — the same
+    // histogram shape ev_mad_outliers/ev_winsorize select their ranks from).
     // The one IEEE division ks_num/(n_a·n_b) happens once at the end, so
     // the statistic is hash-exact across engines.
     "ev_ks_ab" -> { (s, dir) =>
@@ -971,33 +1006,6 @@ object Events {
        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
        |  MIN(ts) AS session_start, MAX(ts) AS session_end
        |FROM sx GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
-
-  /** Per-event-type rank (`rn`, 1-based in ascending `valueCol` order) and
-    * group size (`n`) — WITHOUT a `Window.partitionBy(event_type)`: a
-    * grouped window's parallelism is capped at |groups| (a handful of event
-    * types), regardless of cluster size. Instead rows are globally numbered
-    * in (event_type, value) order by the range-partition + per-partition-
-    * offset machinery ([[Pipeline.globalRowNumbers]], the cl_auc/an_gini
-    * path), and per-group ranks are recovered by subtracting each group's
-    * first global number — a |groups|-row broadcast join. Ranks within
-    * equal values are tie-arbitrary in BOTH forms; callers must only select
-    * VALUES at ranks (tie-insensitive), never pair ranks with rows.
-    */
-  private def groupRanks(s: SparkSession, df: DataFrame, valueCol: String): DataFrame = {
-    // Materialized: the range-partition + sort + zipWithIndex numbering is
-    // itself two Spark jobs, and this frame feeds BOTH the base aggregate
-    // and the probe side (and ev_mad_outliers runs the whole rank pipeline
-    // twice via middleSum) — un-checkpointed, the numbering re-executed up
-    // to 4× per query. Correctness never depended on it (the numbering is
-    // deterministic); this is purely cutting redundant passes.
-    val numbered = Dedup.materialized(Pipeline.globalRowNumbers(
-      s, df, "grn", col("event_type"), col(valueCol)))
-    val base = numbered.groupBy("event_type")
-      .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
-    numbered.join(broadcast(base), "event_type") // bounded: |event types| rows
-      .withColumn("rn", col("grn") - col("g0") + 1)
-      .drop("grn", "g0")
-  }
 
   val oracles: Map[String, String] = Map(
     // Sketch-contract gate (the q24 shape): exact weekly distincts with a

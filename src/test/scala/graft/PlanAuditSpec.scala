@@ -475,13 +475,28 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("grouped quantile selections rank without a |groups|-capped window") {
-    // A Window.partitionBy(event_type) caps the sort's parallelism at the
-    // handful of event types regardless of cluster size; the rank must come
-    // from the range-partition numbering path instead (no Window node).
-    for (name <- Seq("ev_mad_outliers", "ev_winsorize", "an_histogram_equidepth")) {
+    // A Window.partitionBy(event_type) over RAW rows caps the sort's
+    // parallelism at the handful of event types regardless of cluster size.
+    // an_histogram_equidepth ranks per-row, so it must stay on the
+    // range-partition numbering path (no Window node at all).
+    locally {
+      val p = plan("an_histogram_equidepth")
+      assert(!p.contains("Window ["),
+        s"an_histogram_equidepth ranks under a grouped window:\n$p")
+      assert(p.contains("ExistingRDD"),
+        s"an_histogram_equidepth lost the distributed numbering path:\n$p")
+    }
+    // ev_mad_outliers/ev_winsorize select VALUES at ranks, so they rank over
+    // the (event_type, value) HISTOGRAM instead (the ev_ks value-grid
+    // argument: the window input is bounded by the value domain, not the
+    // corpus). The contract: exactly one corpus scan feeding one hash
+    // aggregation to the checkpointed grid (ExistingRDD), with every Window
+    // riding the grid — never a second corpus scan for a rank pass.
+    for (name <- Seq("ev_mad_outliers", "ev_winsorize")) {
       val p = plan(name)
-      assert(!p.contains("Window ["), s"$name ranks under a grouped window:\n$p")
-      assert(p.contains("ExistingRDD"), s"$name lost the distributed numbering path:\n$p")
+      assert(p.contains("ExistingRDD"), s"$name lost the checkpointed histogram:\n$p")
+      assert(!p.contains("Scan parquet"),
+        s"$name rescans the corpus past the histogram build:\n$p")
     }
   }
 
