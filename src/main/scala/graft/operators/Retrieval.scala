@@ -213,8 +213,7 @@ object Retrieval {
       val fb = Dedup.materialized(
         bm25Ranked(docs, q0).orderBy(col("score").desc, col("doc_id").asc)
           .limit(FbDocs).select("doc_id"))
-      val cdf = docs.select(col("doc_id"), explode(array_distinct(col("ts"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("cdf"))
+      val cdf = dfStore(s, dir)
       val exp = docs.join(fb.hint("broadcast"), "doc_id") // bounded: FbDocs rows by construction
         .select(explode(col("ts")).as("term"))
         .filter(!col("term").isin(Bm25Terms: _*))
@@ -342,6 +341,19 @@ object Retrieval {
           .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
           .filter(size(col("ts")) >= 1))
         .transform(Dedup.spread("doc_id")))
+
+  /** Corpus document-frequency table (term, cdf) as a stored ingest
+    * artifact — the df column of a production inverted index, computed once
+    * at index build and read by every analysis that needs term rarity
+    * (PRF's expansion-term ranking previously re-exploded the whole corpus
+    * per invocation to rank a handful of feedback terms). Parquet-lazy, not
+    * pinned: the table is vocabulary-sized and grows with the corpus.
+    */
+  private[graft] def dfStore(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stored.materialize("rt_term_df", dir, s)(
+      tokenStore(s, dir)
+        .select(col("doc_id"), explode(array_distinct(col("ts"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cdf")))
 
   /** BM25 scoring against a term FRAME (broadcast semi-join pruning — the
     * data-dependent-query form of rt_bm25's literal isin; arithmetic kept

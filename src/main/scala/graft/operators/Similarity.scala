@@ -308,10 +308,14 @@ object Similarity {
     "ss_bfs_hops" -> { (s, dir) =>
       val e = knnGraph(s, dir)
       // k-NN edges are directed (a's neighbor b need not have a in ITS top
-      // 3); hop distance is over the undirected closure.
-      val und = e.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-        .unionByName(e.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
-        .distinct()
+      // 3); hop distance is over the undirected closure. Materialized: every
+      // expansion round probes this frame, and the doubled-union distinct is
+      // the query's only corpus-sized shuffle — un-checkpointed it re-ran
+      // once per round inside the folded plan.
+      val und = Dedup.materialized(
+        e.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+          .unionByName(e.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
+          .distinct())
       val init = s.range(1).select(lit(BfsSource).cast("long").as("vec_id"), lit(0).as("hops"))
       (1 to BfsMaxHops).foldLeft(init) { (dist, h) =>
         val expanded = dist.filter(col("hops") === h - 1)
