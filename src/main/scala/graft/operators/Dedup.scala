@@ -418,6 +418,16 @@ object Dedup {
   val RowsPerBand = 4
   val K: Int = Bands * RowsPerBand
 
+  /** Candidate band splits of the SAME K-component signature for the
+    * banding tuning sweep ([[queries dd_lsh_band_sweep]]): every divisor
+    * pair b·r = K from maximal recall (48 bands × 1 row — any matching
+    * component detects, hence maximal candidate volume too) down to
+    * near-exact precision (6 × 8). The production (12, 4) sits inside the
+    * sweep so its measured rate is directly comparable to its neighbors.
+    */
+  val BandSweepConfigs: Seq[(Int, Int)] =
+    Seq(48 -> 1, 24 -> 2, 16 -> 3, 12 -> 4, 8 -> 6, 6 -> 8)
+
   /** MinHash signatures as an aggregation: explode shingles, project the K
     * seeded hashes per (doc, shingle) in one codegen'd pass, then groupBy
     * doc_id with K `min`s (partial aggregation map-side). This shape avoids
@@ -1014,6 +1024,43 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // LSH BANDING sweep — the dedup sibling of ss_ivf_probe_sweep: measured
+    // detection rate of the verified ≥0.8-Jaccard pair set under each
+    // candidate band split of the SAME K=48 signature, from (48 bands × 1
+    // row) — maximal recall, maximal candidate volume — to (6 × 8) — near
+    // zero false candidates, real misses. This is the tuning artifact an
+    // LSH deployment reads before picking (b, r): theory gives
+    // P(detect) = 1 − (1 − J^r)^b, this measures it on the corpus against
+    // ground truth. A pair is detected under (b, r) iff SOME band has all r
+    // signature components equal — evaluated with interpreted array HOFs,
+    // acceptable ONLY because the input is the verified pair table
+    // (bounded: true near-dups) × 6 configs, never the corpus; the
+    // signatures come from the stored index. The DuckDB twin recomputes the
+    // Kirsch-Mitzenmacher signatures from scratch and replays the band
+    // membership per config, so every count is hash-proved.
+    "dd_lsh_band_sweep" -> { (s, dir) =>
+      val sigs = minhashStore(s, dir)
+      // Bounded: verified near-dup pairs with both K-long signatures.
+      val paired = materialized(
+        verifiedPairStore(s, dir).select(col("doc_a"), col("doc_b"))
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b"))
+      BandSweepConfigs.map { case (b, r) =>
+        val detected = expr(
+          s"""exists(sequence(0, ${b - 1}), band ->
+             |  size(filter(sequence(1, $r), j ->
+             |    element_at(sa, band * $r + j) = element_at(sb, band * $r + j))) = $r)""".stripMargin)
+        paired.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(detected, 1L).otherwise(0L)).as("n_detected"))
+          .select(
+            lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+            col("n_pairs"), col("n_detected"),
+            (col("n_detected").cast("double") / col("n_pairs").cast("double"))
+              .as("detect_rate"))
+      }.reduce(_.unionByName(_)).orderBy("rows_per_band")
+    },
+
     // Near-dup CLUSTER-SIZE histogram — the other dedup-observability
     // report (dd_rate_by_source counts participants; this shows how they
     // CLUMP — a heavy tail of giant clusters means boilerplate families,
@@ -1485,6 +1532,61 @@ object Dedup {
          |  CAST(n_match AS DOUBLE) / $K AS est,
          |  abs(CAST(n_match AS DOUBLE) / $K - jaccard) AS abs_err
          |FROM mt ORDER BY doc_a, doc_b""".stripMargin,
+    // Banding-sweep twin: same signature recompute as dd_minhash_quality,
+    // then per-config band membership replayed over the long-form
+    // (doc, component) signature — a pair is detected under (b, r) iff
+    // some band of r consecutive components matches completely.
+    "dd_lsh_band_sweep" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts)-1)]) AS shingles
+         |  FROM toks WHERE len(ts) >= 3
+         |), inv AS (
+         |  SELECT doc_id, unnest(shingles) AS sng FROM sh
+         |), hs AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5('1:' || sng), 1, 15) AS BIGINT) % $MinhashP AS h1,
+         |    CAST('0x' || substr(md5('2:' || sng), 1, 15) AS BIGINT) % $MinhashP AS h2
+         |  FROM inv
+         |), sg AS (
+         |  SELECT doc_id, i.i AS i, MIN((h1 + i.i * h2) % $MinhashP) AS m
+         |  FROM hs CROSS JOIN range($K) i(i) GROUP BY doc_id, i.i
+         |), common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM inv x JOIN inv y ON x.sng = y.sng AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |), pr AS (
+         |  SELECT doc_a, doc_b
+         |  FROM common JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (len(a.shingles) + len(b.shingles) - common) >= $MinJaccard
+         |), mt AS (
+         |  SELECT p.doc_a, p.doc_b, sa.i AS i, (sa.m = sb.m) AS eq
+         |  FROM pr p
+         |  JOIN sg sa ON sa.doc_id = p.doc_a
+         |  JOIN sg sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+         |), cfg AS (
+         |  SELECT * FROM (VALUES ${BandSweepConfigs
+             .map { case (b, r) => s"($b, $r)" }.mkString(", ")})
+         |    AS t(n_bands, rows_per_band)
+         |), bands AS (
+         |  SELECT c.n_bands, c.rows_per_band, m.doc_a, m.doc_b,
+         |    m.i // c.rows_per_band AS band,
+         |    CAST(SUM(CASE WHEN m.eq THEN 1 ELSE 0 END) AS INT) AS n_eq
+         |  FROM cfg c CROSS JOIN mt m
+         |  GROUP BY c.n_bands, c.rows_per_band, m.doc_a, m.doc_b, m.i // c.rows_per_band
+         |), det AS (
+         |  SELECT n_bands, rows_per_band, doc_a, doc_b,
+         |    MAX(CASE WHEN n_eq = rows_per_band THEN 1 ELSE 0 END) AS detected
+         |  FROM bands GROUP BY n_bands, rows_per_band, doc_a, doc_b
+         |)
+         |SELECT n_bands, rows_per_band, COUNT(*) AS n_pairs,
+         |  CAST(SUM(detected) AS BIGINT) AS n_detected,
+         |  CAST(SUM(detected) AS DOUBLE) / COUNT(*) AS detect_rate
+         |FROM det GROUP BY n_bands, rows_per_band
+         |ORDER BY rows_per_band""".stripMargin,
     "dd_simhash" -> (simhashSql + "\nORDER BY doc_id"),
     "dd_simhash_pairs" ->
       s"""WITH sim AS ($simhashSql), banded AS (

@@ -16,6 +16,29 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("band sweep covers every config, is monotone in rows-per-band, and detects all pairs at (48,1)") {
+    val rows = Dedup.queries("dd_lsh_band_sweep")(spark, sf()).collect()
+    assert(rows.length == Dedup.BandSweepConfigs.length)
+    val byR = rows.map { r =>
+      (r.getInt(r.fieldIndex("rows_per_band")),
+        (r.getInt(r.fieldIndex("n_bands")),
+          r.getLong(r.fieldIndex("n_pairs")),
+          r.getDouble(r.fieldIndex("detect_rate"))))
+    }.sortBy(_._1)
+    // Every config evaluates the SAME ground-truth pair set.
+    assert(byR.map(_._2._2).distinct.length == 1)
+    assert(byR.head._2._2 > 0, "corpus should contain planted near-duplicates")
+    // (48, 1) detects a pair iff ANY of the 48 components matches — with the
+    // verified-recall family this is total detection.
+    assert(byR.head == ((1, (48, byR.head._2._2, 1.0))))
+    // Splitting a band in two can only ADD detections (a full r-band
+    // contains two full r/2-bands), so the rate is non-increasing in r.
+    byR.map(_._2._3).toSeq.sliding(2).foreach {
+      case Seq(finer, coarser) => assert(finer >= coarser)
+      case _                   =>
+    }
+  }
+
   test("near-dup pairs have near-identical simhash (hamming small)") {
     val sim = Dedup.queries("dd_simhash")(spark, sf()).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
