@@ -336,38 +336,58 @@ object Pipeline {
     // of the B resampled means is ONE map-side-combined aggregation over
     // the corpus — no sampling shuffle, no per-resample pass (the Poisson
     // bootstrap of Chamandy et al.; the B× row fan-out is a narrow
-    // explode). Determinism: the draw is the hash-ppm of (b, doc_id)
+    // explode). Determinism: per doc only TWO md5 hashes are computed and
+    // the B draws derive as ((h1 + b·h2) mod [[BootP]]) ppm — the
+    // Kirsch-Mitzenmacher two-hash family the MinHash tier already proves
+    // cross-engine, so the bootstrap's hash compute is O(n), not O(B·n) —
     // looked up in the LITERAL Poisson CDF table ([[PoissonCdfPpm]] —
-    // shared textually with the oracle, zero libm), each resample mean is
+    // shared textually with the oracle, zero libm). Each resample mean is
     // exact-integer sums + one IEEE division, and the 2.5/97.5 nearest
     // ranks come from a window over the B-row-per-source means frame
     // (B is a constant: the window input never grows with the corpus).
+    // The point estimate rides the SAME pass as replicate b = −1 with
+    // weight ≡ 1 (sum(1·x)/sum(1) is bit-identical to sum(x)/count), so
+    // the corpus is touched exactly once.
     "sp_bootstrap_ci" -> { (s, dir) =>
       val loRank = (BootB + 39) / 40
       val hiRank = (39 * BootB + 39) / 40
-      val docs = Relational.t(s, dir, "documents")
-        .select(col("source"), col("doc_id"), col("n_chars"))
-      val bs = s.range(0, BootB).select(col("id").cast("int").as("b"))
-      val ppm = md5Long(concat(lit("boot:"), col("b").cast("string"),
-        lit(":"), col("doc_id").cast("string"))) % lit(1000000L)
-      val wExpr = PoissonCdfPpm.zipWithIndex.foldRight(
-        lit(PoissonCdfPpm.length.toLong): Column) {
-        case ((thr, k), acc) => when(ppm < thr, lit(k.toLong)).otherwise(acc)
-      }
-      val means = docs.crossJoin(broadcast(bs)) // bounded: BootB constant replicate ids
-        .select(col("source"), col("b"), wExpr.as("w"), col("n_chars"))
-        .groupBy("source", "b")
-        .agg((sum(col("w") * col("n_chars")).cast("double") /
-          sum(col("w")).cast("double")).as("mean_b"))
+      // The B× replicate fan-out is the heaviest map side in the sp tier —
+      // parallelizeNarrowScan spreads it across the session's cores when
+      // the file layout under-splits (single-file local table; no-op at
+      // scale, where the table scans as thousands of splits).
+      val docs = Relational.parallelizeNarrowScan(
+        Relational.t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars")))
+        .select(col("source"), col("n_chars"),
+          (md5Long(concat(lit("boot1:"), col("doc_id").cast("string"))) % lit(BootP)).as("h1"),
+          (md5Long(concat(lit("boot2:"), col("doc_id").cast("string"))) % lit(BootP)).as("h2"))
+      val bs = s.range(-1, BootB).select(col("id").cast("int").as("b"))
+      // b ∈ [0, B): h1 + b·h2 < 2³¹·(B+1) ≪ 2⁶³ — no overflow; the b = −1
+      // branch never reads ppm (weight is the literal 1).
+      val ppm = ((col("h1") + col("b") * col("h2")) % lit(BootP)) % lit(1000000L)
+      val wExpr = when(col("b") < 0, lit(1L)).otherwise(
+        PoissonCdfPpm.zipWithIndex.foldRight(
+          lit(PoissonCdfPpm.length.toLong): Column) {
+          case ((thr, k), acc) => when(ppm < thr, lit(k.toLong)).otherwise(acc)
+        })
+      // (B+1)·|sources| rows — materialized so the CI and point-estimate
+      // consumers share the one corpus aggregation (the module's
+      // multi-consumer doctrine; the frame is constant-bounded).
+      val grouped = Dedup.materialized(
+        docs.crossJoin(broadcast(bs)) // bounded: BootB+1 constant replicate ids
+          .select(col("source"), col("b"), wExpr.as("w"), col("n_chars"))
+          .groupBy("source", "b")
+          .agg((sum(col("w") * col("n_chars")).cast("double") /
+            sum(col("w")).cast("double")).as("mean_b")))
       val wRk = Window.partitionBy("source").orderBy(col("mean_b").asc, col("b").asc)
-      val ci = means.withColumn("rk", row_number().over(wRk))
+      val ci = grouped.filter(col("b") >= 0)
+        .withColumn("rk", row_number().over(wRk))
         .groupBy("source")
         .agg(count(lit(1)).as("n_resamples"),
           max(when(col("rk") === loRank, col("mean_b"))).as("ci_lo"),
           max(when(col("rk") === hiRank, col("mean_b"))).as("ci_hi"))
-      val pt = docs.groupBy("source")
-        .agg((sum(col("n_chars")).cast("double") /
-          count(lit(1)).cast("double")).as("mean"))
+      val pt = grouped.filter(col("b") === -1)
+        .select(col("source"), col("mean_b").as("mean"))
       pt.join(ci, "source")
         .select(col("source"), col("mean"), col("ci_lo"), col("ci_hi"),
           col("n_resamples"))
@@ -596,6 +616,15 @@ object Pipeline {
   /** Resample count of [[queries sp_bootstrap_ci]]. */
   val BootB = 200
 
+  /** Modulus of the bootstrap's two-hash affine draw family (2³¹ − 1,
+    * prime — the same modulus as the MinHash tier's Kirsch-Mitzenmacher
+    * family): per doc only two md5 hashes are computed and the B
+    * per-replicate draws derive as (h1 + b·h2) mod P, so at corpus scale
+    * the bootstrap's hash compute is O(n), not O(B·n). Exact in both
+    * engines' 64-bit integers (h1 + (B−1)·h2 < 2³¹·B ≪ 2⁶³).
+    */
+  val BootP = 2147483647L
+
   /** Poisson(1) CDF in integer ppm — the resample-weight table of the
     * deterministic Poisson bootstrap (weight k ⇔ hash-ppm lands in
     * [cdf(k−1), cdf(k))). Shared as LITERALS with the oracle SQL; the last
@@ -692,18 +721,27 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
-    // Same hash → literal-CDF weight lookup; each resample mean is integer
-    // sums + one division; nearest ranks over the B-row means frame.
+    // Same two-hash affine draw family → literal-CDF weight lookup; each
+    // resample mean is integer sums + one division; nearest ranks over the
+    // B-row means frame. The b = −1 replicate with weight ≡ 1 IS the point
+    // estimate (sum(1·x)/sum(1) ≡ sum(x)/count in exact integers).
     "sp_bootstrap_ci" -> {
       val loRank = (BootB + 39) / 40
       val hiRank = (39 * BootB + 39) / 40
-      s"""WITH bs AS (SELECT UNNEST(range(0, $BootB)) AS b),
-         |h AS (
-         |  SELECT d.source, bs.b, d.n_chars,
-         |    CAST('0x' || substr(md5('boot:' || CAST(bs.b AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS ppm
-         |  FROM documents d CROSS JOIN bs
+      s"""WITH bs AS (SELECT UNNEST(range(-1, $BootB)) AS b),
+         |hx AS (
+         |  SELECT source, n_chars,
+         |    CAST('0x' || substr(md5('boot1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $BootP AS h1,
+         |    CAST('0x' || substr(md5('boot2:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $BootP AS h2
+         |  FROM documents
+         |), h AS (
+         |  SELECT hx.source, bs.b, hx.n_chars,
+         |    ((h1 + bs.b * h2) % $BootP) % 1000000 AS ppm
+         |  FROM hx CROSS JOIN bs
          |), wts AS (
-         |  SELECT source, b, n_chars, $poissonCaseSql AS w FROM h
+         |  SELECT source, b, n_chars,
+         |    CASE WHEN b < 0 THEN 1 ELSE $poissonCaseSql END AS w
+         |  FROM h
          |), m AS (
          |  SELECT source, b,
          |    CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_b
@@ -711,16 +749,14 @@ object Pipeline {
          |), r AS (
          |  SELECT source, b, mean_b,
          |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY mean_b ASC, b ASC) AS rk
-         |  FROM m
+         |  FROM m WHERE b >= 0
          |), ci AS (
          |  SELECT source, COUNT(*) AS n_resamples,
          |    MAX(CASE WHEN rk = $loRank THEN mean_b END) AS ci_lo,
          |    MAX(CASE WHEN rk = $hiRank THEN mean_b END) AS ci_hi
          |  FROM r GROUP BY source
          |), pt AS (
-         |  SELECT source,
-         |    CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
-         |  FROM documents GROUP BY source
+         |  SELECT source, mean_b AS mean FROM m WHERE b = -1
          |)
          |SELECT pt.source, mean, ci_lo, ci_hi, n_resamples
          |FROM pt JOIN ci ON pt.source = ci.source
