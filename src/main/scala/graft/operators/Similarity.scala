@@ -442,6 +442,50 @@ object Similarity {
       }.reduce(_.unionByName(_)).orderBy("nprobe")
     },
 
+    // PQ DISTORTION audit — the codebook-quality artifact a vector store
+    // reads before trusting ADC distances (and re-reads on every corpus
+    // snapshot: rising distortion means the trained codebook no longer fits
+    // the data → retrain signal). Per subspace: the number of encoded
+    // points, the quantized sum of squared reconstruction errors
+    // ‖sv − cv(assigned)‖², the mean squared error, and the worst single
+    // error. Determinism is the engine's quantize-before-sum contract
+    // (TextOps.qlog doctrine): each per-row error is one fixed IEEE tree of
+    // SeqDot compositions (err = sv·sv − 2·sv·cv + cv·cv — no zip_with
+    // subtraction, same argmin-identity trick as [[pqScore]]), rounded to
+    // integer millionths BEFORE the cross-row sum AND the cross-row max,
+    // so every gated statistic is a function of exact integers (the raw
+    // per-row double diverges from DuckDB's libm at 1 ulp — measured — and
+    // an unquantized max would expose that bit on the gate).
+    // Shape: the stored code table (n·PqSub rows) equality-joined
+    // to the subspace slices and the K-entry broadcast codebook, one hash
+    // aggregation (map-side partial) to PqSub rows — O(n) with no extra
+    // training pass, the index is read as-is.
+    "ss_pq_distortion" -> { (s, dir) =>
+      val cb = materialize("pq_codebook", dir, s)(
+        trainPqCodebook(subRows(vecs(s, dir))))
+      val (codes, _) = pqIndex(s, dir)
+      val sr = subRows(vecs(s, dir))
+        .select(col("vec_id").as("neighbor_id"), col("sub"), col("sv"))
+      codes.join(sr, Seq("neighbor_id", "sub"))
+        .join(broadcast(cb), Seq("sub", "cid")) // bounded: K-entry codebook per subspace
+        .select(col("sub"),
+          (Dedup.dotSeq(col("sv"), col("sv"))
+            - lit(2) * Dedup.dotSeq(col("sv"), col("cv"))
+            + Dedup.dotSeq(col("cv"), col("cv"))).as("err"))
+        .select(col("sub"),
+          round(lit(1000000.0) * col("err")).cast("long").as("err_q"))
+        .groupBy("sub")
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("err_q")).as("sse_q"),
+          (sum(col("err_q")).cast("double") /
+            (lit(1000000.0) * count(lit(1)))).as("mse"),
+          // Max over the QUANTIZED errors, not the raw doubles: the raw
+          // per-row err diverges from DuckDB's libm at 1 ulp, and max
+          // (unlike the quantized sum) would expose that bit on the gate.
+          (max(col("err_q")).cast("double") / lit(1000000.0)).as("max_err"))
+        .orderBy("sub")
+    },
+
     // Norm + int8 quantization codes per vector — the storage/SIMD form a
     // vector store keeps (4× smaller than float32). One narrow codegen'd
     // pass, no shuffle; deterministic via floor(x+0.5) round-half-up and the
@@ -1402,6 +1446,26 @@ object Similarity {
          |), $pqChainCte, ${adcTailSql(
           s"""(SELECT q.query_id, c.neighbor_id, q.qnrm, c.nrm, q.pdot
              |   FROM codes c JOIN qparts q USING (sub, cid))""".stripMargin)}""".stripMargin,
+    // Distortion twin: the shared PQ chain re-trained from scratch, each
+    // reconstruction error as the same three-dot IEEE tree, quantized to
+    // integer millionths before the per-subspace sum (the qlog doctrine).
+    "ss_pq_distortion" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), $pqChainCte, err AS (
+         |  SELECT c.sub,
+         |    ${dotSql("sr.sv", "sr.sv")} - 2 * ${dotSql("sr.sv", "cb.cv")} + ${dotSql("cb.cv", "cb.cv")} AS err
+         |  FROM codes c
+         |  JOIN sr ON sr.vec_id = c.neighbor_id AND sr.sub = c.sub
+         |  JOIN cb$PqIters cb ON cb.sub = c.sub AND cb.cid = c.cid
+         |), q AS (
+         |  SELECT sub, CAST(ROUND(1000000.0 * err) AS BIGINT) AS err_q FROM err
+         |)
+         |SELECT sub, COUNT(*) AS n_points,
+         |  CAST(SUM(err_q) AS BIGINT) AS sse_q,
+         |  CAST(SUM(err_q) AS DOUBLE) / (1000000.0 * COUNT(*)) AS mse,
+         |  CAST(MAX(err_q) AS DOUBLE) / 1000000.0 AS max_err
+         |FROM q GROUP BY sub ORDER BY sub""".stripMargin,
     // Full IVF-PQ twin: the SHARED trained-cells CTE (one coarse quantizer,
     // three consumers now — ss_ann_ivf, dd_semantic, and this) composed
     // with the PQ chain; the ADC scan is pruned to the query's probed

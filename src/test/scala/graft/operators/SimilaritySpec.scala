@@ -20,6 +20,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ distortion: every subspace encodes every vector and quantization beats raw energy") {
+    val rows = Similarity.queries("ss_pq_distortion")(spark, sf()).collect()
+    assert(rows.length == Similarity.PqSub)
+    val nVecs = Relational.t(spark, sf(), "embeddings").count()
+    // Mean subspace energy E[‖sv‖²] — the distortion of the degenerate
+    // all-zeros codebook; a trained codebook must do strictly better.
+    val vs = Relational.t(spark, sf(), "embeddings").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    val subDim = Similarity.PqSubDim
+    rows.foreach { r =>
+      val sub = r.getInt(r.fieldIndex("sub"))
+      assert(r.getLong(r.fieldIndex("n_points")) == nVecs)
+      val mse = r.getDouble(r.fieldIndex("mse"))
+      val maxErr = r.getDouble(r.fieldIndex("max_err"))
+      assert(mse >= 0 && maxErr >= mse, s"sub $sub: mse $mse, max $maxErr")
+      val energy = vs.map(v =>
+        v.slice(sub * subDim, (sub + 1) * subDim).map(x => x * x).sum).sum / nVecs
+      assert(mse < energy,
+        s"sub $sub: trained codebook no better than the zero codebook ($mse vs $energy)")
+    }
+  }
+
   test("degree histogram: mass identities against the stored knn graph") {
     val rows = Similarity.queries("ss_degree_hist")(spark, sf()).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
