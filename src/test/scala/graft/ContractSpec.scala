@@ -39,6 +39,22 @@ class ContractSpec extends AnyFunSuite {
       s"declared rows-only but now oracle-checked or gone (update the list): ${stale.toSeq.sorted}")
   }
 
+  test("tuning sweeps bracket the production operating point") {
+    // A sweep that omits the deployed configuration can't answer "is the
+    // production setting on the knee of the curve" — the one question the
+    // artifact exists for. Pin both sweeps to their production points.
+    import graft.operators.{Dedup, Similarity}
+    assert(Similarity.IvfSweepProbes.contains(Similarity.IvfProbes),
+      "IVF probe sweep must include the production probe depth")
+    assert(Dedup.BandSweepConfigs.contains((Dedup.Bands, Dedup.RowsPerBand)),
+      "LSH band sweep must include the production (bands, rows) split")
+    // Every swept split must partition the SAME signature: b·r = K exactly
+    // (a non-divisor split would silently ignore trailing components).
+    Dedup.BandSweepConfigs.foreach { case (b, r) =>
+      assert(b * r == Dedup.K, s"($b, $r) does not tile the K=${Dedup.K} signature")
+    }
+  }
+
   test("no cross-module query-name collisions (Map ++ would shadow one)") {
     val perModule = SparkEntry.modules.map(_._1.keySet)
     assert(perModule.map(_.size).sum == SparkEntry.queries.size,
