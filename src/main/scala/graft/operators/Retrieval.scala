@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -101,6 +101,35 @@ object Retrieval {
             transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
             ",").as("postings"))
         .orderBy("term")
+    },
+
+    // Posting-list HISTOGRAM — the index-health artifact a search
+    // deployment reads before assigning stop lists or tiering long posting
+    // lists (the skew cell called out at rt_inverted_index): per
+    // power-of-two document-frequency bucket, the number of distinct terms,
+    // total posting entries, and each bucket's share of the whole index —
+    // a heavy top bucket means stop-term explosion, a heavy bottom bucket
+    // means hapax bloat. Zero libm: the bucket is ⌊log2(df)⌋ computed as a
+    // pure integer comparison ladder against power-of-two literals
+    // (mirrored textually in the oracle — the PoissonCdfPpm device). Shape:
+    // one hash aggregation over the vocabulary-sized STORED df table
+    // ([[dfStore]] — the index is read as-is, the corpus is not
+    // re-tokenized) plus a one-row grand-total broadcast; output is
+    // ≤ log2(n_docs) rows at any scale.
+    "rt_df_histogram" -> { (s, dir) =>
+      val bucket = (1 to 30).foldLeft(lit(0): Column) { (acc, k) =>
+        when(col("cdf") >= lit(1L << k), lit(k)).otherwise(acc)
+      }
+      val df = dfStore(s, dir)
+      val tot = df.agg(sum(col("cdf")).as("tot"))
+      df.select(bucket.as("df_bucket"), col("cdf"))
+        .groupBy("df_bucket")
+        .agg(count(lit(1)).as("n_terms"), sum(col("cdf")).as("n_postings"))
+        .crossJoin(broadcast(tot)) // bounded: one row
+        .select(col("df_bucket"), col("n_terms"), col("n_postings"),
+          (col("n_postings").cast("double") / col("tot").cast("double"))
+            .as("postings_share"))
+        .orderBy("df_bucket")
     },
 
     // BM25-ranked keyword search for [[Bm25Terms]]: score(d) =
@@ -457,6 +486,32 @@ object Retrieval {
         |SELECT term, COUNT(*) AS df,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM post GROUP BY term ORDER BY term""".stripMargin,
+    // Histogram twin: df recomputed from scratch, the same power-of-two
+    // comparison ladder, the same single grand-total division.
+    "rt_df_histogram" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) AS ts
+         |  FROM documents
+         |), post AS (
+         |  SELECT doc_id, UNNEST(ts) AS term FROM d
+         |), df AS (
+         |  SELECT term, COUNT(*) AS cdf FROM post GROUP BY term
+         |), b AS (
+         |  SELECT CASE ${(30 to 1 by -1)
+             .map(k => s"WHEN cdf >= ${1L << k} THEN $k").mkString(" ")}
+         |    ELSE 0 END AS df_bucket, cdf
+         |  FROM df
+         |), h AS (
+         |  SELECT df_bucket, COUNT(*) AS n_terms,
+         |    CAST(SUM(cdf) AS BIGINT) AS n_postings
+         |  FROM b GROUP BY df_bucket
+         |), t AS (
+         |  SELECT CAST(SUM(cdf) AS BIGINT) AS tot FROM df
+         |)
+         |SELECT df_bucket, n_terms, n_postings,
+         |  CAST(n_postings AS DOUBLE) / CAST(tot AS DOUBLE) AS postings_share
+         |FROM h CROSS JOIN t ORDER BY df_bucket""".stripMargin,
     "rt_bm25" -> bm25OracleSql,
     // nDCG twin: the nested gated BM25 statement ranked by ROW_NUMBER,
     // integer-ppm discount literals, sort-free ideal DCG from the corpus

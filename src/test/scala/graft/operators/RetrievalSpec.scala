@@ -20,6 +20,26 @@ class RetrievalSpec extends SparkSpec {
     assert(ndcg == r.getLong(1).toDouble / r.getLong(2).toDouble)
   }
 
+  test("df histogram: mass identities against the inverted index and correct bucketing") {
+    val hist = Retrieval.queries("rt_df_histogram")(spark, sf()).collect()
+    val index = Retrieval.queries("rt_inverted_index")(spark, sf()).collect()
+      .map(r => r.getLong(r.fieldIndex("df")))
+    // Σ n_terms = vocabulary size; Σ n_postings = total posting entries.
+    assert(hist.map(_.getLong(hist.head.fieldIndex("n_terms"))).sum == index.length)
+    assert(hist.map(_.getLong(hist.head.fieldIndex("n_postings"))).sum == index.sum)
+    // Shares partition the index: they sum to 1 (exact n_i/T divisions).
+    val shareSum = hist.map(_.getDouble(hist.head.fieldIndex("postings_share"))).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    // Each bucket b holds exactly the terms with df in [2^b, 2^(b+1)).
+    val expected = index.groupBy(df => 63 - java.lang.Long.numberOfLeadingZeros(df))
+      .view.mapValues(_.length.toLong).toMap
+    hist.foreach { r =>
+      val b = r.getInt(r.fieldIndex("df_bucket"))
+      assert(r.getLong(r.fieldIndex("n_terms")) == expected(b), s"bucket $b")
+    }
+    assert(hist.length == expected.size)
+  }
+
   test("inverted index: df equals posting-list length; postings sorted and total matches") {
     val rows = Retrieval.queries("rt_inverted_index")(spark, sf()).collect()
     assert(rows.nonEmpty)
