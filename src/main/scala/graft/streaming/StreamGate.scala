@@ -170,6 +170,106 @@ object StreamGate {
     tableDir
   }
 
+  /** Window-gate versions: two time cuts before the restart, then the last
+    * cut plus TWO sentinel flush files after. Append-mode windowed
+    * aggregation emits a window one batch AFTER the watermark passes its
+    * end: sentinel A advances the watermark beyond every real window,
+    * sentinel B's batch performs the final eviction — the end-of-stream
+    * flush shape for the built-in aggregation state store (the
+    * flatMapGroupsWithState sessionizer needs only one sentinel because it
+    * applies its frontier rule inline in the same batch).
+    */
+  val WinSplits = 5
+
+  /** WATERMARKED-AGGREGATION sibling of [[streamedTable]] — the fourth
+    * gated exactly-once chain, covering the state mechanism the other
+    * three do not: Spark's built-in streaming-aggregation state store
+    * (partial window counts/sums + the event-time watermark), where the
+    * session gate covers user-code flatMapGroupsWithState state. Landing
+    * files are GLOBAL TIME CUTS (the file source's production contract —
+    * watermarks assume broadly time-ordered arrival), the restart falls
+    * between cuts 2 and 3 with real windows still OPEN in the state store,
+    * and the committed union across batches and the restart must equal the
+    * one-pass batch windowed aggregate: a lost partial undercounts, a
+    * replayed file overcounts, a re-emitted finalized window duplicates
+    * rows, and a watermark regression re-opens closed windows — none of
+    * which can hash-match. The sentinels' own `__flush` windows never
+    * finalize (no later data passes them), so they never reach the sink
+    * and the gate reuses ev_window_agg's oracle verbatim (one source of
+    * truth — the st_doc_commit device).
+    */
+  private def streamedWindowTable(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_wingate_${ProcessHandle.current().pid()}_$key"
+    val (landing, tableDir, ckpt) = (s"$base/landing", s"$base/table", s"$base/ckpt")
+    if (graft.sources.Versioned.latest(tableDir).forall(_ < WinSplits - 1)) {
+      val b = new java.io.File(base)
+      if (b.exists()) org.apache.commons.io.FileUtils.deleteDirectory(b)
+      val ev = graft.operators.Relational.t(s, dir, "events")
+      def us = unix_micros(col("ts"))
+      val r = ev.agg(min(us), max(us)).head()
+      require(!r.isNullAt(0),
+        s"streamedWindowTable: events table at $dir is empty — nothing to window")
+      val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
+      val c1 = minUs + (maxUs - minUs) / 3
+      val c2 = minUs + 2 * (maxUs - minUs) / 3
+      landSingleFile(ev.filter(us < c1), s"$landing/part0", s"$landing/f0.parquet")
+      landSingleFile(ev.filter(us >= c1 && us < c2), s"$landing/part1", s"$landing/f1.parquet")
+      // The last cut and both sentinels stage OUTSIDE the landing dir
+      // until after the restart.
+      landSingleFile(ev.filter(us >= c2), s"$base/part2", s"$base/f2.staged")
+      def sentinel(k: Int, tsUs: Long) = landSingleFile(
+        ev.sparkSession.range(1).select(
+          lit(-k.toLong).as("event_id"),
+          timestamp_micros(lit(tsUs)).as("ts"),
+          lit(0L).as("user_id"),
+          lit("__flush").as("event_type"),
+          lit(0.0).as("value"),
+          lit(null).cast("string").as("props")),
+        s"$base/part$k", s"$base/f$k.staged")
+      // Sentinel A sits > 1 h + watermark past the last real event, so the
+      // post-A watermark clears every real window end; B sits another hour
+      // out so A's own window cannot finalize either.
+      sentinel(3, maxUs + 2L * 3600 * 1000000)
+      sentinel(4, maxUs + 3L * 3600 * 1000000)
+      def drainWindows(): Unit = {
+        // The sentinels are HEARTBEAT rows (the production pattern for
+        // advancing an event-time clock on a quiet stream): they must flow
+        // through the watermark collector, so their window is excluded at
+        // the SINK, not in the stream body — a pre-aggregation filter gets
+        // pushed below EventTimeWatermark by Catalyst, the sentinels never
+        // reach the clock, and the last real windows never flush
+        // (measured: 5 rows short). Sink-side the drop is trivially safe:
+        // at most the one __flush window row, in the final eviction batch.
+        val q = EventStreams.streamingWindowedAgg(
+          s.readStream.schema(EventSchema)
+            .option("maxFilesPerTrigger", 1).parquet(landing))
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            EventStreams.versionedSink(tableDir)(
+              batch.filter(col("event_type") =!= "__flush"), batchId)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainWindows()
+      (2 to 4).foreach { k =>
+        java.nio.file.Files.move(java.nio.file.Paths.get(s"$base/f$k.staged"),
+          java.nio.file.Paths.get(s"$landing/f$k.parquet"))
+      }
+      drainWindows()
+      // ≥, not ==: AvailableNow appends a NO-DATA batch after each drain
+      // when the watermark advanced (the stateful-query eviction batch),
+      // so the five landing files commit as five-plus versions.
+      require(graft.sources.Versioned.latest(tableDir).exists(_ >= WinSplits - 1),
+        s"window stream gate expected at least $WinSplits committed versions")
+    }
+    tableDir
+  }
+
   /** Session-gate versions: two before the restart, two after (the last
     * time cut + the sentinel flush file).
     */
@@ -292,6 +392,18 @@ object StreamGate {
     "st_session_commit" -> { (s, dir) =>
       graft.sources.Versioned.read(s, streamedSessionTable(s, dir))
         .orderBy("user_id", "sess_id")
+    },
+
+    // The committed finalized windows of the WATERMARKED streaming
+    // aggregation, across five micro-batches and a restart with real
+    // windows open in the built-in aggregation state store; the oracle is
+    // ev_window_agg's statement over the ORIGINAL events parquet — a hash
+    // match proves partial window state and the watermark both survived
+    // the checkpoint restart, and that append-mode finalization emitted
+    // every real window exactly once.
+    "st_window_commit" -> { (s, dir) =>
+      graft.sources.Versioned.read(s, streamedWindowTable(s, dir))
+        .orderBy("window_start", "event_type")
     }
   )
 
@@ -306,6 +418,9 @@ object StreamGate {
     "st_doc_commit" -> graft.operators.Dedup.oracles("dd_incremental"),
     // Verbatim reuse again: the restart-spanning stateful sessionization
     // must equal the one-pass batch sessionization.
-    "st_session_commit" -> graft.operators.Events.oracles("ev_sessions")
+    "st_session_commit" -> graft.operators.Events.oracles("ev_sessions"),
+    // Verbatim reuse once more: the restart-spanning watermarked window
+    // aggregation must equal the one-pass batch windowed aggregate.
+    "st_window_commit" -> graft.operators.Events.oracles("ev_window_agg")
   )
 }
