@@ -270,6 +270,83 @@ object StreamGate {
     tableDir
   }
 
+  /** Dedup-gate versions: landing files = micro-batches (2 before the
+    * restart, 1 after), each carrying deliberately REPLAYED rows.
+    */
+  val DedupSplits = 3
+
+  /** Width of the deliberately-replayed tail slice (1 day) and the dedup
+    * watermark delay (2 days — state must outlive the replay horizon).
+    */
+  val ReplayHorizonUs: Long = 86400L * 1000000
+  val DedupDelay = "48 hours"
+
+  /** AT-LEAST-ONCE-UPSTREAM sibling of [[streamedTable]] — the fifth gated
+    * chain, covering the last of Spark's state mechanisms: the streaming
+    * DEDUPLICATION state store (`dropDuplicatesWithinWatermark`), which
+    * exists precisely because real upstreams redeliver. Here the source
+    * itself duplicates: each landing file carries, besides its time cut,
+    * a REPLAY of the previous cut's trailing day — inside the 2-day
+    * watermark horizon, so the replays are NOT late-droppable and only the
+    * dedup state can exclude them. The third file's replay arrives AFTER
+    * the checkpoint restart, so its exclusion proves the id state survived
+    * the restart: lost state commits the replayed rows twice and the
+    * row-level hash (vs plain SELECT over the original events) cannot
+    * match. The builder requires both replay slices non-empty — a corpus
+    * change must fail loudly, never pass vacuously with no duplicates to
+    * drop.
+    */
+  private def streamedDedupTable(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_ddgate_${ProcessHandle.current().pid()}_$key"
+    val (landing, tableDir, ckpt) = (s"$base/landing", s"$base/table", s"$base/ckpt")
+    if (graft.sources.Versioned.latest(tableDir).forall(_ < DedupSplits - 1)) {
+      val b = new java.io.File(base)
+      if (b.exists()) org.apache.commons.io.FileUtils.deleteDirectory(b)
+      val ev = graft.operators.Relational.t(s, dir, "events")
+      def us = unix_micros(col("ts"))
+      val r = ev.agg(min(us), max(us)).head()
+      require(!r.isNullAt(0),
+        s"streamedDedupTable: events table at $dir is empty — nothing to ingest")
+      val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
+      val c1 = minUs + (maxUs - minUs) / 3
+      val c2 = minUs + 2 * (maxUs - minUs) / 3
+      val replay1 = ev.filter(us >= c1 - ReplayHorizonUs && us < c1)
+      val replay2 = ev.filter(us >= c2 - ReplayHorizonUs && us < c2)
+      require(replay1.limit(1).count() == 1 && replay2.limit(1).count() == 1,
+        "streamedDedupTable: a replay slice is empty — the gate would pass " +
+          "vacuously with no duplicates for the state store to drop")
+      landSingleFile(ev.filter(us < c1), s"$landing/part0", s"$landing/f0.parquet")
+      landSingleFile(ev.filter(us >= c1 && us < c2).unionByName(replay1),
+        s"$landing/part1", s"$landing/f1.parquet")
+      landSingleFile(ev.filter(us >= c2).unionByName(replay2),
+        s"$base/part2", s"$base/f2.staged")
+      def drainDedup(): Unit = {
+        val q = s.readStream.schema(EventSchema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+          .withWatermark("ts", DedupDelay)
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            EventStreams.versionedSink(tableDir)(project(batch), batchId)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainDedup()
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$base/f2.staged"),
+        java.nio.file.Paths.get(s"$landing/f2.parquet"))
+      drainDedup()
+      // ≥, not ==: stateful drains may append trailing no-data eviction
+      // batches (the window-gate observation).
+      require(graft.sources.Versioned.latest(tableDir).exists(_ >= DedupSplits - 1),
+        s"dedup stream gate expected at least $DedupSplits committed versions")
+    }
+    tableDir
+  }
+
   /** Session-gate versions: two before the restart, two after (the last
     * time cut + the sentinel flush file).
     */
@@ -404,6 +481,18 @@ object StreamGate {
     "st_window_commit" -> { (s, dir) =>
       graft.sources.Versioned.read(s, streamedWindowTable(s, dir))
         .orderBy("window_start", "event_type")
+    },
+
+    // The committed rows of the dedup-on-ingest chain fed by a
+    // deliberately REDELIVERING source (each file replays the previous
+    // cut's trailing day, once across the restart); the oracle is a plain
+    // row-level SELECT over the ORIGINAL events parquet — a hash match
+    // proves the dedup state store excluded every replayed row, including
+    // the ones arriving after the checkpoint restart, and passed every
+    // genuine row exactly once.
+    "st_dedup_commit" -> { (s, dir) =>
+      graft.sources.Versioned.read(s, streamedDedupTable(s, dir))
+        .orderBy("event_id")
     }
   )
 
@@ -421,6 +510,12 @@ object StreamGate {
     "st_session_commit" -> graft.operators.Events.oracles("ev_sessions"),
     // Verbatim reuse once more: the restart-spanning watermarked window
     // aggregation must equal the one-pass batch windowed aggregate.
-    "st_window_commit" -> graft.operators.Events.oracles("ev_window_agg")
+    "st_window_commit" -> graft.operators.Events.oracles("ev_window_agg"),
+    // Row-level: the deduped ingest of a redelivering source must equal
+    // the original table, exactly (the cents cast is the project() twin).
+    "st_dedup_commit" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
