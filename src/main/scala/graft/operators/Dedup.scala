@@ -1045,6 +1045,14 @@ object Dedup {
         verifiedPairStore(s, dir).select(col("doc_a"), col("doc_b"))
           .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
           .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b"))
+      // Loud non-vacuity guard (the streamedDedupTable posture): with zero
+      // verified pairs the Spark side would emit 6 rows of null detect_rate
+      // (agg over an empty frame per config) while the DuckDB twin's
+      // GROUP BY over an empty det CTE emits 0 rows — a latent cross-engine
+      // hash mismatch that must fail here, not at the gate (ADVICE r10).
+      require(paired.limit(1).count() == 1,
+        "dd_lsh_band_sweep: corpus has no verified near-dup pairs — the " +
+          "sweep has no ground truth to measure and would diverge from its oracle")
       BandSweepConfigs.map { case (b, r) =>
         val detected = expr(
           s"""exists(sequence(0, ${b - 1}), band ->

@@ -364,6 +364,14 @@ object Pipeline {
       val bs = s.range(-1, BootB).select(col("id").cast("int").as("b"))
       // b ∈ [0, B): h1 + b·h2 < 2³¹·(B+1) ≪ 2⁶³ — no overflow; the b = −1
       // branch never reads ppm (weight is the literal 1).
+      // Known, accepted bias: layering mod 1e6 over mod (2³¹−1) leaves ppm
+      // values < 483647 with a ~1/2147 higher probability (2³¹−1 is not a
+      // multiple of 1e6). For a 200-replicate CI over nearest-rank
+      // percentiles the effect is far below resolution, and removing it
+      // (rejection sampling, or a modulus dividing P−1) would change the
+      // oracle arithmetic for no measurable gain — judged not worth it
+      // (ADVICE r10). If ever tightened, keep the SQL twin textually
+      // identical.
       val ppm = ((col("h1") + col("b") * col("h2")) % lit(BootP)) % lit(1000000L)
       val wExpr = when(col("b") < 0, lit(1L)).otherwise(
         PoissonCdfPpm.zipWithIndex.foldRight(

@@ -66,6 +66,26 @@ object StreamGate {
     org.apache.commons.io.FileUtils.deleteDirectory(pdir.toFile)
   }
 
+  /** Stamp strictly increasing modification times on the landed/staged
+    * files, in intended delivery order. FileStreamSource orders new files
+    * by mtime, and `Files.move` into the landing dir PRESERVES whatever
+    * mtime the parquet write left — two files written in the same
+    * millisecond (or a slow staged write finishing after a fast one) could
+    * otherwise be picked up out of order, and in the watermarked gates an
+    * out-of-order sentinel advances the event-time clock past the real
+    * tail's rows, dropping them as late (a loud but spurious gate failure —
+    * ADVICE r10). One-second spacing keeps the ordering unambiguous on
+    * coarse-mtime filesystems.
+    */
+  private def stampDeliveryOrder(paths: String*): Unit = {
+    val t0 = System.currentTimeMillis()
+    paths.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(p),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
+    }
+  }
+
   /** The per-micro-batch transformation: a stateless exact-cents projection
     * (value → integer cents via the DECIMAL(18,2) cast — the
     * EventStreams/rolling-features money contract).
@@ -232,6 +252,11 @@ object StreamGate {
       // out so A's own window cannot finalize either.
       sentinel(3, maxUs + 2L * 3600 * 1000000)
       sentinel(4, maxUs + 3L * 3600 * 1000000)
+      // The real tail f2 MUST be processed before the watermark-advancing
+      // sentinels f3/f4 after the restart (and f0 before f1 on first drain).
+      stampDeliveryOrder(
+        s"$landing/f0.parquet", s"$landing/f1.parquet",
+        s"$base/f2.staged", s"$base/f3.staged", s"$base/f4.staged")
       def drainWindows(): Unit = {
         // The sentinels are HEARTBEAT rows (the production pattern for
         // advancing an event-time clock on a quiet stream): they must flow
@@ -321,6 +346,11 @@ object StreamGate {
         s"$landing/part1", s"$landing/f1.parquet")
       landSingleFile(ev.filter(us >= c2).unionByName(replay2),
         s"$base/part2", s"$base/f2.staged")
+      // Delivery-order pin (the window-gate device): the micro-batches are
+      // global time cuts, so the file source must see them in cut order or
+      // the advanced watermark late-drops an earlier cut's rows.
+      stampDeliveryOrder(
+        s"$landing/f0.parquet", s"$landing/f1.parquet", s"$base/f2.staged")
       def drainDedup(): Unit = {
         val q = s.readStream.schema(EventSchema)
           .option("maxFilesPerTrigger", 1).parquet(landing)
@@ -406,6 +436,13 @@ object StreamGate {
             lit(0.0).as("value"),
             lit(null).cast("string").as("props")),
         s"$base/part3", s"$base/f3.staged")
+      // Same delivery-order pin as the window gate: the real tail f2 must
+      // precede the session-flushing sentinel f3 after the restart, or the
+      // flush closes every session before f2's events arrive and the
+      // frontier rule drops them.
+      stampDeliveryOrder(
+        s"$landing/f0.parquet", s"$landing/f1.parquet",
+        s"$base/f2.staged", s"$base/f3.staged")
       def drainSessions(): Unit = {
         val q = EventStreams.sessionizeStream(
           s.readStream.schema(EventSchema).option("maxFilesPerTrigger", 1).parquet(landing))

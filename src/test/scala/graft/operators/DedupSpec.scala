@@ -31,12 +31,24 @@ class DedupSpec extends SparkSpec {
     // (48, 1) detects a pair iff ANY of the 48 components matches — with the
     // verified-recall family this is total detection.
     assert(byR.head == ((1, (48, byR.head._2._2, 1.0))))
-    // Splitting a band in two can only ADD detections (a full r-band
-    // contains two full r/2-bands), so the rate is non-increasing in r.
-    byR.map(_._2._3).toSeq.sliding(2).foreach {
-      case Seq(finer, coarser) => assert(finer >= coarser)
-      case _                   =>
+    // Detection under a coarser split is STRUCTURALLY implied by the finer
+    // one only when every coarse band contains a complete aligned finer
+    // band (then a fully-matching coarse band witnesses a fine detection).
+    // That holds for e.g. 1→2 and 4→6 but NOT for 3→4 or 6→8 (a matching
+    // 4-row band at components 4–7 contains no complete 3-row band), where
+    // the ordering is merely statistical — assert it with a tolerance so an
+    // unlucky corpus localizes as a distribution question, not a flake.
+    def nests(rFine: Int, rCoarse: Int): Boolean =
+      (0 until 48 by rCoarse).forall(s => (s to s + rCoarse - rFine).exists(_ % rFine == 0))
+    byR.toSeq.sliding(2).foreach {
+      case Seq((rf, (_, _, finer)), (rc, (_, _, coarser))) =>
+        if (nests(rf, rc)) assert(finer >= coarser, s"structural r=$rf->$rc")
+        else assert(finer >= coarser - 0.15, s"statistical r=$rf->$rc")
+      case _ =>
     }
+    // The end-to-end trend is unconditional: maximal recall at r=1 (==1.0,
+    // asserted above) dominates the coarsest split.
+    assert(byR.head._2._3 >= byR.last._2._3)
   }
 
   test("near-dup pairs have near-identical simhash (hamming small)") {
