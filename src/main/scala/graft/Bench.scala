@@ -9,8 +9,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Robustness against a contended run (the r01 driver bench was 4-8× slower
   * than identical-plan re-timings — sandbox contention, not code):
-  *  - each query runs TWICE back-to-back and the MIN is reported, so one
-  *    contended window can't dominate a query's number;
+  *  - each query runs TWICE and the MIN is reported; the passes are
+  *    INTERLEAVED (all queries pass 1, then all queries pass 2) so a
+  *    query's two samples land minutes apart — back-to-back passes shed a
+  *    one-query spike but not a multi-minute contended window (the r10
+  *    cd_ / an_ cluster sat inside one with BOTH passes inflated);
+  *  - a fixed CONTROL query (constant trivial plan) is timed every
+  *    [[ControlEvery]] slots and its trajectory recorded in
+  *    bench_detail.json, so a contended region is localizable from the
+  *    artifact alone — control spikes bracketing a slow cluster indict the
+  *    environment, a flat control indicts the plans;
   *  - a query that fails BOTH passes is listed in `failed` and EXCLUDED from
   *    `queries`/`total` (a broken query must not silently look "fast", and
   *    its time-to-exception must not deflate the headline number); a query
@@ -21,12 +29,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    memory-pressure-inflated run is diagnosable from the artifact alone.
   */
 object Bench {
+  /** Slot spacing of the control probe (one control per ~20 query runs). */
+  val ControlEvery = 20
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = EngineSession.local(cpus)
-    // JVM/classloader warm-up outside the timed region.
+    def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+    // JVM/classloader warm-up outside the timed region. The range-sum alone
+    // is NOT enough (r10 lesson): the session's first window, first shuffle
+    // join, and first parquet scan each pay a one-time codegen/JIT bill of
+    // seconds, and without exercising those operator classes here the bill
+    // lands on pass 1 of whichever queries sort first alphabetically.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val ranked = c.withColumn("rk", row_number().over(
+        Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))))
+      // full_outer is never broadcastable, so this warms the sort-merge
+      // join path regardless of AQE's size estimates; the window above
+      // warms WindowExec + Exchange + external sort.
+      noop(ranked.join(
+        c.groupBy("c_nationkey").agg(avg("c_acctbal").as("nation_avg")),
+        Seq("c_nationkey"), "full_outer"))
+    }
     // One-time write-side setup outside the timed region: the bucketed gate
     // tables are a write-once-query-many LAYOUT (the ingest shuffle is paid
     // at table build, every query is exchange-free) — timing the build
@@ -49,7 +79,7 @@ object Bench {
       try {
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
-        df.write.mode("overwrite").format("noop").save()
+        noop(df)
         Some(((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -57,10 +87,35 @@ object Bench {
       }
     }
 
+    // The control: a constant trivial plan (25-row parquet scan + one-group
+    // aggregate). Its cost is dominated by scheduler/JVM/sandbox latency —
+    // exactly the contention signal — not by data.
+    def controlOnce(): Double = {
+      val t0 = System.nanoTime()
+      noop(spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy("n_regionkey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    controlOnce() // warm the control's own plan so sample 0 isn't a JIT outlier
+
     val gc0 = gcMillis
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1)
-      .map { case (name, fn) => name -> Seq(once(name, fn), once(name, fn)).flatten }
+    val namesSorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val controls = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var slot = 0
+    def passOver(): Seq[Option[(Double, Double)]] =
+      namesSorted.map { case (name, fn) =>
+        if (slot % ControlEvery == 0) controls += ((slot, controlOnce()))
+        slot += 1
+        once(name, fn)
+      }
+    val pass1 = passOver()
+    val pass2 = passOver()
     val gcSec = (gcMillis - gc0) / 1000.0
+    val runs = namesSorted.zip(pass1).zip(pass2).map { case (((name, _), a), b) =>
+      name -> Seq(a, b).flatten
+    }
 
     val results = runs.collect { case (name, ts) if ts.nonEmpty =>
       name -> ts.map { case (b, e) => b + e }.min
@@ -86,9 +141,12 @@ object Bench {
       "\"" + name + "\":" +
         ts.map { case (b, e) => f"[$b%.3f,$e%.3f]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Control trajectory: [slot, seconds] per probe, slots counted across
+    // both passes (slot n_queries = start of pass 2).
+    val ctl = controls.map { case (i, t) => f"[$i,$t%.3f]" }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_times":$passes,"pass_build_exec":$phased,"sf":"$sfDir","passes":2,"failed":${names(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_times":$passes,"pass_build_exec":$phased,"control":$ctl,"sf":"$sfDir","passes":2,"interleaved":true,"failed":${names(
           failed)},"flaky":${names(flaky)},"gc_sec":$gcSec%.1f}""")
 
     // Stdout line — must survive the driver's 2000-char log tail INTACT to be
@@ -111,8 +169,11 @@ object Bench {
     }
     val omitted = byCost.drop(nKept)
     val omittedSec = omitted.map(_._2).sum
+    val ctlSorted = controls.map(_._2).sorted
+    val ctlMed = if (ctlSorted.isEmpty) 0.0 else ctlSorted(ctlSorted.size / 2)
+    val ctlMax = if (ctlSorted.isEmpty) 0.0 else ctlSorted.last
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${kept.result()}},"queries_omitted":${omitted.size},"omitted_sec":$omittedSec%.3f,"n_queries":${results.size},"sf":"$sfDir","passes":2,"failed":${names(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${kept.result()}},"queries_omitted":${omitted.size},"omitted_sec":$omittedSec%.3f,"n_queries":${results.size},"sf":"$sfDir","passes":2,"interleaved":true,"control_med":$ctlMed%.3f,"control_max":$ctlMax%.3f,"failed":${names(
           failed)},"flaky":${names(flaky)},"gc_sec":$gcSec%.1f,"detail":"bench_detail.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
