@@ -102,6 +102,7 @@ object EventStreams {
     * error (micros; ts is micro-precision after the nanos conversion).
     */
   val ErrorClickHorizon = "5 minutes"
+  val ErrorClickHorizonMicros: Long = 5L * 60 * 1000000
 
   /** STREAM-STREAM interval join: every click a user makes within
     * [[ErrorClickHorizon]] after one of their errors — each error pairs with

@@ -468,6 +468,123 @@ object StreamGate {
     tableDir
   }
 
+  /** Join-gate versions: two time cuts before the restart, then the last
+    * cut plus TWO sentinel files after (the window gate's flush shape:
+    * sentinel A advances the watermark past every real error's join
+    * window, sentinel B's batch performs the eviction that emits the
+    * unmatched errors).
+    */
+  val JoinSplits = 5
+
+  /** STREAM-STREAM JOIN sibling of [[streamedTable]] — the sixth gated
+    * exactly-once chain, covering the one state mechanism the first five
+    * do not: the symmetric join state store. The streamed body is
+    * [[EventStreams.streamingErrorClickPairsOuter]] — a LEFT OUTER
+    * interval join of the error stream against the click stream (both
+    * sides the same landing files, read as two independent file sources,
+    * watermarked 10 min) — so the checkpoint restart must restore BOTH
+    * sides' buffered rows: an error from cut 2 whose 5-minute click window
+    * straddles the cut must still match a click arriving in cut 3 AFTER
+    * the restart, and an error still unmatched at the restart must emit
+    * its null-extended row exactly once when the watermark finally passes
+    * its window. Lost join state drops matches or double-emits null rows;
+    * either breaks the row-level hash against the batch LEFT JOIN oracle
+    * (reused verbatim from ev_error_click_outer — one source of truth).
+    *
+    * Sentinels must advance the event-time clock of BOTH sources, and each
+    * source's type filter is pushed below its watermark collector (the
+    * window-gate observation), so each sentinel file carries one far-future
+    * 'error' row AND one far-future 'click' row, with negative event_ids
+    * and user_ids -1/-2 that match no real row and not each other; their
+    * own join outputs are excluded at the SINK (error_id >= 0), the
+    * window gate's trivially-safe drop.
+    */
+  private def streamedJoinTable(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_joingate_${ProcessHandle.current().pid()}_$key"
+    val (landing, tableDir, ckpt) = (s"$base/landing", s"$base/table", s"$base/ckpt")
+    if (graft.sources.Versioned.latest(tableDir).forall(_ < JoinSplits - 1)) {
+      val b = new java.io.File(base)
+      if (b.exists()) org.apache.commons.io.FileUtils.deleteDirectory(b)
+      val ev = graft.operators.Relational.t(s, dir, "events")
+      def us = unix_micros(col("ts"))
+      val r = ev.agg(min(us), max(us)).head()
+      require(!r.isNullAt(0),
+        s"streamedJoinTable: events table at $dir is empty — nothing to join")
+      val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
+      // Non-vacuity by CONSTRUCTION: natural thirds cuts make straddling
+      // matches a corpus accident (measured zero at sf0.01 — matches are
+      // rare and the horizon is 5 minutes of a 30-day span), so the restart
+      // cut is DERIVED from a matched pair instead: c2 = the click's
+      // timestamp of the latest strictly-ordered error→click match, putting
+      // the error in the pre-restart file and its click in the post-restart
+      // one. This also pins the error in the join buffer at the restart
+      // structurally: every f1 event time is < c2 = c_ts ≤ e_ts + horizon,
+      // so the pre-restart watermark (max f1 ts − 10 min delay) sits below
+      // e_ts + horizon and cannot have evicted it. The pick is a bounded
+      // one-row driver-side read (deterministic order), the gate-builder
+      // analogue of the other builders' min/max head().
+      val m = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("eid"), col("user_id").as("uid"), us.as("etu"))
+        .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("uid"), us.as("ctu")), "uid")
+        .filter(col("ctu") > col("etu") &&
+          col("ctu") <= col("etu") + lit(EventStreams.ErrorClickHorizonMicros))
+        .orderBy(col("etu").desc, col("eid"), col("ctu"))
+        .limit(1).collect()
+      require(m.nonEmpty,
+        "streamedJoinTable: the corpus has no strictly-ordered error→click " +
+          "match — no cut can exercise restart-surviving join state")
+      val (eTu, c2) = (m(0).getLong(m(0).fieldIndex("etu")), m(0).getLong(m(0).fieldIndex("ctu")))
+      // Keep the thirds shape when the pair allows it; pull c1 below the
+      // error when it sits early so the error always lands in f1 (the file
+      // whose state the restart must carry), never in f0.
+      val c1 = math.min(minUs + (maxUs - minUs) / 3, (minUs + eTu) / 2)
+      landSingleFile(ev.filter(us < c1), s"$landing/part0", s"$landing/f0.parquet")
+      landSingleFile(ev.filter(us >= c1 && us < c2), s"$landing/part1", s"$landing/f1.parquet")
+      landSingleFile(ev.filter(us >= c2), s"$base/part2", s"$base/f2.staged")
+      // Twin-typed sentinel file k: one error + one click row, far future.
+      def sentinel(k: Int, tsUs: Long) = landSingleFile(
+        ev.sparkSession.range(2).select(
+          (lit(-(2L * k)) - col("id")).as("event_id"),
+          timestamp_micros(lit(tsUs)).as("ts"),
+          (lit(-1L) - col("id")).as("user_id"),
+          when(col("id") === 0, lit("error")).otherwise(lit("click")).as("event_type"),
+          lit(0.0).as("value"),
+          lit(null).cast("string").as("props")),
+        s"$base/part$k", s"$base/f$k.staged")
+      sentinel(3, maxUs + 2L * 3600 * 1000000)
+      sentinel(4, maxUs + 3L * 3600 * 1000000)
+      stampDeliveryOrder(
+        s"$landing/f0.parquet", s"$landing/f1.parquet",
+        s"$base/f2.staged", s"$base/f3.staged", s"$base/f4.staged")
+      def drainJoin(): Unit = {
+        def src() = s.readStream.schema(EventSchema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val q = EventStreams.streamingErrorClickPairsOuter(src(), src())
+          .select(col("error_id"), col("click_id"), col("user_id"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            EventStreams.versionedSink(tableDir)(
+              batch.filter(col("error_id") >= 0), batchId)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainJoin()
+      (2 to 4).foreach { k =>
+        java.nio.file.Files.move(java.nio.file.Paths.get(s"$base/f$k.staged"),
+          java.nio.file.Paths.get(s"$landing/f$k.parquet"))
+      }
+      drainJoin()
+      require(graft.sources.Versioned.latest(tableDir).exists(_ >= JoinSplits - 1),
+        s"join stream gate expected at least $JoinSplits committed versions")
+    }
+    tableDir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Aggregate the stream-committed table's LATEST version per event type;
@@ -530,6 +647,17 @@ object StreamGate {
     "st_dedup_commit" -> { (s, dir) =>
       graft.sources.Versioned.read(s, streamedDedupTable(s, dir))
         .orderBy("event_id")
+    },
+
+    // The committed rows of the STREAM-STREAM outer-join chain, across
+    // five micro-batches and a restart with both join buffers non-empty;
+    // the oracle is ev_error_click_outer's batch LEFT JOIN over the
+    // ORIGINAL events parquet — a hash match proves the symmetric join
+    // state survived the restart (cut-straddling matches found, unmatched
+    // errors null-extended exactly once at watermark eviction).
+    "st_join_commit" -> { (s, dir) =>
+      graft.sources.Versioned.read(s, streamedJoinTable(s, dir))
+        .orderBy("error_id", "click_id")
     }
   )
 
@@ -553,6 +681,9 @@ object StreamGate {
     "st_dedup_commit" ->
       """SELECT event_id, user_id, event_type,
         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    // Verbatim reuse: the restart-spanning stream-stream outer join must
+    // equal the one-pass batch LEFT JOIN.
+    "st_join_commit" -> graft.operators.Events.oracles("ev_error_click_outer")
   )
 }
