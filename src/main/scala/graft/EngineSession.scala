@@ -52,6 +52,17 @@ object EngineSession {
       // no semantic change (the whole oracle gate hash-matches without it).
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // The generated-class cache (whole-stage codegen + expression
+      // compilers) defaults to 100 entries — sized for a handful of hot
+      // plans, not a resident engine serving this library's 250-query
+      // surface: at default size every query's generated classes are
+      // evicted before it runs again, so each re-invocation pays Janino
+      // compilation AND a fresh C2 JIT of brand-new classes (measured
+      // +0.3–0.7 s per mid-tier query once runs stop being back-to-back).
+      // A long-lived analytics JVM keeps its compiled plans; entries are
+      // source-keyed and tens of KB, so 5000 is tens of MB. Static conf —
+      // must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .config("spark.task.maxFailures", "4")
       .config("spark.speculation", "true")
