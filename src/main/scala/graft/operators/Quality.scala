@@ -159,6 +159,46 @@ object Quality {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third leg
+    // of the anonymity triad (k-anonymity bounds group SIZE, l-diversity
+    // bounds sensitive-value VARIETY, t-closeness bounds how far a group's
+    // sensitive DISTRIBUTION drifts from the global one — the residual
+    // skew attack l-diversity misses: a group can hold all l values yet be
+    // 95 % one of them). Distance is total variation, kept EXACT by the
+    // division-free device: tvd_g = (1/2)·Σ_v |ns/n_g − Ns/N| =
+    // D_g / (2·n_g·N) with D_g = Σ_v |ns·N − Ns·n_g| an exact integer
+    // riding DECIMAL(38,0)/HUGEINT (the an_mannwhitney moment pattern), so
+    // the only IEEE op is the one final token-identical division tree.
+    // Missing (group, value) cells contribute Ns·n_g exactly, via the
+    // QI×V grid LEFT join — the grid is |QI groups| × |sensitive values|,
+    // metadata-sized at any scale. Shape: ONE fact aggregation to the
+    // (QI, sensitive) cell frame (map-side combined before the exchange —
+    // the sensitive column never shuffles raw rows), materialized once for
+    // its three consumers; everything after is grid-sized.
+    "dq_t_closeness" -> { (s, dir) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d = (c: Column) => c.cast("double")
+      val cell = Dedup.materialized(
+        Relational.t(s, dir, "customer")
+          .join(Relational.t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
+          .agg(count(lit(1)).as("ns")))
+      val grp = cell.groupBy("c_nationkey", "c_mktsegment").agg(sum(col("ns")).as("n"))
+      val glob = cell.groupBy("o_orderpriority").agg(sum(col("ns")).as("gs"))
+      val tot = glob.agg(sum(col("gs")).as("big_n"))
+      grp.crossJoin(broadcast(glob)) // bounded: |QI groups| × |sensitive values|
+        .join(cell, Seq("c_nationkey", "c_mktsegment", "o_orderpriority"), "left")
+        .crossJoin(broadcast(tot)) // bounded: one row
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("big_n"),
+          abs(coalesce(col("ns"), lit(0L)).cast(dec38) * col("big_n").cast(dec38) -
+            col("gs").cast(dec38) * col("n").cast(dec38)).as("dev"))
+        .groupBy("c_nationkey", "c_mktsegment", "n")
+        .agg(max(col("big_n")).as("bn"), sum(col("dev")).as("t_num"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          (d(col("t_num")) / (lit(2.0) * d(col("n")) * d(col("bn")))).as("tvd"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // Pseudonymization that provably preserves referential integrity: the
     // direct identifiers (c_custkey on the dim side, user_id on the fact
     // side) are replaced by a deterministic salted md5 surrogate computed
@@ -405,6 +445,31 @@ object Quality {
         |  COUNT(*) AS l_distinct,
         |  CAST(MAX(ns) AS BIGINT) AS max_sensitive_n
         |FROM sv GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "dq_t_closeness" ->
+      """WITH cell AS (
+        |  SELECT c_nationkey, c_mktsegment, o_orderpriority, COUNT(*) AS ns
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3
+        |), grp AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(SUM(ns) AS BIGINT) AS n
+        |  FROM cell GROUP BY 1, 2
+        |), gdist AS (
+        |  SELECT o_orderpriority, CAST(SUM(ns) AS BIGINT) AS gs FROM cell GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(gs) AS BIGINT) AS big_n FROM gdist),
+        |grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.n, t.big_n,
+        |    ABS(CAST(COALESCE(c.ns, 0) AS HUGEINT) * t.big_n
+        |        - CAST(o.gs AS HUGEINT) * g.n) AS dev
+        |  FROM grp g CROSS JOIN gdist o CROSS JOIN tot t
+        |  LEFT JOIN cell c
+        |    ON c.c_nationkey = g.c_nationkey AND c.c_mktsegment = g.c_mktsegment
+        |    AND c.o_orderpriority = o.o_orderpriority
+        |)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  CAST(SUM(dev) AS DOUBLE) /
+        |    (2.0 * CAST(n AS DOUBLE) * CAST(MAX(big_n) AS DOUBLE)) AS tvd
+        |FROM grid GROUP BY c_nationkey, c_mktsegment, n
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "dq_profile" ->
       """WITH base AS (SELECT COUNT(*) AS n FROM lineitem)

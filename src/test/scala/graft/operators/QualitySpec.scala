@@ -15,6 +15,33 @@ class QualitySpec extends SparkSpec {
     flagged.values.foreach(n => assert(n > 0 && n < Quality.KAnonymity))
   }
 
+  test("t-closeness: tvd in [0,1], covers every QI group, matches a driver-side recompute") {
+    val rows = Quality.queries("dq_t_closeness")(spark, sf()).collect()
+    val fact = Relational.t(spark, sf(), "customer")
+      .join(Relational.t(spark, sf(), "orders"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("o_orderpriority"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getString(2)))
+    val bigN = fact.length.toLong
+    val globalDist = fact.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSet ==
+      fact.map(_._1).toSet, "one row per observed QI group")
+    rows.foreach { r =>
+      val key = (r.getInt(0), r.getString(1))
+      val n = r.getLong(r.fieldIndex("n"))
+      val tvd = r.getDouble(r.fieldIndex("tvd"))
+      assert(tvd >= 0.0 && tvd <= 1.0)
+      // Exact recompute of D = Σ_v |ns·N − Ns·n| over the full value set,
+      // including values the group is missing.
+      val grpDist = fact.filter(_._1 == key).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      assert(n == grpDist.values.sum)
+      val dNum = globalDist.map { case (v, gs) =>
+        (BigInt(grpDist.getOrElse(v, 0L)) * bigN - BigInt(gs) * n).abs
+      }.sum
+      val expected = dNum.toDouble / (2.0 * n.toDouble * bigN.toDouble)
+      assert(math.abs(tvd - expected) < 1e-12, s"$key: $tvd vs $expected")
+    }
+  }
+
   test("pseudonymized join preserves cleartext join cardinalities; no cleartext ids survive") {
     val out = Quality.queries("dq_pseudonymize")(spark, sf())
     assert(out.columns.toSeq == Seq("pid", "c_mktsegment", "n_events", "total_value"))
