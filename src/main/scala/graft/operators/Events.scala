@@ -526,6 +526,75 @@ object Events {
               d(col("n_a") + col("n_b") - col("conv_a") - col("conv_b")))).as("chi2"))
     },
 
+    // CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) — the
+    // experimentation-platform primitive beside ev_ks_ab / ev_ab_conversion:
+    // adjust each user's experiment-period metric Y by their PRE-period
+    // metric X (Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X) pooled), shrinking
+    // metric variance by the pre/post correlation — the difference between
+    // an experiment reading in days vs weeks. Periods are the corpus time
+    // midpoint (integer micros DIV); X/Y are per-user EXACT cent sums
+    // (zero when absent — every user carries a covariate); arms are the
+    // ev_ks_ab hash family. All moments (Σx, Σy, Σxx, Σxy, Σyy per arm and
+    // pooled) ride DECIMAL(38,0)/HUGEINT exactly; θ, the adjusted means,
+    // both variances, and the reduction ratio are ONE token-identical IEEE
+    // tree over those integer-valued doubles (the q22/an_mannwhitney
+    // device). Shape: one user-keyed aggregation over the event stream
+    // (map-side combined), then a 2-row arm frame and a 1-row pooled frame
+    // — nothing after the first aggregate scales with the data.
+    "ev_cuped" -> { (s, dir) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d = (c: Column) => c.cast("double")
+      val ev = Relational.t(s, dir, "events")
+      def us = unix_micros(col("ts"))
+      val bounds = ev.agg(min(us).as("mn"), max(us).as("mx"))
+      val perUser = ev.crossJoin(broadcast(bounds)) // bounded: one row
+        .select(col("user_id"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"),
+          (us < col("mn") + expr("(mx - mn) DIV 2")).as("pre"))
+        .groupBy("user_id")
+        .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+        .select(
+          when(Pipeline.bucket(col("user_id")) < 50, lit("A")).otherwise(lit("B"))
+            .as("variant"),
+          col("x"), col("y"))
+      val arms = perUser.groupBy("variant").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec38)).as("sx"),
+        sum(col("y").cast(dec38)).as("sy"),
+        sum(col("x").cast(dec38) * col("x").cast(dec38)).as("sxx"),
+        sum(col("x").cast(dec38) * col("y").cast(dec38)).as("sxy"),
+        sum(col("y").cast(dec38) * col("y").cast(dec38)).as("syy"))
+      val g = arms.agg(
+        sum(col("n")).as("gn"), sum(col("sx")).as("gsx"), sum(col("sy")).as("gsy"),
+        sum(col("sxx")).as("gsxx"), sum(col("sxy")).as("gsxy"))
+      arms.crossJoin(broadcast(g)) // bounded: one row (pooled moments)
+        .withColumn("theta",
+          (d(col("gn")) * d(col("gsxy")) - d(col("gsx")) * d(col("gsy"))) /
+            (d(col("gn")) * d(col("gsxx")) - d(col("gsx")) * d(col("gsx"))))
+        .withColumn("var_y",
+          (d(col("syy")) - d(col("sy")) * d(col("sy")) / d(col("n"))) /
+            (d(col("n")) - lit(1.0)))
+        .withColumn("cov_xy",
+          (d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n"))) /
+            (d(col("n")) - lit(1.0)))
+        .withColumn("var_x",
+          (d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))) /
+            (d(col("n")) - lit(1.0)))
+        .withColumn("var_y_cuped",
+          col("var_y") - lit(2.0) * col("theta") * col("cov_xy") +
+            col("theta") * col("theta") * col("var_x"))
+        .select(col("variant"), col("n"),
+          (d(col("sy")) / d(col("n"))).as("mean_y"),
+          (d(col("sy")) / d(col("n")) -
+            col("theta") * (d(col("sx")) / d(col("n")) - d(col("gsx")) / d(col("gn"))))
+            .as("mean_y_cuped"),
+          col("theta"), col("var_y"), col("var_y_cuped"),
+          (lit(1.0) - col("var_y_cuped") / col("var_y")).as("var_reduction"))
+        .orderBy("variant")
+    },
+
     // RFM user segmentation — the classic lifecycle-marketing score: per
     // user, Recency (days since last event, against the corpus max date),
     // Frequency (event count), Monetary (exact DECIMAL value sum), each
@@ -1071,6 +1140,58 @@ object Events {
         |                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_n
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    // CUPED: HUGEINT moments per arm + pooled; θ, means, variances, and the
+    // reduction mirror the Spark IEEE tree token-for-token.
+    "ev_cuped" ->
+      s"""WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),
+         |e AS (
+         |  SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |    epoch_us(ts) < mn + (mx - mn) // 2 AS pre
+         |  FROM events, b
+         |), u AS (
+         |  SELECT user_id,
+         |    SUM(CASE WHEN pre THEN cents ELSE 0 END) AS x,
+         |    SUM(CASE WHEN NOT pre THEN cents ELSE 0 END) AS y
+         |  FROM e GROUP BY user_id
+         |), v AS (
+         |  SELECT CASE WHEN ${Pipeline.bucketSql("user_id")} < 50 THEN 'A' ELSE 'B' END AS variant,
+         |    x, y FROM u
+         |), arms AS (
+         |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+         |  FROM v GROUP BY variant
+         |), g AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(sx) AS HUGEINT) AS gsx,
+         |    CAST(SUM(sy) AS HUGEINT) AS gsy, CAST(SUM(sxx) AS HUGEINT) AS gsxx,
+         |    CAST(SUM(sxy) AS HUGEINT) AS gsxy
+         |  FROM arms
+         |), t AS (
+         |  SELECT arms.*, g.*,
+         |    (CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE) - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)) /
+         |      (CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE) - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)) AS theta,
+         |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |      (CAST(n AS DOUBLE) - 1.0) AS var_y,
+         |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |      (CAST(n AS DOUBLE) - 1.0) AS cov_xy,
+         |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |      (CAST(n AS DOUBLE) - 1.0) AS var_x
+         |  FROM arms CROSS JOIN g
+         |), t2 AS (
+         |  SELECT t.*,
+         |    var_y - 2.0 * theta * cov_xy + theta * theta * var_x AS var_y_cuped
+         |  FROM t
+         |)
+         |SELECT variant, n,
+         |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+         |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+         |    theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE)) AS mean_y_cuped,
+         |  theta, var_y, var_y_cuped,
+         |  1.0 - var_y_cuped / var_y AS var_reduction
+         |FROM t2 ORDER BY variant""".stripMargin,
     // 2×2 chi-square with HUGEINT-safe casts; dev and the χ² tree mirror
     // the Spark plan token-for-token.
     "ev_ab_conversion" ->

@@ -224,6 +224,56 @@ class EventsSpec extends SparkSpec {
     assert(got.filter(_._1._1 == "last").values.sum == 4L)
   }
 
+  test("cuped: moments, theta, adjusted means and variances equal a straight-line recompute") {
+    val rows = Events.queries("ev_cuped")(spark, sf()).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B"))
+    // Raw per-user (x, y) cent sums around the corpus midpoint, driver-side.
+    val ev = Relational.t(spark, sf(), "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mn = ev.map(_._2).min; val mx = ev.map(_._2).max
+    val mid = mn + (mx - mn) / 2
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.filter(_._2 < mid).map(_._3).sum, es.filter(_._2 >= mid).map(_._3).sum)
+    }.toSeq
+    // Arm assignment must match the engine's hash family.
+    val armOf = Relational.t(spark, sf(), "events")
+      .select(col("user_id")).distinct()
+      .select(col("user_id"), (Pipeline.bucket(col("user_id")) < 50).as("isA"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def moments(xs: Seq[(Long, Long)]): (Long, BigInt, BigInt, BigInt, BigInt, BigInt) =
+      (xs.length.toLong,
+        xs.map(p => BigInt(p._1)).sum, xs.map(p => BigInt(p._2)).sum,
+        xs.map(p => BigInt(p._1) * p._1).sum, xs.map(p => BigInt(p._1) * p._2).sum,
+        xs.map(p => BigInt(p._2) * p._2).sum)
+    val a = moments(perUser.filter(p => armOf(p._1)).map(p => (p._2, p._3)))
+    val b = moments(perUser.filterNot(p => armOf(p._1)).map(p => (p._2, p._3)))
+    val (gn, gsx, gsy, gsxx, gsxy) =
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, a._5 + b._5)
+    val theta = (gn.toDouble * gsxy.toDouble - gsx.toDouble * gsy.toDouble) /
+      (gn.toDouble * gsxx.toDouble - gsx.toDouble * gsx.toDouble)
+    rows.foreach { r =>
+      val m = if (r.getString(0) == "A") a else b
+      val (n, sx, sy, sxx, sxy, syy) = m
+      assert(r.getLong(r.fieldIndex("n")) == n)
+      assert(math.abs(r.getDouble(r.fieldIndex("theta")) - theta) < 1e-12)
+      val meanY = sy.toDouble / n
+      assert(math.abs(r.getDouble(r.fieldIndex("mean_y")) - meanY) < 1e-9)
+      val meanCuped = meanY - theta * (sx.toDouble / n - gsx.toDouble / gn.toDouble)
+      assert(math.abs(r.getDouble(r.fieldIndex("mean_y_cuped")) - meanCuped) < 1e-9)
+      val varY = (syy.toDouble - sy.toDouble * sy.toDouble / n) / (n - 1.0)
+      val covXY = (sxy.toDouble - sx.toDouble * sy.toDouble / n) / (n - 1.0)
+      val varX = (sxx.toDouble - sx.toDouble * sx.toDouble / n) / (n - 1.0)
+      val varCuped = varY - 2.0 * theta * covXY + theta * theta * varX
+      assert(math.abs(r.getDouble(r.fieldIndex("var_y")) - varY) / varY < 1e-12)
+      assert(math.abs(r.getDouble(r.fieldIndex("var_y_cuped")) - varCuped) / varY < 1e-12)
+      assert(math.abs(r.getDouble(r.fieldIndex("var_reduction")) -
+        (1.0 - varCuped / varY)) < 1e-9)
+    }
+  }
+
   test("ab conversion: 2x2 cells and chi-square equal a straight-line recompute") {
     val Array(r) = Events.queries("ev_ab_conversion")(spark, sf()).collect()
     val perUser = Relational.t(spark, sf(), "events")
