@@ -105,6 +105,42 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
+    // FILTERED k-NN — the filtered-vector-search primitive every production
+    // vector store exposes (metadata predicate + top-k in ONE query, the
+    // "find similar docs that are also lang='en'" shape): exact top-k
+    // cosine among only the candidates whose DOCUMENT row passes the
+    // predicate — the filter lives in the metadata table, not the index,
+    // so the plan must join it in and prune BEFORE scoring. Pre-filtering
+    // (prune, then score |filtered| candidates) beats post-filtering
+    // (score, then drop — which under-fills k when the filter is
+    // selective) and that choice is exactly what this query pins: the
+    // equality join on vec_id reduces the scoring input to the filtered
+    // subset, the cosine never evaluates on a filtered-out vector, and
+    // every probe still returns a full k. At corpus scale the candidate
+    // generator swaps to the IVF tier with the predicate applied at the
+    // posting-list probe (the cl_knn_label swap argument); the scoring
+    // tail is unchanged.
+    "ss_filtered_knn" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val allowed = Relational.t(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val cand = e.join(allowed, "vec_id")
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = q.join(cand, col("query_id") =!= col("vec_id"))
+        .select(
+          col("query_id"),
+          col("vec_id").as("neighbor_id"),
+          cosine(col("qv"), col("v")).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TopK)
+        .select("query_id", "rk", "neighbor_id", "cos")
+        .orderBy("query_id", "rk")
+    },
+
     // Exact 3-NN graph over EVERY vector — see [[knnGraph]].
     "ss_knn_graph" -> { (s, dir) => knnGraph(s, dir).orderBy("vec_id", "rank") },
 
@@ -1074,8 +1110,32 @@ object Similarity {
        |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
        |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
 
+  /** Filtered twin of [[bruteforceSql]]: the candidate side is restricted to
+    * documents passing the metadata predicate before any scoring.
+    */
+  private lazy val filteredKnnSql: String =
+    s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), cand AS (
+         |  SELECT e.vec_id, e.v FROM e JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang = 'en'
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce([q.v[i] * c.v[i] FOR i IN range(1, len(q.v)+1)], (p, s) -> p + s)
+         |      / (sqrt(list_reduce([q.v[i] * q.v[i] FOR i IN range(1, len(q.v)+1)], (p, s) -> p + s))
+         |         * sqrt(list_reduce([c.v[i] * c.v[i] FOR i IN range(1, len(c.v)+1)], (p, s) -> p + s))) AS cos
+         |  FROM e q JOIN cand c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cos
+         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ss_topk_bruteforce" -> bruteforceSql,
+    "ss_filtered_knn" -> filteredKnnSql,
     // Recall-report twin: both component statements nested as CTE bodies
     // (DuckDB supports a WITH inside a CTE), intersection counted per query.
     "ss_ann_recall" ->

@@ -20,6 +20,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filtered knn: every neighbor passes the predicate, k is full, and the unfiltered list restricted to allowed ids agrees on its prefix") {
+    import org.apache.spark.sql.functions.col
+    val allowed = Relational.t(spark, sf(), "documents")
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(allowed.size > Similarity.TopK, "corpus must have enough filtered candidates")
+    val rows = Similarity.queries("ss_filtered_knn")(spark, sf()).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == Similarity.NQueries)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length == Similarity.TopK, s"query $q under-filled k")
+      rs.foreach(r => assert(allowed(r.getLong(r.fieldIndex("neighbor_id"))),
+        s"query $q returned a neighbor outside the predicate"))
+      val coss = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b }, "not sorted by cosine")
+    }
+    // Consistency with the unfiltered ranking: dropping disallowed ids from
+    // the exact brute-force order must reproduce the filtered list wherever
+    // the unfiltered top-k contains enough allowed ids to decide it.
+    val unfiltered = neighbors("ss_topk_bruteforce")
+    val filtered = neighbors("ss_filtered_knn")
+    unfiltered.foreach { case (q, ns) =>
+      val expectPrefix = ns.filter(allowed)
+      assert(filtered(q).startsWith(expectPrefix),
+        s"query $q: filtered list disagrees with the allowed-restricted exact order")
+    }
+  }
+
   test("PQ distortion: every subspace encodes every vector and quantization beats raw energy") {
     val rows = Similarity.queries("ss_pq_distortion")(spark, sf()).collect()
     assert(rows.length == Similarity.PqSub)
