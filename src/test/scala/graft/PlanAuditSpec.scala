@@ -148,6 +148,27 @@ class PlanAuditSpec extends SparkSpec {
       s"attribution must window once:\n${plan("ev_attribution")}")
   }
 
+  test("round-11 additions keep their scale shapes") {
+    // Filtered k-NN: the metadata predicate reaches the documents scan, so
+    // candidates are pruned BEFORE the scoring join ever sees them.
+    val fk = plan("ss_filtered_knn")
+    assert(fk.contains("PushedFilters") && fk.contains("lang"),
+      s"filtered knn must push the lang predicate to the documents scan:\n$fk")
+    // t-closeness: pure cascaded aggregations over the cell frame — no
+    // window anywhere, and the grid sides (global distribution, pooled
+    // total) ride broadcasts.
+    val tc = plan("dq_t_closeness")
+    assert(!tc.contains("Window ["), s"t-closeness grew a window funnel:\n$tc")
+    assert(tc.contains("BroadcastExchange"),
+      s"t-closeness grid must broadcast the bounded sides:\n$tc")
+    // CUPED: one user-keyed aggregation; the bounds row and pooled moments
+    // broadcast; nothing windows.
+    val cu = plan("ev_cuped")
+    assert(!cu.contains("Window ["), s"cuped grew a window funnel:\n$cu")
+    assert(cu.contains("BroadcastExchange"),
+      s"cuped must broadcast its one-row frames:\n$cu")
+  }
+
   test("RELY join elimination drops the unused dimension join entirely") {
     val p = plan("q49_join_elim")
     assert(!p.contains("Join"), s"the PK-FK join must be eliminated:\n$p")
