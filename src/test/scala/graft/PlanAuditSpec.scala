@@ -148,6 +148,16 @@ class PlanAuditSpec extends SparkSpec {
       s"attribution must window once:\n${plan("ev_attribution")}")
   }
 
+  test("engine session sizes the generated-class cache for the query surface") {
+    // Static conf, set at session build (EngineSession): at the 100-entry
+    // default every non-back-to-back query re-invocation pays Janino
+    // compilation + a fresh C2 JIT of brand-new classes — measured as a
+    // uniform +0.3–0.7 s tax once bench passes stopped being adjacent
+    // (sf0.1 bench 203 → 154 s when raised). A refactor that drops the
+    // conf must fail here, not as a bench cliff.
+    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries") == "5000")
+  }
+
   test("round-11 additions keep their scale shapes") {
     // Filtered k-NN: the metadata predicate reaches the documents scan, so
     // candidates are pruned BEFORE the scoring join ever sees them.
