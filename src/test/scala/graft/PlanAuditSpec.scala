@@ -149,13 +149,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("engine session sizes the generated-class cache for the query surface") {
-    // Static conf, set at session build (EngineSession): at the 100-entry
-    // default every non-back-to-back query re-invocation pays Janino
-    // compilation + a fresh C2 JIT of brand-new classes — measured as a
-    // uniform +0.3–0.7 s tax once bench passes stopped being adjacent
-    // (sf0.1 bench 203 → 154 s when raised). A refactor that drops the
-    // conf must fail here, not as a bench cliff.
+    // Static conf — the FIRST session in a JVM fixes it for the whole
+    // process, so BOTH builders (EngineSession for the engine, SparkSpec
+    // for this suite) must carry it. At the 100-entry default every
+    // non-back-to-back query re-invocation pays Janino compilation + a
+    // fresh C2 JIT of brand-new classes — measured as a uniform
+    // +0.3–0.7 s tax once bench passes stopped being adjacent (sf0.1
+    // bench 203 → 154 s when raised). A refactor that drops the conf
+    // must fail here, not as a bench cliff.
     assert(spark.conf.get("spark.sql.codegen.cache.maxEntries") == "5000")
+    // And the engine builder itself must declare it (the running test
+    // session can't observe EngineSession's builder directly — a static
+    // conf is process-wide — so check the declaration at the source).
+    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/main/scala/graft/EngineSession.scala")), "UTF-8")
+    assert(src.contains("spark.sql.codegen.cache.maxEntries") && src.contains("5000"),
+      "EngineSession must size the codegen cache for the engine's own sessions")
   }
 
   test("round-11 additions keep their scale shapes") {

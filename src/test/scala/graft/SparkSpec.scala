@@ -30,6 +30,11 @@ object SparkSpec {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        // Mirror EngineSession's codegen-cache sizing (static conf — the
+        // FIRST session in a JVM fixes it for the whole process, and the
+        // 340-test suite churns far more generated classes than 100
+        // entries hold). PlanAuditSpec pins the active value.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .getOrCreate()
       _session.sparkContext.setLogLevel("WARN")
     }
