@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSession
   */
 object EngineSession {
 
+  /** Generated-class cache size — shared with the test session builder
+    * (static conf: the first session in a JVM fixes it process-wide) and
+    * regression-pinned in PlanAuditSpec.
+    */
+  val CodegenCacheEntries = "5000"
+
   def local(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,7 +68,7 @@ object EngineSession {
       // A long-lived analytics JVM keeps its compiled plans; entries are
       // source-keyed and tens of KB, so 5000 is tens of MB. Static conf —
       // must be set before the session exists.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", CodegenCacheEntries)
       .config("spark.ui.enabled", "false")
       .config("spark.task.maxFailures", "4")
       .config("spark.speculation", "true")

@@ -157,14 +157,26 @@ class PlanAuditSpec extends SparkSpec {
     // +0.3–0.7 s tax once bench passes stopped being adjacent (sf0.1
     // bench 203 → 154 s when raised). A refactor that drops the conf
     // must fail here, not as a bench cliff.
-    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries") == "5000")
+    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries") ==
+      EngineSession.CodegenCacheEntries)
     // And the engine builder itself must declare it (the running test
     // session can't observe EngineSession's builder directly — a static
     // conf is process-wide — so check the declaration at the source).
-    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-      "src/main/scala/graft/EngineSession.scala")), "UTF-8")
-    assert(src.contains("spark.sql.codegen.cache.maxEntries") && src.contains("5000"),
-      "EngineSession must size the codegen cache for the engine's own sessions")
+    // The match is the STRUCTURED .config call referencing the shared
+    // constant, anchored at start-of-line so the explanatory comment (which
+    // also names the key) can never satisfy it; the path tries the sbt fork
+    // cwd first, then the repo root, so a cwd change fails loudly here
+    // rather than spuriously.
+    val srcPath = Seq("src/main/scala/graft/EngineSession.scala",
+        "/root/repo/src/main/scala/graft/EngineSession.scala")
+      .map(java.nio.file.Paths.get(_))
+      .find(java.nio.file.Files.exists(_))
+      .getOrElse(fail("EngineSession.scala not found from test working directory"))
+    val src = new String(java.nio.file.Files.readAllBytes(srcPath), "UTF-8")
+    val decl = """(?m)^\s*\.config\("spark\.sql\.codegen\.cache\.maxEntries",\s*CodegenCacheEntries\)""".r
+    assert(decl.findFirstIn(src).isDefined,
+      "EngineSession must size the codegen cache for the engine's own sessions " +
+        "(.config(\"spark.sql.codegen.cache.maxEntries\", CodegenCacheEntries) missing)")
   }
 
   test("round-11 additions keep their scale shapes") {

@@ -34,7 +34,7 @@ object SparkSpec {
         // FIRST session in a JVM fixes it for the whole process, and the
         // 340-test suite churns far more generated classes than 100
         // entries hold). PlanAuditSpec pins the active value.
-        .config("spark.sql.codegen.cache.maxEntries", "5000")
+        .config("spark.sql.codegen.cache.maxEntries", graft.EngineSession.CodegenCacheEntries)
         .getOrCreate()
       _session.sparkContext.setLogLevel("WARN")
     }
