@@ -381,13 +381,11 @@ object Events {
     // once where the rank formulation re-sorted it twice.
     "ev_mad_outliers" -> { (s, dir) =>
       val d = org.apache.spark.sql.types.DecimalType(18, 2)
-      // Materialized: the histogram feeds the median selection AND the
-      // deviation histogram (which feeds the MAD selection and the outlier
-      // census) — one shuffle aggregation over the corpus, ever.
-      val hist = Dedup.materialized(
-        Relational.t(s, dir, "events")
-          .select(col("event_type"), col("value").cast(d).as("v"))
-          .groupBy("event_type", "v").agg(count(lit(1)).as("cnt")))
+      // The stored value grid ([[valueGridStore]]) feeds the median
+      // selection AND the deviation histogram (which feeds the MAD
+      // selection and the outlier census) — one shuffle aggregation over
+      // the corpus per SESSION, shared with ev_winsorize.
+      val hist = valueGridStore(s, dir)
       // Sum of the two middle-rank values ((n+1) div 2, (n+2) div 2 — equal
       // when n is odd, so the same grid row legitimately fires both sums).
       // Window.partitionBy(event_type) over the DOMAIN-BOUNDED histogram is
@@ -435,15 +433,12 @@ object Events {
     // histogram + one broadcast stats join — the ev_mad_outliers shape at
     // different ranks.
     "ev_winsorize" -> { (s, dir) =>
-      val d = org.apache.spark.sql.types.DecimalType(18, 2)
       // Same domain-bounded (event_type, value) histogram as
-      // ev_mad_outliers: quantile ranks select grid values by cumulative
-      // count, and the raw/clipped sums weight each grid value by cnt —
-      // the corpus is aggregated once, every statistic reads the histogram.
-      val hist = Dedup.materialized(
-        Relational.t(s, dir, "events")
-          .select(col("event_type"), col("value").cast(d).as("v"))
-          .groupBy("event_type", "v").agg(count(lit(1)).as("cnt")))
+      // ev_mad_outliers — read from the shared stored grid
+      // ([[valueGridStore]]): quantile ranks select grid values by
+      // cumulative count, and the raw/clipped sums weight each grid value
+      // by cnt — the corpus is aggregated once per session.
+      val hist = valueGridStore(s, dir)
       val wOrd = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy("v")
       val wAll = org.apache.spark.sql.expressions.Window
@@ -956,6 +951,24 @@ object Events {
     * miss it — real attrition at every tier on this stream.
     */
   val FunnelWindowMicros: Long = 6L * 3600 * 1000000
+
+  /** Domain-bounded (event_type, value-cents) histogram of the event
+    * stream, pinned once per (session, corpus) via [[graft.sources.Stored
+    * .pinned]] — the value-grid frame the rank-statistic queries select
+    * from (ev_mad_outliers' exact medians/MAD, ev_winsorize's quantile
+    * clips). Bounded by |types| × |price grid| at any corpus size — the
+    * metadata-sized rule (RAM-pinned), like the LM score frames. The
+    * aggregation SHAPE keeps a fully live measurement elsewhere in the
+    * tier: ev_ks_ab builds the same grid live with its arm split, so the
+    * one-live-measurement-per-tier doctrine holds.
+    */
+  private def valueGridStore(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stored.pinned("ev_value_grid", dir, s) {
+      Relational.t(s, dir, "events")
+        .select(col("event_type"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+    }
 
   /** Conversion threshold for [[queries ev_ab_conversion]]: a user counts
     * as converted with ≥ this many purchase events (the median per-user
