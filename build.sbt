@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Build-injected project root: source-inspecting tests (PlanAuditSpec's
+  // codegen-cache declaration pin) resolve files of THIS checkout through
+  // it, never a hardcoded absolute path to a possibly-different one.
+  s"-Dgraft.projectRoot=${baseDirectory.value}",
 )

@@ -46,7 +46,11 @@ object Bench {
     locally {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
-      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      // Through Relational.t (the Tables.t layout/normalization seam), so
+      // the warm-up exercises the SAME table-resolution path as every timed
+      // query — a resolution change can't silently leave the warm-up on a
+      // different read path (ADVICE r11).
+      val c = graft.operators.Relational.t(spark, sfDir, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
       val ranked = c.withColumn("rk", row_number().over(
         Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))))

@@ -1041,7 +1041,12 @@ object Dedup {
     "dd_lsh_band_sweep" -> { (s, dir) =>
       val sigs = minhashStore(s, dir)
       // Bounded: verified near-dup pairs with both K-long signatures.
-      val paired = materialized(
+      // PINNED once per (session, corpus) — previously an eager
+      // localCheckpoint at every plan CONSTRUCTION, which made plan-only
+      // consumers (PlanAuditSpec.plan) run a cluster job and charged the
+      // checkpoint to this query's timed build phase on every bench pass
+      // (ADVICE r11).
+      val paired = graft.sources.Stored.pinned("dd_band_sweep_pairs", dir, s)(
         verifiedPairStore(s, dir).select(col("doc_a"), col("doc_b"))
           .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
           .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b"))
@@ -1050,7 +1055,11 @@ object Dedup {
       // (agg over an empty frame per config) while the DuckDB twin's
       // GROUP BY over an empty det CTE emits 0 rows — a latent cross-engine
       // hash mismatch that must fail here, not at the gate (ADVICE r10).
-      require(paired.limit(1).count() == 1,
+      // The count rides the session-scoped scalar cache, so the action runs
+      // ONCE per (session, corpus) — against the RAM-pinned frame — not at
+      // every plan construction (ADVICE r11).
+      require(graft.sources.Stored.scalarLong("dd_band_sweep_nonvacuous", dir)(
+          paired.limit(1).count()) == 1L,
         "dd_lsh_band_sweep: corpus has no verified near-dup pairs — the " +
           "sweep has no ground truth to measure and would diverge from its oracle")
       BandSweepConfigs.map { case (b, r) =>

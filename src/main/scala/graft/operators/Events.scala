@@ -554,13 +554,17 @@ object Events {
           when(Pipeline.bucket(col("user_id")) < 50, lit("A")).otherwise(lit("B"))
             .as("variant"),
           col("x"), col("y"))
-      val arms = perUser.groupBy("variant").agg(
+      // Materialized (2 rows): `arms` feeds BOTH the pooled aggregate `g`
+      // and the final crossJoin — without the checkpoint the corpus-scale
+      // per-user aggregation executes once per consumer unless
+      // ReusedExchange happens to fire (the dq_t_closeness `cell` posture).
+      val arms = Dedup.materialized(perUser.groupBy("variant").agg(
         count(lit(1)).as("n"),
         sum(col("x").cast(dec38)).as("sx"),
         sum(col("y").cast(dec38)).as("sy"),
         sum(col("x").cast(dec38) * col("x").cast(dec38)).as("sxx"),
         sum(col("x").cast(dec38) * col("y").cast(dec38)).as("sxy"),
-        sum(col("y").cast(dec38) * col("y").cast(dec38)).as("syy"))
+        sum(col("y").cast(dec38) * col("y").cast(dec38)).as("syy")))
       val g = arms.agg(
         sum(col("n")).as("gn"), sum(col("sx")).as("gsx"), sum(col("sy")).as("gsy"),
         sum(col("sxx")).as("gsxx"), sum(col("sxy")).as("gsxy"))
@@ -952,23 +956,36 @@ object Events {
     */
   val FunnelWindowMicros: Long = 6L * 3600 * 1000000
 
-  /** Domain-bounded (event_type, value-cents) histogram of the event
-    * stream, pinned once per (session, corpus) via [[graft.sources.Stored
-    * .pinned]] — the value-grid frame the rank-statistic queries select
-    * from (ev_mad_outliers' exact medians/MAD, ev_winsorize's quantile
-    * clips). Bounded by |types| × |price grid| at any corpus size — the
-    * metadata-sized rule (RAM-pinned), like the LM score frames. The
-    * aggregation SHAPE keeps a fully live measurement elsewhere in the
-    * tier: ev_ks_ab builds the same grid live with its arm split, so the
-    * one-live-measurement-per-tier doctrine holds.
+  /** (event_type, value-cents) histogram of the event stream, pinned once
+    * per (session, corpus) via [[graft.sources.Stored.pinnedIfBounded]] —
+    * the value-grid frame the rank-statistic queries select from
+    * (ev_mad_outliers' exact medians/MAD, ev_winsorize's quantile clips).
+    * The pin rests on a DOMAIN assumption — values snapping to a
+    * |types| × |price grid| lattice — that a corpus can break (the gate
+    * corpus already half-breaks it: ~0.49 grid rows per event, measured at
+    * sf0.01 and sf0.1), so the bound is CHECKED at pin time (ADVICE r11):
+    * over [[ValueGridPinMaxRows]] the store logs loudly and returns the
+    * live aggregation — consumers stay exact, the engine degrades to a
+    * shuffle per query instead of pinning an O(|events|) frame in executor
+    * memory for the context's lifetime. The aggregation SHAPE keeps a fully
+    * live measurement elsewhere in the tier: ev_ks_ab builds the same grid
+    * live with its arm split, so the one-live-measurement-per-tier doctrine
+    * holds.
     */
   private def valueGridStore(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Stored.pinned("ev_value_grid", dir, s) {
+    graft.sources.Stored.pinnedIfBounded("ev_value_grid", dir, s, ValueGridPinMaxRows) {
       Relational.t(s, dir, "events")
         .select(col("event_type"),
           col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
         .groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
     }
+
+  /** RAM bound for the value-grid pin: ~50 B/row × 2M ≈ 100 MB of block
+    * manager — generous for any genuinely grid-snapped domain (10k price
+    * points × 100 types = 1M), far below the O(|events|) frame a
+    * near-continuous value column produces at lake scale.
+    */
+  val ValueGridPinMaxRows: Long = 2000000L
 
   /** Conversion threshold for [[queries ev_ab_conversion]]: a user counts
     * as converted with ≥ this many purchase events (the median per-user

@@ -117,19 +117,33 @@ object Retrieval {
     // re-tokenized) plus a one-row grand-total broadcast; output is
     // ≤ log2(n_docs) rows at any scale.
     "rt_df_histogram" -> { (s, dir) =>
-      val bucket = (1 to 30).foldLeft(lit(0): Column) { (acc, k) =>
-        when(col("cdf") >= lit(1L << k), lit(k)).otherwise(acc)
-      }
-      val df = dfStore(s, dir)
-      val tot = df.agg(sum(col("cdf")).as("tot"))
-      df.select(bucket.as("df_bucket"), col("cdf"))
-        .groupBy("df_bucket")
-        .agg(count(lit(1)).as("n_terms"), sum(col("cdf")).as("n_postings"))
-        .crossJoin(broadcast(tot)) // bounded: one row
-        .select(col("df_bucket"), col("n_terms"), col("n_postings"),
-          (col("n_postings").cast("double") / col("tot").cast("double"))
-            .as("postings_share"))
-        .orderBy("df_bucket")
+      dfHistogram(dfStore(s, dir))
+    },
+
+    // Stored-structure LIFECYCLE under corpus CHANGE — the staleness
+    // contract every stored artifact in this engine (df tables, IVF cells,
+    // BPE merges, posting lists) hits daily at lake scale: a landing batch
+    // arrives AFTER the index was built, and the index must be maintained,
+    // not trusted stale and not rebuilt from scratch. This query maintains
+    // the df table INCREMENTALLY: the stale base index (built from the
+    // pre-landing corpus partition only, stored — [[baseDfStore]]) is
+    // merged with a live delta aggregated from the landing batch alone
+    // (the dd_incremental 80/20 landing shape), by a full-outer term join
+    // — O(|vocab| + |batch tokens|), never a corpus re-tokenization. The
+    // oracle is rt_df_histogram's FROM-SCRATCH full-corpus rebuild, so the
+    // hash match proves merge(stale, delta) ≡ rebuild(union) exactly; the
+    // stale-read-vs-maintained-read distinction (the base table alone
+    // yields a DIFFERENT histogram) is spec-asserted in RetrievalSpec.
+    "rt_df_incremental" -> { (s, dir) =>
+      val base = baseDfStore(s, dir)
+      val delta = tokenStore(s, dir)
+        .filter(Pipeline.bucket(col("doc_id")) >= IndexedBucketCap)
+        .select(explode(array_distinct(col("ts"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("dcdf"))
+      val merged = base.join(delta, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("cdf"), lit(0L)) + coalesce(col("dcdf"), lit(0L))).as("cdf"))
+      dfHistogram(merged)
     },
 
     // BM25-ranked keyword search for [[Bm25Terms]]: score(d) =
@@ -384,6 +398,45 @@ object Retrieval {
         .select(col("doc_id"), explode(array_distinct(col("ts"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cdf")))
 
+  /** Landing-batch split point (the dd_incremental shape): docs with
+    * bucket < this are "already indexed", the rest are the landing batch.
+    */
+  val IndexedBucketCap = 80
+
+  /** The STALE base df table: document frequencies over the pre-landing
+    * corpus partition only (bucket < [[IndexedBucketCap]]), stored — the
+    * index artifact that predates the landing batch, read as-is by the
+    * incremental-maintenance query. Parquet-lazy like [[dfStore]].
+    */
+  private[graft] def baseDfStore(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stored.materialize("rt_term_df_base", dir, s)(
+      tokenStore(s, dir)
+        .filter(Pipeline.bucket(col("doc_id")) < IndexedBucketCap)
+        .select(col("doc_id"), explode(array_distinct(col("ts"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cdf")))
+
+  /** Power-of-two df histogram over a (term, cdf) frame — the shared shape
+    * of rt_df_histogram (over the full stored index) and rt_df_incremental
+    * (over the incrementally maintained merge). One hash aggregation over
+    * the vocabulary-sized input plus a one-row grand-total broadcast;
+    * output is ≤ log2(n_docs) rows at any scale. Zero libm: ⌊log2(df)⌋ is
+    * a pure integer comparison ladder (mirrored textually in the oracle).
+    */
+  private def dfHistogram(df: DataFrame): DataFrame = {
+    val bucket = (1 to 30).foldLeft(lit(0): Column) { (acc, k) =>
+      when(col("cdf") >= lit(1L << k), lit(k)).otherwise(acc)
+    }
+    val tot = df.agg(sum(col("cdf")).as("tot"))
+    df.select(bucket.as("df_bucket"), col("cdf"))
+      .groupBy("df_bucket")
+      .agg(count(lit(1)).as("n_terms"), sum(col("cdf")).as("n_postings"))
+      .crossJoin(broadcast(tot)) // bounded: one row
+      .select(col("df_bucket"), col("n_terms"), col("n_postings"),
+        (col("n_postings").cast("double") / col("tot").cast("double"))
+          .as("postings_share"))
+      .orderBy("df_bucket")
+  }
+
   /** BM25 scoring against a term FRAME (broadcast semi-join pruning — the
     * data-dependent-query form of rt_bm25's literal isin; arithmetic kept
     * token-identical to rt_bm25 and its oracle).
@@ -450,6 +503,34 @@ object Retrieval {
        |GROUP BY doc_id
        |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
 
+  /** From-scratch full-corpus df histogram (DuckDB): the shared twin of
+    * rt_df_histogram and rt_df_incremental.
+    */
+  private def dfHistogramRebuildSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) AS ts
+       |  FROM documents
+       |), post AS (
+       |  SELECT doc_id, UNNEST(ts) AS term FROM d
+       |), df AS (
+       |  SELECT term, COUNT(*) AS cdf FROM post GROUP BY term
+       |), b AS (
+       |  SELECT CASE ${(30 to 1 by -1)
+           .map(k => s"WHEN cdf >= ${1L << k} THEN $k").mkString(" ")}
+       |    ELSE 0 END AS df_bucket, cdf
+       |  FROM df
+       |), h AS (
+       |  SELECT df_bucket, COUNT(*) AS n_terms,
+       |    CAST(SUM(cdf) AS BIGINT) AS n_postings
+       |  FROM b GROUP BY df_bucket
+       |), t AS (
+       |  SELECT CAST(SUM(cdf) AS BIGINT) AS tot FROM df
+       |)
+       |SELECT df_bucket, n_terms, n_postings,
+       |  CAST(n_postings AS DOUBLE) / CAST(tot AS DOUBLE) AS postings_share
+       |FROM h CROSS JOIN t ORDER BY df_bucket""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Hit-anchored window census + per-doc argmax; DuckDB's inclusive list
     // slice takes start..start+W−1.
@@ -488,30 +569,13 @@ object Retrieval {
         |FROM post GROUP BY term ORDER BY term""".stripMargin,
     // Histogram twin: df recomputed from scratch, the same power-of-two
     // comparison ladder, the same single grand-total division.
-    "rt_df_histogram" ->
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) AS ts
-         |  FROM documents
-         |), post AS (
-         |  SELECT doc_id, UNNEST(ts) AS term FROM d
-         |), df AS (
-         |  SELECT term, COUNT(*) AS cdf FROM post GROUP BY term
-         |), b AS (
-         |  SELECT CASE ${(30 to 1 by -1)
-             .map(k => s"WHEN cdf >= ${1L << k} THEN $k").mkString(" ")}
-         |    ELSE 0 END AS df_bucket, cdf
-         |  FROM df
-         |), h AS (
-         |  SELECT df_bucket, COUNT(*) AS n_terms,
-         |    CAST(SUM(cdf) AS BIGINT) AS n_postings
-         |  FROM b GROUP BY df_bucket
-         |), t AS (
-         |  SELECT CAST(SUM(cdf) AS BIGINT) AS tot FROM df
-         |)
-         |SELECT df_bucket, n_terms, n_postings,
-         |  CAST(n_postings AS DOUBLE) / CAST(tot AS DOUBLE) AS postings_share
-         |FROM h CROSS JOIN t ORDER BY df_bucket""".stripMargin,
+    "rt_df_histogram" -> dfHistogramRebuildSql,
+    // The incremental-maintenance query shares the SAME from-scratch
+    // full-corpus twin ON PURPOSE: the staleness contract under test is
+    // merge(stale base index, landing-batch delta) ≡ rebuild(unioned
+    // corpus), so the oracle must be the rebuild, computed with no
+    // knowledge of the split or the merge.
+    "rt_df_incremental" -> dfHistogramRebuildSql,
     "rt_bm25" -> bm25OracleSql,
     // nDCG twin: the nested gated BM25 statement ranked by ROW_NUMBER,
     // integer-ppm discount literals, sort-free ideal DCG from the corpus

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   *    products ([[Dedup.dotSeq]]) and vec_id tie-breaks → full DuckDB oracle.
   *  - [[queries ss_ann_lsh]] — the scale path: random-hyperplane LSH (signs of
   *    projections onto md5-derived pseudo-random hyperplanes) buckets vectors;
-  *    candidates come from same-bucket joins only. Approximate ⇒ no SQL
-  *    oracle (rows-only driver check); SimilaritySpec measures recall vs the
-  *    brute-force baseline.
+  *    candidates come from same-bucket joins only. Fully hash-gated since r7:
+  *    the DuckDB twin ([[annLshSql]]) re-derives the hyperplanes and replays
+  *    the bucket joins from scratch, so "approximate" means approximate
+  *    NEIGHBORS, not an approximate gate; SimilaritySpec additionally
+  *    measures recall vs the brute-force baseline.
   *
   * Scale design (100 TB): brute force is O(queries × corpus) — fine for a
   * bounded query set, impossible corpus × corpus. The LSH path is

@@ -77,6 +77,39 @@ object Stored {
   private val frames =
     new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.SparkContext, DataFrame)]()
 
+  /** [[pinned]] with a LOUD boundedness check (ADVICE r11): the pin tier is
+    * only for metadata-sized frames, but some "grids" are bounded by a
+    * DOMAIN assumption (e.g. values snapping to a small price grid) that a
+    * different corpus can break — a near-continuous value column makes the
+    * grid scale with the fact table, and a strong-referenced localCheckpoint
+    * of that would hold O(|events|) blocks in executor memory for the
+    * context's lifetime. Counts the frame ONCE per (name, corpus) via the
+    * scalar cache; pins only under `maxRows`, otherwise logs loudly and
+    * returns the LIVE frame — consumers stay correct (they re-aggregate per
+    * query, the pre-pin behavior) and the engine degrades to the
+    * shuffle-per-query plan instead of an executor-memory cliff.
+    */
+  def pinnedIfBounded(name: String, dir: String, s: SparkSession, maxRows: Long)(
+      df: => DataFrame): DataFrame = {
+    val n = scalarLong(s"$name:nrows", dir)(df.count())
+    if (n <= maxRows) pinned(name, dir, s)(df)
+    else {
+      // stderr, not log4j: pin-tier misuse must be visible in any run log,
+      // not filtered by logger level.
+      System.err.println(
+        s"[graft.Stored] NOT pinning '$name' for $dir: $n rows exceeds the " +
+          s"metadata-size bound $maxRows - the domain-boundedness assumption " +
+          "does not hold on this corpus; consumers fall back to live plans")
+      df
+    }
+  }
+
+  /** Whether a frame is currently pinned (test hook for the boundedness
+    * fallback — proves an over-bound frame was NOT pinned).
+    */
+  private[graft] def isPinned(name: String, dir: String, s: SparkSession): Boolean =
+    frames.containsKey(s"${s.sparkContext.applicationId}:$name:$dir")
+
   /** Live pinned-entry count AFTER eviction — test hook for the eviction
     * policy (StoredSpec proves stopped-context entries are dropped and live
     * ones survive).

@@ -164,14 +164,15 @@ class PlanAuditSpec extends SparkSpec {
     // conf is process-wide — so check the declaration at the source).
     // The match is the STRUCTURED .config call referencing the shared
     // constant, anchored at start-of-line so the explanatory comment (which
-    // also names the key) can never satisfy it; the path tries the sbt fork
-    // cwd first, then the repo root, so a cwd change fails loudly here
-    // rather than spuriously.
-    val srcPath = Seq("src/main/scala/graft/EngineSession.scala",
-        "/root/repo/src/main/scala/graft/EngineSession.scala")
-      .map(java.nio.file.Paths.get(_))
-      .find(java.nio.file.Files.exists(_))
-      .getOrElse(fail("EngineSession.scala not found from test working directory"))
+    // also names the key) can never satisfy it. The source is resolved via
+    // the BUILD-INJECTED project root (-Dgraft.projectRoot from build.sbt),
+    // so the test always reads the checkout under test — a hardcoded
+    // absolute fallback could read a DIFFERENT checkout and pass/fail
+    // spuriously. Missing property or file fails loudly.
+    val root = sys.props.getOrElse("graft.projectRoot",
+      fail("-Dgraft.projectRoot not set (build.sbt injects it for forked tests)"))
+    val srcPath = java.nio.file.Paths.get(root, "src/main/scala/graft/EngineSession.scala")
+    assert(java.nio.file.Files.exists(srcPath), s"EngineSession.scala not found at $srcPath")
     val src = new String(java.nio.file.Files.readAllBytes(srcPath), "UTF-8")
     val decl = """(?m)^\s*\.config\("spark\.sql\.codegen\.cache\.maxEntries",\s*CodegenCacheEntries\)""".r
     assert(decl.findFirstIn(src).isDefined,

@@ -104,6 +104,27 @@ class RetrievalSpec extends SparkSpec {
     assert(byTerms.head >= byTerms(byTerms.length / 2) - 1)
   }
 
+  test("incremental df maintenance: merge(stale, delta) == rebuild, and the stale read differs") {
+    def rows(name: String) =
+      Retrieval.queries(name)(spark, sf()).collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // The maintained index (stale base + landing-batch delta, merged by
+    // term) must reproduce the from-scratch full-corpus rebuild EXACTLY.
+    assert(rows("rt_df_incremental") == rows("rt_df_histogram"),
+      "merge(stale base, delta) must equal rebuild(unioned corpus)")
+    // And the distinction is non-vacuous: reading the STALE base table
+    // alone yields a different index — the landing batch carries real
+    // postings (and, on this corpus, real vocabulary).
+    val staleTot = Retrieval.baseDfStore(spark, sf())
+      .agg(sum("cdf")).head().getLong(0)
+    val staleVocab = Retrieval.baseDfStore(spark, sf()).count()
+    val fullTot = rows("rt_df_histogram").map(_._3).sum
+    val fullVocab = rows("rt_df_histogram").map(_._2).sum
+    assert(staleTot < fullTot,
+      s"stale postings $staleTot must undercount the union's $fullTot")
+    assert(staleVocab <= fullVocab)
+  }
+
   test("PRF expansion widens the query and re-ranks under it") {
     val rows = Retrieval.queries("rt_prf_expansion")(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

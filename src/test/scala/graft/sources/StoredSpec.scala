@@ -51,6 +51,30 @@ class StoredSpec extends SparkSpec {
     assert(Stored.livePinCount >= 2)
   }
 
+  test("pinnedIfBounded pins under the bound and falls back LIVE over it") {
+    import spark.implicits._
+    // Under the bound: behaves exactly like pinned (cached, counted once).
+    val under = Stored.pinnedIfBounded("spec_pib_small", "specdirC", spark, 10L)(
+      Seq(1L, 2L).toDF("id"))
+    assert(Stored.isPinned("spec_pib_small", "specdirC", spark),
+      "a frame under the bound must be pinned")
+    assert(under.count() == 2)
+    // Over the bound: the frame must NOT enter the pin tier — consumers get
+    // the live plan (still correct) instead of an executor-memory cliff.
+    var builds = 0
+    def big = { builds += 1; Seq(1L, 2L, 3L, 4L).toDF("id") }
+    val over = Stored.pinnedIfBounded("spec_pib_big", "specdirC", spark, 3L)(big)
+    assert(!Stored.isPinned("spec_pib_big", "specdirC", spark),
+      "a frame over the bound must fall back to the live plan, not pin")
+    assert(over.agg(sum("id")).head().getLong(0) == 10L)
+    // The boundedness COUNT itself rides the scalar cache — a second call
+    // re-builds the live plan (by-name thunk) but does not re-count.
+    Stored.pinnedIfBounded("spec_pib_big", "specdirC", spark, 3L)(big)
+    assert(builds >= 2, "over-bound frames stay live (rebuilt per consumer)")
+    assert(Stored.scalarLong("spec_pib_big:nrows", "specdirC")(99L) == 4L,
+      "the row count must be cached from the first boundedness check")
+  }
+
   test("pinned entries of a stopped context are evicted; a fresh context re-pins") {
     var builds = 0
     def frame(s: org.apache.spark.sql.SparkSession) = {
