@@ -266,23 +266,35 @@ object Quality {
     // (and the numbers the CBO tier's CatalogStats path consumes): row
     // count, null count, exact distinct count, min/max per column, emitted
     // as one row per column. ONE aggregation over one scan computes every
-    // column's stats together (the distincts share a single Expand); the
-    // row-per-column shape is a 4-element explode of the 1-row result.
-    // Min/max stringify through engine-stable forms only (DECIMAL, DATE,
-    // VARCHAR — never raw double formatting, which differs across engines).
+    // column's stats together; the row-per-column shape is a 4-element
+    // explode of the 1-row result. Min/max stringify through engine-stable
+    // forms only (DECIMAL, DATE, VARCHAR — never raw double formatting,
+    // which differs across engines).
+    //
+    // Distinct strategy is per-column by DECLARED domain (r12 A/B,
+    // tools/ProfileProbe: 2.3–2.6 s → 1.3–1.6 s at sf0.1): the three
+    // bounded-domain columns (quantity: integral 1..50; returnflag: enum;
+    // shipdate: calendar days) ride size(collect_set) — exact, with
+    // aggregation state bounded by the DOMAIN, not the row count — so the
+    // single high-cardinality column's countDistinct is the SOLE distinct
+    // aggregate and plans as a two-phase group-by instead of the ×5 Expand
+    // that multiplying 4 distincts over the scan used to cost (the Expand
+    // tier was ~2/3 of the query, isolated by the probe's no-distinct
+    // floor of 0.8–0.9 s). Boundedness is a declared contract per profiled
+    // column (like every pin-tier bound); a column without one must use
+    // countDistinct. No-Expand + one-scan is plan-asserted in
+    // PlanAuditSpec.
     "dq_profile" -> { (s, dir) =>
       val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
-      // The 4-column distinct shares one Expand, which multiplies the scan
-      // ×4 before the partial agg — the heaviest map side in the dq tier.
-      // parallelizeNarrowScan spreads it across the session's cores when
-      // the file layout under-splits (single-file local table); no-op at
-      // scale, where the table scans as thousands of splits.
+      // parallelizeNarrowScan spreads the map side across the session's
+      // cores when the file layout under-splits (single-file local table);
+      // no-op at scale, where the table scans as thousands of splits.
       val a = Relational.parallelizeNarrowScan(
         Relational.t(s, dir, "lineitem")
           .select("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")).agg(
         count(lit(1)).as("n"),
         (count(lit(1)) - count(col("l_quantity"))).as("qty_null"),
-        countDistinct(col("l_quantity")).as("qty_dist"),
+        size(collect_set(col("l_quantity"))).cast("long").as("qty_dist"),
         min(col("l_quantity").cast(d2)).cast("string").as("qty_min"),
         max(col("l_quantity").cast(d2)).cast("string").as("qty_max"),
         (count(lit(1)) - count(col("l_extendedprice"))).as("price_null"),
@@ -290,11 +302,11 @@ object Quality {
         min(col("l_extendedprice").cast(d2)).cast("string").as("price_min"),
         max(col("l_extendedprice").cast(d2)).cast("string").as("price_max"),
         (count(lit(1)) - count(col("l_returnflag"))).as("flag_null"),
-        countDistinct(col("l_returnflag")).as("flag_dist"),
+        size(collect_set(col("l_returnflag"))).cast("long").as("flag_dist"),
         min(col("l_returnflag")).as("flag_min"),
         max(col("l_returnflag")).as("flag_max"),
         (count(lit(1)) - count(col("l_shipdate"))).as("date_null"),
-        countDistinct(col("l_shipdate")).as("date_dist"),
+        size(collect_set(col("l_shipdate"))).cast("long").as("date_dist"),
         min(col("l_shipdate")).cast("string").as("date_min"),
         max(col("l_shipdate")).cast("string").as("date_max"))
       def row(name: String, p: String) = struct(

@@ -439,6 +439,12 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("dq_profile")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"dq_profile must profile all columns from ONE scan, found $scans:\n$p")
+    // And WITHOUT the multi-distinct Expand: the bounded-domain columns'
+    // distincts ride collect_set, leaving one sole countDistinct that
+    // plans as a two-phase group-by — the Expand used to multiply the
+    // scan ×5 and was ~2/3 of the query (r12 ProfileProbe A/B).
+    assert(!p.contains("Expand"),
+      s"dq_profile's distinct tier must not re-introduce the Expand:\n$p")
   }
 
   test("dataset card computes every rollup level from one scan (Expand, no re-scan)") {
