@@ -14,11 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    query's two samples land minutes apart — back-to-back passes shed a
   *    one-query spike but not a multi-minute contended window (the r10
   *    cd_ / an_ cluster sat inside one with BOTH passes inflated);
-  *  - a fixed CONTROL query (constant trivial plan) is timed every
-  *    [[ControlEvery]] slots and its trajectory recorded in
-  *    bench_detail.json, so a contended region is localizable from the
-  *    artifact alone — control spikes bracketing a slow cluster indict the
-  *    environment, a flat control indicts the plans;
+  *  - TWO fixed CONTROL probes are timed every [[ControlEvery]] slots and
+  *    their trajectories recorded in bench_detail.json: a trivial 2-stage
+  *    plan (CPU-contention signal) and a byte-light ~6-sequential-stage
+  *    chain (per-stage-latency signal — the r11 lesson: multi-stage
+  *    low-data queries inflated 3–5× under a flat trivial control, which a
+  *    stage-count-amplifying probe would have flagged). Both spike → CPU
+  *    hog; staged spikes over a flat trivial one → stage-latency window;
+  *    both flat → the plans own their numbers;
   *  - a query that fails BOTH passes is listed in `failed` and EXCLUDED from
   *    `queries`/`total` (a broken query must not silently look "fast", and
   *    its time-to-exception must not deflate the headline number); a query
@@ -102,15 +105,44 @@ object Bench {
           org.apache.spark.sql.functions.lit(1)).as("n")))
       (System.nanoTime() - t0) / 1e9
     }
-    controlOnce() // warm the control's own plan so sample 0 isn't a JIT outlier
+    // The STAGED control: the same 25 rows through a chain of sequential
+    // stage boundaries (repartition → window → aggregate → global sort —
+    // byte-light, data-trivial, ~6 stages like the cd_* MERGE chain). The
+    // r11 lesson: the trivial control stayed flat while multi-sequential-
+    // stage low-data queries ran 3–5× — a PER-STAGE-LATENCY shift that a
+    // 2-stage probe amplifies ~2× but a 6-stage probe ~6×. Two controls
+    // make the failure modes separable from the artifact alone: both spike
+    // → CPU contention; staged spikes over a flat trivial one → stage-
+    // latency window (scheduler/JVM), indicting neither the plans nor the
+    // data path.
+    def stagedControlOnce(): Double = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+        .select(col("n_nationkey"), col("n_regionkey"))
+        .repartition(4, col("n_regionkey"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
+        .groupBy("n_regionkey").agg(max("rk").as("n"))
+        .orderBy("n_regionkey")
+      noop(n)
+      (System.nanoTime() - t0) / 1e9
+    }
+    controlOnce() // warm both controls' plans so sample 0 isn't a JIT outlier
+    stagedControlOnce()
 
     val gc0 = gcMillis
     val namesSorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val controls = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val stagedControls = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     var slot = 0
     def passOver(): Seq[Option[(Double, Double)]] =
       namesSorted.map { case (name, fn) =>
-        if (slot % ControlEvery == 0) controls += ((slot, controlOnce()))
+        if (slot % ControlEvery == 0) {
+          controls += ((slot, controlOnce()))
+          stagedControls += ((slot, stagedControlOnce()))
+        }
         slot += 1
         once(name, fn)
       }
@@ -145,12 +177,15 @@ object Bench {
       "\"" + name + "\":" +
         ts.map { case (b, e) => f"[$b%.3f,$e%.3f]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // Control trajectory: [slot, seconds] per probe, slots counted across
-    // both passes (slot n_queries = start of pass 2).
+    // Control trajectories: [slot, seconds] per probe, slots counted across
+    // both passes (slot n_queries = start of pass 2). `control` is the
+    // 2-stage trivial probe (CPU-contention signal); `control_staged` the
+    // ~6-sequential-stage byte-light probe (per-stage-latency signal).
     val ctl = controls.map { case (i, t) => f"[$i,$t%.3f]" }.mkString("[", ",", "]")
+    val ctlStaged = stagedControls.map { case (i, t) => f"[$i,$t%.3f]" }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_times":$passes,"pass_build_exec":$phased,"control":$ctl,"sf":"$sfDir","passes":2,"interleaved":true,"failed":${names(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_times":$passes,"pass_build_exec":$phased,"control":$ctl,"control_staged":$ctlStaged,"sf":"$sfDir","passes":2,"interleaved":true,"failed":${names(
           failed)},"flaky":${names(flaky)},"gc_sec":$gcSec%.1f}""")
 
     // Stdout line — must survive the driver's 2000-char log tail INTACT to be
@@ -176,8 +211,11 @@ object Bench {
     val ctlSorted = controls.map(_._2).sorted
     val ctlMed = if (ctlSorted.isEmpty) 0.0 else ctlSorted(ctlSorted.size / 2)
     val ctlMax = if (ctlSorted.isEmpty) 0.0 else ctlSorted.last
+    val stgSorted = stagedControls.map(_._2).sorted
+    val stgMed = if (stgSorted.isEmpty) 0.0 else stgSorted(stgSorted.size / 2)
+    val stgMax = if (stgSorted.isEmpty) 0.0 else stgSorted.last
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${kept.result()}},"queries_omitted":${omitted.size},"omitted_sec":$omittedSec%.3f,"n_queries":${results.size},"sf":"$sfDir","passes":2,"interleaved":true,"control_med":$ctlMed%.3f,"control_max":$ctlMax%.3f,"failed":${names(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${kept.result()}},"queries_omitted":${omitted.size},"omitted_sec":$omittedSec%.3f,"n_queries":${results.size},"sf":"$sfDir","passes":2,"interleaved":true,"control_med":$ctlMed%.3f,"control_max":$ctlMax%.3f,"control_staged_med":$stgMed%.3f,"control_staged_max":$stgMax%.3f,"failed":${names(
           failed)},"flaky":${names(flaky)},"gc_sec":$gcSec%.1f,"detail":"bench_detail.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

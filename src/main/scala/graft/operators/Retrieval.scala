@@ -114,8 +114,8 @@ object Retrieval {
     // (mirrored textually in the oracle — the PoissonCdfPpm device). Shape:
     // one hash aggregation over the vocabulary-sized STORED df table
     // ([[dfStore]] — the index is read as-is, the corpus is not
-    // re-tokenized) plus a one-row grand-total broadcast; output is
-    // ≤ log2(n_docs) rows at any scale.
+    // re-tokenized), grand total from the ≤31-row histogram itself (see
+    // [[dfHistogram]]); output is ≤ log2(n_docs) rows at any scale.
     "rt_df_histogram" -> { (s, dir) =>
       dfHistogram(dfStore(s, dir))
     },
@@ -417,22 +417,32 @@ object Retrieval {
 
   /** Power-of-two df histogram over a (term, cdf) frame — the shared shape
     * of rt_df_histogram (over the full stored index) and rt_df_incremental
-    * (over the incrementally maintained merge). One hash aggregation over
-    * the vocabulary-sized input plus a one-row grand-total broadcast;
-    * output is ≤ log2(n_docs) rows at any scale. Zero libm: ⌊log2(df)⌋ is
-    * a pure integer comparison ladder (mirrored textually in the oracle).
+    * (over the incrementally maintained merge). ONE hash aggregation over
+    * the vocabulary-sized input; output is ≤ log2(n_docs) rows at any
+    * scale. Zero libm: ⌊log2(df)⌋ is a pure integer comparison ladder
+    * (mirrored textually in the oracle).
+    *
+    * The grand total is Σ n_postings over the HISTOGRAM (equal to Σ cdf
+    * over the input by construction), taken via an unpartitioned window —
+    * safe here and ONLY because the histogram is ≤ 31 rows by the ladder's
+    * construction (allowlisted with an_skyline in the single-partition-
+    * window plan audit). The alternative — a cross join against a
+    * broadcast one-row aggregate of the input — plans the INPUT subtree
+    * twice: harmless when the input is a stored parquet read, but for
+    * rt_df_incremental it re-executed the whole stale+delta merge (caught
+    * by the one-explode plan audit).
     */
   private def dfHistogram(df: DataFrame): DataFrame = {
     val bucket = (1 to 30).foldLeft(lit(0): Column) { (acc, k) =>
       when(col("cdf") >= lit(1L << k), lit(k)).otherwise(acc)
     }
-    val tot = df.agg(sum(col("cdf")).as("tot"))
+    val wAll = Window.partitionBy()
     df.select(bucket.as("df_bucket"), col("cdf"))
       .groupBy("df_bucket")
       .agg(count(lit(1)).as("n_terms"), sum(col("cdf")).as("n_postings"))
-      .crossJoin(broadcast(tot)) // bounded: one row
       .select(col("df_bucket"), col("n_terms"), col("n_postings"),
-        (col("n_postings").cast("double") / col("tot").cast("double"))
+        (col("n_postings").cast("double") /
+          sum(col("n_postings")).over(wAll).cast("double"))
           .as("postings_share"))
       .orderBy("df_bucket")
   }

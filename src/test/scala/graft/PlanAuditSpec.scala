@@ -180,6 +180,19 @@ class PlanAuditSpec extends SparkSpec {
         "(.config(\"spark.sql.codegen.cache.maxEntries\", CodegenCacheEntries) missing)")
   }
 
+  test("incremental df maintenance reads the stored base index, never re-tokenizes it") {
+    // rt_df_incremental's base side must be the STORED df parquet (the
+    // stale index artifact, built once per session) and only the landing
+    // batch may explode tokens — a second Generate would mean the "merge"
+    // is secretly a rebuild and the O(|vocab| + |batch tokens|) claim dies.
+    val p = plan("rt_df_incremental")
+    val generates = p.linesIterator.count(_.contains("Generate explode"))
+    assert(generates == 1,
+      s"expected exactly ONE token explode (the landing-batch delta), found $generates:\n$p")
+    assert(p.contains("Scan parquet") && p.contains("rt_term_df_base"),
+      s"base side must read the stored rt_term_df_base parquet:\n$p")
+  }
+
   test("round-11 additions keep their scale shapes") {
     // Filtered k-NN: the metadata predicate reaches the documents scan, so
     // candidates are pruned BEFORE the scoring join ever sees them.
@@ -568,14 +581,18 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no query funnels corpus rows through a single-partition window") {
     // An `Exchange SinglePartition` feeding a Window is the classic
-    // unscalable rank: the whole input serializes through one task. The one
-    // allowlisted query runs such a window DELIBERATELY over a frame that
-    // is already metadata-sized (the |local-skylines| exact pass) —
-    // documented in the operator; everything else (round 6 rewrote the
-    // chi-square / mixture / drift totals as broadcast one-row aggregates)
-    // must rank via partitioned windows or the range-partition numbering
-    // path.
-    val allowed = Set("an_skyline")
+    // unscalable rank: the whole input serializes through one task. The
+    // allowlisted queries run such a window DELIBERATELY over frames that
+    // are already metadata-sized — an_skyline's |local-skylines| exact
+    // pass, and the two df-histogram queries' grand-total over the ≤31-row
+    // power-of-two histogram (a bound by CONSTRUCTION of the bucket
+    // ladder; the broadcast-one-row-aggregate alternative would plan the
+    // histogram's input subtree twice, re-executing rt_df_incremental's
+    // whole stale+delta merge) — each documented in its operator;
+    // everything else (round 6 rewrote the chi-square / mixture / drift
+    // totals as broadcast one-row aggregates) must rank via partitioned
+    // windows or the range-partition numbering path.
+    val allowed = Set("an_skyline", "rt_df_histogram", "rt_df_incremental")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !allowed(name)) {
       val p = plan(name)
       assert(!PlanAuditSpec.hasGlobalWindowFunnel(p),
