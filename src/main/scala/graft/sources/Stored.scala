@@ -95,14 +95,19 @@ object Stored {
     if (n <= maxRows) pinned(name, dir, s)(df)
     else {
       // stderr, not log4j: pin-tier misuse must be visible in any run log,
-      // not filtered by logger level.
-      System.err.println(
-        s"[graft.Stored] NOT pinning '$name' for $dir: $n rows exceeds the " +
-          s"metadata-size bound $maxRows - the domain-boundedness assumption " +
-          "does not hold on this corpus; consumers fall back to live plans")
+      // not filtered by logger level. Once per (name, dir) — every
+      // consumer of a hot store calls this per plan construction, and a
+      // repeated warning would bury the one that matters.
+      if (warned.add(s"$name:$dir"))
+        System.err.println(
+          s"[graft.Stored] NOT pinning '$name' for $dir: $n rows exceeds the " +
+            s"metadata-size bound $maxRows - the domain-boundedness assumption " +
+            "does not hold on this corpus; consumers fall back to live plans")
       df
     }
   }
+  private val warned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Whether a frame is currently pinned (test hook for the boundedness
     * fallback — proves an over-bound frame was NOT pinned).
