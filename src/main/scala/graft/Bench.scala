@@ -97,6 +97,12 @@ object Bench {
     // The control: a constant trivial plan (25-row parquet scan + one-group
     // aggregate). Its cost is dominated by scheduler/JVM/sandbox latency —
     // exactly the contention signal — not by data.
+    // Both controls read nation.parquet RAW, intentionally BYPASSING the
+    // Relational.t table-resolution seam the warm-up exercises: the
+    // controls measure the ENVIRONMENT (scheduler/JVM/stage latency), not
+    // the engine's data path, and routing them through the seam would let
+    // a data-path change move the very yardstick used to detect
+    // environmental shifts across rounds.
     def controlOnce(): Double = {
       val t0 = System.nanoTime()
       noop(spark.read.parquet(s"$sfDir/nation.parquet")

@@ -59,14 +59,20 @@ object Changes {
     * the unique order key, so the winner is deterministic even when two
     * orders share a date.
     */
-  def latestPerKey(log: DataFrame): DataFrame = {
+  def latestPerKey(log: DataFrame): DataFrame = latestPerKeyAt(log, pin = true)
+
+  /** [[latestPerKey]] with the distribution pin as an explicit knob — the
+    * `pin = false` leg exists ONLY for [[graft.tools.CdProbe]]'s one-variable
+    * cost attribution; production always pins.
+    */
+  private def latestPerKeyAt(log: DataFrame, pin: Boolean): DataFrame = {
     val w = Window.partitionBy("key").orderBy(col("ts").desc, col("seq").desc)
     // Pinned key distribution (REPARTITION_BY_NUM): the changelog is
     // byte-light but window-sort heavy, exactly the shape AQE's size-based
     // coalescing runs on one task (profiled: the whole MERGE plan collapsed
     // to single-task stages at sf0.1). Satisfies the window's required
     // distribution, so no extra exchange is planned.
-    log.transform(Dedup.spreadKeys("key"))
+    (if (pin) log.transform(Dedup.spreadKeys("key")) else log)
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
   }
 
@@ -75,14 +81,43 @@ object Changes {
     * inserts. One window on the changelog + one full-outer equi-join on the
     * key — the standard distributed MERGE plan.
     */
-  def applyChangelog(base: DataFrame, log: DataFrame): DataFrame = {
-    val latest = latestPerKey(log)
-    base.join(latest, base("c_custkey") === latest("key"), "full_outer")
+  def applyChangelog(base: DataFrame, log: DataFrame): DataFrame =
+    applyLatest(base, log, pin = true, sort = false)
+
+  /** The full cd_apply_changelog plan with CdProbe's attribution knobs
+    * (the spreadKeys pin and the gate-output sort). ONE definition serves
+    * the production query and every probe variant, so the probe can no
+    * longer drift from the plan it attributes (ADVICE r12); CdProbeSpec
+    * additionally pins probe-full ≡ production structurally.
+    */
+  private[graft] def applyLatest(base: DataFrame, log: DataFrame,
+      pin: Boolean, sort: Boolean): DataFrame = {
+    val latest = latestPerKeyAt(log, pin)
+    val merged = base.join(latest, base("c_custkey") === latest("key"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
       .select(
         coalesce(col("c_custkey"), col("key")).as("c_custkey"),
         coalesce(col("c_name"), concat(lit("cust#"), col("key"))).as("c_name"),
         when(col("op").isNotNull, col("new_bal")).otherwise(col("c_acctbal")).as("c_acctbal"))
+    if (sort) merged.orderBy("c_custkey") else merged
+  }
+
+  /** The full cd_scd2_history plan with the same attribution knobs — see
+    * [[applyLatest]]; production is `pin = true, sort = true`.
+    */
+  private[graft] def scd2History(log: DataFrame, pin: Boolean, sort: Boolean): DataFrame = {
+    val updates = log.filter(col("op") === "U")
+    val pinned =
+      if (pin) updates.transform(Dedup.spreadKeys("key")) // same AQE-coalescing pin as latestPerKey
+      else updates
+    val w = Window.partitionBy("key").orderBy(col("ts").asc, col("seq").asc)
+    val core = pinned.select(
+      col("key").as("c_custkey"),
+      col("new_bal").as("bal"),
+      col("ts").as("valid_from"),
+      lead(col("ts"), 1).over(w).as("valid_to"),
+      col("seq"))
+    (if (sort) core.orderBy("c_custkey", "valid_from", "seq") else core).drop("seq")
   }
 
   /** Snapshot diff: rows only in `newer` → added, only in `older` → removed,
@@ -137,26 +172,16 @@ object Changes {
     // MERGE/upsert: full merged snapshot after applying the order-derived
     // changelog to `customer` with latest-wins conflict resolution.
     "cd_apply_changelog" -> { (s, dir) =>
-      applyChangelog(
+      applyLatest(
         Relational.t(s, dir, "customer"),
-        changelog(Relational.t(s, dir, "orders")))
-        .orderBy("c_custkey")
+        changelog(Relational.t(s, dir, "orders")),
+        pin = true, sort = true)
     },
 
     // SCD type-2: balance history per customer with [valid_from, valid_to)
     // effective ranges; the current row has valid_to NULL. One window.
     "cd_scd2_history" -> { (s, dir) =>
-      val log = changelog(Relational.t(s, dir, "orders")).filter(col("op") === "U")
-        .transform(Dedup.spreadKeys("key")) // same AQE-coalescing pin as latestPerKey
-      val w = Window.partitionBy("key").orderBy(col("ts").asc, col("seq").asc)
-      log.select(
-          col("key").as("c_custkey"),
-          col("new_bal").as("bal"),
-          col("ts").as("valid_from"),
-          lead(col("ts"), 1).over(w).as("valid_to"),
-          col("seq"))
-        .orderBy("c_custkey", "valid_from", "seq")
-        .drop("seq")
+      scd2History(changelog(Relational.t(s, dir, "orders")), pin = true, sort = true)
     },
 
     // Snapshot diff summarized per op (per-row ops are the same plan

@@ -129,7 +129,14 @@ object Retrieval {
     // pre-landing corpus partition only, stored — [[baseDfStore]]) is
     // merged with a live delta aggregated from the landing batch alone
     // (the dd_incremental 80/20 landing shape), by a full-outer term join
-    // — O(|vocab| + |batch tokens|), never a corpus re-tokenization. The
+    // — O(|vocab| + |batch tokens|), never a corpus re-tokenization. One
+    // honesty note on the delta side: here it filters the session-pinned
+    // FULL token store down to the landing bucket, so the filter input is
+    // O(|corpus token rows|) — a SIMULATION of the landing batch, since
+    // this corpus has no separate landing table. In production the batch
+    // arrives as its own table and the delta reads ONLY it; the claimed
+    // O(|vocab| + |batch tokens|) bound is about the explode/aggregate/
+    // merge-join work, which is batch-sized either way. The
     // oracle is rt_df_histogram's FROM-SCRATCH full-corpus rebuild, so the
     // hash match proves merge(stale, delta) ≡ rebuild(union) exactly; the
     // stale-read-vs-maintained-read distinction (the base table alone

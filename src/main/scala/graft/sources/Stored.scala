@@ -88,6 +88,16 @@ object Stored {
     * returns the LIVE frame — consumers stay correct (they re-aggregate per
     * query, the pre-pin behavior) and the engine degrades to the
     * shuffle-per-query plan instead of an executor-memory cliff.
+    *
+    * The pin path DELIBERATELY executes the frame twice at first touch
+    * (once for the boundedness count, once inside [[pinned]]'s eager
+    * localCheckpoint). The alternative — pin first, count the checkpointed
+    * blocks, evict if over — would MATERIALIZE the over-bound frame in
+    * executor memory before the check can reject it, i.e. suffer exactly
+    * the cliff this guard exists to prevent; and localCheckpoint blocks
+    * have no public eager-eviction handle, so "evict" would really mean
+    * "hold until context GC". One extra execution, once per (name, corpus)
+    * per session, is the price of checking BEFORE committing memory.
     */
   def pinnedIfBounded(name: String, dir: String, s: SparkSession, maxRows: Long)(
       df: => DataFrame): DataFrame = {

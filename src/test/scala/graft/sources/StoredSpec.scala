@@ -69,8 +69,13 @@ class StoredSpec extends SparkSpec {
     assert(over.agg(sum("id")).head().getLong(0) == 10L)
     // The boundedness COUNT itself rides the scalar cache — a second call
     // re-builds the live plan (by-name thunk) but does not re-count.
+    // Exactly 3 builds: call 1 evaluates the thunk for the count AND again
+    // for the returned live frame (the documented deliberate extra pass);
+    // call 2 skips the count (scalar cache) and builds only its live frame.
+    // A regression to a cached/pinned over-bound frame would leave this at
+    // 2, and a regression that drops the count cache would push it to 4.
     Stored.pinnedIfBounded("spec_pib_big", "specdirC", spark, 3L)(big)
-    assert(builds >= 2, "over-bound frames stay live (rebuilt per consumer)")
+    assert(builds == 3, "over-bound frames stay live (rebuilt per consumer), count cached once")
     assert(Stored.scalarLong("spec_pib_big:nrows", "specdirC")(99L) == 4L,
       "the row count must be cached from the first boundedness check")
   }
