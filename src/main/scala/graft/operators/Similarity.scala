@@ -480,6 +480,32 @@ object Similarity {
       }.reduce(_.unionByName(_)).orderBy("nprobe")
     },
 
+    // Stored-structure LIFECYCLE for the ANN tier — the rt_df_incremental
+    // staleness contract applied to the IVF index (VERDICT r12 §next-2): a
+    // landing batch of vectors arrives AFTER the coarse quantizer was
+    // trained, and the index must be maintained by FIXED-CODEBOOK append —
+    // assign the batch to the EXISTING centroids ([[baseIvfCentroids]],
+    // trained on the pre-landing partition only), never re-cluster and
+    // never re-assign the already-indexed corpus. The maintained cell
+    // table is stale base cells (read from the store AS-IS) ∪ the batch
+    // assignment — O(|batch| · |cells|) new work. The gate output is a
+    // lossless per-cell fingerprint (count + keyed checksum of member
+    // ids), and the oracle re-derives the SAME table from scratch — full
+    // Lloyd's training on the base partition, then one assignment pass
+    // over the whole corpus — so the hash match proves
+    // append(stale, assign(batch, C)) ≡ assign(corpus, C) exactly. The
+    // stale-read-vs-maintained-read distinction (the base cells alone
+    // fingerprint DIFFERENTLY) and the no-retraining plan shape (one
+    // embeddings scan, no Lloyd's chain) are spec-asserted in
+    // SimilaritySpec.
+    "ss_ivf_incremental" -> { (s, dir) =>
+      val batch = vecs(s, dir)
+        .filter(Pipeline.bucket(col("vec_id")) >= Retrieval.IndexedBucketCap)
+      val maintained = baseIvfCells(s, dir)
+        .union(assignCells(batch, baseIvfCentroids(s, dir)))
+      cellFingerprint(maintained)
+    },
+
     // PQ DISTORTION audit — the codebook-quality artifact a vector store
     // reads before trusting ADC distances (and re-reads on every corpus
     // snapshot: rising distortion means the trained codebook no longer fits
@@ -933,11 +959,68 @@ object Similarity {
     materialize("ivf_cells", dir, s) {
       val e = vecs(s, dir)
       val cent = materialize("ivf_centroids", dir, s)(trainCentroids(e))
-      e.crossJoin(broadcast(cent)) // bounded: |cells| centroids
-        .select(col("vec_id"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
-        .groupBy("vec_id")
-        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+      assignCells(e, cent)
     }
+
+  /** Nearest-centroid assignment of a vector frame against a (broadcast)
+    * centroid table — the ONE definition of "which cell does this vector
+    * live in", shared by the full index build ([[ivfCells]]), the stale
+    * base index, and ss_ivf_incremental's fixed-codebook landing-batch
+    * append. max_by argmax reproduces the ranked-window
+    * (c_cos DESC, c_id ASC) assignment exactly. O(|e| · |cells|) work, one
+    * narrow pass — assignment never shuffles the vectors.
+    */
+  private[operators] def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent)) // bounded: |cells| centroids
+      .select(col("vec_id"), col("c_id"), cosine(col("v"), col("cv")).as("c_cos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+
+  /** Checksum seed for [[cellFingerprint]] (independent of the sampling
+    * and op-assignment seeds).
+    */
+  val CellCkSeed = 13
+
+  /** Lossless compact fingerprint of a (vec_id, cell) assignment table:
+    * per cell, the member count and the sum of a keyed md5 hash of each
+    * member id (each term < 1e9+7, so the BIGINT sum is exact at any
+    * corpus size that fits a cell). ≤ |cells| output rows — two tables
+    * fingerprint equal iff their per-cell member multisets collide on the
+    * checksum, which for a 60-bit-entropy hash summed mod-free is a
+    * practical equality proof; SimilaritySpec additionally asserts EXACT
+    * row-level equality at spec scale.
+    */
+  private def cellFingerprint(cells: DataFrame): DataFrame =
+    cells.groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(pmod(md5Long(CellCkSeed, col("vec_id").cast("string")), lit(1000000007L)))
+          .as("vec_ck"))
+      .orderBy("cell")
+
+  /** The pre-landing base partition of the corpus (bucket < the shared
+    * [[Retrieval.IndexedBucketCap]] split, the same 80/20 landing shape as
+    * rt_df_incremental / dd_incremental).
+    */
+  private def baseVecs(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir).filter(Pipeline.bucket(col("vec_id")) < Retrieval.IndexedBucketCap)
+
+  /** The STALE coarse quantizer: centroids trained on the pre-landing base
+    * partition only, stored — the index artifact that predates the landing
+    * batch. A landing batch NEVER retrains this (fixed-codebook append, the
+    * FAISS production discipline); re-clustering is a scheduled rebuild,
+    * not a maintenance step.
+    */
+  private[graft] def baseIvfCentroids(s: SparkSession, dir: String): DataFrame =
+    materialize("ivf_base_centroids", dir, s)(trainCentroids(baseVecs(s, dir)))
+
+  /** The STALE cell table: base-partition vectors assigned to the base
+    * centroids, stored next to them (what a deployment has on disk when the
+    * landing batch arrives).
+    */
+  private[graft] def baseIvfCells(s: SparkSession, dir: String): DataFrame =
+    materialize("ivf_base_cells", dir, s)(
+      assignCells(baseVecs(s, dir), baseIvfCentroids(s, dir)))
 
   /** Shared ADC tail: sum partial dots per (query, neighbor), keep the top
     * PqRerank by approximate cosine (EXACT norms ride with the codes), then
@@ -1437,6 +1520,31 @@ object Similarity {
          |FROM (${IvfSweepProbes.map(p => s"SELECT * FROM r$p").mkString(" UNION ALL ")})
          |ORDER BY nprobe""".stripMargin
     },
+    // Fixed-codebook maintenance twin: trains the quantizer FROM SCRATCH on
+    // the pre-landing base partition (the parameterized Lloyd's unroll —
+    // same text as every other IVF oracle), then assigns the WHOLE corpus
+    // to those centroids in one pass and fingerprints per cell. The engine
+    // side instead reads its stored base cells and assigns only the batch —
+    // the hash match proves the append path reproduces the rebuild exactly.
+    "ss_ivf_incremental" -> locally {
+      val baseSelect =
+        s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings WHERE ${Pipeline.bucketSql("vec_id")} < ${Retrieval.IndexedBucketCap}""".stripMargin
+      s"""WITH ${trainedCellsCteFrom(baseSelect)}, eall AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), cells AS (
+         |  SELECT vec_id, c_id AS cell FROM (
+         |    SELECT ea.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (
+         |        PARTITION BY ea.vec_id
+         |        ORDER BY ${cosSql("ea.v", "c.cv")} DESC, c.c_id ASC) AS crk
+         |    FROM eall ea CROSS JOIN c$IvfIters c
+         |  ) WHERE crk = 1
+         |)
+         |SELECT cell, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CAST('0x' || substr(md5('$CellCkSeed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS vec_ck
+         |FROM cells GROUP BY cell ORDER BY cell""".stripMargin
+    },
     // SemDeDup twin: the SAME trained-cells CTE as ss_ann_ivf (one coarse
     // quantizer, two consumers — mirroring the engine's shared stored
     // index), then the identical intra-cell pair scan, threshold, and
@@ -1560,7 +1668,16 @@ object Similarity {
     * ss_ann_ivf and dd_semantic oracles so both consume literally the same
     * trained structure, exactly like the engine's shared stored index.
     */
-  private lazy val trainedCellsCte: String = {
+  private lazy val trainedCellsCte: String = trainedCellsCteFrom(
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings")
+
+  /** [[trainedCellsCte]] with the training population as a parameter: the
+    * full-corpus oracles train on all of `embeddings`; the incremental-
+    * maintenance twin (ss_ivf_incremental) trains on the pre-landing base
+    * partition only. ONE textual definition of the Lloyd's unroll serves
+    * both, so the two oracle families cannot drift.
+    */
+  private def trainedCellsCteFrom(eSelect: String): String = {
     val rounds = (1 to IvfIters).map { i =>
       s"""a$i AS (
          |  SELECT vec_id, v, c_id,
@@ -1577,7 +1694,7 @@ object Similarity {
          |)""".stripMargin
     }.mkString(", ")
     s"""e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |  $eSelect
        |), c0 AS (
        |  SELECT vec_id AS c_id, v AS cv FROM e
        |  ORDER BY CAST('0x' || substr(md5('7:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),

@@ -600,6 +600,103 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no query plans a corpus subtree twice without an allowlisted reason") {
+    // The double-planned-subtree hazard (r12): a frame feeding two
+    // consumers without materialization plans — and EXECUTES — its whole
+    // subtree once per consumer. It produced two real fixes in r12
+    // (ev_cuped's per-user `arms` aggregation ran twice; rt_df_histogram's
+    // grand-total cross join re-executed rt_df_incremental's entire
+    // stale+delta merge), and its clearance was README prose + a manual
+    // tool until this test. This is tools/RescanAudit's walk as a
+    // regression pin: count each CORPUS parquet location's scan nodes in
+    // every initial physical plan; a table scanned ≥2× must sit within the
+    // allowlist below — the r12-reviewed set, each row a DELIBERATE
+    // multi-scan of a column-pruned raw table, never an unmaterialized
+    // expensive derived tier. Stored-structure re-reads (tmp parquet) are
+    // NOT gated: re-reading a stored artifact is cheap by design. A new
+    // query tripping this must either materialize the shared frame
+    // (Dedup.materialized / the Stored tier) or earn a reviewed row here.
+    val allowed: Map[String, Map[String, Int]] = Map(
+      // Grand-total / corpus-baseline second pass (one-row broadcast
+      // aggregate of the same pruned table joined back to the groups):
+      "an_benford" -> Map("orders.parquet" -> 2),
+      "an_seasonality" -> Map("events.parquet" -> 2),
+      "dd_rate_by_source" -> Map("documents.parquet" -> 2),
+      "pl_curriculum" -> Map("documents.parquet" -> 2),
+      "q18_above_avg_orders" -> Map("orders.parquet" -> 2),
+      "q24_approx_distinct" -> Map("lineitem.parquet" -> 2), // approx vs exact comparison legs
+      "q45_corr_subquery" -> Map("orders.parquet" -> 3), // decorrelated subquery = agg leg + probe leg
+      "ta_salience" -> Map("documents.parquet" -> 3), // term, document, and corpus statistic legs
+      // Self-joins: query side and corpus side (or both event roles) of ONE
+      // table, each leg independently column-pruned/filtered at the scan:
+      "cl_knn_label" -> Map("embeddings.parquet" -> 2),
+      "dd_edit_pairs" -> Map("documents.parquet" -> 2),
+      "dd_embed_pairs" -> Map("embeddings.parquet" -> 2),
+      "dd_semantic" -> Map("embeddings.parquet" -> 2),
+      "j1_asof_error_click" -> Map("events.parquet" -> 2), // error role + click role
+      "sp_salted_join" -> Map("events.parquet" -> 2), // skewed fact leg + derived dim leg
+      "ss_filtered_knn" -> Map("embeddings.parquet" -> 2),
+      "ss_hard_negatives" -> Map("embeddings.parquet" -> 2),
+      "ss_topk_bruteforce" -> Map("embeddings.parquet" -> 2),
+      "ev_error_click_outer" -> Map("events.parquet" -> 2),
+      "ev_error_click_pairs" -> Map("events.parquet" -> 2),
+      // Cohort/baseline event analytics: anchor-event leg + activity leg:
+      "ev_anomaly" -> Map("events.parquet" -> 2), // window leg + baseline leg
+      "ev_cohort_ltv" -> Map("events.parquet" -> 2),
+      "ev_cusum" -> Map("events.parquet" -> 2),
+      "ev_hll_rollup" -> Map("events.parquet" -> 2), // leaf sketch leg + exact-audit leg
+      "ev_ks_ab" -> Map("events.parquet" -> 2), // the two experiment arms
+      "ev_retention" -> Map("events.parquet" -> 2),
+      "ev_funnel" -> Map("events.parquet" -> 6), // one pruned scan per funnel step
+      "ev_locf" -> Map("events.parquet" -> 3), // observed leg + spine legs
+      // Set operations / diffs: each branch is its own pruned scan:
+      "cd_snapshot_diff" -> Map("documents.parquet" -> 3), // older + perturbed kept + perturbed added
+      "q14_setops_nations" -> Map(
+        "supplier.parquet" -> 3, "customer.parquet" -> 3, "nation.parquet" -> 6),
+      "q34_setops_all" -> Map("orders.parquet" -> 4),
+      // Per-constraint / per-expectation audits: one pruned scan per
+      // declared rule (the shared-scan restructure was A/B'd SLOWER at
+      // gate scale and rejected — README "Performance measurement notes"):
+      "dq_erasure" -> Map("customer.parquet" -> 3, "orders.parquet" -> 2),
+      "dq_expectations" -> Map(
+        "lineitem.parquet" -> 2, "documents.parquet" -> 3, "orders.parquet" -> 4),
+      "dq_referential" -> Map(
+        "lineitem.parquet" -> 3, "region.parquet" -> 2, "part.parquet" -> 2,
+        "supplier.parquet" -> 3, "customer.parquet" -> 3, "nation.parquet" -> 5,
+        "orders.parquet" -> 3),
+      // Runtime-pruning audits: build leg + probe leg (+ exact-audit leg):
+      "j3_bloom_semijoin" -> Map("orders.parquet" -> 3),
+      "j6_bloom_fp_audit" -> Map("lineitem.parquet" -> 3, "orders.parquet" -> 2),
+      // ANN pipelines: the tiny query side re-scores against broadcast
+      // structures while the corpus side rides the STORED index — each
+      // extra scan is the pruned query-vector leg (or, for recall, the two
+      // component pipelines' query legs):
+      "rt_hybrid_rrf" -> Map("embeddings.parquet" -> 2),
+      "ss_ann_ivf" -> Map("embeddings.parquet" -> 2),
+      "ss_ann_pq" -> Map("embeddings.parquet" -> 3),
+      "ss_ann_ivfpq" -> Map("embeddings.parquet" -> 4),
+      "ss_ann_lsh" -> Map("embeddings.parquet" -> 4),
+      "ss_ann_recall" -> Map("embeddings.parquet" -> 6),
+      // Iterative fixpoint with LINEAR lineage: one pruned vec_id scan per
+      // power iteration, never a duplicated subtree:
+      "ss_pagerank" -> Map("embeddings.parquet" -> 8),
+    )
+    val loc = """InMemoryFileIndex\(\d+ paths?\)\[([^\]]+)""".r
+    val dir = sf()
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val p = plan(name)
+      val corpus = loc.findAllMatchIn(p).map(_.group(1)).filter(_.contains(dir))
+        .map(_.split('/').last).toSeq.groupBy(identity).view.mapValues(_.size)
+      for ((table, n) <- corpus if n >= 2) {
+        val cap = allowed.getOrElse(name, Map.empty).getOrElse(table, 1)
+        assert(n <= cap,
+          s"$name plans $n scans of $table (allowed ${cap max 1}) — a shared subtree " +
+            "is likely planned per consumer; materialize it (Dedup.materialized / " +
+            "Stored tier) or review and allowlist with a reason")
+      }
+    }
+  }
+
   test("phrase search is one aggregation — no positional join chain") {
     // The anchor formulation must plan ZERO joins (the classic k-term
     // phrase plan is k−1 positional self-joins) and prune postings to the

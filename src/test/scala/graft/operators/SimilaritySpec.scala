@@ -395,4 +395,39 @@ class SimilaritySpec extends SparkSpec {
       assert(top == want, s"query $q: top hard negative $top, brute force says $want")
     }
   }
+
+  test("ivf incremental: fixed-codebook append == full reassignment; stale reads differ; no retraining in the plan") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf()
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r =>
+        r.getLong(r.fieldIndex("vec_id")) -> r.getLong(r.fieldIndex("cell"))).toMap
+    // (a) The maintained table (stale base cells ∪ batch assigned at the
+    //     SAME centroids) must equal the from-scratch reassignment of the
+    //     whole corpus at those centroids, vector by vector — the
+    //     append ≡ rebuild contract behind the ss_ivf_incremental gate.
+    val cent = Similarity.baseIvfCentroids(spark, dir)
+    val batch = Similarity.vecs(spark, dir)
+      .filter(Pipeline.bucket(col("vec_id")) >= Retrieval.IndexedBucketCap)
+    val stale = pairs(Similarity.baseIvfCells(spark, dir))
+    val maintained = stale ++ pairs(Similarity.assignCells(batch, cent))
+    val rebuilt = pairs(Similarity.assignCells(Similarity.vecs(spark, dir), cent))
+    assert(maintained == rebuilt, "append(stale, assign(batch, C)) must equal assign(corpus, C)")
+    // (b) Staleness is OBSERVABLE: a consumer reading the base table after
+    //     the landing batch arrived sees a strictly smaller index (so the
+    //     gate's fingerprint — per-cell counts + id checksums — differs);
+    //     maintenance, not a stale read, is what reproduces the rebuild.
+    assert(stale.size < maintained.size,
+      "the landing batch must be missing from the stale index")
+    assert(maintained.size == Similarity.vecs(spark, dir).count())
+    // (c) No retraining and no corpus reassignment in the maintained plan:
+    //     exactly ONE embeddings scan (the landing-batch filter) — the base
+    //     cells and centroids ride their STORED parquet, and a Lloyd's
+    //     chain or full reassignment would surface as extra corpus scans.
+    val p = graft.SparkEntry.queries("ss_ivf_incremental")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = """InMemoryFileIndex\(\d+ paths?\)\[([^\]]+)""".r
+      .findAllMatchIn(p).map(_.group(1)).count(_.contains("embeddings.parquet"))
+    assert(scans == 1, s"maintenance must scan the corpus exactly once (the batch), got $scans:\n$p")
+  }
 }
