@@ -216,7 +216,7 @@ object Dedup {
     * prefix bound (the float form's correctness rested on ceil(t·n) never
     * rounding across an integer, a half-ulp argument this removes).
     */
-  private def prefixLenCol(num: Int, den: Int): Column =
+  private[graft] def prefixLenCol(num: Int, den: Int): Column =
     expr(s"CAST(setsz - ((setsz * $num + ${den - 1}) DIV $den) + 1 AS INT)")
 
   /** Word-gram width for the [[queries dd_contamination]] eval-overlap
