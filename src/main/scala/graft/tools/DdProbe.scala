@@ -58,6 +58,11 @@ object DdProbe {
         sh().filter(Pipeline.bucket(col("doc_id")) >= 80))),
       "inc_cands_stored" -> (() => incCandsStored()),
       "inc_full" -> (() => Dedup.queries("dd_incremental")(s, dir)),
+      // dd_containment decomposition: one-sided prefix × FULL index
+      // candidates over the stored index, then the full gate query
+      // (adds the two shingle-store joins + array_intersect + sort).
+      "ct_cands" -> (() => Dedup.containmentCandidatesFrom(Dedup.rankedStore(s, dir))),
+      "ct_full" -> (() => Dedup.queries("dd_containment")(s, dir)),
     )
     // Warm every variant once (JIT/codegen + stored builds), then 3 timed
     // passes each.
