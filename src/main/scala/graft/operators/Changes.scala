@@ -59,13 +59,10 @@ object Changes {
     * the unique order key, so the winner is deterministic even when two
     * orders share a date.
     */
-  def latestPerKey(log: DataFrame): DataFrame = latestPerKeyAt(log, pin = true)
-
-  /** [[latestPerKey]] with the distribution pin as an explicit knob — the
-    * `pin = false` leg exists ONLY for [[graft.tools.CdProbe]]'s one-variable
-    * cost attribution; production always pins.
-    */
-  private def latestPerKeyAt(log: DataFrame, pin: Boolean): DataFrame = {
+  def latestPerKey(log: DataFrame, pin: Boolean = true): DataFrame = {
+    // The distribution pin is an explicit knob ONLY for
+    // [[graft.tools.CdProbe]]'s one-variable cost attribution; production
+    // always pins (the default).
     val w = Window.partitionBy("key").orderBy(col("ts").desc, col("seq").desc)
     // Pinned key distribution (REPARTITION_BY_NUM): the changelog is
     // byte-light but window-sort heavy, exactly the shape AQE's size-based
@@ -92,7 +89,7 @@ object Changes {
     */
   private[graft] def applyLatest(base: DataFrame, log: DataFrame,
       pin: Boolean, sort: Boolean): DataFrame = {
-    val latest = latestPerKeyAt(log, pin)
+    val latest = latestPerKey(log, pin)
     val merged = base.join(latest, base("c_custkey") === latest("key"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
       .select(
@@ -172,10 +169,13 @@ object Changes {
     // MERGE/upsert: full merged snapshot after applying the order-derived
     // changelog to `customer` with latest-wins conflict resolution.
     "cd_apply_changelog" -> { (s, dir) =>
-      applyLatest(
+      // Through the public MERGE façade (+ the gate output sort), so the
+      // library entry point is itself gate-exercised; CdProbeSpec pins this
+      // plan-equal to applyLatest(pin = true, sort = true).
+      applyChangelog(
         Relational.t(s, dir, "customer"),
-        changelog(Relational.t(s, dir, "orders")),
-        pin = true, sort = true)
+        changelog(Relational.t(s, dir, "orders")))
+        .orderBy("c_custkey")
     },
 
     // SCD type-2: balance history per customer with [valid_from, valid_to)

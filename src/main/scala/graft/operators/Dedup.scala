@@ -129,8 +129,8 @@ object Dedup {
       graft.sources.Stored.materialize("dd_cross_matches", dir, s) {
         val sh = shingleStore(s, dir)
         incrementalMatches(
-          sh.filter(Pipeline.bucket(col("doc_id")) < 80),
-          sh.filter(Pipeline.bucket(col("doc_id")) >= 80))
+          sh.filter(Pipeline.bucket(col("doc_id")) < Pipeline.LandingBucketCap),
+          sh.filter(Pipeline.bucket(col("doc_id")) >= Pipeline.LandingBucketCap))
       }.transform(spreadKeys("incoming_id")))
 
   /** Stored MinHash signature table (doc_id, sig[K]) — computed at ingest
@@ -946,8 +946,8 @@ object Dedup {
       // cross-filter sides + both verification sides) share the one copy.
       val sh = shingleStore(s, dir)
       incrementalMatches(
-        sh.filter(Pipeline.bucket(col("doc_id")) < 80),
-        sh.filter(Pipeline.bucket(col("doc_id")) >= 80))
+        sh.filter(Pipeline.bucket(col("doc_id")) < Pipeline.LandingBucketCap),
+        sh.filter(Pipeline.bucket(col("doc_id")) >= Pipeline.LandingBucketCap))
         .orderBy("incoming_id", "existing_id")
     },
 

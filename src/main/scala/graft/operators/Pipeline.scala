@@ -30,6 +30,15 @@ object Pipeline {
   def bucket(docId: Column): Column =
     pmod(md5Long(SampleSeed, docId.cast("string")), lit(100L))
 
+  /** THE landing-batch split point: ids with [[bucket]] < this are "already
+    * indexed / existing corpus", the rest are the incoming batch. One
+    * constant shared by every incremental-lifecycle surface (dd_incremental
+    * / crossMatchStore, rt_df_incremental's base df store,
+    * ss_ivf_incremental's base quantizer, the streaming ingest twin) so the
+    * 80/20 shape cannot drift between tiers.
+    */
+  val LandingBucketCap = 80
+
   /** DuckDB twin of [[bucket]]. */
   def bucketSql(col: String): String =
     s"CAST('0x' || substr(md5('$SampleSeed:' || CAST($col AS VARCHAR)), 1, 15) AS BIGINT) % 100"

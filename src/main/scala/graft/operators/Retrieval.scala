@@ -408,7 +408,7 @@ object Retrieval {
   /** Landing-batch split point (the dd_incremental shape): docs with
     * bucket < this are "already indexed", the rest are the landing batch.
     */
-  val IndexedBucketCap = 80
+  val IndexedBucketCap: Int = Pipeline.LandingBucketCap
 
   /** The STALE base df table: document frequencies over the pre-landing
     * corpus partition only (bucket < [[IndexedBucketCap]]), stored — the

@@ -500,7 +500,7 @@ object Similarity {
     // SimilaritySpec.
     "ss_ivf_incremental" -> { (s, dir) =>
       val batch = vecs(s, dir)
-        .filter(Pipeline.bucket(col("vec_id")) >= Retrieval.IndexedBucketCap)
+        .filter(Pipeline.bucket(col("vec_id")) >= Pipeline.LandingBucketCap)
       val maintained = baseIvfCells(s, dir)
         .union(assignCells(batch, baseIvfCentroids(s, dir)))
       cellFingerprint(maintained)
@@ -976,19 +976,23 @@ object Similarity {
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
 
-  /** Checksum seed for [[cellFingerprint]] (independent of the sampling
-    * and op-assignment seeds).
+  /** Checksum seed for [[cellFingerprint]] (no other seeded hash family in
+    * the engine uses 23, so the checksum is independent of every sampling /
+    * op-assignment / quantizer-init draw).
     */
-  val CellCkSeed = 13
+  val CellCkSeed = 23
 
-  /** Lossless compact fingerprint of a (vec_id, cell) assignment table:
-    * per cell, the member count and the sum of a keyed md5 hash of each
-    * member id (each term < 1e9+7, so the BIGINT sum is exact at any
-    * corpus size that fits a cell). ≤ |cells| output rows — two tables
-    * fingerprint equal iff their per-cell member multisets collide on the
-    * checksum, which for a 60-bit-entropy hash summed mod-free is a
-    * practical equality proof; SimilaritySpec additionally asserts EXACT
-    * row-level equality at spec scale.
+  /** Compact fingerprint of a (vec_id, cell) assignment table: per cell,
+    * the member count and the sum of each member id's keyed md5 hash
+    * reduced mod 1e9+7. The mod keeps each term under 2³⁰ so the BIGINT
+    * sum stays exact up to ~10⁹ members per cell; it also caps the per-pair
+    * collision odds at ~10⁻⁹ (NOT the raw hash's 60 bits — the reduction
+    * spends entropy for sum headroom), which is fingerprint-grade, not
+    * proof-grade. The gate's actual equality proof is the DuckDB oracle
+    * recomputing the identical checksum from a from-scratch rebuild, plus
+    * SimilaritySpec's EXACT row-level append≡rebuild comparison at spec
+    * scale; the fingerprint only compresses the assignment to ≤ |cells|
+    * gate rows.
     */
   private def cellFingerprint(cells: DataFrame): DataFrame =
     cells.groupBy("cell")
@@ -1003,7 +1007,7 @@ object Similarity {
     * rt_df_incremental / dd_incremental).
     */
   private def baseVecs(s: SparkSession, dir: String): DataFrame =
-    vecs(s, dir).filter(Pipeline.bucket(col("vec_id")) < Retrieval.IndexedBucketCap)
+    vecs(s, dir).filter(Pipeline.bucket(col("vec_id")) < Pipeline.LandingBucketCap)
 
   /** The STALE coarse quantizer: centroids trained on the pre-landing base
     * partition only, stored — the index artifact that predates the landing
@@ -1529,7 +1533,7 @@ object Similarity {
     "ss_ivf_incremental" -> locally {
       val baseSelect =
         s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings WHERE ${Pipeline.bucketSql("vec_id")} < ${Retrieval.IndexedBucketCap}""".stripMargin
+           |  FROM embeddings WHERE ${Pipeline.bucketSql("vec_id")} < ${Pipeline.LandingBucketCap}""".stripMargin
       s"""WITH ${trainedCellsCteFrom(baseSelect)}, eall AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
          |), cells AS (

@@ -164,7 +164,7 @@ object StreamGate {
       val b = new java.io.File(base)
       if (b.exists()) org.apache.commons.io.FileUtils.deleteDirectory(b)
       val incoming = graft.operators.Relational.t(s, dir, "documents")
-        .filter(graft.operators.Pipeline.bucket(col("doc_id")) >= 80)
+        .filter(graft.operators.Pipeline.bucket(col("doc_id")) >= graft.operators.Pipeline.LandingBucketCap)
       (0 until Splits).foreach { k =>
         landSingleFile(
           incoming.filter(pmod(col("doc_id"), lit(Splits.toLong)) === k),
@@ -175,7 +175,7 @@ object StreamGate {
         java.nio.file.Paths.get(s"$landing/f${Splits - 1}.parquet"), hidden)
       val existing = graft.operators.Dedup.materialized(
         graft.operators.Dedup.shingled(s, dir)
-          .filter(graft.operators.Pipeline.bucket(col("doc_id")) < 80))
+          .filter(graft.operators.Pipeline.bucket(col("doc_id")) < graft.operators.Pipeline.LandingBucketCap))
       def drainDocs(): Unit =
         DocStreams.dedupDocStream(
           DocStreams.readDocStream(s, landing), existing, tableDir, ckpt)

@@ -33,7 +33,7 @@ object DdProbe {
       val pfx = Dedup.rankedStore(s, dir)
         .filter(col("rk") <= Dedup.prefixLenCol(Dedup.MinJaccardNum, Dedup.MinJaccardDen))
         .select(col("doc_id"), col("sng"),
-          (Pipeline.bucket(col("doc_id")) >= 80).as("incoming"))
+          (Pipeline.bucket(col("doc_id")) >= Pipeline.LandingBucketCap).as("incoming"))
       pfx.filter(!col("incoming")).as("x")
         .join(pfx.filter(col("incoming")).as("y"), col("x.sng") === col("y.sng"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -54,8 +54,8 @@ object DdProbe {
       // (union + df window + rank window + collision join), the stored-
       // index hypothetical, and the full gate query.
       "inc_cands" -> (() => Dedup.ngramCandidatesAcross(
-        sh().filter(Pipeline.bucket(col("doc_id")) < 80),
-        sh().filter(Pipeline.bucket(col("doc_id")) >= 80))),
+        sh().filter(Pipeline.bucket(col("doc_id")) < Pipeline.LandingBucketCap),
+        sh().filter(Pipeline.bucket(col("doc_id")) >= Pipeline.LandingBucketCap))),
       "inc_cands_stored" -> (() => incCandsStored()),
       "inc_full" -> (() => Dedup.queries("dd_incremental")(s, dir)),
       // dd_containment decomposition: one-sided prefix × FULL index

@@ -9,15 +9,25 @@ package graft.tools
   * separately (re-reading a stored parquet twice is cheap by design).
   */
 object RescanAudit {
+
+  /** Every parquet scan location in a physical-plan string — ONE definition
+    * of the walk, shared by this tool and PlanAuditSpec's standing
+    * regression pin so the dev report and the gate can never count
+    * different things (the CdProbe no-drift discipline).
+    */
+  private[graft] def scanLocations(plan: String): Seq[String] = {
+    val loc = """InMemoryFileIndex\(\d+ paths?\)\[([^\]]+)""".r
+    loc.findAllMatchIn(plan).map(_.group(1)).toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val s = graft.EngineSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
-    val loc = """InMemoryFileIndex\(\d+ paths?\)\[([^\]]+)""".r
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
         val p = fn(s, dir).queryExecution.executedPlan.toString
-        val hits = loc.findAllMatchIn(p).map(_.group(1)).toSeq
+        val hits = scanLocations(p)
         val corpus = hits.filter(_.contains(dir)).groupBy(identity).view.mapValues(_.size)
           .filter(_._2 >= 2).toMap
         val stored = hits.filterNot(_.contains(dir)).groupBy(identity).view.mapValues(_.size)

@@ -681,18 +681,28 @@ class PlanAuditSpec extends SparkSpec {
       // power iteration, never a duplicated subtree:
       "ss_pagerank" -> Map("embeddings.parquet" -> 8),
     )
-    val loc = """InMemoryFileIndex\(\d+ paths?\)\[([^\]]+)""".r
     val dir = sf()
+    // Bidirectional pin: observed > allowed is the regression this test
+    // exists for; observed < allowed means a row went STALE (the plan got
+    // better), and keeping the over-generous cap would silently re-admit
+    // up to cap scans later — tighten the row instead. The walk itself is
+    // RescanAudit's (one definition, no tool-vs-gate drift).
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = plan(name)
-      val corpus = loc.findAllMatchIn(p).map(_.group(1)).filter(_.contains(dir))
-        .map(_.split('/').last).toSeq.groupBy(identity).view.mapValues(_.size)
+      val corpus = graft.tools.RescanAudit.scanLocations(p).filter(_.contains(dir))
+        .map(_.split('/').last).groupBy(identity).view.mapValues(_.size).toMap
       for ((table, n) <- corpus if n >= 2) {
         val cap = allowed.getOrElse(name, Map.empty).getOrElse(table, 1)
         assert(n <= cap,
           s"$name plans $n scans of $table (allowed ${cap max 1}) — a shared subtree " +
             "is likely planned per consumer; materialize it (Dedup.materialized / " +
             "Stored tier) or review and allowlist with a reason")
+      }
+      for ((table, cap) <- allowed.getOrElse(name, Map.empty)) {
+        val n = corpus.getOrElse(table, 1)
+        assert(n == cap,
+          s"$name's allowlist row for $table (cap $cap) is stale — the plan now " +
+            s"scans it $n×; tighten the row so the pin stays exact")
       }
     }
   }
