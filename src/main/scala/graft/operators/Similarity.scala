@@ -506,6 +506,33 @@ object Similarity {
       cellFingerprint(maintained)
     },
 
+    // Stored-structure LIFECYCLE for the PQ tier — the ss_ivf_incremental
+    // staleness contract applied to the CODE TABLE (completing the ANN
+    // lifecycle series: df index r12, IVF cells r13, PQ codes r14): a
+    // landing batch of vectors arrives AFTER the per-subspace codebooks
+    // were trained, and the index must be maintained by FIXED-CODEBOOK
+    // encode — slice the batch and assign each slice to the EXISTING
+    // codewords ([[basePqCodebook]], trained on the pre-landing partition
+    // only), never re-train a subquantizer and never re-encode the
+    // already-indexed corpus. The maintained code table is stale base codes
+    // (read from the store AS-IS) ∪ the batch encoding — O(|batch|·PqSub·K)
+    // new work. The gate output is a lossless per-(subspace, codeword)
+    // fingerprint (member count + keyed checksum of member ids), and the
+    // oracle re-derives the SAME table from scratch — full per-subspace
+    // Lloyd's training on the base partition, then one encode pass over the
+    // whole corpus — so the hash match proves
+    // append(stale, encode(batch, CB)) ≡ encode(corpus, CB) exactly. The
+    // stale-read-vs-maintained-read distinction and the no-retraining plan
+    // shape (one embeddings scan, no Lloyd's chain) are spec-asserted in
+    // SimilaritySpec.
+    "ss_pq_incremental" -> { (s, dir) =>
+      val batch = vecs(s, dir)
+        .filter(Pipeline.bucket(col("vec_id")) >= Pipeline.LandingBucketCap)
+      val maintained = basePqCodes(s, dir)
+        .unionByName(encodeAtCodebook(subRows(batch), basePqCodebook(s, dir)))
+      codeFingerprint(maintained)
+    },
+
     // PQ DISTORTION audit — the codebook-quality artifact a vector store
     // reads before trusting ADC distances (and re-reads on every corpus
     // snapshot: rising distortion means the trained codebook no longer fits
@@ -931,17 +958,11 @@ object Similarity {
     */
   private def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cb = materialize("pq_codebook", dir, s)(trainPqCodebook(subRows(vecs(s, dir))))
-    // Encode: nearest codeword per (vector, subspace) — max_by argmax, same
-    // sort-free shape as training assignment. The encoded corpus is itself
-    // part of the stored index: built once, every ADC scan reads the code
-    // table (that IS the 64× compression payoff).
-    val codes = materialize("pq_codes", dir, s) {
-      subRows(vecs(s, dir)).join(broadcast(cb), Seq("sub")) // bounded: K-entry codebook per subspace
-        .select(col("vec_id"), col("nrm"), col("sub"), col("cid"),
-          pqScore(col("sv"), col("cv")).as("sc"))
-        .groupBy(col("vec_id").as("neighbor_id"), col("nrm"), col("sub"))
-        .agg(max_by(col("cid"), struct(col("sc"), -col("cid"))).as("cid"))
-    }
+    // Encode: nearest codeword per (vector, subspace). The encoded corpus is
+    // itself part of the stored index: built once, every ADC scan reads the
+    // code table (that IS the 64× compression payoff).
+    val codes = materialize("pq_codes", dir, s)(
+      encodeAtCodebook(subRows(vecs(s, dir)), cb))
     val qparts = subRows(vecs(s, dir).filter(col("vec_id") < NQueries))
       .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"), col("sub"), col("sv"))
       .join(broadcast(cb), Seq("sub")) // bounded: K-entry codebook per subspace
@@ -949,6 +970,21 @@ object Similarity {
         Dedup.dotSeq(col("sv"), col("cv")).as("pdot"))
     (codes, qparts)
   }
+
+  /** Nearest-codeword encoding of subspace slices against a (broadcast)
+    * codebook — the ONE definition of "which code does this slice get",
+    * shared by the full index build ([[pqIndex]]), the stale base code
+    * table, and ss_pq_incremental's fixed-codebook landing-batch append
+    * (exactly [[assignCells]]'s role in the IVF tier). max_by argmax, same
+    * sort-free shape as training assignment. O(|sr| · K) work, one narrow
+    * pass — encoding never shuffles the slices beyond its own aggregation.
+    */
+  private[operators] def encodeAtCodebook(sr: DataFrame, cb: DataFrame): DataFrame =
+    sr.join(broadcast(cb), Seq("sub")) // bounded: K-entry codebook per subspace
+      .select(col("vec_id"), col("nrm"), col("sub"), col("cid"),
+        pqScore(col("sv"), col("cv")).as("sc"))
+      .groupBy(col("vec_id").as("neighbor_id"), col("nrm"), col("sub"))
+      .agg(max_by(col("cid"), struct(col("sc"), -col("cid"))).as("cid"))
 
   /** Stored corpus-side cell assignment (vec_id → nearest trained centroid)
     * shared by the IVF and IVF-PQ paths — the index structure a production
@@ -1025,6 +1061,47 @@ object Similarity {
   private[graft] def baseIvfCells(s: SparkSession, dir: String): DataFrame =
     materialize("ivf_base_cells", dir, s)(
       assignCells(baseVecs(s, dir), baseIvfCentroids(s, dir)))
+
+  /** The STALE product quantizer: per-subspace codebooks trained on the
+    * pre-landing base partition only, stored — the PQ analog of
+    * [[baseIvfCentroids]]. A landing batch NEVER retrains the
+    * subquantizers (fixed-codebook encode, the FAISS production
+    * discipline); re-training is a scheduled rebuild, not maintenance.
+    */
+  private[graft] def basePqCodebook(s: SparkSession, dir: String): DataFrame =
+    materialize("pq_base_codebook", dir, s)(
+      trainPqCodebook(subRows(baseVecs(s, dir))))
+
+  /** The STALE code table: base-partition slices encoded at the base
+    * codebooks, stored next to them (what a vector store has on disk when
+    * the landing batch arrives) — the PQ analog of [[baseIvfCells]].
+    */
+  private[graft] def basePqCodes(s: SparkSession, dir: String): DataFrame =
+    materialize("pq_base_codes", dir, s)(
+      encodeAtCodebook(subRows(baseVecs(s, dir)), basePqCodebook(s, dir)))
+
+  /** Checksum seed for [[codeFingerprint]] — PQ's own draw family
+    * (SeedHygieneSpec pins every `*Seed` constant pairwise distinct, so the
+    * code checksum is independent of the IVF cell checksum and every
+    * sampling / op-assignment / quantizer-init draw).
+    */
+  val PqCkSeed = 19
+
+  /** Compact fingerprint of a (neighbor_id, sub, cid) code table: per
+    * (subspace, codeword), the member count and the mod-1e9+7 sum of each
+    * member id's keyed md5 hash — the [[cellFingerprint]] construction with
+    * (sub, cid) as the bucket key (same sum-headroom / collision-odds
+    * analysis; the gate's actual equality proof is the DuckDB oracle
+    * recomputing the identical checksum from a from-scratch rebuild plus
+    * SimilaritySpec's exact row-level append≡rebuild comparison).
+    */
+  private def codeFingerprint(codes: DataFrame): DataFrame =
+    codes.groupBy("sub", "cid")
+      .agg(
+        count(lit(1)).as("n_codes"),
+        sum(pmod(md5Long(PqCkSeed, col("neighbor_id").cast("string")), lit(1000000007L)))
+          .as("code_ck"))
+      .orderBy("sub", "cid")
 
   /** Shared ADC tail: sum partial dots per (query, neighbor), keep the top
     * PqRerank by approximate cosine (EXACT norms ride with the codes), then
@@ -1549,6 +1626,28 @@ object Similarity {
          |  CAST(SUM(CAST('0x' || substr(md5('$CellCkSeed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS vec_ck
          |FROM cells GROUP BY cell ORDER BY cell""".stripMargin
     },
+    // Fixed-codebook PQ maintenance twin: trains the per-subspace codebooks
+    // FROM SCRATCH on the pre-landing base partition (the parameterized
+    // per-subspace Lloyd's unroll — same text as every other PQ oracle),
+    // then encodes the WHOLE corpus's slices at those codebooks in one pass
+    // and fingerprints per (subspace, codeword). The engine side instead
+    // reads its stored base codes and encodes only the batch — the hash
+    // match proves the append path reproduces the rebuild exactly.
+    "ss_pq_incremental" -> locally {
+      val baseSelect =
+        s"""SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings WHERE ${Pipeline.bucketSql("vec_id")} < ${Pipeline.LandingBucketCap}""".stripMargin
+      val fullSelect =
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+      s"""WITH e AS (
+         |  $baseSelect
+         |), ${pqChainCteFrom(
+          s"eall AS ($fullSelect), ${pqSliceCtes("eall", "nall", "srall")}",
+          "srall")}
+         |SELECT sub, cid, COUNT(*) AS n_codes,
+         |  CAST(SUM(CAST('0x' || substr(md5('$PqCkSeed:' || CAST(neighbor_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS code_ck
+         |FROM codes GROUP BY sub, cid ORDER BY sub, cid""".stripMargin
+    },
     // SemDeDup twin: the SAME trained-cells CTE as ss_ann_ivf (one coarse
     // quantizer, two consumers — mirroring the engine's shared stored
     // index), then the identical intra-cell pair scan, threshold, and
@@ -1735,7 +1834,34 @@ object Similarity {
     * from [[trainedCellsCte]]'s (`a`/`m`/`c`) so the IVF-PQ oracle can
     * compose both chains in one WITH clause.
     */
-  private lazy val pqChainCte: String = {
+  private lazy val pqChainCte: String = pqChainCteFrom("", "sr")
+
+  /** Norm + per-subspace slice derivation over a named vector CTE — the
+    * ONE textual definition of "slice a vector table" ([[subRows]]'s twin),
+    * used for the training population inside [[pqChainCteFrom]] and for the
+    * incremental-maintenance twin's full-corpus encode population, so the
+    * two slice derivations cannot drift.
+    */
+  private def pqSliceCtes(e: String, n: String, sr: String): String =
+    s"""$n AS (
+       |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM $e
+       |), $sr AS (
+       |  SELECT vec_id, nrm, s.s AS sub,
+       |    v[s.s * $PqSubDim + 1 : s.s * $PqSubDim + $PqSubDim] AS sv
+       |  FROM $n CROSS JOIN range($PqSub) s(s)
+       |)""".stripMargin
+
+  /** [[pqChainCte]] with the ENCODE population as a parameter (the
+    * [[trainedCellsCteFrom]] device applied to the PQ chain): training
+    * always runs over the preceding `e` CTE's slices (`sr`); the full-
+    * corpus oracles encode those same slices, while the incremental-
+    * maintenance twin (ss_pq_incremental) interposes `extraCtes` deriving
+    * the whole corpus's slices and encodes THOSE at the base-trained
+    * codebooks. ONE textual definition of the per-subspace Lloyd's unroll
+    * and the encode argmax serves both, so the oracle families cannot
+    * drift.
+    */
+  private def pqChainCteFrom(extraCtes: String, encodeSr: String): String = {
     val rounds = (1 to PqIters).map { i =>
       s"""pa$i AS (
          |  SELECT sub, vec_id, sv, cid,
@@ -1751,13 +1877,8 @@ object Similarity {
          |  SELECT sub, cid, list(m ORDER BY pos) AS cv FROM pm$i GROUP BY sub, cid
          |)""".stripMargin
     }.mkString(", ")
-    s"""n AS (
-       |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e
-       |), sr AS (
-       |  SELECT vec_id, nrm, s.s AS sub,
-       |    v[s.s * $PqSubDim + 1 : s.s * $PqSubDim + $PqSubDim] AS sv
-       |  FROM n CROSS JOIN range($PqSub) s(s)
-       |), ini AS (
+    val extra = if (extraCtes.isEmpty) "" else s"$extraCtes, "
+    s"""${pqSliceCtes("e", "n", "sr")}, ini AS (
        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
        |    CAST('0x' || substr(md5('11:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
        |    vec_id) AS irk
@@ -1765,12 +1886,12 @@ object Similarity {
        |), cb0 AS (
        |  SELECT sr.sub, CAST(ini.irk - 1 AS INT) AS cid, sr.sv AS cv
        |  FROM sr JOIN ini USING (vec_id) WHERE ini.irk <= $PqK
-       |), $rounds, codes AS (
+       |), $rounds, ${extra}codes AS (
        |  SELECT vec_id AS neighbor_id, nrm, sub, cid FROM (
        |    SELECT vec_id, nrm, sub, cid,
        |      ROW_NUMBER() OVER (PARTITION BY sub, vec_id ORDER BY sc DESC, cid ASC) AS crk
        |    FROM (SELECT sr.vec_id, sr.nrm, sr.sub, cb.cid, ${pqScoreSql("sr.sv", "cb.cv")} AS sc
-       |          FROM sr JOIN cb$PqIters cb USING (sub))
+       |          FROM $encodeSr sr JOIN cb$PqIters cb USING (sub))
        |  ) WHERE crk = 1
        |), qparts AS (
        |  SELECT sr.vec_id AS query_id, sr.nrm AS qnrm, sr.sub, cb.cid,

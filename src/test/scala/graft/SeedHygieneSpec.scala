@@ -21,6 +21,7 @@ class SeedHygieneSpec extends AnyFunSuite {
       "Spatial.xSeed" -> operators.Spatial.xSeed,
       "Spatial.ySeed" -> operators.Spatial.ySeed,
       "Similarity.CellCkSeed" -> operators.Similarity.CellCkSeed,
+      "Similarity.PqCkSeed" -> operators.Similarity.PqCkSeed,
       "Learn.DsirSeed" -> operators.Learn.DsirSeed)
     val dupes = seeds.groupBy(_._2).filter(_._2.size > 1)
     assert(dupes.isEmpty,

@@ -432,4 +432,43 @@ class SimilaritySpec extends SparkSpec {
       .count(_.contains("embeddings.parquet"))
     assert(scans == 1, s"maintenance must scan the corpus exactly once (the batch), got $scans:\n$p")
   }
+
+  test("pq incremental: fixed-codebook encode == full re-encode; stale reads differ; no retraining in the plan") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf()
+    def codes(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Int] =
+      df.collect().map(r =>
+        (r.getLong(r.fieldIndex("neighbor_id")), r.getInt(r.fieldIndex("sub"))) ->
+          r.getInt(r.fieldIndex("cid"))).toMap
+    // (a) The maintained code table (stale base codes ∪ batch encoded at
+    //     the SAME codebooks) must equal the from-scratch re-encode of the
+    //     whole corpus at those codebooks, slice by slice — the
+    //     append ≡ rebuild contract behind the ss_pq_incremental gate.
+    val cb = Similarity.basePqCodebook(spark, dir)
+    val batch = Similarity.vecs(spark, dir)
+      .filter(Pipeline.bucket(col("vec_id")) >= Retrieval.IndexedBucketCap)
+    val stale = codes(Similarity.basePqCodes(spark, dir))
+    val maintained = stale ++ codes(
+      Similarity.encodeAtCodebook(Similarity.subRows(batch), cb))
+    val rebuilt = codes(Similarity.encodeAtCodebook(
+      Similarity.subRows(Similarity.vecs(spark, dir)), cb))
+    assert(maintained == rebuilt,
+      "append(stale, encode(batch, CB)) must equal encode(corpus, CB)")
+    // (b) Staleness is OBSERVABLE: the base code table alone is strictly
+    //     smaller (so the gate's per-(sub, cid) fingerprint differs);
+    //     maintenance, not a stale read, reproduces the rebuild.
+    assert(stale.size < maintained.size,
+      "the landing batch must be missing from the stale code table")
+    assert(maintained.size ==
+      Similarity.vecs(spark, dir).count() * Similarity.PqSub)
+    // (c) No retraining and no corpus re-encode in the maintained plan:
+    //     exactly ONE embeddings scan (the landing-batch filter) — the base
+    //     codes and codebooks ride their STORED parquet, and a Lloyd's
+    //     chain or full re-encode would surface as extra corpus scans.
+    val p = graft.SparkEntry.queries("ss_pq_incremental")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = graft.tools.RescanAudit.scanLocations(p)
+      .count(_.contains("embeddings.parquet"))
+    assert(scans == 1, s"maintenance must scan the corpus exactly once (the batch), got $scans:\n$p")
+  }
 }
