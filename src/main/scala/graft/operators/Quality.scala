@@ -36,6 +36,87 @@ object Quality {
       count(lit(1)).as("n_checked"),
       sum(when(bad, 1L).otherwise(0L)).as("n_violations")))
 
+  /** One RELY-constraint audit frame (ft.fk → pt.pk): the distinct'd-PK
+    * left join counted in a single pass, plus the PK-uniqueness one-row
+    * aggregate cross-joined on. ONE definition serves the dq_referential
+    * gate query and [[graft.tools.DqProbe]]'s stage decomposition (the
+    * CdProbe no-drift discipline). `dupPk = false` is the probe's
+    * attribution knob ONLY (drops the uniqueness aggregate to isolate its
+    * share); production always audits all three soundness conditions.
+    */
+  /** The dq_profile plan: one pruned scan, one hash aggregate to a 1-row
+    * frame, explode to the 4-row report. ONE definition serves the gate
+    * query and [[graft.tools.DqProbe]]'s stage decomposition (the CdProbe
+    * no-drift discipline). Per-column distinct strategy by DECLARED domain:
+    * the three domain-bounded columns ride size(collect_set) (state bounded
+    * by the domain, so the sole remaining countDistinct plans as a
+    * two-phase group-by instead of the ×5 Expand that 4 raw distincts
+    * cost — the r12 restructure). `distincts = false` is the probe's
+    * attribution knob ONLY (replaces every distinct measure with a
+    * constant to isolate the distinct-state share); production always
+    * profiles all four.
+    */
+  private[graft] def profileStats(s: SparkSession, dir: String, distincts: Boolean): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    // Bounded-domain exact distinct vs the sole two-phase countDistinct;
+    // the knob collapses both to a constant (no distinct state at all).
+    def bdist(c: Column): Column =
+      if (distincts) size(collect_set(c)).cast("long") else lit(-1L)
+    def cdist(c: Column): Column =
+      if (distincts) countDistinct(c) else lit(-1L)
+    // parallelizeNarrowScan spreads the map side across the session's
+    // cores when the file layout under-splits (single-file local table);
+    // no-op at scale, where the table scans as thousands of splits.
+    val a = Relational.parallelizeNarrowScan(
+      Relational.t(s, dir, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")).agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - count(col("l_quantity"))).as("qty_null"),
+      bdist(col("l_quantity")).as("qty_dist"),
+      min(col("l_quantity").cast(d2)).cast("string").as("qty_min"),
+      max(col("l_quantity").cast(d2)).cast("string").as("qty_max"),
+      (count(lit(1)) - count(col("l_extendedprice"))).as("price_null"),
+      cdist(col("l_extendedprice")).as("price_dist"),
+      min(col("l_extendedprice").cast(d2)).cast("string").as("price_min"),
+      max(col("l_extendedprice").cast(d2)).cast("string").as("price_max"),
+      (count(lit(1)) - count(col("l_returnflag"))).as("flag_null"),
+      bdist(col("l_returnflag")).as("flag_dist"),
+      min(col("l_returnflag")).as("flag_min"),
+      max(col("l_returnflag")).as("flag_max"),
+      (count(lit(1)) - count(col("l_shipdate"))).as("date_null"),
+      bdist(col("l_shipdate")).as("date_dist"),
+      min(col("l_shipdate")).cast("string").as("date_min"),
+      max(col("l_shipdate")).cast("string").as("date_max"))
+    def row(name: String, p: String) = struct(
+      lit(name).as("column_name"), col("n"),
+      col(s"${p}_null").as("n_null"), col(s"${p}_dist").as("n_distinct"),
+      col(s"${p}_min").as("min_value"), col(s"${p}_max").as("max_value"))
+    a.select(explode(array(
+      row("l_quantity", "qty"), row("l_extendedprice", "price"),
+      row("l_returnflag", "flag"), row("l_shipdate", "date"))).as("r"))
+      .select("r.*")
+      .orderBy("column_name")
+  }
+
+  private[graft] def riConstraint(s: SparkSession, dir: String,
+      ft: String, fk: String, pt: String, pk: String, dupPk: Boolean): DataFrame = {
+    val f = Relational.t(s, dir, ft).select(col(fk).as("fk"))
+    val p = Relational.t(s, dir, pt).select(col(pk).as("pk"))
+    val base = f.join(p.distinct(), col("fk") === col("pk"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+        sum(when(col("fk").isNotNull && col("pk").isNull, 1L).otherwise(0L))
+          .as("n_orphans"))
+    val withDup =
+      if (dupPk)
+        base.crossJoin(broadcast( // bounded: one row
+          p.agg((count(lit(1)) - countDistinct(col("pk"))).as("n_dup_pk"))))
+      else base.withColumn("n_dup_pk", lit(-1L))
+    withDup.select(lit(s"$ft.$fk->$pt.$pk").as("constraint_name"),
+      col("n_rows"), col("n_null_fk"), col("n_orphans"), col("n_dup_pk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // RELY-registry audit — the nightly job that keeps unenforced
@@ -50,18 +131,7 @@ object Quality {
     // |constraints| reports are one-row frames unioned.
     "dq_referential" -> { (s, dir) =>
       graft.plans.JoinElimination.Declared.map { case (ft, fk, pt, pk) =>
-        val f = Relational.t(s, dir, ft).select(col(fk).as("fk"))
-        val p = Relational.t(s, dir, pt).select(col(pk).as("pk"))
-        f.join(p.distinct(), col("fk") === col("pk"), "left_outer")
-          .agg(
-            count(lit(1)).as("n_rows"),
-            sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
-            sum(when(col("fk").isNotNull && col("pk").isNull, 1L).otherwise(0L))
-              .as("n_orphans"))
-          .crossJoin(broadcast( // bounded: one row
-            p.agg((count(lit(1)) - countDistinct(col("pk"))).as("n_dup_pk"))))
-          .select(lit(s"$ft.$fk->$pt.$pk").as("constraint_name"),
-            col("n_rows"), col("n_null_fk"), col("n_orphans"), col("n_dup_pk"))
+        riConstraint(s, dir, ft, fk, pt, pk, dupPk = true)
       }.reduce(_.unionByName(_)).orderBy("constraint_name")
     },
 
@@ -272,7 +342,7 @@ object Quality {
     // which differs across engines).
     //
     // Distinct strategy is per-column by DECLARED domain (r12 A/B,
-    // tools/ProfileProbe: 2.3–2.6 s → 1.3–1.6 s at sf0.1): the three
+    // now tools/DqProbe: 2.3–2.6 s → 1.3–1.6 s at sf0.1): the three
     // bounded-domain columns (quantity: integral 1..50; returnflag: enum;
     // shipdate: calendar days) ride size(collect_set) — exact, with
     // aggregation state bounded by the DOMAIN, not the row count — so the
@@ -284,41 +354,7 @@ object Quality {
     // column (like every pin-tier bound); a column without one must use
     // countDistinct. No-Expand + one-scan is plan-asserted in
     // PlanAuditSpec.
-    "dq_profile" -> { (s, dir) =>
-      val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
-      // parallelizeNarrowScan spreads the map side across the session's
-      // cores when the file layout under-splits (single-file local table);
-      // no-op at scale, where the table scans as thousands of splits.
-      val a = Relational.parallelizeNarrowScan(
-        Relational.t(s, dir, "lineitem")
-          .select("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")).agg(
-        count(lit(1)).as("n"),
-        (count(lit(1)) - count(col("l_quantity"))).as("qty_null"),
-        size(collect_set(col("l_quantity"))).cast("long").as("qty_dist"),
-        min(col("l_quantity").cast(d2)).cast("string").as("qty_min"),
-        max(col("l_quantity").cast(d2)).cast("string").as("qty_max"),
-        (count(lit(1)) - count(col("l_extendedprice"))).as("price_null"),
-        countDistinct(col("l_extendedprice")).as("price_dist"),
-        min(col("l_extendedprice").cast(d2)).cast("string").as("price_min"),
-        max(col("l_extendedprice").cast(d2)).cast("string").as("price_max"),
-        (count(lit(1)) - count(col("l_returnflag"))).as("flag_null"),
-        size(collect_set(col("l_returnflag"))).cast("long").as("flag_dist"),
-        min(col("l_returnflag")).as("flag_min"),
-        max(col("l_returnflag")).as("flag_max"),
-        (count(lit(1)) - count(col("l_shipdate"))).as("date_null"),
-        size(collect_set(col("l_shipdate"))).cast("long").as("date_dist"),
-        min(col("l_shipdate")).cast("string").as("date_min"),
-        max(col("l_shipdate")).cast("string").as("date_max"))
-      def row(name: String, p: String) = struct(
-        lit(name).as("column_name"), col("n"),
-        col(s"${p}_null").as("n_null"), col(s"${p}_dist").as("n_distinct"),
-        col(s"${p}_min").as("min_value"), col(s"${p}_max").as("max_value"))
-      a.select(explode(array(
-        row("l_quantity", "qty"), row("l_extendedprice", "price"),
-        row("l_returnflag", "flag"), row("l_shipdate", "date"))).as("r"))
-        .select("r.*")
-        .orderBy("column_name")
-    },
+    "dq_profile" -> { (s, dir) => profileStats(s, dir, distincts = true) },
 
     // Distribution-drift monitor between two corpus snapshots — the
     // dataset-shift check a training pipeline runs before accepting a new
