@@ -439,6 +439,14 @@ object Dedup {
   /** Modulus for the Kirsch-Mitzenmacher hash family (2^31 - 1, prime). */
   val MinhashP = 2147483647L
 
+  /** Seeds of the two base hashes the Kirsch-Mitzenmacher family combines.
+    * They draw on the SHINGLE-text domain (not ids), but live in the same
+    * md5Long family as every other seed, so SeedHygieneSpec pins them
+    * pairwise distinct with the rest.
+    */
+  private[graft] val MinhashSeed1 = 1
+  private[graft] val MinhashSeed2 = 2
+
   def minhashSigs(sh: DataFrame): DataFrame = {
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sng"))
     // Kirsch-Mitzenmacher: derive the K hash functions as affine combinations
@@ -452,8 +460,8 @@ object Dedup {
     // so it costs nothing extra.
     val hashed = inv.select(
       col("doc_id"),
-      (md5Long(1, col("sng")) % MinhashP).as("h1"),
-      (md5Long(2, col("sng")) % MinhashP).as("h2")
+      (md5Long(MinhashSeed1, col("sng")) % MinhashP).as("h1"),
+      (md5Long(MinhashSeed2, col("sng")) % MinhashP).as("h2")
     ).transform(spread("doc_id"))
     val mins = (0 until K).map(i => min((col("h1") + lit(i.toLong) * col("h2")) % MinhashP).as(s"m$i"))
     hashed
@@ -1522,8 +1530,8 @@ object Dedup {
          |  SELECT doc_id, unnest(shingles) AS sng FROM sh
          |), hs AS (
          |  SELECT doc_id,
-         |    CAST('0x' || substr(md5('1:' || sng), 1, 15) AS BIGINT) % $MinhashP AS h1,
-         |    CAST('0x' || substr(md5('2:' || sng), 1, 15) AS BIGINT) % $MinhashP AS h2
+         |    CAST('0x' || substr(md5('$MinhashSeed1:' || sng), 1, 15) AS BIGINT) % $MinhashP AS h1,
+         |    CAST('0x' || substr(md5('$MinhashSeed2:' || sng), 1, 15) AS BIGINT) % $MinhashP AS h2
          |  FROM inv
          |), sg AS (
          |  SELECT doc_id, i.i AS i, MIN((h1 + i.i * h2) % $MinhashP) AS m
@@ -1565,8 +1573,8 @@ object Dedup {
          |  SELECT doc_id, unnest(shingles) AS sng FROM sh
          |), hs AS (
          |  SELECT doc_id,
-         |    CAST('0x' || substr(md5('1:' || sng), 1, 15) AS BIGINT) % $MinhashP AS h1,
-         |    CAST('0x' || substr(md5('2:' || sng), 1, 15) AS BIGINT) % $MinhashP AS h2
+         |    CAST('0x' || substr(md5('$MinhashSeed1:' || sng), 1, 15) AS BIGINT) % $MinhashP AS h1,
+         |    CAST('0x' || substr(md5('$MinhashSeed2:' || sng), 1, 15) AS BIGINT) % $MinhashP AS h2
          |  FROM inv
          |), sg AS (
          |  SELECT doc_id, i.i AS i, MIN((h1 + i.i * h2) % $MinhashP) AS m

@@ -26,6 +26,15 @@ object Pipeline {
   /** Sampling seed: vary to draw an independent sample family. */
   val SampleSeed = 7
 
+  /** Group-cap ranking seed of [[queries sp_group_cap]] — its OWN family:
+    * was the literal 7 == [[SampleSeed]], which made per-source cap
+    * survival and the sampling/split bucket functions of ONE md5Long draw
+    * on the same doc_id space (a capped corpus would have sampled
+    * non-uniformly under [[bucket]]). Pinned pairwise-distinct in
+    * SeedHygieneSpec.
+    */
+  val GroupCapSeed = 47
+
   /** Hash bucket in [0, 100) for a document id — the sampling/split unit. */
   def bucket(docId: Column): Column =
     pmod(md5Long(SampleSeed, docId.cast("string")), lit(100L))
@@ -60,7 +69,7 @@ object Pipeline {
       import org.apache.spark.sql.expressions.Window
       Relational.t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          graft.functions.HashFunctions.md5Long(7, col("doc_id")).as("h"))
+          graft.functions.HashFunctions.md5Long(GroupCapSeed, col("doc_id")).as("h"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)))
         .filter(col("rn") <= lit(GroupCapK))
@@ -207,7 +216,7 @@ object Pipeline {
       import org.apache.spark.sql.expressions.Window
       val dedupW = Window.partitionBy("h").orderBy("doc_id")
       val capW = Window.partitionBy("source")
-        .orderBy(graft.functions.HashFunctions.md5Long(SampleSeed, col("doc_id")).asc,
+        .orderBy(graft.functions.HashFunctions.md5Long(GroupCapSeed, col("doc_id")).asc,
           col("doc_id").asc)
       Relational.t(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
@@ -784,7 +793,7 @@ object Pipeline {
          |  SELECT doc_id, source,
          |         ROW_NUMBER() OVER (
          |           PARTITION BY source
-         |           ORDER BY CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+         |           ORDER BY CAST('0x' || substr(md5('$GroupCapSeed:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
          |                    doc_id ASC) AS rn
          |  FROM documents
          |)
@@ -880,7 +889,7 @@ object Pipeline {
          |  SELECT doc_id, source, n_chars FROM surv
          |  QUALIFY ROW_NUMBER() OVER (
          |    PARTITION BY source
-         |    ORDER BY CAST('0x' || substr(md5('$SampleSeed:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+         |    ORDER BY CAST('0x' || substr(md5('$GroupCapSeed:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
          |             doc_id ASC) <= $GroupCapK
          |)
          |SELECT CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'

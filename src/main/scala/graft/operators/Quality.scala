@@ -36,14 +36,6 @@ object Quality {
       count(lit(1)).as("n_checked"),
       sum(when(bad, 1L).otherwise(0L)).as("n_violations")))
 
-  /** One RELY-constraint audit frame (ft.fk → pt.pk): the distinct'd-PK
-    * left join counted in a single pass, plus the PK-uniqueness one-row
-    * aggregate cross-joined on. ONE definition serves the dq_referential
-    * gate query and [[graft.tools.DqProbe]]'s stage decomposition (the
-    * CdProbe no-drift discipline). `dupPk = false` is the probe's
-    * attribution knob ONLY (drops the uniqueness aggregate to isolate its
-    * share); production always audits all three soundness conditions.
-    */
   /** The dq_profile plan: one pruned scan, one hash aggregate to a 1-row
     * frame, explode to the 4-row report. ONE definition serves the gate
     * query and [[graft.tools.DqProbe]]'s stage decomposition (the CdProbe
@@ -98,6 +90,14 @@ object Quality {
       .orderBy("column_name")
   }
 
+  /** One RELY-constraint audit frame (ft.fk → pt.pk): the distinct'd-PK
+    * left join counted in a single pass, plus the PK-uniqueness one-row
+    * aggregate cross-joined on. ONE definition serves the dq_referential
+    * gate query and [[graft.tools.DqProbe]]'s stage decomposition (the
+    * CdProbe no-drift discipline). `dupPk = false` is the probe's
+    * attribution knob ONLY (drops the uniqueness aggregate to isolate its
+    * share); production always audits all three soundness conditions.
+    */
   private[graft] def riConstraint(s: SparkSession, dir: String,
       ft: String, fk: String, pt: String, pk: String, dupPk: Boolean): DataFrame = {
     val f = Relational.t(s, dir, ft).select(col(fk).as("fk"))

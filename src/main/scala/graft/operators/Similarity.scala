@@ -718,6 +718,14 @@ object Similarity {
     */
   val IvfSweepProbes: Seq[Int] = Seq(1, 2, 4)
 
+  /** Init-sample draw seed of [[trainCentroids]] — its OWN family: was the
+    * literal 7 == [[Pipeline.SampleSeed]], which made the quantizer's init
+    * rank and the landing-bucket base/landing split (ss_ivf_incremental)
+    * functions of ONE md5Long draw on the same vec_id space, the dependence
+    * class SeedHygieneSpec exists to ban. Pinned pairwise-distinct there.
+    */
+  private[graft] val IvfInitSeed = 37
+
   /** Train the coarse quantizer with Lloyd's k-means — all dataflow, no
     * driver-side actions:
     *
@@ -744,7 +752,7 @@ object Similarity {
     */
   private def trainCentroids(e: DataFrame): DataFrame = {
     val init = e
-      .orderBy(md5Long(7, col("vec_id").cast("string")), col("vec_id"))
+      .orderBy(md5Long(IvfInitSeed, col("vec_id").cast("string")), col("vec_id"))
       .limit(IvfCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     (1 to IvfIters).foldLeft(init) { (cent, _) =>
@@ -860,6 +868,12 @@ object Similarity {
       .select(col("vec_id"), col("nrm"), col("sub"),
         slice(col("v"), col("sub") * lit(PqSubDim) + lit(1), lit(PqSubDim)).as("sv"))
 
+  /** Init-sample draw seed of [[trainPqCodebook]] — its OWN family: was the
+    * literal 11 == [[Changes.OpSeed]]. Pinned pairwise-distinct in
+    * SeedHygieneSpec alongside [[IvfInitSeed]].
+    */
+  private[graft] val PqInitSeed = 43
+
   /** Per-subspace Lloyd's k-means codebook: (sub, cid, cv). Same training
     * dataflow as [[trainCentroids]] (deterministic hash-sample init, K
     * assign/recenter rounds, zero driver-side actions), run for all PqSub
@@ -874,7 +888,7 @@ object Similarity {
     */
   private[operators] def trainPqCodebook(sr: DataFrame): DataFrame = {
     val wi = Window.partitionBy("sub")
-      .orderBy(md5Long(11, col("vec_id").cast("string")), col("vec_id"))
+      .orderBy(md5Long(PqInitSeed, col("vec_id").cast("string")), col("vec_id"))
     val init = sr.withColumn("irk", row_number().over(wi))
       .filter(col("irk") <= PqK)
       .select(col("sub"), (col("irk") - 1).cast("int").as("cid"), col("sv").as("cv"))
@@ -1800,7 +1814,7 @@ object Similarity {
        |  $eSelect
        |), c0 AS (
        |  SELECT vec_id AS c_id, v AS cv FROM e
-       |  ORDER BY CAST('0x' || substr(md5('7:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |  ORDER BY CAST('0x' || substr(md5('$IvfInitSeed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
        |    vec_id
        |  LIMIT $IvfCells
        |), $rounds, cc AS (
@@ -1880,7 +1894,7 @@ object Similarity {
     val extra = if (extraCtes.isEmpty) "" else s"$extraCtes, "
     s"""${pqSliceCtes("e", "n", "sr")}, ini AS (
        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
-       |    CAST('0x' || substr(md5('11:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |    CAST('0x' || substr(md5('$PqInitSeed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
        |    vec_id) AS irk
        |  FROM e
        |), cb0 AS (

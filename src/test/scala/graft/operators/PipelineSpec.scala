@@ -28,7 +28,7 @@ class PipelineSpec extends SparkSpec {
     val bySource = kept.groupBy(_._2)
     val all = Relational.t(spark, sf(), "documents")
       .select(col("doc_id"), col("source"),
-        graft.functions.HashFunctions.md5Long(7, col("doc_id")).as("h"))
+        graft.functions.HashFunctions.md5Long(Pipeline.GroupCapSeed, col("doc_id")).as("h"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .groupBy(_._2)
     all.foreach { case (src, docs) =>
@@ -42,7 +42,7 @@ class PipelineSpec extends SparkSpec {
     // group's members, no RNG, no partition dependence).
     val half = Relational.t(spark, sf(), "documents").filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("source"),
-        graft.functions.HashFunctions.md5Long(7, col("doc_id")).as("h"))
+        graft.functions.HashFunctions.md5Long(Pipeline.GroupCapSeed, col("doc_id")).as("h"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).groupBy(_._2)
     half.foreach { case (src, docs) =>
       val expectHalf = docs.sortBy(d => (d._3, d._1)).take(Pipeline.GroupCapK).map(_._1).toSet

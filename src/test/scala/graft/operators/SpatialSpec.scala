@@ -11,8 +11,8 @@ class SpatialSpec extends SparkSpec {
     // Brute force over the same derived points, computed independently.
     val pts = Relational.t(spark, sf(), "customer").select(
       col("c_custkey"),
-      (graft.functions.HashFunctions.md5Long(41, col("c_custkey")) % Spatial.Extent).as("x"),
-      (graft.functions.HashFunctions.md5Long(42, col("c_custkey")) % Spatial.Extent).as("y")
+      (graft.functions.HashFunctions.md5Long(Spatial.xSeed, col("c_custkey")) % Spatial.Extent).as("x"),
+      (graft.functions.HashFunctions.md5Long(Spatial.ySeed, col("c_custkey")) % Spatial.Extent).as("y")
     ).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val brute = for {
       (a, ax, ay) <- pts; (b, bx, by) <- pts
