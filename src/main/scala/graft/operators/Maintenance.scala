@@ -98,6 +98,39 @@ object Maintenance {
     k
   }
 
+  /** The three phases of mt_compact_partitioned as named builders — ONE
+    * definition each serves the gate query (which composes all three) and
+    * [[graft.tools.TailProbe]]'s per-phase cost attribution (the
+    * CdProbe/DqProbe no-drift discipline; TailProbeSpec pins the composed
+    * report's plan ≡ production). The gate's cost is two full table writes
+    * plus a pruned read: fragmentation is the test FIXTURE (a deployment
+    * already has the fragmented tree), compaction is the OPERATOR, the
+    * report is the content/pruning PROOF.
+    */
+  private[graft] def fragmentByLang(s: SparkSession, dir: String): String = {
+    val frag = Connectors.tmp("documents_bylang_frag")
+    graft.sources.Formats.writePartitioned(
+      Relational.t(s, dir, "documents").repartition(8), frag, "lang")
+    frag
+  }
+
+  private[graft] def compactLangTree(s: SparkSession, frag: String): String = {
+    val compacted = Connectors.tmp("documents_bylang_compact")
+    compactPartitioned(s, frag, compacted, "lang", 4L * 1024)
+    compacted
+  }
+
+  private[graft] def compactedLangReport(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .filter(col("lang").isin("en", "zh"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("lang")
+
   /** Cluster-sorted rewrite: re-lay the table out so each output file covers
     * a DISJOINT range of `sortCols` (range repartition) with rows sorted
     * inside each file (so parquet row-group min/max stats are tight too).
@@ -299,20 +332,7 @@ object Maintenance {
     // hash, which is why MaintenanceSpec additionally asserts the `lang=*`
     // directory layout and per-partition file bound survive).
     "mt_compact_partitioned" -> { (s, dir) =>
-      val src = Relational.t(s, dir, "documents")
-      val frag = Connectors.tmp("documents_bylang_frag")
-      graft.sources.Formats.writePartitioned(src.repartition(8), frag, "lang")
-      val compacted = Connectors.tmp("documents_bylang_compact")
-      compactPartitioned(s, frag, compacted, "lang", 4L * 1024)
-      s.read.parquet(compacted)
-        .filter(col("lang").isin("en", "zh"))
-        .groupBy("lang")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"),
-          min(col("doc_id")).as("min_doc_id"),
-          max(col("doc_id")).as("max_doc_id"))
-        .orderBy("lang")
+      compactedLangReport(s, compactLangTree(s, fragmentByLang(s, dir)))
     },
 
     // Z-order rewrite: scramble `documents` across 40 files, re-lay it out

@@ -310,27 +310,7 @@ object Similarity {
     // so ranks are bit-reproducible across partitionings and engines — the
     // unrolled DuckDB oracle lands on identical doubles. The edge set is
     // the STORED k-NN index ([[knnGraph]]): built once, scanned per round.
-    "ss_pagerank" -> { (s, dir) =>
-      val nodes = vecs(s, dir).select(col("vec_id"))
-      val nN = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-      // knnGraph is a stored parquet index ([[materialize]]): each round's
-      // scan of the edge table is a cheap re-read, no checkpoint needed.
-      val edges = knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      val init = nodes.join(broadcast(nN)) // bounded: one row
-        .select(col("vec_id"), (lit(1.0) / col("n_nodes")).as("pr"))
-      (1 to PrIters).foldLeft(init) { (pr, _) =>
-        val contrib = edges
-          .join(pr.withColumnRenamed("vec_id", "src"), "src")
-          .select(col("dst"),
-            (col("pr") / lit(3.0)).cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("c"))
-          .groupBy("dst")
-          .agg(sum(col("c")).cast("double").as("s"))
-        nodes.join(broadcast(nN)) // bounded: one row
-          .join(contrib, col("vec_id") === col("dst"), "left")
-          .select(col("vec_id"),
-            (lit(0.15) / col("n_nodes") + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
-      }.orderBy("vec_id")
-    },
+    "ss_pagerank" -> { (s, dir) => pageRankRanks(s, dir, PrIters) },
 
     // Single-source BFS hop distances over the undirected 3-NN graph — the
     // frontier-expansion iteration pattern (the third iterative-dataflow
@@ -699,6 +679,36 @@ object Similarity {
 
   /** PageRank power-iteration rounds for [[queries ss_pagerank]]. */
   val PrIters = 3
+
+  /** The ss_pagerank plan with the round count as a knob — ONE definition
+    * serves the gate query (`iters = PrIters`) and
+    * [[graft.tools.TailProbe]]'s per-round cost attribution (the
+    * CdProbe/DqProbe no-drift discipline; TailProbeSpec pins probe-full ≡
+    * production on canonicalized plans). `iters = 0` is the stored-graph
+    * read + uniform-init floor; each increment adds exactly one
+    * edges-join + hash-aggregate round.
+    */
+  private[graft] def pageRankRanks(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val nodes = vecs(s, dir).select(col("vec_id"))
+    val nN = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    // knnGraph is a stored parquet index ([[materialize]]): each round's
+    // scan of the edge table is a cheap re-read, no checkpoint needed.
+    val edges = knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val init = nodes.join(broadcast(nN)) // bounded: one row
+      .select(col("vec_id"), (lit(1.0) / col("n_nodes")).as("pr"))
+    (1 to iters).foldLeft(init) { (pr, _) =>
+      val contrib = edges
+        .join(pr.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst"),
+          (col("pr") / lit(3.0)).cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).cast("double").as("s"))
+      nodes.join(broadcast(nN)) // bounded: one row
+        .join(contrib, col("vec_id") === col("dst"), "left")
+        .select(col("vec_id"),
+          (lit(0.15) / col("n_nodes") + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+    }.orderBy("vec_id")
+  }
 
   /** BFS source vertex and hop bound for [[queries ss_bfs_hops]]. The bound
     * is structural, not a tuning knob: it caps the recursion in BOTH engines

@@ -1,0 +1,83 @@
+package graft.tools
+
+import graft.operators.{Maintenance, Retrieval, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev probe: stage decomposition of the next cost tier below the
+  * >1.5 s gate entries DdProbe/DqProbe already pinned — ss_pagerank,
+  * rt_prf_expansion, and mt_compact_partitioned, the three most expensive
+  * unprobed queries in BENCH_r13 (1.45–1.48 s driver-run, routinely over
+  * 1.5 s in contended windows). Run in a QUIET JVM; numbers go to README
+  * "Performance measurement notes".
+  *
+  * The knobbed variants come FROM the production builders
+  * ([[Similarity.pageRankRanks]] / [[Retrieval.prfRanked]] /
+  * [[Maintenance.fragmentByLang]]-[[Maintenance.compactLangTree]]-
+  * [[Maintenance.compactedLangReport]]) — the CdProbe/DqProbe no-drift
+  * discipline; TailProbeSpec pins probe-full ≡ production and that each
+  * knob actually changes the result.
+  *
+  * Attribution map:
+  *  - pr_init (iters=0) = node scan + uniform init + output sort floor;
+  *    each +1 iter adds exactly one stored-edge-table join + hash
+  *    aggregate round, so consecutive deltas price a power-iteration
+  *    round. Synchronous PageRank NEEDS all PrIters rounds — the probe
+  *    shows the total is rounds × a flat per-round cost, not a hidden
+  *    recomputation blow-up (lineage is linear: each round consumes the
+  *    previous frame once).
+  *  - prf_seed (expand=false) = stage-1 BM25 over the stored token index;
+  *    full − seed prices the pseudo-relevance tier (FbDocs cut, feedback
+  *    term promotion, second ranked pass). Two ranked passes ARE the
+  *    operator's contract (Rocchio/RM): the probe shows pass 2 costs the
+  *    same as pass 1, i.e. the expansion adds no super-linear work.
+  *  - mt phases: fragment write (test FIXTURE — a deployment already has
+  *    the fragmented tree), compaction rewrite (the OPERATOR), pruned
+  *    report read (the PROOF). The gate's headline number is dominated by
+  *    the two full table writes, which is the honest cost of a compaction
+  *    gate, not plan waste.
+  */
+object TailProbe {
+
+  /** Declarative probe variants over corpus `dir` — shared by [[main]] and
+    * TailProbeSpec's probe-vs-production assertions.
+    */
+  private[graft] def variants(s: SparkSession, dir: String): Seq[(String, () => DataFrame)] =
+    Seq(
+      "pr_init" -> (() => Similarity.pageRankRanks(s, dir, 0)),
+      "pr_iter1" -> (() => Similarity.pageRankRanks(s, dir, 1)),
+      "pr_iter2" -> (() => Similarity.pageRankRanks(s, dir, 2)),
+      "pr_full" -> (() => Similarity.pageRankRanks(s, dir, Similarity.PrIters)),
+      "prf_seed" -> (() => Retrieval.prfRanked(s, dir, expand = false)),
+      "prf_full" -> (() => Retrieval.prfRanked(s, dir, expand = true)),
+    )
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val s = graft.EngineSession.local(cpus)
+    def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+    def timed(pass: Int, name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[tailprobe] pass$pass $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+    }
+
+    val vs = variants(s, dir)
+    // Warm every path once (JIT/codegen + the stored-structure builds the
+    // production bench also pays outside its timed region), then 3 timed
+    // passes each.
+    vs.foreach { case (_, f) => noop(f()) }
+    noop(Maintenance.compactedLangReport(
+      s, Maintenance.compactLangTree(s, Maintenance.fragmentByLang(s, dir))))
+    (1 to 3).foreach { p =>
+      vs.foreach { case (n, f) => timed(p, n)(noop(f())) }
+      // The imperative compaction phases, timed in their production order.
+      var frag: String = null
+      var compacted: String = null
+      timed(p, "mt_frag") { frag = Maintenance.fragmentByLang(s, dir) }
+      timed(p, "mt_compact") { compacted = Maintenance.compactLangTree(s, frag) }
+      timed(p, "mt_read") { noop(Maintenance.compactedLangReport(s, compacted)) }
+    }
+    s.stop()
+  }
+}
