@@ -162,6 +162,28 @@ object Multimodal {
       .toDF("doc_id", "source", "media")
   }
 
+  /** The decode + dHash tier of mm_phash_neardup, RAM-materialized (decode
+    * once, hash once — the frame every banding/verification consumer
+    * reads). ONE definition serves the gate query and
+    * [[graft.tools.TailProbe]]'s stage decomposition (the CdProbe/DqProbe
+    * no-drift discipline).
+    */
+  private[graft] def phashFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.materialized(
+      imageManifest(s, dir).select(col("doc_id"), col("media"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          javax.imageio.ImageIO.setUseCache(false)
+          // flatMap over the Option: an undecodable payload (null from
+          // ImageIO.read) is SKIPPED — corrupt media cannot participate
+          // in near-dup pairs, and one bad row must not NPE the stage.
+          rows.flatMap { case (id, payload) =>
+            dhashOpt(payload).map { case (hi, lo) => (id, hi, lo) }
+          }
+        }.toDF("doc_id", "hi", "lo"))
+  }
+
   /** Audio fixture geometry: 8-bit unsigned PCM at 8 kHz, channel count and
     * frame count varied by doc_id (mono/stereo, 160–200 frames) so the
     * decode must read the REAL header for both — sample byte i (interleaved)
@@ -485,19 +507,7 @@ object Multimodal {
     // perceptual-dedup shape: decode once, hash once, equality-join
     // 16-bit buckets.
     "mm_phash_neardup" -> { (s, dir) =>
-      import s.implicits._
-      val hashes = Dedup.materialized(
-        imageManifest(s, dir).select(col("doc_id"), col("media"))
-          .as[(Long, Array[Byte])]
-          .mapPartitions { rows =>
-            javax.imageio.ImageIO.setUseCache(false)
-            // flatMap over the Option: an undecodable payload (null from
-            // ImageIO.read) is SKIPPED — corrupt media cannot participate
-            // in near-dup pairs, and one bad row must not NPE the stage.
-            rows.flatMap { case (id, payload) =>
-              dhashOpt(payload).map { case (hi, lo) => (id, hi, lo) }
-            }
-          }.toDF("doc_id", "hi", "lo"))
+      val hashes = phashFrame(s, dir)
       val bands = hashes.select(col("doc_id"), col("hi"), col("lo"),
         explode(array(
           struct(lit(0).as("band"), shiftright(col("hi"), 16).as("bv")),

@@ -95,7 +95,7 @@ object Spatial {
     * each re-ran the candidate join, and geo_dbscan alone paid five eager
     * materialization barriers per invocation.
     */
-  private def pairStore(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pairStore(s: SparkSession, dir: String): DataFrame =
     graft.sources.Stored.materialize("geo_nbr_pairs", dir, s)(
       neighborhoodPairs(s, dir, col("a") =!= col("b"))
         .select(col("a"), col("b"), dist2("ax", "ay", "bx", "by").as("d2")))
@@ -104,12 +104,28 @@ object Spatial {
     * structure derived from [[pairStore]] — same ingest-artifact doctrine;
     * geo_core_points keeps the live measurement of this reduction.
     */
-  private def coreStore(s: SparkSession, dir: String): DataFrame =
+  private[graft] def coreStore(s: SparkSession, dir: String): DataFrame =
     graft.sources.Stored.materialize("geo_cores", dir, s)(
       pairStore(s, dir)
         .groupBy(col("a").as("id"))
         .agg(count(lit(1)).as("n_neighbors"))
         .filter(col("n_neighbors") >= MinPts))
+
+  /** The core-core radius edge set (undirected, a < b), RAM-materialized —
+    * the shared root of every DBSCAN CC level and the node set. ONE
+    * definition serves the geo_dbscan gate query and
+    * [[graft.tools.TailProbe]]'s stage decomposition (the CdProbe/DqProbe
+    * no-drift discipline).
+    */
+  private[graft] def dbscanCorePairs(s: SparkSession, dir: String): DataFrame = {
+    val cores = coreStore(s, dir).select(col("id"))
+    Dedup.materialized(
+      pairStore(s, dir).select(col("a"), col("b"))
+        .filter(col("a") < col("b"))
+        .join(cores.select(col("id").as("a")), "a")
+        .join(cores.select(col("id").as("b")), "b")
+        .select(col("a").as("doc_a"), col("b").as("doc_b")))
+  }
 
   /** The candidate join over an explicit (id, x, y, cx, cy) frame — the
     * testable core behind [[neighborhoodPairs]] (SpatialSpec drives it with
@@ -217,7 +233,7 @@ object Spatial {
     climb :+ math.max(cellsPerAxis, climb.lastOption.fold(cellsPerAxis)(_ * fanout))
   }
 
-  private[operators] def geoComponents(pairs: DataFrame,
+  private[graft] def geoComponents(pairs: DataFrame,
       levels: Seq[Long] = coarseningLevels()): DataFrame = {
     // Covering precondition FIRST — before any per-level job runs: the last
     // level's supercell must span the grid, else cross-supercell residual
@@ -338,11 +354,7 @@ object Spatial {
       // them while they are small and falls back to a shuffle join when a
       // 100× corpus makes them big; a forced broadcast here would bypass
       // every size guard and OOM the driver at scale.
-      val corePairs = Dedup.materialized(
-        nbr.filter(col("a") < col("b"))
-          .join(cores.select(col("id").as("a")), "a")
-          .join(cores.select(col("id").as("b")), "b")
-          .select(col("a").as("doc_a"), col("b").as("doc_b")))
+      val corePairs = dbscanCorePairs(s, dir)
       // Multilevel supercell coarsening, not a generic CC fixpoint: the
       // core graph is geometric (radius edges never span more than one
       // cell), so [[geoComponents]] collapses it in a fixed number of

@@ -1,14 +1,15 @@
 package graft.tools
 
-import graft.operators.{Maintenance, Retrieval, Similarity}
+import graft.operators.{Maintenance, Multimodal, Retrieval, Similarity, Spatial}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Dev probe: stage decomposition of the next cost tier below the
   * >1.5 s gate entries DdProbe/DqProbe already pinned — ss_pagerank,
-  * rt_prf_expansion, and mt_compact_partitioned, the three most expensive
-  * unprobed queries in BENCH_r13 (1.45–1.48 s driver-run, routinely over
-  * 1.5 s in contended windows). Run in a QUIET JVM; numbers go to README
-  * "Performance measurement notes".
+  * rt_prf_expansion, mt_compact_partitioned, geo_dbscan, and
+  * mm_phash_neardup, the five most expensive unprobed queries in BENCH_r13
+  * (1.45–1.49 s driver-run, routinely over 1.5 s in contended windows).
+  * Run in a QUIET JVM; numbers go to README "Performance measurement
+  * notes".
   *
   * The knobbed variants come FROM the production builders
   * ([[Similarity.pageRankRanks]] / [[Retrieval.prfRanked]] /
@@ -35,6 +36,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    report read (the PROOF). The gate's headline number is dominated by
   *    the two full table writes, which is the honest cost of a compaction
   *    gate, not plan waste.
+  *  - db stages: the stored radius-pair index read floor, the
+  *    RAM-materialized core-core edge set, the multilevel supercell CC
+  *    over it, and the full census+borders report — full − cc prices the
+  *    border-assignment joins and output aggregate.
+  *  - ph stages: the decode + dHash tier (the mapPartitions codec pass,
+  *    materialized once) vs the full band-join + popcount verification —
+  *    full − hashes prices the lossless-banding candidate tier.
   */
 object TailProbe {
 
@@ -49,6 +57,15 @@ object TailProbe {
       "pr_full" -> (() => Similarity.pageRankRanks(s, dir, Similarity.PrIters)),
       "prf_seed" -> (() => Retrieval.prfRanked(s, dir, expand = false)),
       "prf_full" -> (() => Retrieval.prfRanked(s, dir, expand = true)),
+      // geo_dbscan stages read the SAME stored/shared builders production
+      // composes; db_full / ph_full ARE the production query functions
+      // (identity — no pin needed, drift impossible).
+      "db_pairs" -> (() => Spatial.pairStore(s, dir).select("a", "b")),
+      "db_corepairs" -> (() => Spatial.dbscanCorePairs(s, dir)),
+      "db_cc" -> (() => Spatial.geoComponents(Spatial.dbscanCorePairs(s, dir))),
+      "db_full" -> (() => Spatial.queries("geo_dbscan")(s, dir)),
+      "ph_hashes" -> (() => Multimodal.phashFrame(s, dir)),
+      "ph_full" -> (() => Multimodal.queries("mm_phash_neardup")(s, dir)),
     )
 
   def main(args: Array[String]): Unit = {

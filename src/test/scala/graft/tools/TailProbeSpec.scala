@@ -53,6 +53,35 @@ class TailProbeSpec extends SparkSpec {
       "'prf_seed' returns the full PRF ranking — the expansion knob is vacuous")
   }
 
+  /** db_full / ph_full call the queries-map functions directly (identity
+    * with production — no pin needed); the STAGE variants must come from
+    * the same shared builders production composes, so check they are
+    * consistent with the full result rather than vacuous.
+    */
+  test("dbscan and phash stage variants are consistent with their full queries") {
+    val dir = sf()
+    val probe = TailProbe.variants(spark, dir).toMap
+    // Scale-robust invariants (at sf0.001 the core graph can be EMPTY):
+    // a < b halves the directed pair set, and the CC stage labels exactly
+    // the distinct endpoints of the core graph, no more, no fewer.
+    val pairs = probe("db_pairs")().count()
+    val corePairs = probe("db_corepairs")()
+    assert(corePairs.count() <= pairs / 2,
+      "more core-core edges than undirected radius pairs")
+    val endpoints = corePairs.select("doc_a")
+      .union(corePairs.select("doc_b")).distinct().count()
+    val cc = probe("db_cc")().count()
+    assert(cc == endpoints,
+      s"the CC stage labeled $cc nodes; the core graph has $endpoints endpoints")
+    val hashes = probe("ph_hashes")().count()
+    assert(hashes > 0, "the decode+dHash stage produced no hashes")
+    // Every full-query near-dup pair's endpoints must carry a hash row.
+    val ids = probe("ph_hashes")().select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairsFull = probe("ph_full")().select("doc_a", "doc_b").collect()
+    assert(pairsFull.forall(r => ids(r.getLong(0)) && ids(r.getLong(1))),
+      "a near-dup pair references an id absent from the hash stage")
+  }
+
   /** The three Maintenance phase builders compose to the production gate
     * query by construction; cross-check content preservation end-to-end
     * against an independent aggregate over the ORIGINAL table (the gate's
