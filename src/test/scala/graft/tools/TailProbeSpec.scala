@@ -73,10 +73,12 @@ class TailProbeSpec extends SparkSpec {
     val cc = probe("db_cc")().count()
     assert(cc == endpoints,
       s"the CC stage labeled $cc nodes; the core graph has $endpoints endpoints")
-    val hashes = probe("ph_hashes")().count()
-    assert(hashes > 0, "the decode+dHash stage produced no hashes")
+    // ONE hash frame for both checks — each probe() call re-runs the full
+    // decode + dHash pass (eagerly materialized), so reuse it.
+    val hashFrame = probe("ph_hashes")()
+    assert(hashFrame.count() > 0, "the decode+dHash stage produced no hashes")
     // Every full-query near-dup pair's endpoints must carry a hash row.
-    val ids = probe("ph_hashes")().select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids = hashFrame.select("doc_id").collect().map(_.getLong(0)).toSet
     val pairsFull = probe("ph_full")().select("doc_a", "doc_b").collect()
     assert(pairsFull.forall(r => ids(r.getLong(0)) && ids(r.getLong(1))),
       "a near-dup pair references an id absent from the hash stage")
