@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Build quiet_medians.json from bench_detail.json artifacts.
+
+Usage: make_quiet_medians.py OUT DETAIL[,LABEL] [DETAIL[,LABEL] ...]
+
+Each DETAIL is a bench_detail.json (the bench's full per-query artifact);
+the per-query quiet median is the median of that query's value across the
+given runs. Only runs taken on a quiet JVM with flat control medians should
+be fed in — the file is the REFERENCE the bench's self-healing reread pass
+compares against (Bench.RereadFactor / RereadSlackSec), so an inflated
+reference would mask real regressions. Provenance (which runs, when) goes
+into the `_provenance` key and README "Performance measurement notes".
+"""
+import json
+import statistics
+import sys
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    out = sys.argv[1]
+    runs = []
+    labels = []
+    for arg in sys.argv[2:]:
+        path, _, label = arg.partition(",")
+        with open(path) as f:
+            runs.append(json.load(f)["queries"])
+        labels.append(label or path)
+    names = sorted(set().union(*[set(r) for r in runs]))
+    medians = {}
+    for name in names:
+        xs = [r[name] for r in runs if name in r]
+        medians[name] = round(statistics.median(xs), 3)
+    doc = {"_provenance": "median per query across runs: " + "; ".join(labels)}
+    doc.update(medians)
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=0, sort_keys=False)
+        f.write("\n")
+    print(f"wrote {out}: {len(medians)} queries over {len(runs)} runs")
+
+
+if __name__ == "__main__":
+    main()

@@ -142,15 +142,7 @@ object Retrieval {
     // stale-read-vs-maintained-read distinction (the base table alone
     // yields a DIFFERENT histogram) is spec-asserted in RetrievalSpec.
     "rt_df_incremental" -> { (s, dir) =>
-      val base = baseDfStore(s, dir)
-      val delta = tokenStore(s, dir)
-        .filter(Pipeline.bucket(col("doc_id")) >= IndexedBucketCap)
-        .select(explode(array_distinct(col("ts"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("dcdf"))
-      val merged = base.join(delta, Seq("term"), "full_outer")
-        .select(col("term"),
-          (coalesce(col("cdf"), lit(0L)) + coalesce(col("dcdf"), lit(0L))).as("cdf"))
-      dfHistogram(merged)
+      dfHistogram(mergedDfStore(s, dir))
     },
 
     // BM25-ranked keyword search for [[Bm25Terms]]: score(d) =
@@ -437,6 +429,24 @@ object Retrieval {
         .filter(Pipeline.bucket(col("doc_id")) < IndexedBucketCap)
         .select(col("doc_id"), explode(array_distinct(col("ts"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cdf")))
+
+  /** The incrementally MAINTAINED df table: stale base ∪ landing-batch
+    * delta, merged by a full-outer term join — O(|vocab| + |batch tokens|),
+    * never a corpus re-tokenization. ONE definition for the
+    * rt_df_incremental gate and RetrievalSpec's StaleStructureContract
+    * term-level assertions (the no-drift discipline: the spec must compare
+    * the plan the gate runs, not a restated merge).
+    */
+  private[graft] def mergedDfStore(s: SparkSession, dir: String): DataFrame = {
+    val base = baseDfStore(s, dir)
+    val delta = tokenStore(s, dir)
+      .filter(Pipeline.bucket(col("doc_id")) >= IndexedBucketCap)
+      .select(explode(array_distinct(col("ts"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("dcdf"))
+    base.join(delta, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("cdf"), lit(0L)) + coalesce(col("dcdf"), lit(0L))).as("cdf"))
+  }
 
   /** Power-of-two df histogram over a (term, cdf) frame — the shared shape
     * of rt_df_histogram (over the full stored index) and rt_df_incremental

@@ -35,7 +35,14 @@ object CdProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // The corpus dir is REQUIRED (ADVICE r14 on TailProbe, applied to every
+    // probe main): a machine-specific default silently probed the wrong (or
+    // a missing) tree on any other checkout.
+    if (args.isEmpty) {
+      System.err.println("usage: CdProbe <corpusDir>   (e.g. CdProbe /root/testdata/sf0.1)")
+      sys.exit(2)
+    }
+    val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val s = graft.EngineSession.local(cpus)
     def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

@@ -69,7 +69,14 @@ object TailProbe {
     )
 
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // The corpus dir is REQUIRED (ADVICE r14): a machine-specific default
+    // here silently probed the wrong (or a missing) tree on any other
+    // checkout; the other probe mains take the dir the same way.
+    if (args.isEmpty) {
+      System.err.println("usage: TailProbe <corpusDir>   (e.g. TailProbe /root/testdata/sf0.1)")
+      sys.exit(2)
+    }
+    val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val s = graft.EngineSession.local(cpus)
     def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, StaleStructureContract}
 import org.apache.spark.sql.functions._
 
 class RetrievalSpec extends SparkSpec {
@@ -108,21 +108,35 @@ class RetrievalSpec extends SparkSpec {
     def rows(name: String) =
       Retrieval.queries(name)(spark, sf()).collect().map(r =>
         (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
-    // The maintained index (stale base + landing-batch delta, merged by
-    // term) must reproduce the from-scratch full-corpus rebuild EXACTLY.
+    // The gate output (the histogram over the maintained merge) must
+    // reproduce the from-scratch full-corpus rebuild's EXACTLY — this also
+    // pins dfHistogram determinism over the two input plans.
     assert(rows("rt_df_incremental") == rows("rt_df_histogram"),
       "merge(stale base, delta) must equal rebuild(unioned corpus)")
-    // And the distinction is non-vacuous: reading the STALE base table
-    // alone yields a different index — the landing batch carries real
-    // postings (and, on this corpus, real vocabulary).
-    val staleTot = Retrieval.baseDfStore(spark, sf())
-      .agg(sum("cdf")).head().getLong(0)
-    val staleVocab = Retrieval.baseDfStore(spark, sf()).count()
-    val fullTot = rows("rt_df_histogram").map(_._3).sum
-    val fullVocab = rows("rt_df_histogram").map(_._2).sum
-    assert(staleTot < fullTot,
-      s"stale postings $staleTot must undercount the union's $fullTot")
-    assert(staleVocab <= fullVocab)
+    // The shared lifecycle triple at TERM level (StaleStructureContract,
+    // VERDICT r14 #4): merge ≡ rebuild per term; the stale base strictly
+    // undercounts postings (mass = cdf — the df table is merge-UPDATED, so
+    // entry count alone is not strict: the batch may add no vocabulary);
+    // and the gate plan reads the stale base's stored parquet exactly once
+    // while never touching the full-rebuild store or re-tokenizing the
+    // corpus (the delta rides the checkpoint-pinned token store, so
+    // documents.parquet appears zero times). Stored paths end in
+    // "_<name>": "_rt_term_df" substring-matches the base path too, so
+    // count 1 for it PLUS count 1 for "_rt_term_df_base" pins full-store
+    // scans to exactly zero.
+    val keyed = StaleStructureContract.keyed(_: org.apache.spark.sql.DataFrame, "term")
+    StaleStructureContract.check(
+      "rt_df_incremental",
+      stale = keyed(Retrieval.baseDfStore(spark, sf())),
+      maintained = keyed(Retrieval.mergedDfStore(spark, sf())),
+      rebuilt = keyed(Retrieval.dfStore(spark, sf())),
+      staleMass = (v: Seq[Any]) => v.head.asInstanceOf[Long],
+      gatePlan = Retrieval.queries("rt_df_incremental")(spark, sf())
+        .queryExecution.executedPlan.toString,
+      scanCounts = Seq(
+        "_rt_term_df" -> 1,
+        "_rt_term_df_base" -> 1,
+        "documents.parquet" -> 0))
   }
 
   test("PRF expansion widens the query and re-ranks under it") {

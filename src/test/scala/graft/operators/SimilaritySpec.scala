@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, StaleStructureContract}
 
 class SimilaritySpec extends SparkSpec {
 
@@ -396,79 +396,59 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  // The two ANN stored-structure lifecycle gates below route through the
+  // shared StaleStructureContract triple (VERDICT r14 #4): (a) the
+  // maintained structure (stale base ∪ batch processed at the SAME stored
+  // parameters) equals the from-scratch rebuild entry by entry; (b) the
+  // stale base alone is strictly smaller (the landing batch is observable,
+  // so the gate fingerprints differ); (c) the gate plan scans the corpus
+  // exactly ONCE (the landing-batch filter) — the base structures ride
+  // their STORED parquet, and a Lloyd's retraining chain or a corpus
+  // reassignment/re-encode would surface as extra embeddings scans.
+
   test("ivf incremental: fixed-codebook append == full reassignment; stale reads differ; no retraining in the plan") {
     import org.apache.spark.sql.functions.col
     val dir = sf()
-    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-      df.collect().map(r =>
-        r.getLong(r.fieldIndex("vec_id")) -> r.getLong(r.fieldIndex("cell"))).toMap
-    // (a) The maintained table (stale base cells ∪ batch assigned at the
-    //     SAME centroids) must equal the from-scratch reassignment of the
-    //     whole corpus at those centroids, vector by vector — the
-    //     append ≡ rebuild contract behind the ss_ivf_incremental gate.
+    val keyed = StaleStructureContract.keyed(_: org.apache.spark.sql.DataFrame, "vec_id")
     val cent = Similarity.baseIvfCentroids(spark, dir)
     val batch = Similarity.vecs(spark, dir)
       .filter(Pipeline.bucket(col("vec_id")) >= Retrieval.IndexedBucketCap)
-    val stale = pairs(Similarity.baseIvfCells(spark, dir))
-    val maintained = stale ++ pairs(Similarity.assignCells(batch, cent))
-    val rebuilt = pairs(Similarity.assignCells(Similarity.vecs(spark, dir), cent))
-    assert(maintained == rebuilt, "append(stale, assign(batch, C)) must equal assign(corpus, C)")
-    // (b) Staleness is OBSERVABLE: a consumer reading the base table after
-    //     the landing batch arrived sees a strictly smaller index (so the
-    //     gate's fingerprint — per-cell counts + id checksums — differs);
-    //     maintenance, not a stale read, is what reproduces the rebuild.
-    assert(stale.size < maintained.size,
-      "the landing batch must be missing from the stale index")
+    val stale = keyed(Similarity.baseIvfCells(spark, dir))
+    val maintained = stale ++ keyed(Similarity.assignCells(batch, cent))
+    StaleStructureContract.check(
+      "ss_ivf_incremental",
+      stale = stale,
+      maintained = maintained,
+      rebuilt = keyed(Similarity.assignCells(Similarity.vecs(spark, dir), cent)),
+      staleMass = (_: Seq[Any]) => 1L, // append-only: one cell assignment per vector
+      gatePlan = graft.SparkEntry.queries("ss_ivf_incremental")(spark, dir)
+        .queryExecution.executedPlan.toString,
+      scanCounts = Seq("embeddings.parquet" -> 1))
     assert(maintained.size == Similarity.vecs(spark, dir).count())
-    // (c) No retraining and no corpus reassignment in the maintained plan:
-    //     exactly ONE embeddings scan (the landing-batch filter) — the base
-    //     cells and centroids ride their STORED parquet, and a Lloyd's
-    //     chain or full reassignment would surface as extra corpus scans.
-    val p = graft.SparkEntry.queries("ss_ivf_incremental")(spark, dir)
-      .queryExecution.executedPlan.toString
-    // The ONE scan walk (RescanAudit's), shared with PlanAuditSpec — never
-    // re-inline the InMemoryFileIndex regex (tool-vs-test drift hazard).
-    val scans = graft.tools.RescanAudit.scanLocations(p)
-      .count(_.contains("embeddings.parquet"))
-    assert(scans == 1, s"maintenance must scan the corpus exactly once (the batch), got $scans:\n$p")
   }
 
   test("pq incremental: fixed-codebook encode == full re-encode; stale reads differ; no retraining in the plan") {
     import org.apache.spark.sql.functions.col
     val dir = sf()
-    def codes(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Int] =
-      df.collect().map(r =>
-        (r.getLong(r.fieldIndex("neighbor_id")), r.getInt(r.fieldIndex("sub"))) ->
-          r.getInt(r.fieldIndex("cid"))).toMap
-    // (a) The maintained code table (stale base codes ∪ batch encoded at
-    //     the SAME codebooks) must equal the from-scratch re-encode of the
-    //     whole corpus at those codebooks, slice by slice — the
-    //     append ≡ rebuild contract behind the ss_pq_incremental gate.
+    val keyed =
+      StaleStructureContract.keyed(_: org.apache.spark.sql.DataFrame, "neighbor_id", "sub")
     val cb = Similarity.basePqCodebook(spark, dir)
     val batch = Similarity.vecs(spark, dir)
       .filter(Pipeline.bucket(col("vec_id")) >= Retrieval.IndexedBucketCap)
-    val stale = codes(Similarity.basePqCodes(spark, dir))
-    val maintained = stale ++ codes(
+    val stale = keyed(Similarity.basePqCodes(spark, dir))
+    val maintained = stale ++ keyed(
       Similarity.encodeAtCodebook(Similarity.subRows(batch), cb))
-    val rebuilt = codes(Similarity.encodeAtCodebook(
-      Similarity.subRows(Similarity.vecs(spark, dir)), cb))
-    assert(maintained == rebuilt,
-      "append(stale, encode(batch, CB)) must equal encode(corpus, CB)")
-    // (b) Staleness is OBSERVABLE: the base code table alone is strictly
-    //     smaller (so the gate's per-(sub, cid) fingerprint differs);
-    //     maintenance, not a stale read, reproduces the rebuild.
-    assert(stale.size < maintained.size,
-      "the landing batch must be missing from the stale code table")
+    StaleStructureContract.check(
+      "ss_pq_incremental",
+      stale = stale,
+      maintained = maintained,
+      rebuilt = keyed(Similarity.encodeAtCodebook(
+        Similarity.subRows(Similarity.vecs(spark, dir)), cb)),
+      staleMass = (_: Seq[Any]) => 1L, // append-only: one code per (vector, subspace)
+      gatePlan = graft.SparkEntry.queries("ss_pq_incremental")(spark, dir)
+        .queryExecution.executedPlan.toString,
+      scanCounts = Seq("embeddings.parquet" -> 1))
     assert(maintained.size ==
       Similarity.vecs(spark, dir).count() * Similarity.PqSub)
-    // (c) No retraining and no corpus re-encode in the maintained plan:
-    //     exactly ONE embeddings scan (the landing-batch filter) — the base
-    //     codes and codebooks ride their STORED parquet, and a Lloyd's
-    //     chain or full re-encode would surface as extra corpus scans.
-    val p = graft.SparkEntry.queries("ss_pq_incremental")(spark, dir)
-      .queryExecution.executedPlan.toString
-    val scans = graft.tools.RescanAudit.scanLocations(p)
-      .count(_.contains("embeddings.parquet"))
-    assert(scans == 1, s"maintenance must scan the corpus exactly once (the batch), got $scans:\n$p")
   }
 }
