@@ -31,6 +31,16 @@ def main() -> None:
     medians = {}
     for name in names:
         xs = [r[name] for r in runs if name in r]
+        if len(xs) < len(runs):
+            # A query missing from a run FAILED there (the bench excludes
+            # failed queries) — a reference built on fewer samples (or a
+            # single read) is weaker than the file claims, so say so loudly;
+            # the caller should fix the failure or drop the bad run.
+            print(
+                f"WARNING: {name} present in only {len(xs)}/{len(runs)} runs"
+                f" — median over the available reads only",
+                file=sys.stderr,
+            )
         medians[name] = round(statistics.median(xs), 3)
     doc = {"_provenance": "median per query across runs: " + "; ".join(labels)}
     doc.update(medians)

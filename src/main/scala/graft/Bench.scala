@@ -34,9 +34,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    was the dominant judging cost for three rounds: r13's driver total
   *    +11 % on an unchanged tree, r14's dd_containment +43 % over its probe
   *    floor with both control maxes spiking at the same sample): after both
-  *    passes, any query whose min exceeds [[RereadFactor]]× its recorded
-  *    quiet-JVM median (checked in as `quiet_medians.json`) by at least
-  *    [[RereadSlackSec]] is re-run ONCE at the end of the run — minutes
+  *    passes, any query whose min trips BOTH gates — above [[RereadFactor]]×
+  *    its recorded quiet-JVM median (checked in as `quiet_medians.json`)
+  *    AND above the median by [[RereadSlackSec]] — is re-run ONCE at the
+  *    end of the run — minutes
   *    after its inflated samples, when a transient window has passed. The
   *    first read stays in `queries`/`value` (honesty: the run measured what
   *    it measured); the re-read goes to `reread` and the substituted total
@@ -234,14 +235,24 @@ object Bench {
     // controls still sampled on the same cadence so the re-read window's
     // environment is itself diagnosable from the trajectories.
     val fnByName = namesSorted.toMap
-    val reread = rereadSelection(results, quietMedians()).flatMap { name =>
-      if (slot % ControlEvery == 0) {
-        controls += ((slot, controlOnce()))
-        stagedControls += ((slot, stagedControlOnce()))
-      }
+    // `reread_ref` (the loaded median count) distinguishes "nothing tripped
+    // the gate" from "the harness was OFF" (missing/malformed medians file,
+    // or a wrong CWD) — an empty reread map alone cannot tell them apart.
+    val medians = quietMedians()
+    val gcReread0 = gcMillis
+    val reread = rereadSelection(results, medians).flatMap { name =>
+      // A control pair per re-read (not per ControlEvery): the re-reads ARE
+      // the adjudication evidence, so their window must be densely
+      // diagnosable — a GC- or contention-inflated re-read that reproduces
+      // the elevated first read must be attributable from the artifact
+      // before it triggers a probe round. ~0.25 s per pair against ≥0.7 s
+      // re-reads.
+      controls += ((slot, controlOnce()))
+      stagedControls += ((slot, stagedControlOnce()))
       slot += 1
       once(name, fnByName(name)).map { case (b, e) => name -> (b + e) }
     }.toMap
+    val gcRereadSec = (gcMillis - gcReread0) / 1000.0
     // First reads stay authoritative in `queries`/`value`; the adjudicated
     // total substitutes the re-read where it is FASTER (a re-read that
     // reproduces the elevated number confirms the first read instead).
@@ -277,7 +288,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_times":$passes,"pass_build_exec":$phased,"control":$ctl,"control_staged":$ctlStaged,"reread":$rr,"value_adjudicated":$adjudicated%.3f,"sf":"$sfDir","passes":2,"interleaved":true,"failed":${names(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_times":$passes,"pass_build_exec":$phased,"control":$ctl,"control_staged":$ctlStaged,"reread":$rr,"reread_ref":${medians.size},"value_adjudicated":$adjudicated%.3f,"gc_reread_sec":$gcRereadSec%.1f,"sf":"$sfDir","passes":2,"interleaved":true,"failed":${names(
           failed)},"flaky":${names(flaky)},"gc_sec":$gcSec%.1f}""")
 
     // Stdout line — must survive the driver's 2000-char log tail INTACT to be
@@ -286,10 +297,16 @@ object Bench {
     // remainder into queries_omitted/omitted_sec so `value` always equals
     // sum(queries) + omitted_sec and nothing is silently dropped.
     val byCost = results.sortBy { case (n, t) => (-t, n) }
-    // The reread map shares the line's serialized budget with the kept
-    // queries — the line must stay inside the driver's ~2000-char log tail
-    // whether or not this run adjudicated anything.
-    val budget = math.max(600, 1250 - rr.length)
+    // The kept-queries map gets whatever remains of the line budget after
+    // every variable-length field is accounted for (reread map, failed and
+    // flaky lists, sfDir, ~400 chars of fixed keys + numerics) — the line
+    // must stay inside the driver's ~2000-char log tail on exactly the
+    // contended runs that produce max rereads AND flaky entries at once.
+    val lineBudget = 1950
+    val failedStr = names(failed)
+    val flakyStr = names(flaky)
+    val budget = math.max(300,
+      lineBudget - 400 - rr.length - failedStr.length - flakyStr.length - sfDir.length)
     val kept = new StringBuilder
     var nKept = 0
     var full = false
@@ -310,8 +327,7 @@ object Bench {
     val stgMed = if (stgSorted.isEmpty) 0.0 else stgSorted(stgSorted.size / 2)
     val stgMax = if (stgSorted.isEmpty) 0.0 else stgSorted.last
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${kept.result()}},"queries_omitted":${omitted.size},"omitted_sec":$omittedSec%.3f,"n_queries":${results.size},"sf":"$sfDir","passes":2,"interleaved":true,"control_med":$ctlMed%.3f,"control_max":$ctlMax%.3f,"control_staged_med":$stgMed%.3f,"control_staged_max":$stgMax%.3f,"reread":$rr,"value_adjudicated":$adjudicated%.3f,"failed":${names(
-          failed)},"flaky":${names(flaky)},"gc_sec":$gcSec%.1f,"detail":"bench_detail.json"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${kept.result()}},"queries_omitted":${omitted.size},"omitted_sec":$omittedSec%.3f,"n_queries":${results.size},"sf":"$sfDir","passes":2,"interleaved":true,"control_med":$ctlMed%.3f,"control_max":$ctlMax%.3f,"control_staged_med":$stgMed%.3f,"control_staged_max":$stgMax%.3f,"reread":$rr,"reread_ref":${medians.size},"value_adjudicated":$adjudicated%.3f,"gc_reread_sec":$gcRereadSec%.1f,"failed":$failedStr,"flaky":$flakyStr,"gc_sec":$gcSec%.1f,"detail":"bench_detail.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object ControlProbe {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // Dir REQUIRED — same rule as the probe mains (ADVICE r14): no
+    // machine-specific default to silently probe a wrong or missing tree.
+    if (args.isEmpty) {
+      System.err.println("usage: ControlProbe <sfDir> [iterations]")
+      sys.exit(2)
+    }
+    val dir = args(0)
     val iters = if (args.length > 1) args(1).toInt else 60
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val s = graft.EngineSession.local(cpus)

@@ -10,8 +10,12 @@ object PlanDump {
       System.err.println("usage: PlanDump <query> [sfDir] [filterSubstring]")
       sys.exit(2)
     }
-    val dir = args.lift(1).getOrElse(
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    // Dir from arg or SPARK_GRAFT_SF_DIR — no machine-specific literal
+    // default (the ADVICE r14 rule applied to every tool main).
+    val dir = args.lift(1).orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse {
+      System.err.println("usage: PlanDump <query> <sfDir> [filterSubstring] (or set SPARK_GRAFT_SF_DIR)")
+      sys.exit(2); ""
+    }
     val spark = graft.EngineSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val p = graft.SparkEntry.queries(args(0))(spark, dir)

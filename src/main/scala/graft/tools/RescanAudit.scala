@@ -21,7 +21,12 @@ object RescanAudit {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    // Dir REQUIRED — same rule as the probe mains (ADVICE r14).
+    if (args.isEmpty) {
+      System.err.println("usage: RescanAudit <sfDir>")
+      sys.exit(2)
+    }
+    val dir = args(0)
     val s = graft.EngineSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -12,8 +12,13 @@ import graft.SparkEntry
   */
 object TimeMany {
   def main(args: Array[String]): Unit = {
+    // Names AND dir REQUIRED — same rule as the probe mains (ADVICE r14).
+    if (args.length < 2) {
+      System.err.println("usage: TimeMany <name,name,...> <sfDir>")
+      sys.exit(2)
+    }
     val names = args(0).split(",").toSeq
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val sfDir = args(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.EngineSession.local(cpus)
     // Optional per-stage attribution (TimeQuery's listener, under the

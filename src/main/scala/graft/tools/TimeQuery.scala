@@ -7,8 +7,13 @@ import graft.SparkEntry
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
+    // Name AND dir REQUIRED — same rule as the probe mains (ADVICE r14).
+    if (args.length < 2) {
+      System.err.println("usage: TimeQuery <name> <sfDir> [explain] [noop]")
+      sys.exit(2)
+    }
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val sfDir = args(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     // The ENGINE session, not a bare builder: a hand-rolled session here
     // silently dropped GraftExtensions, so explained plans were missing

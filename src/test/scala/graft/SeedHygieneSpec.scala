@@ -59,7 +59,8 @@ class SeedHygieneSpec extends AnyFunSuite {
       } finally walk.close()
     assert(classNames.nonEmpty, s"no module objects found under $pkg")
     val loader = SparkEntry.getClass.getClassLoader
-    classNames.flatMap { cn =>
+    val loadFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val objs = classNames.flatMap { cn =>
       val obj =
         try Some(Class.forName(cn, true, loader).getField("MODULE$").get(null))
         catch {
@@ -68,12 +69,22 @@ class SeedHygieneSpec extends AnyFunSuite {
           // safe because the literal-ban scan below still red-bars any
           // unnamed draw such a class could hide.
           case _: NoSuchFieldException => None
+          // An object whose STATIC INITIALIZER throws would otherwise abort
+          // the suite with an error naming neither the object nor the
+          // cause; collect it so the failure message says exactly which
+          // module broke the scan (graft module objects must stay
+          // initialization-pure — constants and function values only).
+          case e: Throwable => loadFailures += s"$cn: $e"; None
         }
       // "graft.operators.Dedup$" -> "Dedup"; nested "A$B$" -> "A.B".
       val simple = cn.substring(cn.lastIndexOf('.') + 1)
         .stripSuffix("$").replace('$', '.')
       obj.map(simple -> _)
     }
+    assert(loadFailures.isEmpty,
+      s"module object(s) failed to initialize during the seed scan — graft objects " +
+        s"must be initialization-pure:\n${loadFailures.mkString("\n")}")
+    objs
   }
 
   /** All `*Seed` constants on the discovered modules, keyed

@@ -35,7 +35,15 @@ object StaleStructureContract extends org.scalatest.Assertions {
     val ki = keyCols.map(cols.indexOf)
     require(ki.forall(_ >= 0), s"key cols $keyCols not all in $cols")
     val vi = cols.indices.filterNot(ki.contains)
-    df.collect().map(r => ki.map(r.get) -> vi.map(r.get)).toMap
+    val rows = df.collect().map(r => ki.map(r.get) -> vi.map(r.get))
+    // Duplicate keys must FAIL, not silently collapse: a maintenance path
+    // that emits an entry twice (stale row + a batch re-emission) would
+    // otherwise pass all three contract legs after toMap dedupes it.
+    val dupes = rows.groupBy(_._1).filter(_._2.length > 1)
+    assert(dupes.isEmpty,
+      s"structure has duplicate entries for key(s): ${dupes.keys.take(5)} — " +
+        "a maintained structure must hold exactly one entry per key")
+    rows.toMap
   }
 
   /** Assert the full triple.

@@ -430,8 +430,12 @@ class SimilaritySpec extends SparkSpec {
   test("pq incremental: fixed-codebook encode == full re-encode; stale reads differ; no retraining in the plan") {
     import org.apache.spark.sql.functions.col
     val dir = sf()
-    val keyed =
-      StaleStructureContract.keyed(_: org.apache.spark.sql.DataFrame, "neighbor_id", "sub")
+    // Compare CODES only: the contract is "codes at fixed codebooks", so
+    // auxiliary float columns (norms) are projected away — bit-equality on
+    // a recomputed Double is not part of the gate's claim.
+    val keyed = (df: org.apache.spark.sql.DataFrame) =>
+      StaleStructureContract.keyed(
+        df.select("neighbor_id", "sub", "cid"), "neighbor_id", "sub")
     val cb = Similarity.basePqCodebook(spark, dir)
     val batch = Similarity.vecs(spark, dir)
       .filter(Pipeline.bucket(col("vec_id")) >= Retrieval.IndexedBucketCap)
