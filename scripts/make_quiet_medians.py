@@ -22,10 +22,21 @@ def main() -> None:
     out = sys.argv[1]
     runs = []
     labels = []
+    controls = []
+    staged = []
     for arg in sys.argv[2:]:
         path, _, label = arg.partition(",")
         with open(path) as f:
-            runs.append(json.load(f)["queries"])
+            detail = json.load(f)
+        runs.append(detail["queries"])
+        # Per-run control medians feed the bench's stale-reference guard
+        # (Bench.staleMediansNote): a run whose control medians are flat
+        # against these quiet-era references but trips the reread gate
+        # broadly has a STALE medians file, not a contended window.
+        for key, acc in (("control", controls), ("control_staged", staged)):
+            samples = sorted(s for _, s in detail.get(key, []))
+            if samples:
+                acc.append(samples[len(samples) // 2])
         labels.append(label or path)
     names = sorted(set().union(*[set(r) for r in runs]))
     medians = {}
@@ -43,6 +54,9 @@ def main() -> None:
             )
         medians[name] = round(statistics.median(xs), 3)
     doc = {"_provenance": "median per query across runs: " + "; ".join(labels)}
+    if controls and staged:
+        doc["_control_med"] = round(statistics.median(controls), 3)
+        doc["_control_staged_med"] = round(statistics.median(staged), 3)
     doc.update(medians)
     with open(out, "w") as f:
         json.dump(doc, f, indent=0, sort_keys=False)

@@ -43,7 +43,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    it measured); the re-read goes to `reread` and the substituted total
   *    to `value_adjudicated`, so an inflated read adjudicates itself from
   *    the artifact alone instead of consuming a judging round. No medians
-  *    file → no re-reads (the harness degrades to the r14 behavior).
+  *    file → no re-reads (the harness degrades to the r14 behavior);
+  *  - a STALE-REFERENCE guard (VERDICT r15 #4): many queries tripping the
+  *    re-read gate while both control medians sit flat against their
+  *    quiet-era references (`_control_med`/`_control_staged_med` in the
+  *    medians file) — or the re-read cap saturating — indicts the
+  *    reference file, not the run; a one-line stderr warning says to
+  *    refresh `quiet_medians.json`;
+  *  - the per-run detail artifact is also copied to
+  *    `bench_detail_<total-ms>.json` (VERDICT r15 #5: `bench_detail.json`
+  *    is overwritten by every run, and the r14 driver's per-query detail
+  *    was clobbered before anyone read it), so consecutive runs leave
+  *    consecutive files;
+  *  - the stdout line's fixed overhead is MEASURED from the rendered
+  *    template, not estimated, with a compact fallback that folds the
+  *    reread/failed/flaky structures into counts — the line length is
+  *    bounded by [[LineBudget]] on any input (ADVICE r15; the r15 driver
+  *    line overflowed the 2000-char log tail and was head-truncated into
+  *    unparseability).
   */
 object Bench {
   /** Slot spacing of the control probe (one control per ~20 query runs). */
@@ -62,43 +79,181 @@ object Bench {
     */
   val MaxRereads = 24
 
-  /** Quiet-JVM per-query medians (flat JSON name→seconds at the repo root,
-    * provenance in its `_provenance` key and README "Performance
-    * measurement notes"). Parsed leniently — absent or malformed file means
-    * an empty map, never a failed bench.
+  /** Quiet-JVM reference file text (flat JSON at the repo root, provenance
+    * in its `_provenance` key and README "Performance measurement notes").
+    * Read leniently — absent or unreadable file means empty text, never a
+    * failed bench.
     */
-  private def quietMedians(): Map[String, Double] =
+  private def quietMediansText(): String =
     try {
       val p = java.nio.file.Paths.get("quiet_medians.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else parseQuietMedians(java.nio.file.Files.readString(p))
-    } catch { case _: Throwable => Map.empty }
+      if (!java.nio.file.Files.exists(p)) ""
+      else java.nio.file.Files.readString(p)
+    } catch { case _: Throwable => "" }
 
-  /** Flat `{"name": seconds, …}` parse; string-valued keys (the
-    * `_provenance` note) are skipped by the numeric-value shape and the
-    * underscore prefix. Separated from the file read for BenchSpec.
+  /** One `"name": seconds` entry per line, ANCHORED at line start and end —
+    * the file is written by make_quiet_medians.py with indent=0 (each entry
+    * alone on its own column-0 line), and anchoring means a number embedded
+    * inside a STRING value (e.g. a caller-supplied `_provenance` label
+    * containing an escaped quoted name) can never inject a bogus median
+    * (ADVICE r15).
     */
-  private[graft] def parseQuietMedians(text: String): Map[String, Double] = {
-    val entry = """"([^"]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
-    entry.findAllMatchIn(text)
+  private val MedianEntry =
+    """(?m)^"([^"]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)\s*,?\s*$""".r
+
+  /** Flat `{"name": seconds, …}` parse; meta keys (the `_provenance` note,
+    * the `_control_*` references) are skipped by the underscore prefix.
+    * Separated from the file read for BenchSpec.
+    */
+  private[graft] def parseQuietMedians(text: String): Map[String, Double] =
+    MedianEntry.findAllMatchIn(text)
       .filterNot(_.group(1).startsWith("_"))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
-  }
 
-  /** The adjudication-pass candidate set: queries whose first read exceeds
-    * [[RereadFactor]]× the quiet median by at least [[RereadSlackSec]],
-    * worst absolute excess first, capped at [[MaxRereads]]. Pure —
-    * BenchSpec pins the trigger, the ordering, and the cap.
+  /** A single underscore-prefixed numeric meta entry (the quiet-era control
+    * references `_control_med` / `_control_staged_med`), absent when the
+    * file predates them.
     */
-  private[graft] def rereadSelection(
+  private[graft] def parseMetaMedian(text: String, key: String): Option[Double] =
+    MedianEntry.findAllMatchIn(text)
+      .find(_.group(1) == key).map(_.group(2).toDouble)
+
+  /** Every query whose first read trips BOTH re-read gates ([[RereadFactor]]×
+    * the quiet median AND [[RereadSlackSec]] absolute excess), worst absolute
+    * excess first, UNCAPPED — the size of this set is the stale-reference
+    * signal ([[staleMediansNote]]), independent of how many re-reads the run
+    * actually pays for.
+    */
+  private[graft] def rereadCandidates(
       results: Seq[(String, Double)],
       medians: Map[String, Double]): Seq[String] =
     results
       .collect { case (name, t) if medians.get(name).exists(m =>
         t > RereadFactor * m && t - m > RereadSlackSec) => (name, t - medians(name)) }
       .sortBy { case (name, excess) => (-excess, name) }
-      .take(MaxRereads)
       .map(_._1)
+
+  /** The adjudication-pass selection: [[rereadCandidates]] capped at
+    * [[MaxRereads]]. Pure — BenchSpec pins the trigger, the ordering, and
+    * the cap.
+    */
+  private[graft] def rereadSelection(
+      results: Seq[(String, Double)],
+      medians: Map[String, Double]): Seq[String] =
+    rereadCandidates(results, medians).take(MaxRereads)
+
+  /** Stale-reference guard (VERDICT r15 #4 + ADVICE r15): a run where MANY
+    * queries trip the re-read gate while BOTH control medians sit flat
+    * against their quiet-era references is not "many contended windows" —
+    * flat controls say the environment is quiet, so broad-based excess over
+    * the medians means the MEDIANS have drifted out of era (the r15 dd-tier
+    * floor lesson applied to the reference file itself).
+    */
+  private[graft] val StaleTripThreshold = 8
+  /** "Flat" for the guard: a control median within this factor of its
+    * quiet-era reference (quiet runs land within a few percent; genuinely
+    * contended windows run 1.5–3×).
+    */
+  private[graft] val ControlFlatFactor = 1.3
+
+  /** The stderr warning for a stale quiet-median reference, or None when the
+    * run's evidence doesn't support one. Pure — BenchSpec pins both triggers
+    * (broad-trip-under-flat-controls, and cap saturation) and the
+    * no-references fallback.
+    */
+  private[graft] def staleMediansNote(
+      tripped: Int, rereadCount: Int,
+      ctlMed: Double, stgMed: Double,
+      refCtl: Option[Double], refStg: Option[Double]): Option[String] = {
+    val controlsFlat = (refCtl, refStg) match {
+      case (Some(c), Some(s)) =>
+        ctlMed <= ControlFlatFactor * c && stgMed <= ControlFlatFactor * s
+      case _ => false
+    }
+    if (tripped >= StaleTripThreshold && controlsFlat)
+      Some(f"[bench] $tripped%d queries tripped the reread gate under FLAT control medians " +
+        f"(trivial $ctlMed%.3f vs quiet ${refCtl.get}%.3f, staged $stgMed%.3f vs ${refStg.get}%.3f) — " +
+        "broad drift in a quiet run means quiet_medians.json is stale for this era, not that the run " +
+        "was contended; refresh it (scripts/make_quiet_medians.py over >=3 quiet runs with flat controls)")
+    else if (rereadCount >= MaxRereads)
+      Some(s"[bench] adjudication pass SATURATED ($rereadCount re-reads = MaxRereads cap, $tripped tripped) — " +
+        "a saturated pass means the quiet-median reference is stale, not that this many windows occurred; " +
+        "refresh quiet_medians.json")
+    else None
+  }
+
+  /** Stdout-line length contract: the driver captures only the last ~2000
+    * chars of the run log, and sbt prints its own `[success] Total time …`
+    * line (~75 chars) AFTER ours, so the line must stay within this budget
+    * to survive the tail intact — the r15 driver line overflowed (the old
+    * ~400-char fixed-overhead ESTIMATE undershot the real prefix) and was
+    * head-truncated into unparseability, which is why the fixed overhead is
+    * now MEASURED from the rendered template instead of estimated
+    * (ADVICE r15).
+    */
+  private[graft] val LineBudget = 1880
+  /** Below this many chars for the kept-queries map, the line switches to
+    * compact mode: the reread map and failed/flaky lists collapse to
+    * `{}`/`[]` (their counts survive in the always-present
+    * `reread_n`/`failed_n`/`flaky_n` fields; the detail file keeps the full
+    * structures), so the budget floor never forces an overflow.
+    */
+  private[graft] val MinKeptBudget = 300
+
+  /** Compose the stdout JSON line: most expensive queries first up to the
+    * measured budget, the cheap remainder folded into
+    * `queries_omitted`/`omitted_sec` so `value` always equals sum(kept) +
+    * omitted_sec. Pure — BenchSpec pins the length bound on pathological
+    * inputs and the kept-prefix/omitted-suffix arithmetic.
+    *
+    * @param byCost full per-query results sorted by (-seconds, name)
+    */
+  private[graft] def composeStdoutLine(
+      total: Double,
+      byCost: Seq[(String, Double)],
+      nQueries: Int,
+      sfDir: String,
+      ctlMed: Double, ctlMax: Double, stgMed: Double, stgMax: Double,
+      reread: Map[String, Double],
+      rereadRef: Int,
+      adjudicated: Double,
+      gcRereadSec: Double,
+      failed: Seq[String],
+      flaky: Seq[String],
+      gcSec: Double): String = {
+    def jnames(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // sfDir is env-supplied and unbounded; the detail file keeps it whole.
+    val sfShown = if (sfDir.length <= 60) sfDir else "..." + sfDir.takeRight(57)
+    def render(kept: String, nOmitted: Int, omittedSec: Double,
+               rrS: String, fS: String, flS: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$kept},"queries_omitted":$nOmitted,"omitted_sec":$omittedSec%.3f,"n_queries":$nQueries,"sf":"$sfShown","passes":2,"interleaved":true,"control_med":$ctlMed%.3f,"control_max":$ctlMax%.3f,"control_staged_med":$stgMed%.3f,"control_staged_max":$stgMax%.3f,"reread":$rrS,"reread_n":${reread.size},"reread_ref":$rereadRef,"value_adjudicated":$adjudicated%.3f,"gc_reread_sec":$gcRereadSec%.1f,"failed":$fS,"failed_n":${failed.size},"flaky":$flS,"flaky_n":${flaky.size},"gc_sec":$gcSec%.1f,"detail":"bench_detail.json"}"""
+    val rrFull = reread.toSeq.sorted
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // Fixed overhead MEASURED on the empty-kept render: with zero kept
+    // entries, queries_omitted/omitted_sec take their widest values
+    // (nQueries/total), so this length upper-bounds the fixed part of any
+    // final render — keeping entries only shrinks those two fields.
+    def fixed(rrS: String, fS: String, flS: String): Int =
+      render("", nQueries, total, rrS, fS, flS).length
+    val (rrS, fS, flS) =
+      if (LineBudget - fixed(rrFull, jnames(failed), jnames(flaky)) >= MinKeptBudget)
+        (rrFull, jnames(failed), jnames(flaky))
+      else ("{}", "[]", "[]")
+    val budget = LineBudget - fixed(rrS, fS, flS)
+    val kept = new StringBuilder
+    var nKept = 0
+    var full = false
+    byCost.foreach { case (k, v) =>
+      val entry = (if (nKept == 0) "" else ",") + "\"" + k + f"\":$v%.3f"
+      // Stop at the first entry that does not fit (rather than best-fit
+      // packing smaller later entries) so the kept set is exactly a prefix
+      // of the cost-sorted order and `omitted` is exactly the suffix.
+      if (!full && kept.length + entry.length <= budget) { kept.append(entry); nKept += 1 }
+      else full = true
+    }
+    val omitted = byCost.drop(nKept)
+    render(kept.result(), omitted.size, omitted.map(_._2).sum, rrS, fS, flS)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -238,7 +393,8 @@ object Bench {
     // `reread_ref` (the loaded median count) distinguishes "nothing tripped
     // the gate" from "the harness was OFF" (missing/malformed medians file,
     // or a wrong CWD) — an empty reread map alone cannot tell them apart.
-    val medians = quietMedians()
+    val medText = quietMediansText()
+    val medians = parseQuietMedians(medText)
     val gcReread0 = gcMillis
     val reread = rereadSelection(results, medians).flatMap { name =>
       // A control pair per re-read (not per ControlEvery): the re-reads ARE
@@ -286,48 +442,48 @@ object Bench {
     val ctlStaged = stagedControls.map { case (i, t) => f"[$i,$t%.3f]" }.mkString("[", ",", "]")
     val rr = reread.toSeq.sorted
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val detailPath = java.nio.file.Paths.get("bench_detail.json")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_detail.json"),
+      detailPath,
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_times":$passes,"pass_build_exec":$phased,"control":$ctl,"control_staged":$ctlStaged,"reread":$rr,"reread_ref":${medians.size},"value_adjudicated":$adjudicated%.3f,"gc_reread_sec":$gcRereadSec%.1f,"sf":"$sfDir","passes":2,"interleaved":true,"failed":${names(
           failed)},"flaky":${names(flaky)},"gc_sec":$gcSec%.1f}""")
+    // Preserve this run's detail against the next run's overwrite (VERDICT
+    // r15 #5: the r14 driver per-query detail was lost to a clobber before
+    // anyone read it). Suffix = the run's total in milliseconds —
+    // effectively unique per read, and self-describing in a directory
+    // listing. Gitignored alongside bench_detail.json.
+    val keepAs = java.nio.file.Paths.get(
+      s"bench_detail_${math.round(total * 1000)}.json")
+    java.nio.file.Files.copy(detailPath, keepAs,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    System.err.println(s"[bench] detail preserved as $keepAs")
 
-    // Stdout line — must survive the driver's 2000-char log tail INTACT to be
-    // machine-parseable. Report the most expensive queries first (they carry
-    // the performance signal) up to a serialized budget; fold the cheap
-    // remainder into queries_omitted/omitted_sec so `value` always equals
-    // sum(queries) + omitted_sec and nothing is silently dropped.
     val byCost = results.sortBy { case (n, t) => (-t, n) }
-    // The kept-queries map gets whatever remains of the line budget after
-    // every variable-length field is accounted for (reread map, failed and
-    // flaky lists, sfDir, ~400 chars of fixed keys + numerics) — the line
-    // must stay inside the driver's ~2000-char log tail on exactly the
-    // contended runs that produce max rereads AND flaky entries at once.
-    val lineBudget = 1950
-    val failedStr = names(failed)
-    val flakyStr = names(flaky)
-    val budget = math.max(300,
-      lineBudget - 400 - rr.length - failedStr.length - flakyStr.length - sfDir.length)
-    val kept = new StringBuilder
-    var nKept = 0
-    var full = false
-    byCost.foreach { case (k, v) =>
-      val entry = (if (nKept == 0) "" else ",") + "\"" + k + f"\":$v%.3f"
-      // Stop at the first entry that does not fit (rather than best-fit
-      // packing smaller later entries) so the kept set is exactly a prefix
-      // of the cost-sorted order and `omitted` is exactly the suffix.
-      if (!full && kept.length + entry.length <= budget) { kept.append(entry); nKept += 1 }
-      else full = true
-    }
-    val omitted = byCost.drop(nKept)
-    val omittedSec = omitted.map(_._2).sum
     val ctlSorted = controls.map(_._2).sorted
     val ctlMed = if (ctlSorted.isEmpty) 0.0 else ctlSorted(ctlSorted.size / 2)
     val ctlMax = if (ctlSorted.isEmpty) 0.0 else ctlSorted.last
     val stgSorted = stagedControls.map(_._2).sorted
     val stgMed = if (stgSorted.isEmpty) 0.0 else stgSorted(stgSorted.size / 2)
     val stgMax = if (stgSorted.isEmpty) 0.0 else stgSorted.last
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${kept.result()}},"queries_omitted":${omitted.size},"omitted_sec":$omittedSec%.3f,"n_queries":${results.size},"sf":"$sfDir","passes":2,"interleaved":true,"control_med":$ctlMed%.3f,"control_max":$ctlMax%.3f,"control_staged_med":$stgMed%.3f,"control_staged_max":$stgMax%.3f,"reread":$rr,"reread_ref":${medians.size},"value_adjudicated":$adjudicated%.3f,"gc_reread_sec":$gcRereadSec%.1f,"failed":$failedStr,"flaky":$flakyStr,"gc_sec":$gcSec%.1f,"detail":"bench_detail.json"}""")
+    // Stale-reference guard (stderr, BEFORE the stdout line so the tail
+    // keeps the machine-parseable line last): the trip count is the
+    // UNCAPPED candidate set — the stale signal must not be masked by the
+    // re-read cap.
+    staleMediansNote(
+      tripped = rereadCandidates(results, medians).size,
+      rereadCount = reread.size,
+      ctlMed = ctlMed, stgMed = stgMed,
+      refCtl = parseMetaMedian(medText, "_control_med"),
+      refStg = parseMetaMedian(medText, "_control_staged_med"))
+      .foreach(System.err.println)
+    // Stdout line — must survive the driver's 2000-char log tail INTACT to
+    // be machine-parseable; see composeStdoutLine for the measured budget
+    // and the compact fallback.
+    println(composeStdoutLine(
+      total, byCost, results.size, sfDir,
+      ctlMed, ctlMax, stgMed, stgMax,
+      reread, medians.size, adjudicated, gcRereadSec,
+      failed, flaky, gcSec))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -4,10 +4,34 @@ import graft.operators.{Dedup, Pipeline}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Dev probe: stage decomposition of the two remaining "documented
-  * inherent" dedup costs (VERDICT r12 §next-7) — dd_ngram_pairs and
-  * dd_incremental. Run in a QUIET JVM; numbers go to README "Performance
-  * measurement notes".
+/** Dev probe: stage decomposition of the "documented inherent" dedup costs
+  * (VERDICT r12 §next-7) — dd_ngram_pairs, dd_incremental, dd_containment.
+  * Run in a QUIET JVM; numbers go to README "Performance measurement notes".
+  *
+  * r16 (VERDICT r15 #1 — attribute the 20–35 % dd-tier floor drift measured
+  * between the r13 and r15 eras on byte-identical code and data): the probe
+  * now separates measurement AXES so a floor shift names its mechanism
+  * instead of just being re-measured:
+  *
+  *  - every variant's FIRST execution is recorded as `cold` (it pays
+  *    codegen/JIT plus any one-time stored-structure build first reachable
+  *    through it), then 5 warmed passes are recorded individually with
+  *    per-pass GC deltas — `steady` is the median of the LAST 3, and a
+  *    pass-5-still-dropping trajectory would indict JIT tier convergence;
+  *  - three ERA YARDSTICKS run alongside the variants, chosen so each loads
+  *    exactly one axis: `yard_cpu` (a fixed Spark-free 64-bit mix loop —
+  *    host CPU throughput/JIT era, no I/O, no Spark), `yard_raw_read`
+  *    (streaming every byte of documents.parquet + embeddings.parquet
+  *    through plain FileInputStream — page-cache/storage bandwidth era, no
+  *    compute), and `yard_spark_cpu` (an I/O-free codegen'd
+  *    range→xxhash64→sum plan — the Spark scheduler/codegen path with zero
+  *    data). A future floor shift with flat yardsticks is a real plan
+  *    regression; a shift proportional to `yard_cpu`/`yard_spark_cpu` is
+  *    compute-era drift; one proportional to `yard_raw_read` is storage-era
+  *    drift. The dd-tier substrate is `localCheckpoint`ed block-manager
+  *    state, so steady-state passes do NOT touch the parquet files —
+  *    storage era can only move the `cold` reads, which is itself an
+  *    attribution: a steady-state floor shift cannot be page cache.
   *
   * Production variants come from the shared gate builders
   * (`Dedup.queries` / the private[graft] tier functions — the CdProbe
@@ -21,6 +45,53 @@ import org.apache.spark.sql.functions._
   * the price dd_incremental pays for measuring the ranking pass live.
   */
 object DdProbe {
+  /** Fixed Spark-free CPU yardstick: 300M rounds of a 64-bit xorshift mix.
+    * Deterministic work, no allocation, no I/O — its seconds measure the
+    * host's single-thread compute era (clock/steal/JIT), nothing else.
+    */
+  private def yardCpu(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0L
+    while (i < 300000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    // Consume `acc` so the loop cannot be dead-code-eliminated.
+    if (acc == 42L) System.err.println("[ddprobe] yard_cpu sentinel")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Raw storage yardstick: stream every byte of the given parquet tables
+    * through a plain buffered FileInputStream. No decode, no compute — its
+    * MB/s measure the page-cache/storage era of exactly the files the cold
+    * stored-structure builds read.
+    */
+  private def yardRawRead(dir: String, tables: Seq[String]): (Double, Long) = {
+    val buf = new Array[Byte](1 << 20)
+    var bytes = 0L
+    val t0 = System.nanoTime()
+    tables.foreach { t =>
+      val root = java.nio.file.Paths.get(dir, s"$t.parquet")
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .foreach { p =>
+            val in = new java.io.FileInputStream(p.toFile)
+            try {
+              var n = in.read(buf)
+              while (n >= 0) { bytes += n; n = in.read(buf) }
+            } finally in.close()
+          }
+      } finally walk.close()
+    }
+    ((System.nanoTime() - t0) / 1e9, bytes)
+  }
+
   def main(args: Array[String]): Unit = {
     // The corpus dir is REQUIRED (ADVICE r14 on TailProbe, applied to every
     // probe main): a machine-specific default silently probed the wrong (or
@@ -33,6 +104,10 @@ object DdProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val s = graft.EngineSession.local(cpus)
     def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
 
     def sh() = Dedup.shingleStore(s, dir)
     def incCandsStored(): DataFrame = {
@@ -47,10 +122,17 @@ object DdProbe {
         .transform(Dedup.spreadKeys("doc_a", "doc_b"))
         .distinct()
     }
+    // The I/O-free Spark compute yardstick: 200M codegen'd hash+sum rows,
+    // zero input bytes — scheduler + whole-stage-codegen throughput only.
+    def yardSparkCpu(): DataFrame =
+      s.range(200000000L).select(sum(xxhash64(col("id"))).as("h"))
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
       // Tier substrate reads (floors): the stored prefix index and the
-      // session-pinned shingle table.
+      // session-pinned shingle table. Both are localCheckpointed block-
+      // manager state after their cold build — their steady reads are the
+      // STORAGE-SIDE attribution of every stage below (stage − substrate ≈
+      // join/verify compute).
       "ranked_read" -> (() => Dedup.rankedStore(s, dir)),
       "shingle_read" -> (() => sh()),
       // dd_ngram_pairs decomposition: candidates over the stored index,
@@ -70,16 +152,48 @@ object DdProbe {
       // (adds the two shingle-store joins + array_intersect + sort).
       "ct_cands" -> (() => Dedup.containmentCandidatesFrom(Dedup.rankedStore(s, dir))),
       "ct_full" -> (() => Dedup.queries("dd_containment")(s, dir)),
+      // Spark-side compute-era yardstick (I/O-free; see header).
+      "yard_spark_cpu" -> (() => yardSparkCpu()),
     )
-    // Warm every variant once (JIT/codegen + stored builds), then 3 timed
-    // passes each.
-    variants.foreach { case (_, f) => noop(f()) }
-    (1 to 3).foreach { p =>
+
+    // Raw storage yardstick FIRST — before Spark touches the files — so its
+    // first read sees whatever page-cache state the cold builds will see,
+    // then again warmed (the second read's MB/s is the cached ceiling).
+    Seq("raw_cold", "raw_warm").foreach { label =>
+      val (sec, bytes) = yardRawRead(dir, Seq("documents", "embeddings"))
+      println(f"[ddprobe] yard_raw_read/$label ${bytes / 1e6}%8.1f MB in $sec%6.3f s (${bytes / 1e6 / sec}%7.1f MB/s)")
+    }
+    // CPU yardstick cold (pre-JIT) and warmed ×3.
+    println(f"[ddprobe] yard_cpu/cold   ${yardCpu()}%6.3f s")
+    (1 to 3).foreach(i => println(f"[ddprobe] yard_cpu/warm$i  ${yardCpu()}%6.3f s"))
+
+    // COLD pass, recorded per variant: first execution in this JVM —
+    // codegen/JIT plus any one-time stored build first reachable through
+    // it (ranked_read pays the shingle+ranked builds for the whole tier).
+    variants.foreach { case (n, f) =>
+      val g0 = gcMillis
+      val t0 = System.nanoTime()
+      noop(f())
+      println(f"[ddprobe] cold  $n%-16s ${(System.nanoTime() - t0) / 1e9}%6.3f s  gc ${(gcMillis - g0) / 1000.0}%4.1f s")
+    }
+    // 5 warmed passes (median of the LAST 3 is the steady floor; a pass-5
+    // trajectory still dropping below pass 3 would indict JIT convergence).
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to 5).foreach { p =>
       variants.foreach { case (n, f) =>
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         noop(f())
-        println(f"[ddprobe] pass$p $n%-16s ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+        val sec = (System.nanoTime() - t0) / 1e9
+        samples(n) = samples(n) :+ sec
+        println(f"[ddprobe] pass$p $n%-16s $sec%6.3f s  gc ${(gcMillis - g0) / 1000.0}%4.1f s")
       }
+    }
+    // Machine-readable summary: steady = median of last 3 warmed passes.
+    variants.foreach { case (n, _) =>
+      val last3 = samples(n).takeRight(3).sorted
+      println(f"[ddprobe] steady $n%-16s ${last3(1)}%6.3f s  (passes ${samples(n).map(t => f"$t%.3f").mkString(" ")})")
     }
     s.stop()
   }

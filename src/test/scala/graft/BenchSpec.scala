@@ -2,21 +2,61 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the bench's self-healing adjudication pass (VERDICT r14 #1): which
-  * queries get re-read at the end of a run, and how the quiet-median
-  * reference file is parsed. Pure-function tests — the pass itself runs
-  * inside Bench.main against the live session.
+/** Pins the bench's self-healing adjudication pass (VERDICT r14 #1) and its
+  * r16 hardening (VERDICT r15 #4/#5 + ADVICE r15): which queries get re-read
+  * at the end of a run, how the quiet-median reference file is parsed (and
+  * that string values cannot inject entries), when the stale-reference guard
+  * warns, and that the stdout line is length-bounded on pathological inputs.
+  * Pure-function tests — the pass itself runs inside Bench.main against the
+  * live session.
   */
 class BenchSpec extends AnyFunSuite {
 
-  test("quiet-median parse: flat numeric entries in, provenance and junk out") {
+  test("quiet-median parse: one-entry-per-line numeric entries in, meta and junk out") {
+    // The real file shape: json.dump(..., indent=0) — every entry alone on
+    // its own column-0 line.
     val text =
-      """{"_provenance":"median of 3 quiet sf0.1 runs, r15","q1":0.35,
-        |"dd_containment":1.70,"weird":"string","n":2}""".stripMargin
+      """{
+        |"_provenance": "median of 3 quiet sf0.1 runs, r15",
+        |"_control_med": 0.104,
+        |"q1": 0.35,
+        |"dd_containment": 1.70,
+        |"weird": "string",
+        |"n": 2
+        |}""".stripMargin
     val m = Bench.parseQuietMedians(text)
     assert(m == Map("q1" -> 0.35, "dd_containment" -> 1.70, "n" -> 2.0))
     assert(Bench.parseQuietMedians("") == Map.empty)
     assert(Bench.parseQuietMedians("not json at all") == Map.empty)
+  }
+
+  test("quiet-median parse: numbers inside string values cannot inject entries (ADVICE r15)") {
+    // A caller-supplied provenance label containing an escaped quoted name
+    // followed by a number — the line-start anchor must reject it, and a
+    // mid-line entry (not the file's shape) must not parse either.
+    val adversarial =
+      """{
+        |"_provenance": "runs relabeled: \"dd_containment\": 0.01 via make_quiet_medians.py",
+        |"q1": 0.35, "smuggled_midline": 9.99,
+        |"q2": 0.50
+        |}""".stripMargin
+    val m = Bench.parseQuietMedians(adversarial)
+    assert(m == Map("q2" -> 0.50))
+    assert(!m.contains("dd_containment") && !m.contains("smuggled_midline") && !m.contains("q1"))
+  }
+
+  test("meta-median parse: underscore references read, absent keys None") {
+    val text =
+      """{
+        |"_provenance": "x",
+        |"_control_med": 0.104,
+        |"_control_staged_med": 0.153,
+        |"q1": 0.35
+        |}""".stripMargin
+    assert(Bench.parseMetaMedian(text, "_control_med").contains(0.104))
+    assert(Bench.parseMetaMedian(text, "_control_staged_med").contains(0.153))
+    assert(Bench.parseMetaMedian(text, "_absent").isEmpty)
+    assert(Bench.parseMetaMedian("", "_control_med").isEmpty)
   }
 
   test("reread selection: relative factor AND absolute slack both required") {
@@ -29,7 +69,7 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.rereadSelection(results, medians) == Seq("big"))
   }
 
-  test("reread selection: worst absolute excess first, capped at MaxRereads") {
+  test("reread selection: worst absolute excess first, capped at MaxRereads; candidates uncapped") {
     val n = Bench.MaxRereads + 8
     val medians = (1 to n).map(i => s"q$i" -> 1.0).toMap
     // q1 has the largest excess, descending from there; all trip the gate.
@@ -37,8 +77,90 @@ class BenchSpec extends AnyFunSuite {
     val sel = Bench.rereadSelection(results, medians)
     assert(sel.size == Bench.MaxRereads)
     assert(sel == (1 to Bench.MaxRereads).map(i => s"q$i"))
+    // The candidate set is the UNCAPPED stale-reference signal.
+    assert(Bench.rereadCandidates(results, medians).size == n)
     // Ties break by name so the pass is deterministic across runs.
     val tied = Seq("b" -> 2.0, "a" -> 2.0)
     assert(Bench.rereadSelection(tied, Map("a" -> 1.0, "b" -> 1.0)) == Seq("a", "b"))
+  }
+
+  test("stale guard: broad trips under flat controls warn; contended or narrow runs do not") {
+    val refs = (Some(0.104), Some(0.153))
+    // Broad trips + flat controls -> the medians are stale.
+    val warn = Bench.staleMediansNote(
+      tripped = Bench.StaleTripThreshold, rereadCount = Bench.StaleTripThreshold,
+      ctlMed = 0.108, stgMed = 0.160, refCtl = refs._1, refStg = refs._2)
+    assert(warn.exists(_.contains("stale")))
+    // Same trips under ELEVATED controls -> a contended run, not staleness.
+    assert(Bench.staleMediansNote(
+      tripped = Bench.StaleTripThreshold, rereadCount = Bench.StaleTripThreshold,
+      ctlMed = 0.25, stgMed = 0.40, refCtl = refs._1, refStg = refs._2).isEmpty)
+    // Few trips under flat controls -> ordinary window noise, no warning.
+    assert(Bench.staleMediansNote(
+      tripped = Bench.StaleTripThreshold - 1, rereadCount = Bench.StaleTripThreshold - 1,
+      ctlMed = 0.108, stgMed = 0.160, refCtl = refs._1, refStg = refs._2).isEmpty)
+    // ONE staged-control spike past the flat factor also blocks the
+    // stale verdict (both medians must be flat).
+    assert(Bench.staleMediansNote(
+      tripped = 20, rereadCount = 20,
+      ctlMed = 0.108, stgMed = 0.30, refCtl = refs._1, refStg = refs._2).isEmpty)
+  }
+
+  test("stale guard: cap saturation warns even without control references (ADVICE r15)") {
+    val sat = Bench.staleMediansNote(
+      tripped = 30, rereadCount = Bench.MaxRereads,
+      ctlMed = 0.108, stgMed = 0.160, refCtl = None, refStg = None)
+    assert(sat.exists(s => s.contains("SATURATED") && s.contains("quiet_medians.json")))
+    // Below the cap with no references: nothing to conclude.
+    assert(Bench.staleMediansNote(
+      tripped = 5, rereadCount = 5,
+      ctlMed = 0.108, stgMed = 0.160, refCtl = None, refStg = None).isEmpty)
+  }
+
+  private def parseJson(line: String): com.fasterxml.jackson.databind.JsonNode =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+
+  test("stdout line: bounded and parseable on a typical full-gate run") {
+    val byCost = (1 to 256).map(i => f"query_name_$i%03d" -> (3.0 - i * 0.01))
+      .sortBy { case (n, t) => (-t, n) }
+    val reread = byCost.take(4).map { case (n, t) => n -> t / 2 }.toMap
+    val line = Bench.composeStdoutLine(
+      total = byCost.map(_._2).sum, byCost = byCost, nQueries = 256,
+      sfDir = "/root/testdata/sf0.1",
+      ctlMed = 0.108, ctlMax = 0.308, stgMed = 0.160, stgMax = 0.481,
+      reread = reread, rereadRef = 256, adjudicated = 137.0,
+      gcRereadSec = 0.0, failed = Nil, flaky = Nil, gcSec = 3.5)
+    assert(line.length <= Bench.LineBudget, s"line ${line.length} > budget")
+    val node = parseJson(line)
+    assert(node.get("n_queries").asInt() == 256)
+    assert(node.get("reread_n").asInt() == 4)
+    assert(node.get("reread").size() == 4)
+    // value == sum(kept) + omitted_sec (nothing silently dropped).
+    import scala.jdk.CollectionConverters._
+    val keptSum = node.get("queries").properties().asScala.map(_.getValue.asDouble()).sum
+    assert(math.abs(
+      node.get("value").asDouble() - keptSum - node.get("omitted_sec").asDouble()) < 0.05)
+  }
+
+  test("stdout line: bounded and parseable on a pathological run (max rereads, long names, failures)") {
+    val byCost = (1 to 256)
+      .map(i => f"extremely_long_query_name_for_overflow_testing_$i%03d" -> (5.0 - i * 0.01))
+      .sortBy { case (n, t) => (-t, n) }
+    val reread = byCost.take(Bench.MaxRereads).map { case (n, t) => n -> t }.toMap
+    val failed = byCost.slice(30, 70).map(_._1)
+    val flaky = byCost.slice(70, 110).map(_._1)
+    val line = Bench.composeStdoutLine(
+      total = byCost.map(_._2).sum, byCost = byCost, nQueries = 256,
+      sfDir = "/an/extremely/long/env/supplied/scale/factor/directory/path/that/would/alone/blow/a/fixed/estimate/sf0.1",
+      ctlMed = 0.308, ctlMax = 1.308, stgMed = 0.660, stgMax = 1.481,
+      reread = reread, rereadRef = 256, adjudicated = 400.0,
+      gcRereadSec = 12.3, failed = failed, flaky = flaky, gcSec = 33.5)
+    assert(line.length <= Bench.LineBudget, s"line ${line.length} > budget")
+    val node = parseJson(line)
+    // Compact mode engaged: structures collapsed, counts preserved.
+    assert(node.get("reread_n").asInt() == Bench.MaxRereads)
+    assert(node.get("failed_n").asInt() == 40)
+    assert(node.get("flaky_n").asInt() == 40)
+    assert(node.get("queries").size() >= 1, "even compact mode reports the top queries")
   }
 }

@@ -42,7 +42,12 @@ class SeedHygieneSpec extends AnyFunSuite {
       SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
     val pkg = root.resolve("graft")
     assert(java.nio.file.Files.isDirectory(pkg),
-      s"graft package dir not found under code source $root — cannot scan for module objects")
+      s"graft package dir not found under code source $root — this scan " +
+        "requires SparkEntry's code source to be an exploded classes " +
+        "directory (sbt test / testQuick); running the suite against a " +
+        "packaged jar is unsupported — unpack the jar or run under sbt so " +
+        "the seed pin actually executes (ADVICE r15: an aborted scan here " +
+        "must be loud, never a silently-skipped pin)")
     val objectName = java.util.regex.Pattern.compile(
       """[A-Za-z_][A-Za-z0-9_]*(\$[A-Za-z_][A-Za-z0-9_]*)*\$\.class""")
     val walk = java.nio.file.Files.walk(pkg)
