@@ -97,10 +97,14 @@ object DdProbe {
     // probe main): a machine-specific default silently probed the wrong (or
     // a missing) tree on any other checkout.
     if (args.isEmpty) {
-      System.err.println("usage: DdProbe <corpusDir>   (e.g. DdProbe /root/testdata/sf0.1)")
+      System.err.println("usage: DdProbe <corpusDir> [warmedPasses]   (e.g. DdProbe /root/testdata/sf0.1 5)")
       sys.exit(2)
     }
     val dir = args(0)
+    // Warmed-pass count (default 5): the r16 trajectories show variants
+    // still dropping through pass ~4 (JIT/GC convergence), so a converged
+    // floor wants >=5 passes; raise it when adjudicating a drift question.
+    val warmedPasses = if (args.length > 1) args(1).toInt else 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val s = graft.EngineSession.local(cpus)
     def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
@@ -122,10 +126,11 @@ object DdProbe {
         .transform(Dedup.spreadKeys("doc_a", "doc_b"))
         .distinct()
     }
-    // The I/O-free Spark compute yardstick: 200M codegen'd hash+sum rows,
-    // zero input bytes — scheduler + whole-stage-codegen throughput only.
+    // The I/O-free Spark compute yardstick: 200M codegen'd hash rows
+    // folded by bit_xor (overflow-free under ANSI mode, unlike sum), zero
+    // input bytes — scheduler + whole-stage-codegen throughput only.
     def yardSparkCpu(): DataFrame =
-      s.range(200000000L).select(sum(xxhash64(col("id"))).as("h"))
+      s.range(200000000L).select(bit_xor(xxhash64(col("id"))).as("h"))
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
       // Tier substrate reads (floors): the stored prefix index and the
@@ -176,11 +181,11 @@ object DdProbe {
       noop(f())
       println(f"[ddprobe] cold  $n%-16s ${(System.nanoTime() - t0) / 1e9}%6.3f s  gc ${(gcMillis - g0) / 1000.0}%4.1f s")
     }
-    // 5 warmed passes (median of the LAST 3 is the steady floor; a pass-5
-    // trajectory still dropping below pass 3 would indict JIT convergence).
+    // Warmed passes (median of the LAST 3 is the steady floor; a late
+    // trajectory still dropping would indict JIT convergence).
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    (1 to 5).foreach { p =>
+    (1 to warmedPasses).foreach { p =>
       variants.foreach { case (n, f) =>
         val g0 = gcMillis
         val t0 = System.nanoTime()
