@@ -46,6 +46,8 @@ object CdProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val s = graft.EngineSession.local(cpus)
     def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+    // Era yardsticks (shared across probe mains — see Yardsticks).
+    Yardsticks.record("cdprobe", dir, Seq("orders", "customer"))
 
     val vs = variants(s, dir)
     // Warm every variant once (JIT/codegen), then 3 timed passes each.

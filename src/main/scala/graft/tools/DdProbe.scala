@@ -45,53 +45,6 @@ import org.apache.spark.sql.functions._
   * the price dd_incremental pays for measuring the ranking pass live.
   */
 object DdProbe {
-  /** Fixed Spark-free CPU yardstick: 300M rounds of a 64-bit xorshift mix.
-    * Deterministic work, no allocation, no I/O — its seconds measure the
-    * host's single-thread compute era (clock/steal/JIT), nothing else.
-    */
-  private def yardCpu(): Double = {
-    val t0 = System.nanoTime()
-    var x = 0x9E3779B97F4A7C15L
-    var acc = 0L
-    var i = 0L
-    while (i < 300000000L) {
-      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-      acc += x
-      i += 1
-    }
-    // Consume `acc` so the loop cannot be dead-code-eliminated.
-    if (acc == 42L) System.err.println("[ddprobe] yard_cpu sentinel")
-    (System.nanoTime() - t0) / 1e9
-  }
-
-  /** Raw storage yardstick: stream every byte of the given parquet tables
-    * through a plain buffered FileInputStream. No decode, no compute — its
-    * MB/s measure the page-cache/storage era of exactly the files the cold
-    * stored-structure builds read.
-    */
-  private def yardRawRead(dir: String, tables: Seq[String]): (Double, Long) = {
-    val buf = new Array[Byte](1 << 20)
-    var bytes = 0L
-    val t0 = System.nanoTime()
-    tables.foreach { t =>
-      val root = java.nio.file.Paths.get(dir, s"$t.parquet")
-      val walk = java.nio.file.Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala
-          .filter(p => java.nio.file.Files.isRegularFile(p))
-          .foreach { p =>
-            val in = new java.io.FileInputStream(p.toFile)
-            try {
-              var n = in.read(buf)
-              while (n >= 0) { bytes += n; n = in.read(buf) }
-            } finally in.close()
-          }
-      } finally walk.close()
-    }
-    ((System.nanoTime() - t0) / 1e9, bytes)
-  }
-
   def main(args: Array[String]): Unit = {
     // The corpus dir is REQUIRED (ADVICE r14 on TailProbe, applied to every
     // probe main): a machine-specific default silently probed the wrong (or
@@ -161,16 +114,10 @@ object DdProbe {
       "yard_spark_cpu" -> (() => yardSparkCpu()),
     )
 
-    // Raw storage yardstick FIRST — before Spark touches the files — so its
-    // first read sees whatever page-cache state the cold builds will see,
-    // then again warmed (the second read's MB/s is the cached ceiling).
-    Seq("raw_cold", "raw_warm").foreach { label =>
-      val (sec, bytes) = yardRawRead(dir, Seq("documents", "embeddings"))
-      println(f"[ddprobe] yard_raw_read/$label ${bytes / 1e6}%8.1f MB in $sec%6.3f s (${bytes / 1e6 / sec}%7.1f MB/s)")
-    }
-    // CPU yardstick cold (pre-JIT) and warmed ×3.
-    println(f"[ddprobe] yard_cpu/cold   ${yardCpu()}%6.3f s")
-    (1 to 3).foreach(i => println(f"[ddprobe] yard_cpu/warm$i  ${yardCpu()}%6.3f s"))
+    // Era yardsticks FIRST — before Spark touches the files — so the raw
+    // read sees whatever page-cache state the cold builds will see
+    // (shared across all probe mains: see Yardsticks).
+    Yardsticks.record("ddprobe", dir, Seq("documents", "embeddings"))
 
     // COLD pass, recorded per variant: first execution in this JVM —
     // codegen/JIT plus any one-time stored build first reachable through

@@ -115,6 +115,10 @@ object DqProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val s = graft.EngineSession.local(cpus)
     def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+    // Era yardsticks (shared across probe mains — see Yardsticks): recorded
+    // before Spark touches the files so a future floor move here can name
+    // its mechanism by comparing them.
+    Yardsticks.record("dqprobe", dir, Seq("lineitem", "orders"))
 
     val vs = variants(s, dir)
     // Warm every variant once (JIT/codegen), then 3 timed passes each.

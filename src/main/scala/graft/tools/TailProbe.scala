@@ -86,6 +86,9 @@ object TailProbe {
       println(f"[tailprobe] pass$pass $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.3f s")
     }
 
+    // Era yardsticks (shared across probe mains — see Yardsticks).
+    Yardsticks.record("tailprobe", dir, Seq("documents", "embeddings", "events"))
+
     val vs = variants(s, dir)
     // Warm every path once (JIT/codegen + the stored-structure builds the
     // production bench also pays outside its timed region), then 3 timed
