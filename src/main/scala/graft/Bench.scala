@@ -170,15 +170,29 @@ object Bench {
         ctlMed <= ControlFlatFactor * c && stgMed <= ControlFlatFactor * s
       case _ => false
     }
+    val controlsElevated = (refCtl, refStg) match {
+      case (Some(c), Some(s)) =>
+        ctlMed > ControlFlatFactor * c || stgMed > ControlFlatFactor * s
+      case _ => false
+    }
     if (tripped >= StaleTripThreshold && controlsFlat)
       Some(f"[bench] $tripped%d queries tripped the reread gate under FLAT control medians " +
         f"(trivial $ctlMed%.3f vs quiet ${refCtl.get}%.3f, staged $stgMed%.3f vs ${refStg.get}%.3f) — " +
         "broad drift in a quiet run means quiet_medians.json is stale for this era, not that the run " +
         "was contended; refresh it (scripts/make_quiet_medians.py over >=3 quiet runs with flat controls)")
+    else if (rereadCount >= MaxRereads && controlsElevated)
+      // Saturation under ELEVATED controls is the OTHER diagnosis: a heavily
+      // contended run (observed live in r16: 194.6 s, controls 0.136/0.200,
+      // 50 tripped) — the reference is not implicated; the adjudicated total
+      // and the re-read trajectory carry the signal.
+      Some(f"[bench] adjudication pass SATURATED ($rereadCount%d re-reads = MaxRereads cap, $tripped%d tripped) " +
+        f"under ELEVATED control medians (trivial $ctlMed%.3f vs quiet ${refCtl.get}%.3f, staged $stgMed%.3f " +
+        f"vs ${refStg.get}%.3f) — a heavily contended run, not a stale reference; trust value_adjudicated " +
+        "and the control trajectories, do not chase per-query numbers")
     else if (rereadCount >= MaxRereads)
       Some(s"[bench] adjudication pass SATURATED ($rereadCount re-reads = MaxRereads cap, $tripped tripped) — " +
-        "a saturated pass means the quiet-median reference is stale, not that this many windows occurred; " +
-        "refresh quiet_medians.json")
+        "with no elevated-control evidence this means the quiet-median reference is stale, not that this " +
+        "many windows occurred; refresh quiet_medians.json")
     else None
   }
 

@@ -117,6 +117,25 @@ class BenchSpec extends AnyFunSuite {
       ctlMed = 0.108, stgMed = 0.160, refCtl = None, refStg = None).isEmpty)
   }
 
+  test("stale guard: saturation under ELEVATED controls diagnoses contention, not staleness") {
+    // The live r16 case: 50 tripped, 24 re-reads, controls 0.136/0.200 vs
+    // quiet 0.104/0.153 — a heavily contended run. The message must NOT
+    // tell the operator to refresh the reference.
+    val sat = Bench.staleMediansNote(
+      tripped = 50, rereadCount = Bench.MaxRereads,
+      ctlMed = 0.136, stgMed = 0.200, refCtl = Some(0.104), refStg = Some(0.153))
+    assert(sat.exists(s => s.contains("ELEVATED") && s.contains("contended")))
+    assert(!sat.exists(_.contains("refresh quiet_medians.json")))
+    // Saturation with FLAT controls but tripped just below the broad-trip
+    // threshold... cannot happen (cap <= trips), but saturation with flat
+    // controls and refs present falls through to the broad-trip branch
+    // when tripped >= threshold:
+    val flat = Bench.staleMediansNote(
+      tripped = Bench.MaxRereads, rereadCount = Bench.MaxRereads,
+      ctlMed = 0.108, stgMed = 0.160, refCtl = Some(0.104), refStg = Some(0.153))
+    assert(flat.exists(_.contains("stale")))
+  }
+
   private def parseJson(line: String): com.fasterxml.jackson.databind.JsonNode =
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
 
