@@ -38,6 +38,18 @@ def main() -> None:
             if samples:
                 acc.append(samples[len(samples) // 2])
         labels.append(label or path)
+    # A run with elevated control medians is a CONTENDED run; folding it in
+    # inflates the reference and masks real regressions. Flag any run whose
+    # control median exceeds 1.3x the best run's (the bench guard's
+    # ControlFlatFactor) so the caller drops it deliberately or not at all.
+    for key, acc in (("control", controls), ("control_staged", staged)):
+        if acc and max(acc) > 1.3 * min(acc):
+            bad = [labels[i] for i, v in enumerate(acc) if v > 1.3 * min(acc)]
+            print(
+                f"WARNING: {key} median elevated >1.3x the quietest run in:"
+                f" {', '.join(bad)} — contended run(s); consider dropping",
+                file=sys.stderr,
+            )
     names = sorted(set().union(*[set(r) for r in runs]))
     medians = {}
     for name in names:
