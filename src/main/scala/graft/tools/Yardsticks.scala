@@ -16,11 +16,17 @@ package graft.tools
   *    probe-floor story that blames storage must show THIS number moved.
   *
   * Reading rule (README "Performance measurement notes", r16 attribution
-  * bullet): flat yardsticks + a moved converged floor = a real plan
-  * regression; a moved `yard_cpu` = host-era drift; `yard_raw_read` is
-  * the storage axis. The Spark-side compute yardstick (an I/O-free
-  * codegen'd plan) stays per-probe because it needs the live session —
-  * see DdProbe's `yard_spark_cpu`.
+  * bullet): ALL yardsticks flat + a moved converged floor = a real plan
+  * regression; a moved `yard_cpu` = single-thread host-era drift;
+  * `yard_raw_read` is the storage axis. The Spark-side compute yardstick
+  * (an I/O-free codegen'd plan) stays per-probe because it needs the live
+  * session — see DdProbe's `yard_spark_cpu` — and it is NOT redundant
+  * with `yard_cpu`: the r16 degraded-window run measured dd floors
+  * +60–70 % with `yard_cpu` FLAT while `yard_spark_cpu` ran +50 % — host
+  * contention can load ONLY the parallel execution path (steal under
+  * 32-thread bursts, scheduler latency), invisible to a single-thread
+  * loop. A floor measured while `yard_spark_cpu` or the bench controls
+  * are elevated is not a floor.
   */
 object Yardsticks {
   /** Fixed Spark-free CPU yardstick: 300M rounds of a 64-bit xorshift mix.
