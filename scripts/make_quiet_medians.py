@@ -29,22 +29,29 @@ def main() -> None:
         with open(path) as f:
             detail = json.load(f)
         runs.append(detail["queries"])
+        label = label or path
         # Per-run control medians feed the bench's stale-reference guard
-        # (Bench.staleMediansNote): a run whose control medians are flat
+        # (Bench.guardVerdict): a run whose control medians are flat
         # against these quiet-era references but trips the reread gate
         # broadly has a STALE medians file, not a contended window.
+        # Accumulated as (label, median) PAIRS — a run whose detail lacks a
+        # control key is simply absent from that key's pairs, so the
+        # contended-run warning below always names the right run
+        # (ADVICE r16 #4: parallel lists misattributed when a key was
+        # missing from one run but not another).
         for key, acc in (("control", controls), ("control_staged", staged)):
             samples = sorted(s for _, s in detail.get(key, []))
             if samples:
-                acc.append(samples[len(samples) // 2])
-        labels.append(label or path)
+                acc.append((label, samples[len(samples) // 2]))
+        labels.append(label)
     # A run with elevated control medians is a CONTENDED run; folding it in
     # inflates the reference and masks real regressions. Flag any run whose
     # control median exceeds 1.3x the best run's (the bench guard's
     # ControlFlatFactor) so the caller drops it deliberately or not at all.
     for key, acc in (("control", controls), ("control_staged", staged)):
-        if acc and max(acc) > 1.3 * min(acc):
-            bad = [labels[i] for i, v in enumerate(acc) if v > 1.3 * min(acc)]
+        vals = [v for _, v in acc]
+        if vals and max(vals) > 1.3 * min(vals):
+            bad = [lbl for lbl, v in acc if v > 1.3 * min(vals)]
             print(
                 f"WARNING: {key} median elevated >1.3x the quietest run in:"
                 f" {', '.join(bad)} — contended run(s); consider dropping",
@@ -67,8 +74,9 @@ def main() -> None:
         medians[name] = round(statistics.median(xs), 3)
     doc = {"_provenance": "median per query across runs: " + "; ".join(labels)}
     if controls and staged:
-        doc["_control_med"] = round(statistics.median(controls), 3)
-        doc["_control_staged_med"] = round(statistics.median(staged), 3)
+        doc["_control_med"] = round(statistics.median([v for _, v in controls]), 3)
+        doc["_control_staged_med"] = round(
+            statistics.median([v for _, v in staged]), 3)
     doc.update(medians)
     with open(out, "w") as f:
         json.dump(doc, f, indent=0, sort_keys=False)

@@ -44,12 +44,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    to `value_adjudicated`, so an inflated read adjudicates itself from
   *    the artifact alone instead of consuming a judging round. No medians
   *    file → no re-reads (the harness degrades to the r14 behavior);
-  *  - a STALE-REFERENCE guard (VERDICT r15 #4): many queries tripping the
-  *    re-read gate while both control medians sit flat against their
-  *    quiet-era references (`_control_med`/`_control_staged_med` in the
-  *    medians file) — or the re-read cap saturating — indicts the
-  *    reference file, not the run; a one-line stderr warning says to
-  *    refresh `quiet_medians.json`;
+  *  - a STALE-REFERENCE guard (VERDICT r15 #4, outcome conjunct VERDICT
+  *    r16 #1): many queries tripping the re-read gate while both control
+  *    medians sit flat against their quiet-era references
+  *    (`_control_med`/`_control_staged_med` in the medians file) — or the
+  *    re-read cap saturating — indicts the reference file ONLY when a
+  *    majority of the completed re-reads REPRODUCE the excess; when most
+  *    adjudicate down the reference is demonstrably current and the run is
+  *    a sub-threshold contended window (the r16 driver read: 11 tripped
+  *    under just-flat controls, 9/11 re-reads down). The verdict is a
+  *    machine-readable `guard` code (`none`/`stale`/`contended`/
+  *    `saturated-stale`) recorded with the uncapped `tripped_n` in both
+  *    the stdout line and bench_detail.json (VERDICT r16 #4), plus a
+  *    one-line stderr diagnosis;
   *  - the per-run detail artifact is also copied to
   *    `bench_detail_<total-ms>.json` (VERDICT r15 #5: `bench_detail.json`
   *    is overwritten by every run, and the r14 driver's per-query detail
@@ -121,7 +128,7 @@ object Bench {
   /** Every query whose first read trips BOTH re-read gates ([[RereadFactor]]×
     * the quiet median AND [[RereadSlackSec]] absolute excess), worst absolute
     * excess first, UNCAPPED — the size of this set is the stale-reference
-    * signal ([[staleMediansNote]]), independent of how many re-reads the run
+    * signal ([[guardVerdict]]), independent of how many re-reads the run
     * actually pays for.
     */
   private[graft] def rereadCandidates(
@@ -156,15 +163,38 @@ object Bench {
     */
   private[graft] val ControlFlatFactor = 1.3
 
-  /** The stderr warning for a stale quiet-median reference, or None when the
-    * run's evidence doesn't support one. Pure — BenchSpec pins both triggers
-    * (broad-trip-under-flat-controls, and cap saturation) and the
-    * no-references fallback.
+  /** How many completed re-reads REPRODUCED the excess — i.e. the re-read
+    * value itself still trips both re-read gates against the quiet median.
+    * This is the decisive stale-vs-contended evidence (VERDICT r16 #1): a
+    * stale reference makes re-reads reproduce the excess (the medians are
+    * unreachable on this tree), while a contended window makes them
+    * adjudicate back down to ≈ their medians.
     */
-  private[graft] def staleMediansNote(
-      tripped: Int, rereadCount: Int,
+  private[graft] def rereadReproducedCount(
+      reread: Map[String, Double], medians: Map[String, Double]): Int =
+    reread.count { case (name, t) => medians.get(name).exists(m =>
+      t > RereadFactor * m && t - m > RereadSlackSec) }
+
+  /** The guard verdict: a machine-readable code — `none` / `stale` /
+    * `contended` / `saturated-stale` — recorded in the stdout line and
+    * bench_detail.json (VERDICT r16 #4), plus the stderr message when there
+    * is one. Pure — BenchSpec pins every branch, including the r16 driver
+    * run's real numbers as a test vector.
+    *
+    * The stale diagnosis requires BOTH conjuncts (VERDICT r16 #1 — the r16
+    * driver run exposed the flat-controls trigger alone misclassifying the
+    * mild-contention class: 11 tripped under just-flat controls 0.120/0.189,
+    * but 9/11 re-reads adjudicated DOWN, proof the reference was current):
+    *   1. broad trips while both control medians are flat vs their quiet-era
+    *      references, AND
+    *   2. a MAJORITY of completed re-reads reproduce the excess.
+    * Broad flat-controls trips whose re-reads mostly adjudicate down are a
+    * sub-threshold contended window (`contended`), not a stale reference.
+    */
+  private[graft] def guardVerdict(
+      tripped: Int, rereadCount: Int, rereadReproduced: Int,
       ctlMed: Double, stgMed: Double,
-      refCtl: Option[Double], refStg: Option[Double]): Option[String] = {
+      refCtl: Option[Double], refStg: Option[Double]): (String, Option[String]) = {
     val controlsFlat = (refCtl, refStg) match {
       case (Some(c), Some(s)) =>
         ctlMed <= ControlFlatFactor * c && stgMed <= ControlFlatFactor * s
@@ -175,25 +205,55 @@ object Bench {
         ctlMed > ControlFlatFactor * c || stgMed > ControlFlatFactor * s
       case _ => false
     }
-    if (tripped >= StaleTripThreshold && controlsFlat)
-      Some(f"[bench] $tripped%d queries tripped the reread gate under FLAT control medians " +
-        f"(trivial $ctlMed%.3f vs quiet ${refCtl.get}%.3f, staged $stgMed%.3f vs ${refStg.get}%.3f) — " +
-        "broad drift in a quiet run means quiet_medians.json is stale for this era, not that the run " +
-        "was contended; refresh it (scripts/make_quiet_medians.py over >=3 quiet runs with flat controls)")
-    else if (rereadCount >= MaxRereads && controlsElevated)
-      // Saturation under ELEVATED controls is the OTHER diagnosis: a heavily
-      // contended run (observed live in r16: 194.6 s, controls 0.136/0.200,
-      // 50 tripped) — the reference is not implicated; the adjudicated total
-      // and the re-read trajectory carry the signal.
-      Some(f"[bench] adjudication pass SATURATED ($rereadCount%d re-reads = MaxRereads cap, $tripped%d tripped) " +
-        f"under ELEVATED control medians (trivial $ctlMed%.3f vs quiet ${refCtl.get}%.3f, staged $stgMed%.3f " +
-        f"vs ${refStg.get}%.3f) — a heavily contended run, not a stale reference; trust value_adjudicated " +
-        "and the control trajectories, do not chase per-query numbers")
-    else if (rereadCount >= MaxRereads)
-      Some(s"[bench] adjudication pass SATURATED ($rereadCount re-reads = MaxRereads cap, $tripped tripped) — " +
-        "with no elevated-control evidence this means the quiet-median reference is stale, not that this " +
-        "many windows occurred; refresh quiet_medians.json")
-    else None
+    // Strict majority of COMPLETED re-reads; with zero completed re-reads
+    // (every re-read threw — pathological, the failures carry their own
+    // signal) staleness is unsupported and the run reads as contended.
+    val staleSupported = rereadCount > 0 && 2 * rereadReproduced > rereadCount
+    val rereadsDown = rereadCount - rereadReproduced
+    if (tripped >= StaleTripThreshold && controlsFlat) {
+      if (staleSupported)
+        ("stale",
+          Some(f"[bench] $tripped%d queries tripped the reread gate under FLAT control medians " +
+            f"(trivial $ctlMed%.3f vs quiet ${refCtl.get}%.3f, staged $stgMed%.3f vs ${refStg.get}%.3f) " +
+            f"and $rereadReproduced%d/$rereadCount%d re-reads REPRODUCED the excess — the medians are " +
+            "unreachable on this tree: quiet_medians.json is stale for this era; refresh it " +
+            "(scripts/make_quiet_medians.py over >=3 quiet runs with flat controls)"))
+      else
+        ("contended",
+          Some(f"[bench] $tripped%d queries tripped the reread gate under flat control medians " +
+            f"(trivial $ctlMed%.3f, staged $stgMed%.3f) but $rereadsDown%d/$rereadCount%d re-reads " +
+            "adjudicated DOWN to ~ their quiet medians — the reference is current and this is a " +
+            "sub-threshold contended window; trust value_adjudicated, do not refresh quiet_medians.json"))
+    } else if (rereadCount >= MaxRereads && controlsElevated)
+      // Saturation under ELEVATED controls: a heavily contended run
+      // (observed live in r16: 194.6 s, controls 0.136/0.200, 50 tripped) —
+      // the reference is not implicated; the adjudicated total and the
+      // re-read trajectory carry the signal.
+      ("contended",
+        Some(f"[bench] adjudication pass SATURATED ($rereadCount%d re-reads = MaxRereads cap, $tripped%d tripped) " +
+          f"under ELEVATED control medians (trivial $ctlMed%.3f vs quiet ${refCtl.get}%.3f, staged $stgMed%.3f " +
+          f"vs ${refStg.get}%.3f) — a heavily contended run, not a stale reference; trust value_adjudicated " +
+          "and the control trajectories, do not chase per-query numbers"))
+    else if (rereadCount >= MaxRereads) {
+      // Refs absent (with refs present, flat/elevated are complements and
+      // saturation implies tripped >= threshold, so the branches above
+      // apply). Without control references the controls cannot grade the
+      // window (ADVICE r16 #3), so the re-read outcomes decide — hedged,
+      // because sustained contention spanning the re-read pass cannot be
+      // fully excluded without the references.
+      if (staleSupported)
+        ("saturated-stale",
+          Some(s"[bench] adjudication pass SATURATED ($rereadCount re-reads = MaxRereads cap, $tripped tripped) " +
+            s"and $rereadReproduced/$rereadCount re-reads REPRODUCED the excess — likely a stale quiet-median " +
+            "reference (refresh quiet_medians.json), though with no _control_med/_control_staged_med references " +
+            "heavy sustained contention cannot be excluded; check the control trajectories in bench_detail.json"))
+      else
+        ("contended",
+          Some(s"[bench] adjudication pass SATURATED ($rereadCount re-reads = MaxRereads cap, $tripped tripped) " +
+            s"but $rereadsDown/$rereadCount re-reads adjudicated DOWN — a contended run, not a stale reference; " +
+            "no _control_med/_control_staged_med references in quiet_medians.json, so confirm via the control " +
+            "trajectories in bench_detail.json; trust value_adjudicated"))
+    } else ("none", None)
   }
 
   /** Stdout-line length contract: the driver captures only the last ~2000
@@ -230,6 +290,8 @@ object Bench {
       ctlMed: Double, ctlMax: Double, stgMed: Double, stgMax: Double,
       reread: Map[String, Double],
       rereadRef: Int,
+      tripped: Int,
+      guard: String,
       adjudicated: Double,
       gcRereadSec: Double,
       failed: Seq[String],
@@ -240,7 +302,7 @@ object Bench {
     val sfShown = if (sfDir.length <= 60) sfDir else "..." + sfDir.takeRight(57)
     def render(kept: String, nOmitted: Int, omittedSec: Double,
                rrS: String, fS: String, flS: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$kept},"queries_omitted":$nOmitted,"omitted_sec":$omittedSec%.3f,"n_queries":$nQueries,"sf":"$sfShown","passes":2,"interleaved":true,"control_med":$ctlMed%.3f,"control_max":$ctlMax%.3f,"control_staged_med":$stgMed%.3f,"control_staged_max":$stgMax%.3f,"reread":$rrS,"reread_n":${reread.size},"reread_ref":$rereadRef,"value_adjudicated":$adjudicated%.3f,"gc_reread_sec":$gcRereadSec%.1f,"failed":$fS,"failed_n":${failed.size},"flaky":$flS,"flaky_n":${flaky.size},"gc_sec":$gcSec%.1f,"detail":"bench_detail.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$kept},"queries_omitted":$nOmitted,"omitted_sec":$omittedSec%.3f,"n_queries":$nQueries,"sf":"$sfShown","passes":2,"interleaved":true,"control_med":$ctlMed%.3f,"control_max":$ctlMax%.3f,"control_staged_med":$stgMed%.3f,"control_staged_max":$stgMax%.3f,"reread":$rrS,"reread_n":${reread.size},"reread_ref":$rereadRef,"tripped_n":$tripped,"guard":"$guard","value_adjudicated":$adjudicated%.3f,"gc_reread_sec":$gcRereadSec%.1f,"failed":$fS,"failed_n":${failed.size},"flaky":$flS,"flaky_n":${flaky.size},"gc_sec":$gcSec%.1f,"detail":"bench_detail.json"}"""
     val rrFull = reread.toSeq.sorted
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     // Fixed overhead MEASURED on the empty-kept render: with zero kept
@@ -456,10 +518,27 @@ object Bench {
     val ctlStaged = stagedControls.map { case (i, t) => f"[$i,$t%.3f]" }.mkString("[", ",", "]")
     val rr = reread.toSeq.sorted
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val ctlSorted = controls.map(_._2).sorted
+    val ctlMed = if (ctlSorted.isEmpty) 0.0 else ctlSorted(ctlSorted.size / 2)
+    val ctlMax = if (ctlSorted.isEmpty) 0.0 else ctlSorted.last
+    val stgSorted = stagedControls.map(_._2).sorted
+    val stgMed = if (stgSorted.isEmpty) 0.0 else stgSorted(stgSorted.size / 2)
+    val stgMax = if (stgSorted.isEmpty) 0.0 else stgSorted.last
+    // Guard verdict (VERDICT r16 #1/#4): the trip count is the UNCAPPED
+    // candidate set (the stale signal must not be masked by the re-read
+    // cap), and the stale-vs-contended call reads the re-read OUTCOMES —
+    // both recorded in the artifacts so the diagnosis needs no recompute.
+    val trippedN = rereadCandidates(results, medians).size
+    val (guard, guardNote) = guardVerdict(
+      tripped = trippedN, rereadCount = reread.size,
+      rereadReproduced = rereadReproducedCount(reread, medians),
+      ctlMed = ctlMed, stgMed = stgMed,
+      refCtl = parseMetaMedian(medText, "_control_med"),
+      refStg = parseMetaMedian(medText, "_control_staged_med"))
     val detailPath = java.nio.file.Paths.get("bench_detail.json")
     java.nio.file.Files.writeString(
       detailPath,
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_times":$passes,"pass_build_exec":$phased,"control":$ctl,"control_staged":$ctlStaged,"reread":$rr,"reread_ref":${medians.size},"value_adjudicated":$adjudicated%.3f,"gc_reread_sec":$gcRereadSec%.1f,"sf":"$sfDir","passes":2,"interleaved":true,"failed":${names(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_times":$passes,"pass_build_exec":$phased,"control":$ctl,"control_staged":$ctlStaged,"reread":$rr,"reread_ref":${medians.size},"tripped_n":$trippedN,"guard":"$guard","value_adjudicated":$adjudicated%.3f,"gc_reread_sec":$gcRereadSec%.1f,"sf":"$sfDir","passes":2,"interleaved":true,"failed":${names(
           failed)},"flaky":${names(flaky)},"gc_sec":$gcSec%.1f}""")
     // Preserve this run's detail against the next run's overwrite (VERDICT
     // r15 #5: the r14 driver per-query detail was lost to a clobber before
@@ -473,30 +552,16 @@ object Bench {
     System.err.println(s"[bench] detail preserved as $keepAs")
 
     val byCost = results.sortBy { case (n, t) => (-t, n) }
-    val ctlSorted = controls.map(_._2).sorted
-    val ctlMed = if (ctlSorted.isEmpty) 0.0 else ctlSorted(ctlSorted.size / 2)
-    val ctlMax = if (ctlSorted.isEmpty) 0.0 else ctlSorted.last
-    val stgSorted = stagedControls.map(_._2).sorted
-    val stgMed = if (stgSorted.isEmpty) 0.0 else stgSorted(stgSorted.size / 2)
-    val stgMax = if (stgSorted.isEmpty) 0.0 else stgSorted.last
-    // Stale-reference guard (stderr, BEFORE the stdout line so the tail
-    // keeps the machine-parseable line last): the trip count is the
-    // UNCAPPED candidate set — the stale signal must not be masked by the
-    // re-read cap.
-    staleMediansNote(
-      tripped = rereadCandidates(results, medians).size,
-      rereadCount = reread.size,
-      ctlMed = ctlMed, stgMed = stgMed,
-      refCtl = parseMetaMedian(medText, "_control_med"),
-      refStg = parseMetaMedian(medText, "_control_staged_med"))
-      .foreach(System.err.println)
+    // Guard message on stderr, BEFORE the stdout line so the tail keeps the
+    // machine-parseable line last; the code itself rides in both artifacts.
+    guardNote.foreach(System.err.println)
     // Stdout line — must survive the driver's 2000-char log tail INTACT to
     // be machine-parseable; see composeStdoutLine for the measured budget
     // and the compact fallback.
     println(composeStdoutLine(
       total, byCost, results.size, sfDir,
       ctlMed, ctlMax, stgMed, stgMax,
-      reread, medians.size, adjudicated, gcRereadSec,
+      reread, medians.size, trippedN, guard, adjudicated, gcRereadSec,
       failed, flaky, gcSec))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -57,7 +57,17 @@ object DdProbe {
     // Warmed-pass count (default 5): the r16 trajectories show variants
     // still dropping through pass ~4 (JIT/GC convergence), so a converged
     // floor wants >=5 passes; raise it when adjudicating a drift question.
-    val warmedPasses = if (args.length > 1) args(1).toInt else 5
+    // Validated at parse time (ADVICE r16 #1): the steady summary is the
+    // median of the LAST 3 warmed passes, so fewer than 3 would either
+    // throw after the whole probe has run (1) or silently report a max (2).
+    val warmedPasses = args.lift(1).map { a =>
+      scala.util.Try(a.toInt).toOption.filter(_ >= 3).getOrElse {
+        System.err.println(s"DdProbe: warmedPasses must be an integer >= 3 " +
+          s"(steady floor = median of the last 3 warmed passes); got '$a'")
+        System.err.println("usage: DdProbe <corpusDir> [warmedPasses>=3]   (e.g. DdProbe /root/testdata/sf0.1 5)")
+        sys.exit(2)
+      }
+    }.getOrElse(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val s = graft.EngineSession.local(cpus)
     def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

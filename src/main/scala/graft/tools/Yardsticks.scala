@@ -57,19 +57,26 @@ object Yardsticks {
     val t0 = System.nanoTime()
     tables.foreach { t =>
       val root = java.nio.file.Paths.get(dir, s"$t.parquet")
-      val walk = java.nio.file.Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala
-          .filter(p => java.nio.file.Files.isRegularFile(p))
-          .foreach { p =>
-            val in = new java.io.FileInputStream(p.toFile)
-            try {
-              var n = in.read(buf)
-              while (n >= 0) { bytes += n; n = in.read(buf) }
-            } finally in.close()
-          }
-      } finally walk.close()
+      // A missing root degrades the yardstick (one stderr note), never the
+      // probe — record() runs at the top of every probe main, and probes
+      // only need the tables their variants actually read (ADVICE r16 #2).
+      if (!java.nio.file.Files.exists(root)) {
+        System.err.println(s"[yardstick] yard_raw_read: $root missing — skipped")
+      } else {
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p))
+            .foreach { p =>
+              val in = new java.io.FileInputStream(p.toFile)
+              try {
+                var n = in.read(buf)
+                while (n >= 0) { bytes += n; n = in.read(buf) }
+              } finally in.close()
+            }
+        } finally walk.close()
+      }
     }
     ((System.nanoTime() - t0) / 1e9, bytes)
   }

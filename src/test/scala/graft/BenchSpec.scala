@@ -84,56 +84,108 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.rereadSelection(tied, Map("a" -> 1.0, "b" -> 1.0)) == Seq("a", "b"))
   }
 
-  test("stale guard: broad trips under flat controls warn; contended or narrow runs do not") {
+  test("reread-reproduced count: a re-read still past BOTH gates reproduces the excess") {
+    val medians = Map("big" -> 1.0, "small" -> 0.1, "down" -> 1.0)
+    val reread = Map(
+      "big" -> 1.9, // 1.9x, +0.9s  -> reproduced
+      "small" -> 0.2, // 2.0x but +0.1s < slack -> not reproduced
+      "down" -> 1.05, // adjudicated down -> not reproduced
+      "unknown" -> 9.0) // no recorded median -> not countable
+    assert(Bench.rereadReproducedCount(reread, medians) == 1)
+    assert(Bench.rereadReproducedCount(Map.empty, medians) == 0)
+  }
+
+  test("guard verdict: the r16 DRIVER run diagnoses a contended window, not stale medians (VERDICT r16 #1)") {
+    // The real r16 driver numbers: 11 tripped, 11 completed re-reads,
+    // controls 0.120/0.189 — just under the 1.3x flat factor vs quiet refs
+    // 0.104/0.153 — and 9/11 re-reads adjudicated DOWN (only dd_containment
+    // 3.439 vs med 2.26 and ev_rfm 1.760 vs 1.032 reproduced). The old
+    // flat-controls-only trigger printed "refresh quiet_medians.json" here;
+    // the outcome conjunct must read the re-reads and say contended.
+    val (code, msg) = Bench.guardVerdict(
+      tripped = 11, rereadCount = 11, rereadReproduced = 2,
+      ctlMed = 0.120, stgMed = 0.189, refCtl = Some(0.104), refStg = Some(0.153))
+    assert(code == "contended")
+    assert(msg.exists(_.contains("contended")))
+    assert(msg.exists(_.contains("9/11")))
+    assert(!msg.exists(_.contains("refresh it")))
+    assert(msg.exists(_.contains("do not refresh quiet_medians.json")))
+  }
+
+  test("guard verdict: broad flat-control trips need majority-REPRODUCED re-reads to diagnose stale") {
     val refs = (Some(0.104), Some(0.153))
-    // Broad trips + flat controls -> the medians are stale.
-    val warn = Bench.staleMediansNote(
-      tripped = Bench.StaleTripThreshold, rereadCount = Bench.StaleTripThreshold,
+    // Majority reproduced under flat controls -> the medians are stale.
+    val (stale, warn) = Bench.guardVerdict(
+      tripped = 11, rereadCount = 11, rereadReproduced = 9,
       ctlMed = 0.108, stgMed = 0.160, refCtl = refs._1, refStg = refs._2)
-    assert(warn.exists(_.contains("stale")))
-    // Same trips under ELEVATED controls -> a contended run, not staleness.
-    assert(Bench.staleMediansNote(
+    assert(stale == "stale")
+    assert(warn.exists(s => s.contains("stale") && s.contains("refresh")))
+    // Exactly half reproduced is NOT a majority -> contended.
+    assert(Bench.guardVerdict(
+      tripped = 10, rereadCount = 10, rereadReproduced = 5,
+      ctlMed = 0.108, stgMed = 0.160, refCtl = refs._1, refStg = refs._2)._1 == "contended")
+    // Zero completed re-reads cannot support staleness.
+    assert(Bench.guardVerdict(
+      tripped = Bench.StaleTripThreshold, rereadCount = 0, rereadReproduced = 0,
+      ctlMed = 0.108, stgMed = 0.160, refCtl = refs._1, refStg = refs._2)._1 == "contended")
+    // Broad trips under ELEVATED controls, below the cap -> no verdict
+    // (ordinary contended samples; the controls already grade the run).
+    assert(Bench.guardVerdict(
       tripped = Bench.StaleTripThreshold, rereadCount = Bench.StaleTripThreshold,
-      ctlMed = 0.25, stgMed = 0.40, refCtl = refs._1, refStg = refs._2).isEmpty)
-    // Few trips under flat controls -> ordinary window noise, no warning.
-    assert(Bench.staleMediansNote(
+      rereadReproduced = Bench.StaleTripThreshold,
+      ctlMed = 0.25, stgMed = 0.40, refCtl = refs._1, refStg = refs._2) == ("none", None))
+    // Few trips under flat controls -> ordinary window noise, no verdict.
+    assert(Bench.guardVerdict(
       tripped = Bench.StaleTripThreshold - 1, rereadCount = Bench.StaleTripThreshold - 1,
-      ctlMed = 0.108, stgMed = 0.160, refCtl = refs._1, refStg = refs._2).isEmpty)
-    // ONE staged-control spike past the flat factor also blocks the
-    // stale verdict (both medians must be flat).
-    assert(Bench.staleMediansNote(
-      tripped = 20, rereadCount = 20,
-      ctlMed = 0.108, stgMed = 0.30, refCtl = refs._1, refStg = refs._2).isEmpty)
+      rereadReproduced = Bench.StaleTripThreshold - 1,
+      ctlMed = 0.108, stgMed = 0.160, refCtl = refs._1, refStg = refs._2) == ("none", None))
+    // ONE staged-control spike past the flat factor also blocks the stale
+    // verdict (both medians must be flat).
+    assert(Bench.guardVerdict(
+      tripped = 20, rereadCount = 20, rereadReproduced = 20,
+      ctlMed = 0.108, stgMed = 0.30, refCtl = refs._1, refStg = refs._2) == ("none", None))
   }
 
-  test("stale guard: cap saturation warns even without control references (ADVICE r15)") {
-    val sat = Bench.staleMediansNote(
-      tripped = 30, rereadCount = Bench.MaxRereads,
+  test("guard verdict: cap saturation without references reads the re-read outcomes, hedged (ADVICE r16 #3)") {
+    // Majority reproduced -> likely-stale, but the message must hedge (no
+    // control references means heavy sustained contention is not excluded).
+    val (code, sat) = Bench.guardVerdict(
+      tripped = 30, rereadCount = Bench.MaxRereads, rereadReproduced = 20,
       ctlMed = 0.108, stgMed = 0.160, refCtl = None, refStg = None)
-    assert(sat.exists(s => s.contains("SATURATED") && s.contains("quiet_medians.json")))
+    assert(code == "saturated-stale")
+    assert(sat.exists(s => s.contains("SATURATED") && s.contains("refresh quiet_medians.json")))
+    assert(sat.exists(s => s.contains("contention cannot be excluded") && s.contains("control trajectories")))
+    // Majority adjudicated down -> contended even at saturation.
+    val (code2, sat2) = Bench.guardVerdict(
+      tripped = 30, rereadCount = Bench.MaxRereads, rereadReproduced = 4,
+      ctlMed = 0.108, stgMed = 0.160, refCtl = None, refStg = None)
+    assert(code2 == "contended")
+    assert(sat2.exists(s => s.contains("adjudicated DOWN") && !s.contains("refresh quiet_medians.json")))
     // Below the cap with no references: nothing to conclude.
-    assert(Bench.staleMediansNote(
-      tripped = 5, rereadCount = 5,
-      ctlMed = 0.108, stgMed = 0.160, refCtl = None, refStg = None).isEmpty)
+    assert(Bench.guardVerdict(
+      tripped = 5, rereadCount = 5, rereadReproduced = 5,
+      ctlMed = 0.108, stgMed = 0.160, refCtl = None, refStg = None) == ("none", None))
   }
 
-  test("stale guard: saturation under ELEVATED controls diagnoses contention, not staleness") {
+  test("guard verdict: saturation under ELEVATED controls diagnoses contention, not staleness") {
     // The live r16 case: 50 tripped, 24 re-reads, controls 0.136/0.200 vs
     // quiet 0.104/0.153 — a heavily contended run. The message must NOT
-    // tell the operator to refresh the reference.
-    val sat = Bench.staleMediansNote(
-      tripped = 50, rereadCount = Bench.MaxRereads,
+    // tell the operator to refresh the reference, regardless of how many
+    // re-reads reproduced (the window spans the adjudication pass too).
+    val (code, sat) = Bench.guardVerdict(
+      tripped = 50, rereadCount = Bench.MaxRereads, rereadReproduced = Bench.MaxRereads,
       ctlMed = 0.136, stgMed = 0.200, refCtl = Some(0.104), refStg = Some(0.153))
+    assert(code == "contended")
     assert(sat.exists(s => s.contains("ELEVATED") && s.contains("contended")))
     assert(!sat.exists(_.contains("refresh quiet_medians.json")))
-    // Saturation with FLAT controls but tripped just below the broad-trip
-    // threshold... cannot happen (cap <= trips), but saturation with flat
-    // controls and refs present falls through to the broad-trip branch
-    // when tripped >= threshold:
-    val flat = Bench.staleMediansNote(
+    // Saturation with flat controls and refs present falls into the
+    // broad-trip branch (cap <= trips), where the outcome conjunct rules:
+    val (flatCode, flatMsg) = Bench.guardVerdict(
       tripped = Bench.MaxRereads, rereadCount = Bench.MaxRereads,
+      rereadReproduced = Bench.MaxRereads,
       ctlMed = 0.108, stgMed = 0.160, refCtl = Some(0.104), refStg = Some(0.153))
-    assert(flat.exists(_.contains("stale")))
+    assert(flatCode == "stale")
+    assert(flatMsg.exists(_.contains("stale")))
   }
 
   private def parseJson(line: String): com.fasterxml.jackson.databind.JsonNode =
@@ -147,13 +199,17 @@ class BenchSpec extends AnyFunSuite {
       total = byCost.map(_._2).sum, byCost = byCost, nQueries = 256,
       sfDir = "/root/testdata/sf0.1",
       ctlMed = 0.108, ctlMax = 0.308, stgMed = 0.160, stgMax = 0.481,
-      reread = reread, rereadRef = 256, adjudicated = 137.0,
+      reread = reread, rereadRef = 256, tripped = 4, guard = "none",
+      adjudicated = 137.0,
       gcRereadSec = 0.0, failed = Nil, flaky = Nil, gcSec = 3.5)
     assert(line.length <= Bench.LineBudget, s"line ${line.length} > budget")
     val node = parseJson(line)
     assert(node.get("n_queries").asInt() == 256)
     assert(node.get("reread_n").asInt() == 4)
     assert(node.get("reread").size() == 4)
+    // The guard verdict rides in the line (VERDICT r16 #4).
+    assert(node.get("tripped_n").asInt() == 4)
+    assert(node.get("guard").asText() == "none")
     // value == sum(kept) + omitted_sec (nothing silently dropped).
     import scala.jdk.CollectionConverters._
     val keptSum = node.get("queries").properties().asScala.map(_.getValue.asDouble()).sum
@@ -172,7 +228,8 @@ class BenchSpec extends AnyFunSuite {
       total = byCost.map(_._2).sum, byCost = byCost, nQueries = 256,
       sfDir = "/an/extremely/long/env/supplied/scale/factor/directory/path/that/would/alone/blow/a/fixed/estimate/sf0.1",
       ctlMed = 0.308, ctlMax = 1.308, stgMed = 0.660, stgMax = 1.481,
-      reread = reread, rereadRef = 256, adjudicated = 400.0,
+      reread = reread, rereadRef = 256, tripped = 250, guard = "saturated-stale",
+      adjudicated = 400.0,
       gcRereadSec = 12.3, failed = failed, flaky = flaky, gcSec = 33.5)
     assert(line.length <= Bench.LineBudget, s"line ${line.length} > budget")
     val node = parseJson(line)
@@ -180,6 +237,8 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("reread_n").asInt() == Bench.MaxRereads)
     assert(node.get("failed_n").asInt() == 40)
     assert(node.get("flaky_n").asInt() == 40)
+    assert(node.get("tripped_n").asInt() == 250)
+    assert(node.get("guard").asText() == "saturated-stale")
     assert(node.get("queries").size() >= 1, "even compact mode reports the top queries")
   }
 }
