@@ -24,12 +24,21 @@ def main() -> None:
     labels = []
     controls = []
     staged = []
+    seen_labels = {}
     for arg in sys.argv[2:]:
         path, _, label = arg.partition(",")
         with open(path) as f:
             detail = json.load(f)
         runs.append(detail["queries"])
         label = label or path
+        # De-duplicate labels (ADVICE r17): two args with the same ,LABEL
+        # suffix (or the same path twice) would make the contended-run
+        # warning below ambiguous again — suffix repeats with an index so
+        # "drop the named run" always names exactly one feed.
+        n = seen_labels.get(label, 0)
+        seen_labels[label] = n + 1
+        if n:
+            label = f"{label}#{n + 1}"
         # Per-run control medians feed the bench's stale-reference guard
         # (Bench.guardVerdict): a run whose control medians are flat
         # against these quiet-era references but trips the reread gate
@@ -39,10 +48,14 @@ def main() -> None:
         # contended-run warning below always names the right run
         # (ADVICE r16 #4: parallel lists misattributed when a key was
         # missing from one run but not another).
+        # statistics.median (not the upper-middle element) so the per-run
+        # statistic matches what Bench.medianOf computes at run time — the
+        # two sides of the ControlFlatFactor comparison must be the same
+        # statistic (ADVICE r17).
         for key, acc in (("control", controls), ("control_staged", staged)):
-            samples = sorted(s for _, s in detail.get(key, []))
+            samples = [s for _, s in detail.get(key, [])]
             if samples:
-                acc.append((label, samples[len(samples) // 2]))
+                acc.append((label, statistics.median(samples)))
         labels.append(label)
     # A run with elevated control medians is a CONTENDED run; folding it in
     # inflates the reference and masks real regressions. Flag any run whose

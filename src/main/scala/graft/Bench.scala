@@ -52,9 +52,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    majority of the completed re-reads REPRODUCE the excess; when most
   *    adjudicate down the reference is demonstrably current and the run is
   *    a sub-threshold contended window (the r16 driver read: 11 tripped
-  *    under just-flat controls, 9/11 re-reads down). The verdict is a
+  *    under just-flat controls, 9/11 re-reads down); when NO re-read
+  *    completed there is no adjudication evidence either way and the
+  *    verdict hedges (`indeterminate`, ADVICE r17). The verdict is a
   *    machine-readable `guard` code (`none`/`stale`/`contended`/
-  *    `saturated-stale`) recorded with the uncapped `tripped_n` in both
+  *    `saturated-stale`/`indeterminate`) recorded with the uncapped `tripped_n` in both
   *    the stdout line and bench_detail.json (VERDICT r16 #4), plus a
   *    one-line stderr diagnosis;
   *  - the per-run detail artifact is also copied to
@@ -62,6 +64,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    is overwritten by every run, and the r14 driver's per-query detail
   *    was clobbered before anyone read it), so consecutive runs leave
   *    consecutive files;
+  *  - a DURABLE one-line-per-run ledger (VERDICT r17 #2: the whole r16
+  *    day's gitignored detail files were erased by one glob-rm — a
+  *    gitignored file is not an archive): the compact facts of every run
+  *    — total, adjudicated total, both control medians, trip/re-read
+  *    counts, guard code, GC, sf — are APPENDED to the TRACKED
+  *    `bench_ledger.jsonl` at the same point the detail copy is made, so
+  *    the replayable history survives any cleanup of the detail files;
   *  - the stdout line's fixed overhead is MEASURED from the rendered
   *    template, not estimated, with a compact fallback that folds the
   *    reread/failed/flaky structures into counts — the line length is
@@ -159,9 +168,24 @@ object Bench {
   private[graft] val StaleTripThreshold = 8
   /** "Flat" for the guard: a control median within this factor of its
     * quiet-era reference (quiet runs land within a few percent; genuinely
-    * contended windows run 1.5–3×).
+    * contended windows run 1.5–3×). Both sides of the comparison compute
+    * the SAME statistic since r18 (ADVICE r17): [[medianOf]] averages the
+    * two middle samples on even counts, exactly like the
+    * `statistics.median` call that builds `_control_med`/
+    * `_control_staged_med` in make_quiet_medians.py — the old upper-middle
+    * convention biased run medians slightly high against the reference.
     */
   private[graft] val ControlFlatFactor = 1.3
+
+  /** True median of an ALREADY-SORTED sample: odd size → the middle
+    * element; even size → the mean of the two middle elements. Matches
+    * Python's `statistics.median` (the convention of the quiet-era control
+    * references this value is compared against — see [[ControlFlatFactor]]).
+    */
+  private[graft] def medianOf(sorted: scala.collection.Seq[Double]): Double =
+    if (sorted.isEmpty) 0.0
+    else if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+    else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
 
   /** How many completed re-reads REPRODUCED the excess — i.e. the re-read
     * value itself still trips both re-read gates against the quiet median.
@@ -176,7 +200,7 @@ object Bench {
       t > RereadFactor * m && t - m > RereadSlackSec) }
 
   /** The guard verdict: a machine-readable code — `none` / `stale` /
-    * `contended` / `saturated-stale` — recorded in the stdout line and
+    * `contended` / `saturated-stale` / `indeterminate` — recorded in the stdout line and
     * bench_detail.json (VERDICT r16 #4), plus the stderr message when there
     * is one. Pure — BenchSpec pins every branch, including the r16 driver
     * run's real numbers as a test vector.
@@ -190,6 +214,11 @@ object Bench {
     *   2. a MAJORITY of completed re-reads reproduce the excess.
     * Broad flat-controls trips whose re-reads mostly adjudicate down are a
     * sub-threshold contended window (`contended`), not a stale reference.
+    * Broad flat-controls trips with ZERO completed re-reads (every re-read
+    * threw — pathological) carry NO adjudication evidence in either
+    * direction, so the verdict is `indeterminate` rather than a claim the
+    * reference is current (ADVICE r17: the old message asserted
+    * "the reference is current" on 0/0 evidence).
     */
   private[graft] def guardVerdict(
       tripped: Int, rereadCount: Int, rereadReproduced: Int,
@@ -207,11 +236,19 @@ object Bench {
     }
     // Strict majority of COMPLETED re-reads; with zero completed re-reads
     // (every re-read threw — pathological, the failures carry their own
-    // signal) staleness is unsupported and the run reads as contended.
+    // signal) there is no adjudication evidence and the broad-flat branch
+    // hedges to `indeterminate` instead of claiming the reference current.
     val staleSupported = rereadCount > 0 && 2 * rereadReproduced > rereadCount
     val rereadsDown = rereadCount - rereadReproduced
     if (tripped >= StaleTripThreshold && controlsFlat) {
-      if (staleSupported)
+      if (rereadCount == 0)
+        ("indeterminate",
+          Some(f"[bench] $tripped%d queries tripped the reread gate under flat control medians " +
+            f"(trivial $ctlMed%.3f, staged $stgMed%.3f) but NO re-read completed (every re-read threw) — " +
+            "no adjudication evidence either way: a stale reference cannot be distinguished from a " +
+            "sub-threshold contended window; fix the re-read failures (see stderr above) and re-run " +
+            "before trusting this read or refreshing quiet_medians.json"))
+      else if (staleSupported)
         ("stale",
           Some(f"[bench] $tripped%d queries tripped the reread gate under FLAT control medians " +
             f"(trivial $ctlMed%.3f vs quiet ${refCtl.get}%.3f, staged $stgMed%.3f vs ${refStg.get}%.3f) " +
@@ -255,6 +292,20 @@ object Bench {
             "trajectories in bench_detail.json; trust value_adjudicated"))
     } else ("none", None)
   }
+
+  /** One compact ledger line per bench run (VERDICT r17 #2) — the durable,
+    * TRACKED record of the run's headline facts. Deliberately excludes the
+    * per-query map: the ledger is the history that must survive a cleanup
+    * of the (gitignored, bulky) detail files, not a second copy of them.
+    * `ts` is wall-clock ISO-8601 UTC so the ledger orders runs across days
+    * without relying on file mtimes. Pure — BenchSpec pins the shape.
+    */
+  private[graft] def composeLedgerLine(
+      ts: String, total: Double, adjudicated: Double,
+      ctlMed: Double, stgMed: Double,
+      tripped: Int, rereadN: Int, guard: String,
+      gcSec: Double, sf: String): String =
+    f"""{"ts":"$ts","total":$total%.3f,"value_adjudicated":$adjudicated%.3f,"control_med":$ctlMed%.3f,"control_staged_med":$stgMed%.3f,"tripped_n":$tripped,"reread_n":$rereadN,"guard":"$guard","gc_sec":$gcSec%.1f,"sf":"$sf"}"""
 
   /** Stdout-line length contract: the driver captures only the last ~2000
     * chars of the run log, and sbt prints its own `[success] Total time …`
@@ -519,10 +570,10 @@ object Bench {
     val rr = reread.toSeq.sorted
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val ctlSorted = controls.map(_._2).sorted
-    val ctlMed = if (ctlSorted.isEmpty) 0.0 else ctlSorted(ctlSorted.size / 2)
+    val ctlMed = medianOf(ctlSorted)
     val ctlMax = if (ctlSorted.isEmpty) 0.0 else ctlSorted.last
     val stgSorted = stagedControls.map(_._2).sorted
-    val stgMed = if (stgSorted.isEmpty) 0.0 else stgSorted(stgSorted.size / 2)
+    val stgMed = medianOf(stgSorted)
     val stgMax = if (stgSorted.isEmpty) 0.0 else stgSorted.last
     // Guard verdict (VERDICT r16 #1/#4): the trip count is the UNCAPPED
     // candidate set (the stale signal must not be masked by the re-read
@@ -550,6 +601,26 @@ object Bench {
     java.nio.file.Files.copy(detailPath, keepAs,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     System.err.println(s"[bench] detail preserved as $keepAs")
+    // Durable history (VERDICT r17 #2): append the run's compact facts to
+    // the TRACKED ledger at the same point the detail copy is made. The
+    // append is best-effort — a read-only checkout must not fail the bench.
+    try {
+      val line = composeLedgerLine(
+        ts = java.time.Instant.now()
+          .truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString,
+        total = total, adjudicated = adjudicated,
+        ctlMed = ctlMed, stgMed = stgMed,
+        tripped = trippedN, rereadN = reread.size, guard = guard,
+        gcSec = gcSec, sf = sfDir)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_ledger.jsonl"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      System.err.println("[bench] ledger line appended to bench_ledger.jsonl")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ledger append failed (non-fatal): ${e.getMessage}")
+    }
 
     val byCost = results.sortBy { case (n, t) => (-t, n) }
     // Guard message on stderr, BEFORE the stdout line so the tail keeps the

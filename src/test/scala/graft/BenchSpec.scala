@@ -124,10 +124,16 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.guardVerdict(
       tripped = 10, rereadCount = 10, rereadReproduced = 5,
       ctlMed = 0.108, stgMed = 0.160, refCtl = refs._1, refStg = refs._2)._1 == "contended")
-    // Zero completed re-reads cannot support staleness.
-    assert(Bench.guardVerdict(
+    // Zero completed re-reads cannot support staleness — and cannot support
+    // "the reference is current" either (ADVICE r17): with 0/0 adjudication
+    // evidence the verdict must HEDGE, not claim contention.
+    val (zCode, zMsg) = Bench.guardVerdict(
       tripped = Bench.StaleTripThreshold, rereadCount = 0, rereadReproduced = 0,
-      ctlMed = 0.108, stgMed = 0.160, refCtl = refs._1, refStg = refs._2)._1 == "contended")
+      ctlMed = 0.108, stgMed = 0.160, refCtl = refs._1, refStg = refs._2)
+    assert(zCode == "indeterminate")
+    assert(zMsg.exists(_.contains("NO re-read completed")))
+    assert(zMsg.exists(_.contains("no adjudication evidence")))
+    assert(!zMsg.exists(_.contains("the reference is current")))
     // Broad trips under ELEVATED controls, below the cap -> no verdict
     // (ordinary contended samples; the controls already grade the run).
     assert(Bench.guardVerdict(
@@ -190,6 +196,43 @@ class BenchSpec extends AnyFunSuite {
 
   private def parseJson(line: String): com.fasterxml.jackson.databind.JsonNode =
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+
+  test("medianOf: true median — matches Python statistics.median on even counts (ADVICE r17)") {
+    // The run-time control medians and the _control_med references they are
+    // compared against (ControlFlatFactor) must be the SAME statistic: the
+    // old upper-middle convention read sorted(0.1, 0.2) as 0.2 where the
+    // reference builder's statistics.median reads 0.15.
+    assert(Bench.medianOf(Nil) == 0.0)
+    assert(Bench.medianOf(Seq(0.5)) == 0.5)
+    assert(math.abs(Bench.medianOf(Seq(0.1, 0.2)) - 0.15) < 1e-12)
+    assert(Bench.medianOf(Seq(0.1, 0.2, 0.4)) == 0.2)
+    assert(math.abs(Bench.medianOf(Seq(0.1, 0.2, 0.3, 0.5)) - 0.25) < 1e-12)
+  }
+
+  test("ledger line: one parseable JSON line with the pinned compact fields (VERDICT r17 #2)") {
+    val line = Bench.composeLedgerLine(
+      ts = "2026-08-16T19:21:03Z", total = 137.144, adjudicated = 132.969,
+      ctlMed = 0.101, stgMed = 0.148, tripped = 4, rereadN = 4,
+      guard = "none", gcSec = 4.0, sf = "/root/testdata/sf0.1")
+    assert(!line.contains("\n"), "a ledger entry is exactly one line")
+    val node = parseJson(line)
+    // The pinned shape: exactly these ten fields, no per-query map — the
+    // ledger is the durable compact history, not a second detail file.
+    import scala.jdk.CollectionConverters._
+    assert(node.properties().asScala.map(_.getKey).toSet == Set(
+      "ts", "total", "value_adjudicated", "control_med", "control_staged_med",
+      "tripped_n", "reread_n", "guard", "gc_sec", "sf"))
+    assert(node.get("ts").asText() == "2026-08-16T19:21:03Z")
+    assert(node.get("total").asDouble() == 137.144)
+    assert(node.get("value_adjudicated").asDouble() == 132.969)
+    assert(node.get("control_med").asDouble() == 0.101)
+    assert(node.get("control_staged_med").asDouble() == 0.148)
+    assert(node.get("tripped_n").asInt() == 4)
+    assert(node.get("reread_n").asInt() == 4)
+    assert(node.get("guard").asText() == "none")
+    assert(node.get("gc_sec").asDouble() == 4.0)
+    assert(node.get("sf").asText() == "/root/testdata/sf0.1")
+  }
 
   test("stdout line: bounded and parseable on a typical full-gate run") {
     val byCost = (1 to 256).map(i => f"query_name_$i%03d" -> (3.0 - i * 0.01))
