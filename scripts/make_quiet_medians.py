@@ -24,7 +24,6 @@ def main() -> None:
     labels = []
     controls = []
     staged = []
-    seen_labels = {}
     for arg in sys.argv[2:]:
         path, _, label = arg.partition(",")
         with open(path) as f:
@@ -34,11 +33,14 @@ def main() -> None:
         # De-duplicate labels (ADVICE r17): two args with the same ,LABEL
         # suffix (or the same path twice) would make the contended-run
         # warning below ambiguous again — suffix repeats with an index so
-        # "drop the named run" always names exactly one feed.
-        n = seen_labels.get(label, 0)
-        seen_labels[label] = n + 1
-        if n:
-            label = f"{label}#{n + 1}"
+        # "drop the named run" always names exactly one feed. The suffix
+        # loops until the candidate is absent from the labels assigned so
+        # far (ADVICE r18): an explicit ",run#2" arg alongside a duplicated
+        # "run" must not collide with the generated "run#2".
+        base, n = label, 1
+        while label in labels:
+            n += 1
+            label = f"{base}#{n}"
         # Per-run control medians feed the bench's stale-reference guard
         # (Bench.guardVerdict): a run whose control medians are flat
         # against these quiet-era references but trips the reread gate

@@ -174,6 +174,16 @@ object Bench {
     * `statistics.median` call that builds `_control_med`/
     * `_control_staged_med` in make_quiet_medians.py — the old upper-middle
     * convention biased run medians slightly high against the reference.
+    *
+    * Transient, r18 until the next medians refresh (ADVICE r18): the
+    * COMMITTED `_control_med`/`_control_staged_med` (0.108/0.157) were
+    * built with the pre-r18 upper-middle per-run convention, so they sit a
+    * hair high against today's true-median run statistics — the comparison
+    * is slightly LENIENT (a marginally elevated window can still grade
+    * flat). Leniency here only widens the `contended`/`none` side; it can
+    * never manufacture a false `stale`, which additionally requires a
+    * majority of re-reads to reproduce the excess. Self-heals at the next
+    * refresh: make_quiet_medians.py emits true-median references since r18.
     */
   private[graft] val ControlFlatFactor = 1.3
 
@@ -293,19 +303,42 @@ object Bench {
     } else ("none", None)
   }
 
+  /** A JSON string literal: quotes the value and escapes `"`, `\` and
+    * control characters (ADVICE r18 — an `sf` path containing a quote or
+    * backslash previously produced an unparseable ledger line; `ts` and
+    * `guard` are safe by construction but go through the same door).
+    */
+  private[graft] def jsonStr(s: String): String =
+    s.flatMap {
+      case '"'            => "\\\""
+      case '\\'           => "\\\\"
+      case c if c < ' '   => f"\\u${c.toInt}%04x"
+      case c              => c.toString
+    }.mkString("\"", "", "\"")
+
+  /** Locale-stable decimal rendering (ADVICE r18): the `f` interpolator
+    * formats through the default JVM locale, so under a comma-decimal
+    * locale (de_DE) the emitted JSON would be invalid. Every double in the
+    * ledger line goes through Locale.ROOT explicitly — the stdout/detail
+    * lines are covered by the Locale.ROOT default set in [[main]].
+    */
+  private def rootF(fmt: String, x: Double): String =
+    String.format(java.util.Locale.ROOT, fmt, Double.box(x))
+
   /** One compact ledger line per bench run (VERDICT r17 #2) — the durable,
     * TRACKED record of the run's headline facts. Deliberately excludes the
     * per-query map: the ledger is the history that must survive a cleanup
     * of the (gitignored, bulky) detail files, not a second copy of them.
     * `ts` is wall-clock ISO-8601 UTC so the ledger orders runs across days
-    * without relying on file mtimes. Pure — BenchSpec pins the shape.
+    * without relying on file mtimes. Pure — BenchSpec pins the shape,
+    * the string escaping, and the locale stability.
     */
   private[graft] def composeLedgerLine(
       ts: String, total: Double, adjudicated: Double,
       ctlMed: Double, stgMed: Double,
       tripped: Int, rereadN: Int, guard: String,
       gcSec: Double, sf: String): String =
-    f"""{"ts":"$ts","total":$total%.3f,"value_adjudicated":$adjudicated%.3f,"control_med":$ctlMed%.3f,"control_staged_med":$stgMed%.3f,"tripped_n":$tripped,"reread_n":$rereadN,"guard":"$guard","gc_sec":$gcSec%.1f,"sf":"$sf"}"""
+    s"""{"ts":${jsonStr(ts)},"total":${rootF("%.3f", total)},"value_adjudicated":${rootF("%.3f", adjudicated)},"control_med":${rootF("%.3f", ctlMed)},"control_staged_med":${rootF("%.3f", stgMed)},"tripped_n":$tripped,"reread_n":$rereadN,"guard":${jsonStr(guard)},"gc_sec":${rootF("%.1f", gcSec)},"sf":${jsonStr(sf)}}"""
 
   /** Stdout-line length contract: the driver captures only the last ~2000
     * chars of the run log, and sbt prints its own `[success] Total time …`
@@ -383,6 +416,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Locale-stable launcher default (ADVICE r18): the stdout line and the
+    // detail file are built with the `f` interpolator, which formats through
+    // the default JVM locale — under a comma-decimal locale (de_DE) every
+    // emitted double would break the JSON. Pin ROOT before any formatting.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = EngineSession.local(cpus)
@@ -618,7 +656,9 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
       System.err.println("[bench] ledger line appended to bench_ledger.jsonl")
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal, not Throwable (ADVICE r18): swallowing OutOfMemoryError or
+      // InterruptedException here would hide a dying JVM / clear interrupts.
       System.err.println(s"[bench] ledger append failed (non-fatal): ${e.getMessage}")
     }
 

@@ -234,6 +234,48 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("sf").asText() == "/root/testdata/sf0.1")
   }
 
+  test("ledger line: string fields are JSON-escaped and doubles locale-stable (ADVICE r18)") {
+    // A quote/backslash in the caller-provided sf path must not produce an
+    // unparseable ledger line, and the doubles must render with '.' even
+    // under a comma-decimal default locale (composeLedgerLine is pure and
+    // may run before main() pins Locale.ROOT — e.g. from this test).
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.composeLedgerLine(
+        ts = "2026-08-16T19:21:03Z", total = 137.144, adjudicated = 132.969,
+        ctlMed = 0.101, stgMed = 0.148, tripped = 4, rereadN = 4,
+        guard = "none", gcSec = 4.0, sf = "/tmp/sf \"odd\\path\"\n")
+      val node = parseJson(line)
+      assert(node.get("total").asDouble() == 137.144, "decimal point, not comma")
+      assert(node.get("sf").asText() == "/tmp/sf \"odd\\path\"\n")
+      assert(!line.contains("\n"), "escaped control chars keep the entry one line")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("ledger file: every line parses, fields pinned, ts monotone per sf (VERDICT r18 #5)") {
+    // The tracked bench_ledger.jsonl is the durable history — keep the
+    // backfilled + live-appended lines self-verifying as the file grows.
+    // Backfilled pre-field lines carry null values but the same ten keys.
+    import scala.jdk.CollectionConverters._
+    val pinned = Set("ts", "total", "value_adjudicated", "control_med",
+      "control_staged_med", "tripped_n", "reread_n", "guard", "gc_sec", "sf")
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("bench_ledger.jsonl")).asScala.filter(_.nonEmpty)
+    assert(lines.nonEmpty, "the ledger exists and is non-empty")
+    val rows = lines.map { l =>
+      val node = parseJson(l)   // throws on an unparseable line
+      assert(node.properties().asScala.map(_.getKey).toSet == pinned,
+        s"pinned field set on: $l")
+      def text(k: String) = { val n = node.get(k); if (n.isTextual) Some(n.asText) else None }
+      (text("sf"), text("ts"))
+    }
+    rows.groupBy(_._1).foreach { case (sf, rs) =>
+      val ts = rs.flatMap(_._2)
+      assert(ts == ts.sorted, s"ts monotone non-decreasing within sf=$sf")
+    }
+  }
+
   test("stdout line: bounded and parseable on a typical full-gate run") {
     val byCost = (1 to 256).map(i => f"query_name_$i%03d" -> (3.0 - i * 0.01))
       .sortBy { case (n, t) => (-t, n) }
