@@ -52,7 +52,7 @@ object Similarity {
   /** Single-file parquet = one input partition; repartition to parallelize
     * the per-vector work (see Dedup.shingled).
     */
-  private[operators] def vecs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def vecs(s: SparkSession, dir: String): DataFrame =
     Relational.t(s, dir, "embeddings")
       .transform(Dedup.spread("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -690,12 +690,22 @@ object Similarity {
     */
   private[graft] def pageRankRanks(s: SparkSession, dir: String, iters: Int): DataFrame = {
     val nodes = vecs(s, dir).select(col("vec_id"))
-    val nN = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    // Corpus-constant node count, folded in as a LITERAL via the stored-
+    // scalar tier (the lm_vocab_v device — "removing a one-row scan +
+    // broadcast-join stage from every query that needs it", and this plan
+    // needed it iters+1 times): the old one-row count aggregate was
+    // broadcast-cross-joined into init AND every round, costing an extra
+    // corpus scan + broadcast build per round — 4 scans/builds at PrIters=3
+    // (r19 plan evidence: plans/r19/ss_pagerank_{before,after}.txt, 8 → 4
+    // embeddings scans). Arithmetic is unchanged: count→long→double is
+    // exact (n ≪ 2^53) and `lit(0.15)/lit(n)` constant-folds through the
+    // same IEEE division the broadcast column fed, so the ranks are
+    // bit-identical (oracle-gated).
+    val nD = graft.sources.Stored.scalarLong("pr_n_nodes", dir)(nodes.count()).toDouble
     // knnGraph is a stored parquet index ([[materialize]]): each round's
     // scan of the edge table is a cheap re-read, no checkpoint needed.
     val edges = knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-    val init = nodes.join(broadcast(nN)) // bounded: one row
-      .select(col("vec_id"), (lit(1.0) / col("n_nodes")).as("pr"))
+    val init = nodes.select(col("vec_id"), (lit(1.0) / lit(nD)).as("pr"))
     (1 to iters).foldLeft(init) { (pr, _) =>
       val contrib = edges
         .join(pr.withColumnRenamed("vec_id", "src"), "src")
@@ -703,10 +713,10 @@ object Similarity {
           (col("pr") / lit(3.0)).cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).cast("double").as("s"))
-      nodes.join(broadcast(nN)) // bounded: one row
+      nodes
         .join(contrib, col("vec_id") === col("dst"), "left")
         .select(col("vec_id"),
-          (lit(0.15) / col("n_nodes") + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+          (lit(0.15) / lit(nD) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
     }.orderBy("vec_id")
   }
 
@@ -932,7 +942,7 @@ object Similarity {
     * DuckDB all-pairs + ROW_NUMBER oracle (cosines are bit-identical via
     * the shared sequential-fold dot product).
     */
-  private def knnGraph(s: SparkSession, dir: String): DataFrame =
+  private[graft] def knnGraph(s: SparkSession, dir: String): DataFrame =
     // The k-NN graph is itself a stored index structure (diversity
     // sampling, cluster seeding, triangles, and PageRank all start from
     // it): the O(n²/G) block-grid build runs once per corpus, every

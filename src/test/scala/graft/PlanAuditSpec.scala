@@ -678,8 +678,10 @@ class PlanAuditSpec extends SparkSpec {
       "ss_ann_lsh" -> Map("embeddings.parquet" -> 4),
       "ss_ann_recall" -> Map("embeddings.parquet" -> 6),
       // Iterative fixpoint with LINEAR lineage: one pruned vec_id scan per
-      // power iteration, never a duplicated subtree:
-      "ss_pagerank" -> Map("embeddings.parquet" -> 8),
+      // power iteration, never a duplicated subtree (r19: the per-round
+      // one-row n_nodes count aggregate folded into a stored scalar —
+      // lm_vocab_v device — halving the scan count from 8):
+      "ss_pagerank" -> Map("embeddings.parquet" -> 4),
     )
     val dir = sf()
     // Bidirectional pin: observed > allowed is the regression this test
