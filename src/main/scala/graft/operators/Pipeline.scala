@@ -690,7 +690,7 @@ object Pipeline {
     * offsets). O(rows) work, no ROW_NUMBER single-partition funnel. Shared
     * by `sp_row_numbers` and the Gini rank stage (`Analytics.an_gini`).
     */
-  private[operators] def globalRowNumbers(
+  private[graft] def globalRowNumbers(
       s: SparkSession, df: DataFrame, numCol: String,
       keys: org.apache.spark.sql.Column*): DataFrame = {
     val sorted = df

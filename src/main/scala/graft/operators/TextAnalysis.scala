@@ -316,9 +316,18 @@ object TextAnalysis {
       val tokFirst = base.select(col("doc_id"), explode(array_distinct(col("ts"))).as("tok"))
         .join(ranked.select("doc_id", "r"), "doc_id")
         .groupBy("tok").agg(min("r").as("fr"))
-      val ck = ranked.agg(count(lit(1)).as("d"))
-        .select(explode(sequence(lit(1), lit(HeapsK))).as("k"), col("d"))
-        .select(col("k"), expr(s"(k * d) DIV $HeapsK").as("n_k"))
+      // Corpus-constant doc count folded in as a literal via the stored-
+      // scalar tier (r19, the ss_pagerank/lm_vocab_v device): the old
+      // one-row count aggregate rode inside the checkpoint frame (broadcast
+      // into BOTH counting legs and the final join — three plannings of the
+      // same count lineage); as a literal, ck is a Range-derived local
+      // frame with no corpus dependence, and the checkpoint boundary
+      // formula (k·D) DIV K runs the identical integer arithmetic with d
+      // inlined (oracle-gated).
+      val d = graft.sources.Stored.scalarLong("ta_heaps_ndocs", dir)(ranked.count())
+      val ck = s.range(1, HeapsK + 1)
+        .select(col("id").cast("int").as("k"))
+        .select(col("k"), expr(s"(k * ${d}L) DIV $HeapsK").as("n_k"))
       val v = tokFirst.crossJoin(broadcast(ck)).filter(col("fr") <= col("n_k")) // bounded: one row
         .groupBy("k").agg(count(lit(1)).as("vocab"))
       val n = ranked.crossJoin(broadcast(ck)).filter(col("r") <= col("n_k")) // bounded: one row

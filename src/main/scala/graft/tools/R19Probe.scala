@@ -76,6 +76,34 @@ object R19Probe {
       rfConstraintShared(s, dir, ft, fk, pt, pk)
     }.reduce(_.unionByName(_)).orderBy("constraint_name")
 
+  /** ta_heaps with the r18 in-plan one-row doc-count aggregate (old) vs the
+    * r19 stored-scalar literal fold (production).
+    */
+  private def heapsOld(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Pipeline, TextAnalysis}
+    val base = Dedup.materialized(
+      Relational.t(s, dir, "documents")
+        .transform(Dedup.spread("doc_id"))
+        .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("ts")))
+    val ranked = Dedup.materialized(
+      Pipeline.globalRowNumbers(s,
+        base.select(col("doc_id"), size(col("ts")).as("n_toks")), "r", col("doc_id")))
+    val tokFirst = base.select(col("doc_id"), explode(array_distinct(col("ts"))).as("tok"))
+      .join(ranked.select("doc_id", "r"), "doc_id")
+      .groupBy("tok").agg(min("r").as("fr"))
+    val ck = ranked.agg(count(lit(1)).as("d"))
+      .select(explode(sequence(lit(1), lit(TextAnalysis.HeapsK))).as("k"), col("d"))
+      .select(col("k"), expr(s"(k * d) DIV ${TextAnalysis.HeapsK}").as("n_k"))
+    val v = tokFirst.crossJoin(broadcast(ck)).filter(col("fr") <= col("n_k")) // bounded: HeapsK rows
+      .groupBy("k").agg(count(lit(1)).as("vocab"))
+    val n = ranked.crossJoin(broadcast(ck)).filter(col("r") <= col("n_k")) // bounded: HeapsK rows
+      .groupBy("k").agg(sum("n_toks").as("n_tokens"))
+    ck.join(n, "k").join(v, "k")
+      .select(col("k").cast("int").as("ckpt"), col("n_k").as("n_docs"),
+        col("n_tokens"), col("vocab"))
+      .orderBy("ckpt")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println("usage: R19Probe <corpusDir>")
@@ -91,7 +119,9 @@ object R19Probe {
       "pr_old" -> (() => prOld(s, dir, Similarity.PrIters)),
       "pr_new" -> (() => Similarity.pageRankRanks(s, dir, Similarity.PrIters)),
       "rf_prod" -> (() => graft.SparkEntry.queries("dq_referential")(s, dir)),
-      "rf_shared" -> (() => rfShared(s, dir)))
+      "rf_shared" -> (() => rfShared(s, dir)),
+      "heaps_old" -> (() => heapsOld(s, dir)),
+      "heaps_new" -> (() => graft.SparkEntry.queries("ta_heaps")(s, dir)))
 
     // Equivalence proof first: old ≡ new row-for-row at this SF.
     for (Seq((an, af), (bn, bf)) <- vs.grouped(2)) {
@@ -102,11 +132,15 @@ object R19Probe {
     }
 
     vs.foreach { case (_, f) => noop(f()) } // warm (JIT/codegen/stored builds)
-    (1 to 5).foreach { p =>
-      vs.foreach { case (n, f) =>
+    (1 to 6).foreach { p =>
+      // Alternate within-pair order per pass: a fixed order lets within-pass
+      // warming systematically favor the second member (the ShjProbe
+      // fixed-arm-order lesson from this same round).
+      val order = if (p % 2 == 1) vs else vs.grouped(2).flatMap(_.reverse).toSeq
+      order.foreach { case (n, f) =>
         val t0 = System.nanoTime()
         noop(f())
-        println(f"[r19probe] pass$p $n%-8s ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+        println(f"[r19probe] pass$p $n%-9s ${(System.nanoTime() - t0) / 1e9}%6.3f s")
       }
     }
     s.stop()
