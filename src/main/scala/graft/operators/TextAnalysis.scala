@@ -328,9 +328,9 @@ object TextAnalysis {
       val ck = s.range(1, HeapsK + 1)
         .select(col("id").cast("int").as("k"))
         .select(col("k"), expr(s"(k * ${d}L) DIV $HeapsK").as("n_k"))
-      val v = tokFirst.crossJoin(broadcast(ck)).filter(col("fr") <= col("n_k")) // bounded: one row
+      val v = tokFirst.crossJoin(broadcast(ck)).filter(col("fr") <= col("n_k")) // bounded: HeapsK rows
         .groupBy("k").agg(count(lit(1)).as("vocab"))
-      val n = ranked.crossJoin(broadcast(ck)).filter(col("r") <= col("n_k")) // bounded: one row
+      val n = ranked.crossJoin(broadcast(ck)).filter(col("r") <= col("n_k")) // bounded: HeapsK rows
         .groupBy("k").agg(sum("n_toks").as("n_tokens"))
       ck.join(n, "k").join(v, "k")
         .select(col("k").cast("int").as("ckpt"), col("n_k").as("n_docs"),

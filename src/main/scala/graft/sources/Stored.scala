@@ -25,6 +25,18 @@ object Stored {
     * a one-row scan + broadcast-join stage from every query that needs it.
     * Same locking doctrine as [[materialize]] (reentrant monitor — the
     * value thunk may itself call materialize).
+    *
+    * LOAD-BEARING ASSUMPTION (ADVICE r19): the corpus under `dir` is
+    * immutable for the SESSION's lifetime — the same contract
+    * [[materialize]] and the kNN/IVF/PQ index tiers already rely on for
+    * index reuse, but here it is load-bearing for RESULT VALUES, not just
+    * reuse: a folded literal (ss_pagerank's node count, ta_heaps's doc
+    * count) goes stale if the dir is rewritten mid-session, where the old
+    * in-plan count aggregate would have stayed live. Any future operator
+    * that WRITES into a corpus dir in-session must invalidate via
+    * [[dropSession]] (test hook) or use a fresh dir (the mt_* rewrite
+    * queries already do the latter — they write to derived paths, never
+    * into the corpus dir).
     */
   def scalarLong(name: String, dir: String)(v: => Long): Long = {
     val key = s"$name:$dir"
@@ -132,6 +144,24 @@ object Stored {
   private[sources] def livePinCount: Int = {
     frames.values().removeIf(_._1.isStopped)
     frames.size()
+  }
+
+  /** Invalidate every session-cached structure derived from `dir` — the
+    * test-visible hook behind [[scalarLong]]'s corpus-immutability
+    * assumption (ADVICE r19): an operator that rewrites a corpus dir
+    * in-session must call this so folded scalars, materialized parquet
+    * paths, and pinned frames are all rebuilt from the new bytes on next
+    * touch. No production caller today (the gate corpus is immutable and
+    * the mt_* rewrites use derived paths); exists so a future
+    * incremental-ingest operator has a correct door instead of a silent
+    * stale-literal hazard.
+    */
+  private[graft] def dropSession(dir: String): Unit = {
+    val suffix = s":$dir"
+    scalars.keySet().removeIf((k: String) => k.endsWith(suffix))
+    stored.keySet().removeIf((k: String) => k.endsWith(suffix))
+    frames.keySet().removeIf((k: String) => k.endsWith(suffix))
+    warned.removeIf((k: String) => k.endsWith(suffix))
   }
 
   def materialize(name: String, dir: String, s: SparkSession)(df: => DataFrame): DataFrame = {

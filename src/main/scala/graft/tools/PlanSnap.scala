@@ -22,16 +22,21 @@ object PlanSnap {
     }
     val (outDir, suffix, sfDir) = (args(0), args(1), args(2))
     val names = args(3).split(",").toSeq
-    val exec = args.contains("exec")
+    // Flags live strictly AFTER the four positionals (ADVICE r19: a bare
+    // args.contains("exec") scanned the positionals too, so an outDir or
+    // suffix literally named "exec" silently flipped execution mode).
+    val flags = args.drop(4)
+    val exec = flags.contains("exec")
     // Optional runtime-conf overrides (`conf:key=value` args): lets a
     // snapshot pin an A/B arm, e.g. conf:spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=0.
-    val confs = args.filter(_.startsWith("conf:")).map { a =>
+    val confs = flags.filter(_.startsWith("conf:")).map { a =>
       val kv = a.stripPrefix("conf:").split("=", 2); (kv(0), kv(1))
     }
     val spark = graft.EngineSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
     Files.createDirectories(Paths.get(outDir))
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    var failures = 0
     names.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
@@ -45,9 +50,17 @@ object PlanSnap {
         Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), txt)
         println(s"[plansnap] wrote $outDir/${name}_$suffix.txt (${txt.linesIterator.size} lines)")
       } catch { case e: Throwable =>
+        failures += 1
         System.err.println(s"[plansnap] $name failed: ${e.getMessage}")
       }
     }
     spark.stop()
+    // Exit non-zero when any requested snapshot failed (ADVICE r19: a
+    // silent rc=0 made an evidence-capture run that produced nothing look
+    // successful to a calling script).
+    if (failures > 0) {
+      System.err.println(s"[plansnap] $failures/${names.size} snapshots FAILED")
+      sys.exit(1)
+    }
   }
 }

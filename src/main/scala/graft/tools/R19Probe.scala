@@ -123,7 +123,13 @@ object R19Probe {
       "heaps_old" -> (() => heapsOld(s, dir)),
       "heaps_new" -> (() => graft.SparkEntry.queries("ta_heaps")(s, dir)))
 
-    // Equivalence proof first: old ≡ new row-for-row at this SF.
+    // Equivalence proof first: old ≡ new row-for-row at this SF. The pairing
+    // is positional, so an unpaired trailing variant must fail LOUDLY here —
+    // grouped(2)'s trailing singleton would otherwise be silently filtered
+    // out by the two-element pattern and skip its value-identity proof
+    // (ADVICE r19).
+    require(vs.length % 2 == 0,
+      s"R19Probe variants must pair up (old, new); got ${vs.length}: ${vs.map(_._1).mkString(", ")}")
     for (Seq((an, af), (bn, bf)) <- vs.grouped(2)) {
       val a = af().collect().map(_.toString).sorted
       val b = bf().collect().map(_.toString).sorted
