@@ -35,6 +35,14 @@ object EngineSession {
     */
   val CodegenCacheEntries = "5000"
 
+  /** ONE constant behind the AQE advisory partition size AND the
+    * sort-merge→shuffled-hash conversion threshold (ADVICE r19: the
+    * conversion is only honored while its threshold is ≥ the advisory size,
+    * so the two values were implicitly coupled — deriving both from one
+    * constant makes a future advisory bump impossible to silently decouple).
+    */
+  val AdvisoryPartitionBytes = "64m"
+
   def local(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,7 +68,35 @@ object EngineSession {
       // the removed sorts are KB-scale there). Kept for the cluster
       // posture, where the per-partition sorts it removes are ~advisory-
       // sized; the whole oracle gate hash-matches with the conversion on.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      // PRECONDITION (ADVICE r19): the conversion only fires while this
+      // threshold is ≥ the advisory partition size — both now derive from
+      // [[AdvisoryPartitionBytes]], and the advisory size is set explicitly
+      // below so a Spark default change cannot silently decouple them.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        AdvisoryPartitionBytes)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        AdvisoryPartitionBytes)
+      // Always use the SORT-BASED shuffle writer, never the bypass-merge
+      // one (r20, optimization guide §2.2 — the M×R small-block problem at
+      // its file-system root). The bypass writer opens R partition files
+      // PER MAP TASK and then concatenates them, so every exchange pays
+      // M×R file creates/opens/closes; with 32-way maps × 32-way reduces
+      // that is ~1024 file round-trips per exchange, and this engine's
+      // query shapes are many sequential byte-light exchanges — measured
+      // (r20, two-JVM×two-arm alternating A/B, warm): rt_prf_expansion
+      // 3.04→1.66 s, ss_bfs_hops 1.87→1.24, ev_rfm 1.94→1.17,
+      // dd_incremental 3.28→1.72 (−34..−48 %). The sort writer inserts
+      // rows into one in-memory buffer and writes ONE file + index per map
+      // task regardless of R. Scale-NEUTRAL by construction: the bypass
+      // path only ever fires when R ≤ 200 and there is no map-side
+      // combine, so a 100 TB shuffle (R ≫ 200) already runs the sort
+      // writer — threshold 0 makes the local bench exercise the exact
+      // writer the cluster posture uses instead of a small-R special case.
+      // Shuffle OUTPUT is identical (same partitioning; rows within a
+      // partition keep arrival order under the stable partition-id sort),
+      // so plans and results are untouched — the full oracle gate
+      // hash-matches with the sort writer (r20 verification).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       // InferFiltersFromGenerate turns every explode(f(text)) into an
       // inferred `size(f(text)) > 0 AND f(text) IS NOT NULL` filter that
       // pushdown then moves BELOW the parallelizing exchange — so the

@@ -180,6 +180,41 @@ class PlanAuditSpec extends SparkSpec {
         "(.config(\"spark.sql.codegen.cache.maxEntries\", CodegenCacheEntries) missing)")
   }
 
+  test("engine session forces the sort-based shuffle writer and couples the advisory size") {
+    // r20: the bypass-merge shuffle writer opens R partition files PER MAP
+    // TASK (M×R file round-trips per exchange) — measured as the dominant
+    // per-stage overhead of the engine's many byte-light exchanges at
+    // sf0.1 (rt_prf_expansion 3.04→1.66 s, dd_incremental 3.28→1.72 s
+    // warm when forced to the sort writer). Threshold 0 is scale-NEUTRAL:
+    // a production shuffle (R > 200) never takes the bypass path anyway,
+    // so this makes the local bench exercise the cluster code path. A
+    // refactor that drops the conf must fail here, not as a bench cliff.
+    // Same declaration-pin technique as the codegen-cache test above: the
+    // writer choice is a context conf the test session can't observe from
+    // EngineSession's builder directly.
+    val root = sys.props.getOrElse("graft.projectRoot",
+      fail("-Dgraft.projectRoot not set (build.sbt injects it for forked tests)"))
+    val srcPath = java.nio.file.Paths.get(root, "src/main/scala/graft/EngineSession.scala")
+    val src = new String(java.nio.file.Files.readAllBytes(srcPath), "UTF-8")
+    val writerDecl = """(?m)^\s*\.config\("spark\.shuffle\.sort\.bypassMergeThreshold",\s*"0"\)""".r
+    assert(writerDecl.findFirstIn(src).isDefined,
+      "EngineSession must force the sort-based shuffle writer " +
+        "(.config(\"spark.shuffle.sort.bypassMergeThreshold\", \"0\") missing)")
+    // And the running test context must mirror it (SparkSpec) — the first
+    // context in a JVM fixes the shuffle manager's conf process-wide.
+    assert(spark.sparkContext.getConf.get("spark.shuffle.sort.bypassMergeThreshold") == "0",
+      "test context must mirror the engine's sort-writer conf (SparkSpec builder)")
+    // ADVICE r19: the AQE sort-merge→shuffled-hash conversion threshold is
+    // only honored while it is ≥ the advisory partition size — both must
+    // derive from the ONE shared constant so a future advisory bump cannot
+    // silently disable the conversion.
+    val shjDecl = """(?m)^\s*\.config\("spark\.sql\.adaptive\.maxShuffledHashJoinLocalMapThreshold",\s*\n?\s*AdvisoryPartitionBytes\)""".r
+    val advDecl = """(?m)^\s*\.config\("spark\.sql\.adaptive\.advisoryPartitionSizeInBytes",\s*\n?\s*AdvisoryPartitionBytes\)""".r
+    assert(shjDecl.findFirstIn(src).isDefined && advDecl.findFirstIn(src).isDefined,
+      "EngineSession must derive BOTH the SHJ-conversion threshold and the advisory " +
+        "partition size from AdvisoryPartitionBytes (ADVICE r19 coupling)")
+  }
+
   test("incremental df maintenance reads the stored base index, never re-tokenizes it") {
     // rt_df_incremental's base side must be the STORED df parquet (the
     // stale index artifact, built once per session) and only the landing

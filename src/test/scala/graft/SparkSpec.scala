@@ -35,6 +35,11 @@ object SparkSpec {
         // 340-test suite churns far more generated classes than 100
         // entries hold). PlanAuditSpec pins the active value.
         .config("spark.sql.codegen.cache.maxEntries", graft.EngineSession.CodegenCacheEntries)
+        // Mirror EngineSession's sort-based shuffle writer (r20): the
+        // shuffle manager reads this from the CONTEXT conf, and the first
+        // context in the JVM is process-wide — without the mirror, suites
+        // would exercise the bypass-merge writer the engine never runs.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "0")
         .getOrCreate()
       _session.sparkContext.setLogLevel("WARN")
     }
