@@ -96,6 +96,11 @@ object EngineSession {
       // partition keep arrival order under the stable partition-id sort),
       // so plans and results are untouched — the full oracle gate
       // hash-matches with the sort writer (r20 verification).
+      // A hybrid threshold (bypass for tiny R only, e.g. 16) was A/B'd and
+      // is WORSE: the bypass path's final concat re-copies every byte, so
+      // it loses even at R=8 once the shuffle carries real data
+      // (mt_compact_roundtrip warm 3.4–3.8 s under threshold 16 vs
+      // 1.1–1.6 s under 0, both arms twice, r20).
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       // InferFiltersFromGenerate turns every explode(f(text)) into an
       // inferred `size(f(text)) > 0 AND f(text) IS NOT NULL` filter that
